@@ -1,0 +1,69 @@
+"""Query registry: every operator family from SURVEY.md §2 that is
+SQL-checkable gets one named entry with
+
+* ``spark``  — ``(SparkSession, sf_dir) -> DataFrame`` (idiomatic DataFrame API)
+* ``oracle`` — equivalent ANSI SQL for DuckDB over the same parquet tables
+  (views pre-registered by the driver), or ``None`` for ops whose semantics
+  are not SQL-expressible (driver then records a weaker rows-only check).
+
+Column names are aliased identically on both sides (the driver's comparator
+sorts columns by name and hash-compares values). Float outputs are rounded on
+both sides so parallel-summation order cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+_lock = threading.Lock()
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    """Decorator: register a Spark query implementation under ``name``."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        with _lock:
+            QUERIES[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the driver-generated parquet tables.
+
+    At cluster scale these reads become Iceberg table scans; parquet here
+    keeps the same pushdown/pruning behavior (Catalyst emits PushedFilters
+    and ReadSchema against the parquet source).
+    """
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    """Timestamp-bearing queries must agree with DuckDB's naive-UTC epoch."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _ensure_loaded() -> None:
+    """Import all query modules for their registration side effects."""
+    from . import analytics, textops, layout, dedup, similarity  # noqa: F401
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return dict(QUERIES)
