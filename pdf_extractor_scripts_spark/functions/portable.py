@@ -99,7 +99,8 @@ def minhash_sql(col: str, dialect: str, k: int = 8) -> list[str]:
     sh = shingle_hashes_sql(col, dialect)
     out = []
     for a, b in MINHASH_PARAMS[:k]:
-        mapped = _xform(dialect, sh, f"h -> (({a}*h + {b}) % {MOD_SHINGLE})")
+        # cast h to bigint: a*h exceeds int32 and Spark 4 runs ANSI mode.
+        mapped = _xform(dialect, sh, f"h -> (({a}*cast(h as bigint) + {b}) % {MOD_SHINGLE})")
         m = _amin(dialect, mapped)
         out.append(f"coalesce({m}, {_EMPTY_MIN})")
     return out
@@ -133,7 +134,9 @@ def fingerprint_sql(col: str, dialect: str) -> str:
     ic = _idx_cast(dialect, i)
     seq = _seq(dialect, "1", f"length({col})")
     arr = _xform(dialect, seq, f"{i} -> ascii(substr({col}, {ic}, 1)) * (({i} % 97) + 1)")
-    return f"({_asum(dialect, arr)} % 2147483647)"
+    expr = f"({_asum(dialect, arr)} % 2147483647)"
+    # DuckDB's list_sum yields HUGEINT → pandas float; pin to BIGINT.
+    return f"cast({expr} as bigint)"
 
 
 def safe_float(col: str, dialect: str) -> str:

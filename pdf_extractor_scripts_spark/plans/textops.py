@@ -1,1 +1,466 @@
-"""Placeholder — populated in later milestones."""
+"""Document classification / routing / field-extraction queries — the P- and
+F-operator families of SURVEY.md §2.2/§2.4 plus the text-analysis ops a
+training-data pipeline needs (language ID, token counting, quality scoring,
+fingerprinting), all over the driver's ``documents`` table.
+
+Everything here is JVM-side Spark SQL (rlike / regexp_extract / length
+arithmetic) — zero Python UDFs, so the whole stage stays inside whole-stage
+codegen and the scan prunes to the referenced columns only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import register, load_table
+from ..functions.portable import char_ratio, fingerprint_sql
+
+# ---------------------------------------------------------------------------
+# Vendor classes for the detection cascade. The reference's detector
+# (vendor_detector.py:34-86) keys off filename regexes + content patterns;
+# the synthetic corpus keys off the `source` tag and word patterns.
+# ---------------------------------------------------------------------------
+_CLASSES = ["ceco", "steelcraft", "schlage", "generic"]
+
+
+def _rx(pattern: str, dialect: str) -> str:
+    """Regex pattern as a SQL string-literal body. Spark SQL interprets
+    backslash escapes inside '...' literals (so ``\\b`` must be written
+    ``\\\\b``); DuckDB keeps backslashes literal."""
+    return pattern.replace("\\", "\\\\") if dialect == "spark" else pattern
+
+
+# content classes: (name, [patterns +0.3 each], [keywords +0.1 each]) —
+# additive scoring per vendor_detector.py:108-153, capped at 1.0.
+_CONTENT = [
+    ("relational", [r"\bjoin\b", r"\bfilter\b", r"\bgroup\b"], [r"\btable\b", r"\brow\b", r"\bcolumn\b"]),
+    ("streaming", [r"\bstream\b", r"\bwindow\b", r"\bbatch\b"], [r"\bevent\b", r"\bvalue\b"]),
+    ("vector", [r"\bvector\b", r"\bhash\b", r"\bmerge\b"], [r"\bkey\b", r"\bsort\b"]),
+]
+
+
+def _content_score_sql(dialect: str, cls_idx: int) -> str:
+    """score_c = least(0.3*pattern_hits + 0.1*keyword_hits, 1.0)"""
+    _, pats, kws = _CONTENT[cls_idx]
+    if dialect == "spark":
+        hit = lambda p: f"(CASE WHEN text rlike '{_rx(p, dialect)}' THEN 1 ELSE 0 END)"
+    else:
+        hit = lambda p: f"(CASE WHEN regexp_matches(text, '{_rx(p, dialect)}') THEN 1 ELSE 0 END)"
+    ph = " + ".join(hit(p) for p in pats)
+    kh = " + ".join(hit(k) for k in kws)
+    return f"least(0.3 * ({ph}) + 0.1 * ({kh}), 1.0)"
+
+
+_FILE_CLASS_SPARK = (
+    "CASE (try_cast(regexp_extract(source, '[0-9]+', 0) as int) % 4) "
+    "WHEN 0 THEN 'ceco' WHEN 1 THEN 'steelcraft' WHEN 2 THEN 'schlage' "
+    "ELSE 'generic' END"
+)
+_FILE_CLASS_DUCK = (
+    "CASE (try_cast(regexp_extract(source, '[0-9]+') as int) % 4) "
+    "WHEN 0 THEN 'ceco' WHEN 1 THEN 'steelcraft' WHEN 2 THEN 'schlage' "
+    "ELSE 'generic' END"
+)
+
+
+# --------------------------------------------------------------------------
+# P1 — filename-pattern vendor detection (vendor_detector.py:88-106)
+# --------------------------------------------------------------------------
+@register(
+    "p1_vendor_filename",
+    oracle=f"""
+    SELECT {_FILE_CLASS_DUCK} AS vendor,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="Filename/source-pattern vendor detection: a when/otherwise rlike "
+        "chain (vendor_detector.py:88-106 gives (vendor, 0.8) on filename "
+        "match). Pure column exprs — codegen'd, patterns effectively "
+        "broadcast as literals.",
+)
+def p1_vendor_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("vendor", F.expr(_FILE_CLASS_SPARK))
+        .groupBy("vendor")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    )
+
+
+# --------------------------------------------------------------------------
+# P2 — content-based detection with additive scoring
+# --------------------------------------------------------------------------
+def _p2_select(dialect: str) -> str:
+    s0 = _content_score_sql(dialect, 0)
+    s1 = _content_score_sql(dialect, 1)
+    s2 = _content_score_sql(dialect, 2)
+    return f"""
+    SELECT doc_id,
+           CASE WHEN ({s0}) >= ({s1}) AND ({s0}) >= ({s2}) THEN 'relational'
+                WHEN ({s1}) >= ({s2}) THEN 'streaming'
+                ELSE 'vector' END AS content_class,
+           round(greatest({s0}, {s1}, {s2}), 2) AS content_conf
+    FROM documents
+    """
+
+
+@register(
+    "p2_content_score",
+    oracle=_p2_select("duckdb"),
+    doc="Content-based class detection: +0.3 per content-pattern hit, +0.1 "
+        "per keyword, capped at 1.0, argmax class with a fixed tie-break "
+        "order (vendor_detector.py:108-153). rlike sums + greatest — "
+        "entirely JVM-side.",
+)
+def p2_content_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_p2_select("spark"))
+
+
+# --------------------------------------------------------------------------
+# P3 — decision combine (vendor_detector.py:155-221)
+# --------------------------------------------------------------------------
+def _p3_sql(dialect: str) -> str:
+    file_cls = _FILE_CLASS_SPARK if dialect == "spark" else _FILE_CLASS_DUCK
+    p2 = _p2_select(dialect)
+    return f"""
+    WITH content AS ({p2}),
+         file AS (
+           SELECT doc_id, {file_cls} AS file_class,
+                  CASE WHEN {file_cls} <> 'generic' THEN 0.8 ELSE 0.0 END AS file_conf
+           FROM documents
+         ),
+         combined AS (
+           SELECT c.doc_id, c.content_class, c.content_conf, f.file_class, f.file_conf,
+                  CASE WHEN c.content_conf >= 0.6 THEN c.content_class
+                       WHEN f.file_conf >= 0.5 THEN f.file_class
+                       ELSE c.content_class END AS decided,
+                  CASE WHEN c.content_conf >= 0.6 THEN c.content_conf
+                       WHEN f.file_conf >= 0.5 THEN f.file_conf
+                       ELSE c.content_conf END AS base_conf
+           FROM content c JOIN file f ON c.doc_id = f.doc_id
+         )
+    SELECT decided AS vendor,
+           count(*) AS n_docs,
+           round(avg(CASE WHEN content_class = file_class
+                          THEN least(base_conf + 0.1, 1.0)
+                          ELSE base_conf END), 4) AS avg_conf
+    FROM combined GROUP BY decided
+    """
+
+
+@register(
+    "p3_decision_combine",
+    oracle=_p3_sql("duckdb"),
+    doc="Combine filename + content detectors: content wins at conf>=0.6, "
+        "else filename at >=0.5, else low-confidence content; agreement "
+        "boosts confidence by 0.1 capped at 1.0 "
+        "(vendor_detector.py:155-221). Pure when/otherwise cascade.",
+)
+def p3_decision_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_p3_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# P4/P5 — text-density OCR gate with per-vendor thresholds
+# --------------------------------------------------------------------------
+_THRESH = "CASE vendor WHEN 'ceco' THEN 100 WHEN 'steelcraft' THEN 75 WHEN 'schlage' THEN 30 ELSE 50 END"
+
+
+def _p4_sql(dialect: str) -> str:
+    file_cls = _FILE_CLASS_SPARK if dialect == "spark" else _FILE_CLASS_DUCK
+    return f"""
+    WITH v AS (SELECT doc_id, n_chars, {file_cls} AS vendor FROM documents)
+    SELECT vendor,
+           count(*) AS n_docs,
+           sum(CASE WHEN n_chars >= {_THRESH} THEN 1 ELSE 0 END){'::BIGINT' if dialect == 'duckdb' else ''} AS n_selectable,
+           round(avg(CASE WHEN n_chars >= {_THRESH} THEN 1.0 ELSE 0.0 END), 4) AS frac_selectable
+    FROM v GROUP BY vendor
+    """
+
+
+@register(
+    "p4_text_density",
+    oracle=_p4_sql("duckdb"),
+    doc="The OCR gate: has_selectable_text iff text volume clears a "
+        "per-vendor threshold (pdf_text_detector.py:117-159 with vendor "
+        "thresholds 100/75/30/50 at :77-115). Broadcast threshold map → "
+        "CASE literal.",
+)
+def p4_text_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_p4_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# P6 — text-quality validation (pdf_text_detector.py:215-328)
+# --------------------------------------------------------------------------
+def _p6_sql(dialect: str) -> str:
+    alpha = char_ratio("text", "a-zA-Z", dialect)
+    space = char_ratio("text", " ", dialect)
+    digit = char_ratio("text", "0-9", dialect)
+    return f"""
+    WITH q AS (
+      SELECT lang,
+             {alpha} AS alpha_ratio,
+             {space} AS space_ratio,
+             {digit} AS digit_ratio,
+             CASE WHEN {alpha} < 0.1 THEN 'CORRUPTED'
+                  WHEN {alpha} >= 0.7 THEN 'HIGH'
+                  WHEN {alpha} >= 0.4 THEN 'MEDIUM'
+                  ELSE 'LOW' END AS quality
+      FROM documents
+    )
+    SELECT lang, quality, count(*) AS n_docs,
+           round(avg(alpha_ratio), 4) AS avg_alpha,
+           round(avg(space_ratio), 4) AS avg_space,
+           round(avg(digit_ratio), 4) AS avg_digit
+    FROM q GROUP BY lang, quality
+    """
+
+
+@register(
+    "p6_text_quality",
+    oracle=_p6_sql("duckdb"),
+    doc="Char-class distribution quality scoring → {HIGH, MEDIUM, LOW, "
+        "CORRUPTED} (pdf_text_detector.py:215-328): alpha/space/digit "
+        "ratios via length(regexp_replace(...)) arithmetic, no UDF.",
+)
+def p6_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_p6_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# P8 — processing-strategy routing (pdf_text_detector.py:633-688)
+# --------------------------------------------------------------------------
+def _p8_sql(dialect: str) -> str:
+    file_cls = _FILE_CLASS_SPARK if dialect == "spark" else _FILE_CLASS_DUCK
+    alpha = char_ratio("text", "a-zA-Z", dialect)
+    return f"""
+    WITH r AS (
+      SELECT {file_cls} AS vendor, n_chars,
+             CASE WHEN n_chars >= ({_THRESH.replace("vendor", file_cls)})
+                  THEN CASE WHEN {alpha} >= 0.7 THEN 'text_extraction'
+                            WHEN {alpha} >= 0.4 THEN 'text_with_ocr_fallback'
+                            ELSE 'ocr_with_text_fallback' END
+                  ELSE 'ocr' END AS route
+      FROM documents
+    )
+    SELECT vendor, route, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+    FROM r GROUP BY vendor, route
+    """
+
+
+@register(
+    "p8_routing",
+    oracle=_p8_sql("duckdb"),
+    doc="Map (has_text, quality, vendor) → recommended processing route "
+        "(pdf_text_detector.py:633-688). The route column is what splits "
+        "the corpus into cheap/expensive paths so the OCR UDF only ever "
+        "sees route='ocr' rows.",
+)
+def p8_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_p8_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# F1/F2 — ordered pattern-bank extraction with confidence decay
+# --------------------------------------------------------------------------
+_F1_PATTERNS = ["(spark [a-z]+)", "(join [a-z]+)", "(merge [a-z]+)"]
+
+
+def _f1_sql(dialect: str) -> str:
+    if dialect == "spark":
+        ex = lambda p: f"nullif(regexp_extract(text, '{p}', 1), '')"
+    else:
+        ex = lambda p: f"nullif(regexp_extract(text, '{p}', 1), '')"
+    e0, e1, e2 = (ex(p) for p in _F1_PATTERNS)
+    return f"""
+    SELECT doc_id,
+           coalesce({e0}, {e1}, {e2}, 'NONE') AS value,
+           CASE WHEN {e0} IS NOT NULL THEN 0
+                WHEN {e1} IS NOT NULL THEN 1
+                WHEN {e2} IS NOT NULL THEN 2
+                ELSE -1 END AS pattern_idx,
+           CASE WHEN {e0} IS NOT NULL THEN round(0.9 * 1.0, 4)
+                WHEN {e1} IS NOT NULL THEN round(0.9 * 0.9, 4)
+                WHEN {e2} IS NOT NULL THEN round(0.9 * 0.8, 4)
+                ELSE 0.0 END AS confidence
+    FROM documents
+    """
+
+
+@register(
+    "f1_pattern_extract",
+    oracle=_f1_sql("duckdb"),
+    doc="Pattern-bank field extraction: ordered regex list, first match "
+        "wins, confidence = base * (1 - 0.1*pattern_index) "
+        "(DynamicPatternExtractor, text_pdf_processor.py:439-537). "
+        "regexp_extract + coalesce — the single-field JVM-side form; the "
+        "full ~30-field bank runs as one pandas UDF in operators/.",
+)
+def f1_pattern_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_f1_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# F14 — labeled-amount extraction round-trip (totals extractors)
+# --------------------------------------------------------------------------
+def _f14_sql(dialect: str) -> str:
+    if dialect == "spark":
+        mk = "concat('INVOICE ', cast(o_orderkey as string), ' TOTAL DUE: $', format_string('%.2f', o_totalprice))"
+    else:
+        mk = "concat('INVOICE ', o_orderkey::VARCHAR, ' TOTAL DUE: $', printf('%.2f', o_totalprice))"
+    pat = _rx(r"TOTAL DUE: \$([0-9.,]+)", dialect)
+    cleaned = f"regexp_replace(regexp_extract(inv_text, '{pat}', 1), '[,$]', ''" + (", 'g'" if dialect == "duckdb" else "") + ")"
+    return f"""
+    WITH inv AS (SELECT o_orderstatus, {mk} AS inv_text FROM orders)
+    SELECT o_orderstatus,
+           count(*) AS n_invoices,
+           round(sum(coalesce(try_cast({cleaned} as double), 0.0)), 2) AS sum_extracted
+    FROM inv GROUP BY o_orderstatus
+    """
+
+
+@register(
+    "f14_totals_roundtrip",
+    oracle=_f14_sql("duckdb"),
+    doc="Totals extractor: labeled-amount regex + safe float conversion "
+        "(comma/$ strip, default 0 — text_pdf_processor.py:2560-2572; "
+        "totals regexes ceco_processor.py:602-652). Rendered invoice lines "
+        "→ regexp_extract → try_cast → corpus aggregate.",
+)
+def f14_totals_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_f14_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# Language ID (n-gram/stopword heuristic)
+# --------------------------------------------------------------------------
+def _langid_sql(dialect: str) -> str:
+    if dialect == "spark":
+        cnt = lambda p: f"regexp_count(text, '{_rx(p, dialect)}')"
+    else:
+        cnt = lambda p: f"len(regexp_extract_all(text, '{_rx(p, dialect)}'))"
+    n_the, n_data, n_key, n_row = (cnt(p) for p in [r"\bthe\b", r"\bdata\b", r"\bkey\b", r"\brow\b"])
+    return f"""
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN {n_the} >= 2 THEN 'en'
+                  WHEN {n_data} >= 2 THEN 'de'
+                  WHEN {n_key} >= 2 THEN 'es'
+                  WHEN {n_row} >= 2 THEN 'zh'
+                  ELSE 'unknown' END AS pred_lang
+      FROM documents
+    )
+    SELECT lang, pred_lang, count(*) AS n_docs
+    FROM scored GROUP BY lang, pred_lang
+    """
+
+
+@register(
+    "text_langid",
+    oracle=_langid_sql("duckdb"),
+    doc="Language-ID heuristic by stopword-frequency thresholds + confusion "
+        "matrix vs the labeled lang column. regexp_count keeps it "
+        "JVM-side; at 100 TB this is a scan-only pass (no shuffle before "
+        "the tiny confusion-matrix agg).",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_langid_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex)
+# --------------------------------------------------------------------------
+def _tokcnt_sql(dialect: str) -> str:
+    if dialect == "spark":
+        ws = "size(filter(split(text, ' '), x -> x <> ''))"
+        bpe = "regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')"
+        cast = ""
+    else:
+        ws = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+        bpe = "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))"
+        cast = "::BIGINT"
+    return f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum({ws}){cast} AS ws_tokens,
+           sum({bpe}){cast} AS bpe_tokens,
+           round(avg({ws}), 4) AS avg_ws_tokens
+    FROM documents GROUP BY source
+    """
+
+
+@register(
+    "text_token_count",
+    oracle=_tokcnt_sql("duckdb"),
+    doc="Token counting two ways: whitespace split and a BPE-ish regex "
+        "(letter-runs | digit-runs | single symbols). Core training-data "
+        "pipeline metric; scan + map-side agg only.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_tokcnt_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (order-sensitive rolling hash)
+# --------------------------------------------------------------------------
+def _fp_sql(dialect: str) -> str:
+    fp = fingerprint_sql("text", dialect)
+    return f"SELECT doc_id, {fp} AS fingerprint, n_chars FROM documents"
+
+
+@register(
+    "text_fingerprint",
+    oracle=_fp_sql("duckdb"),
+    doc="Order-sensitive rolling-hash fingerprint per document (position-"
+        "weighted codepoint sum mod 2^31-1) — the identity artifact for "
+        "incremental dedup; pure integer arithmetic so Spark and the "
+        "oracle agree bit-for-bit.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_fp_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal: opaque binary payloads + typed metadata
+# --------------------------------------------------------------------------
+def _mm_sql(dialect: str) -> str:
+    if dialect == "spark":
+        nbytes = "octet_length(text)"
+        cast = ""
+    else:
+        nbytes = "octet_length(encode(text))"
+        cast = "::BIGINT"
+    return f"""
+    SELECT source,
+           count(*) AS n_media,
+           sum({nbytes}){cast} AS total_bytes,
+           max({nbytes}) AS max_bytes
+    FROM documents GROUP BY source
+    """
+
+
+@register(
+    "multimodal_payload_stats",
+    oracle=_mm_sql("duckdb"),
+    doc="Multimodal columns are opaque binary + typed metadata; this is the "
+        "metadata/bytes accounting pass. The decode/feature-extract UDF "
+        "plumbing (mapInPandas over binary, stubbed decoders) lives in "
+        "operators/multimodal.py with its own tests.",
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_mm_sql("spark"))
