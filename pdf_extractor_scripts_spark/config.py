@@ -1,0 +1,200 @@
+"""Shared extraction configuration: vendor detection patterns, routing
+thresholds, per-vendor field pattern banks, and the canonical output-span
+emission order.
+
+This is the engine's equivalent of the reference's pattern banks
+(text_pdf_processor.py:106-365, ceco_processor.py:86-205,
+steelcraft_processor.py:87-130, schlage_processor.py:82-130) and vendor
+thresholds (pdf_text_detector.py:77-115). In the Spark engine the whole
+object is broadcast once and consumed inside vectorized UDFs; the pure-Python
+oracle (oracle.py) reads the same banks so both sides share one spec.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# ---------------------------------------------------------------------------
+# Vendor detection (vendor_detector.py:34-86 filename; :108-153 content)
+# ---------------------------------------------------------------------------
+FILENAME_PATTERNS: dict[str, list[str]] = {
+    # doc_id path prefixes/stems per FIXTURES.md §1
+    "ceco": [r"^ceco/", r"F\d+[A-Z]*-I-\d+"],
+    "steelcraft": [r"^steelcraft/", r"Steelcraft"],
+    "schlage": [r"^schlage/", r"Schlage"],
+}
+
+CONTENT_PATTERNS: dict[str, list[str]] = {
+    "ceco": [r"Ceco Door Products", r"MILAN, TN", r"YOU MAY DEDUCT A DISCOUNT"],
+    "steelcraft": [r"STEELCRAFT", r"NET SALES:", r"MAT\. INFLATION SURCHARGE"],
+    "schlage": [r"Schlage Lock Co", r"ALLEGION\.COM", r"USD TOTAL:"],
+}
+
+CONTENT_KEYWORDS: dict[str, list[str]] = {
+    "ceco": ["TELECOM", "FRAME"],
+    "steelcraft": ["JAMB", "ANCHOR"],
+    "schlage": ["BRAND CARRIER", "WAYBILL"],
+}
+
+# pdf_text_detector.py:77-115 — per-vendor selectable-text thresholds.
+TEXT_THRESHOLDS: dict[str, int] = {
+    "ceco": 100,
+    "steelcraft": 75,
+    "schlage": 30,
+    "generic": 50,
+}
+MIN_TEXT_RATIO: dict[str, float] = {
+    "ceco": 0.8,
+    "steelcraft": 0.6,
+    "schlage": 0.3,
+    "generic": 0.5,
+}
+
+# ceco_processor.py:376-426 — repetitive page-header patterns to drop.
+PAGE_HEADER_FILTERS: list[str] = [
+    r"^Page:\s*\d+\s*of\s*\d+$",
+    r"^C\s*us\s*t\s*o\s*m\s*e\s*r\s*P\s*O\s*:$",
+    r"^Line\s+Plant\s+Item Number$",
+    r"^Ord\s+Shp\s+BO$",
+    r"^INVOICE$",
+]
+
+# ---------------------------------------------------------------------------
+# Field banks. Each field: ordered list of regexes (first match wins, group 1
+# unless noted) — DynamicPatternExtractor semantics
+# (text_pdf_processor.py:439-537: ordered list, confidence decays by index).
+# ---------------------------------------------------------------------------
+FIELD_BANKS: dict[str, dict[str, list[str]]] = {
+    "ceco": {
+        # ceco_processor.py:86-205
+        "header.invoice_number": [r"Invoice Number:\s*(\d{8})"],
+        "header.invoice_date": [r"Invoice Date:\s*(\d{1,2}/\d{1,2}/\d{2})"],
+        "header.order_no": [r"Order No:\s*([A-Z]\d+[A-Z]*-\d+)"],
+        "header.customer_po": [r"Customer PO:\s*([A-Za-z0-9-]+)"],
+        "header.due_date": [r"TOTAL DUE IS PAYABLE ON (\d{1,2}/\d{1,2}/\d{2})"],
+        "vendor.name": [r"(Ceco Door Products)"],
+        "vendor.phone": [r"\((\d{3})\) (\d{3})-(\d{4})"],
+        "totals.discount": [r"YOU MAY DEDUCT A DISCOUNT OF \$\s*([\d,]+\.\d{2})"],
+        "totals.subtotal": [r"YOU MAY DEDUCT A DISCOUNT OF \$\s*[\d,]+\.\d{2}\s+([\d,]+\.\d{2})"],
+        "totals.freight": [r"FREIGHT CHARGE\s+([\d,]+\.\d{2})"],
+        "payment.terms": [r"(\d+% \d+ DAYS, NET \d+)"],
+        "shipping.tracking": [r"SHIPMENT TRACKING NUMBER\s+([A-Z0-9]+)"],
+        "shipping.origin": [r"ORDER SHIPPED FROM (\d+ - [A-Z ]+)"],
+    },
+    "steelcraft": {
+        # steelcraft_processor.py:87-130, 341, 658-694
+        "header.invoice_number": [r"^\d{4}\s+(\d{6}-\d{2})\s"],
+        "header.invoice_date": [r"^\d{4}\s+\d{6}-\d{2}\s+(\d{1,2}/\d{2}/\d{2})"],
+        "header.order_number": [r"^\d{4}\s+\d{6}-\d{2}\s+\d{1,2}/\d{2}/\d{2}\s+(\d+)"],
+        "vendor.name": [r"(STEELCRAFT)"],
+        "totals.net_sales": [r"NET SALES:\s*([\d,]+\.\d{2})"],
+        "totals.weight": [r"TOTAL WEIGHT / LBS:\s*(\d+)"],
+        "totals.discount": [r"TOTAL DISCOUNT:\s*([\d,]+\.\d{2})"],
+        "totals.tax": [r"TAX AMOUNT:\s*([\d,]+\.\d{2})"],
+        "totals.total": [r"TOTAL AMOUNT:\s*([\d,]+\.\d{2})"],
+        "totals.surcharge": [r"MAT\. INFLATION SURCHARGE:\s*([\d,]+\.\d{2})"],
+        "payment.early_pay": [r"IF PAID BY (\d{1,2}/\d{2}/\d{2}) YOUR \d+% DISCOUNT IS \$([\d,]+\.\d{2})"],
+        "payment.terms": [r"(\d+% \d+)\s*$", r"(NET \d+ DAYS)"],
+        "shipping.fob": [r"FOB - ([A-Za-z ]+)"],
+    },
+    "schlage": {
+        # schlage_processor.py:82-130, 2995-3054
+        "header.invoice_number": [r"INVOICE#\s*(\d+)"],
+        "header.invoice_date": [r"INVOICE DATE\s*(\d{2}-[A-Z]{3}-\d{2})"],
+        "header.order_number": [r"ORDER#\s*(\d+)"],
+        "header.customer_po": [r"CUSTOMER PO#\s*([A-Za-z0-9-]+)"],
+        "header.customer_number": [r"CUSTOMER#\s*(\d+)"],
+        "header.quote_number": [r"QUOTE NUMBER\s*(\d+)"],
+        "vendor.name": [r"SELLER:\s*(Schlage Lock Co\. LLC)"],
+        "vendor.email": [r"([A-Z_]+@[A-Z]+\.COM)"],
+        "payment.terms": [r"PAYMENT TERMS\s*(NET \d+)"],
+        "totals.subtotal": [r"SUBTOTAL:\s*([\d,]+\.\d{2})"],
+        "totals.surcharges": [r"SURCHARGES:\s*([\d,]+\.\d{2})"],
+        "totals.shipping": [r"RESTOCK FEE/SHIPPING and HANDLING:\s*([\d,]+\.\d{2})"],
+        "totals.total": [r"USD TOTAL:\s*([\d,]+\.\d{2})"],
+    },
+    "generic": {
+        # text_pdf_processor.py:258-348 generic bank
+        "header.invoice_number": [r"Invoice Number:\s*([A-Z]+-\d+)", r"Invoice #:\s*(\S+)"],
+        "header.invoice_date": [r"Invoice Date:\s*(\d{1,2}/\d{1,2}/\d{2})"],
+        "vendor.email": [r"([a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,})"],
+        "vendor.phone": [r"(\(\d{3}\) \d{3}-\d{4})"],
+        "totals.subtotal": [r"Subtotal:\s*\$([\d,]+\.\d{2})"],
+        "totals.tax": [r"Tax:\s*\$([\d,]+\.\d{2})"],
+        "totals.total": [r"Invoice Total:\s*\$([\d,]+\.\d{2})"],
+    },
+}
+
+# Canonical field emission order per vendor (drives output-span `order`) —
+# deterministic total ordering is contract-critical (SURVEY.md §7.3(1)).
+FIELD_ORDER: dict[str, list[str]] = {
+    v: list(bank.keys()) for v, bank in FIELD_BANKS.items()
+}
+
+# ---------------------------------------------------------------------------
+# Line-item grammars
+# ---------------------------------------------------------------------------
+# ceco_processor.py:454 — two-pass extractor, pass 1 header:
+CECO_ITEM_HEADER = r"^(\d{3})\s+(\d{3})\s+([A-Z0-9]+)\s+(\d+)\s+(\d+)(?:\s+(\d+))?$"
+# ceco_processor.py:507-510 — pricing line inside the forward scan window:
+CECO_PRICING = r"^([A-Z0-9 /-]+?)\s+([\d,]+\.\d{3})\s+([\d,]+\.\d{3})\s+([\d,]+\.\d{2})\s+([\d,]+\.\d{2})$"
+CECO_SCAN_WINDOW = 50  # ceco_processor.py:482 forward-scan bound
+# mark formats (ceco_processor.py:522-544):
+CECO_MARK_LABELED = r"^MARK NO:\s*(.+)$"
+CECO_MARK_STANDALONE = r"^(\d{7,8}\(\d{1,3}\))$"
+CECO_MARK_DECIMAL = r"^(\d{1,4}\.\d)$"
+# component lines (text_pdf_processor.py:2646-2652):
+CECO_COMPONENT = r"^(MATERIAL|WELD|LABOR|FREIGHT|TAX) AMOUNT\s+([\d,]+\.\d{3})\s+([\d,]+\.\d{3})\s+([\d,]+\.\d{2})\s+([\d,]+\.\d{2})$"
+
+# steelcraft_processor.py:457/461 item patterns:
+STEELCRAFT_ITEM_F164 = r"^(\d{3})\s+([\d.]+)\s+([\d.]+)\s+(F 164)\s+(.+?)\s+([\d,]+)\s+\.(\d{2})\s+(\d+)\s+(\d+)\s+([\d,]+\.\d{2})$"
+STEELCRAFT_ITEM_ANCHOR = r"^(\d{3})\s+([\d.]+)\s+([\d.]+)\s+(UJA-\d+)\s+(.+?)\s+\.(\d)\s+(\d+)\s+(\d+)\s+([\d,]*\.\d{2})$"
+STEELCRAFT_SPEC_WINDOW = 20  # :536-569
+STEELCRAFT_SPECS = [
+    ("jamb_depth", r"^JAMB DEPTH (.+)$"),
+    ("opening_width", r"^OPENING WIDTH (.+)$"),
+    ("opening_height", r"^OPENING HEIGHT (.+)$"),
+    ("hand_of_frame", r"^HAND OF FRAME (.+)$"),
+]
+STEELCRAFT_MARKS_HEADER = r"^MARK NUMBERS:$"
+STEELCRAFT_MARKS_LINE = r"^(\d{3} \(\d+\)(?:, \d{3} \(\d+\))*)$"
+
+# schlage_processor.py:1567-1578 main item line:
+SCHLAGE_ITEM = (
+    r"^(SCHLAGE|VON DUPRIN|LCN|FALCON|AGN_SURCHARGE)\s+(UPS|FEDEX|FREIGHT|EXP)\s+(EXP\s+)?"
+    r"(\d+)\s+(\d+)\s+(\d+)\s+(\S+)\s+\|(.+?)\|\s+([A-Z]{3} \d{1,2})\s+"
+    r"([\d,]+\.\d{2})\s+([\d.]+)/(\d{2})\s+([\d,]+\.\d{2})$"
+)
+SCHLAGE_WAYBILL_WINDOW = 8  # schlage_processor.py:1415
+SCHLAGE_WAYBILL_FULL = r"^(1Z[A-Z0-9]{16})$"
+SCHLAGE_WAYBILL_SPLIT_A = r"^(1Z[A-Z0-9]{5,11})$"   # OCR-split first half
+SCHLAGE_WAYBILL_SPLIT_B = r"^([A-Z0-9]{5,11})$"      # continuation line
+SCHLAGE_FREIGHT_TERMS = r"^(PREPAY & ADD|PREPAID|COLLECT)$"
+# schlage_processor.py:1908-1920 derived-totals quirk: when totals lines are
+# missing, surcharge = 2% and shipping = 3% of subtotal.
+SCHLAGE_SURCHARGE_RATIO = 0.02
+SCHLAGE_SHIPPING_RATIO = 0.03
+
+# text_pdf_processor.py:1523-1526 generic item line:
+GENERIC_ITEM = r"^(\d+)\s+([A-Z]+-\d+)\s+(\d+)\s+(.+?)\s+([\d,]+\.\d{2})\s+([\d,]+\.\d{2})$"
+
+PAGE_MARKER = "=== PAGE {n} ==="  # text_pdf_processor.py:668
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Broadcastable bundle of all banks + knobs."""
+
+    n_checkpoint_buckets: int = 64
+    heavy_span_threshold: int = 400  # spans per doc above which a doc is "heavy" (skew salting)
+    filename_patterns: dict = field(default_factory=lambda: FILENAME_PATTERNS)
+    content_patterns: dict = field(default_factory=lambda: CONTENT_PATTERNS)
+    content_keywords: dict = field(default_factory=lambda: CONTENT_KEYWORDS)
+    text_thresholds: dict = field(default_factory=lambda: TEXT_THRESHOLDS)
+    min_text_ratio: dict = field(default_factory=lambda: MIN_TEXT_RATIO)
+    field_banks: dict = field(default_factory=lambda: FIELD_BANKS)
+    field_order: dict = field(default_factory=lambda: FIELD_ORDER)
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,318 @@
+"""Deterministic synthetic interleaved-spans corpus generator (FIXTURES.md).
+
+Renders CECO / Steelcraft / Schlage / generic "invoices" as ordered
+(kind, text, media_ref, offset) spans whose text matches the reference regex
+grammars, so extraction is non-trivially exercised:
+
+* CECO: text-rich, two-pass line items with BO-valid and BO-invalid cases,
+  all 3 mark formats, component lines, cross-page items, repetitive page
+  headers that must be filtered (ceco_processor.py:376-426, :428-600).
+* Steelcraft: both item grammars (F-164 frames, jamb anchors), spec lines,
+  MARK NUMBERS blocks, the full totals block (steelcraft_processor.py:447-712).
+* Schlage: media-heavy (spans kind='media' + 'media_text' sidecars feed the
+  stub-OCR route), split-waybill continuation (schlage_processor.py:1420-1438),
+  surcharge item vs totals-only synthesis (:1505-1553), derived-totals docs
+  (:1908-1920).
+* generic: plain invoices; a few corrupted docs (garbage text).
+* one skew-tail doc with ~100x the median span count (salting test).
+
+Everything is seeded — same (seed, n_docs) → byte-identical corpus.
+"""
+
+from __future__ import annotations
+
+import random
+
+
+def _span(kind: str, text: str = "", media_ref: str = "") -> dict:
+    return {"kind": kind, "text": text, "media_ref": media_ref}
+
+
+def _money(rng: random.Random, lo: float, hi: float) -> str:
+    v = round(rng.uniform(lo, hi), 2)
+    return f"{v:,.2f}"
+
+
+def _date(rng: random.Random) -> str:
+    return f"{rng.randint(1, 12)}/{rng.randint(1, 28)}/{rng.randint(23, 26)}"
+
+
+def _ceco_lines(rng: random.Random, n_items: int) -> list[list[str]]:
+    """Pages of lines for one CECO doc."""
+    inv = rng.randint(10_000_000, 99_999_999)
+    header = [
+        f"Page: 1 of {1 + (n_items + 2) // 3}",
+        f"Invoice Number: {inv}",
+        f"Invoice Date: {_date(rng)}",
+        f"Order No: F{rng.randint(1, 9)}GU{rng.randint(1, 9)}A-0{rng.randint(0, 9)}",
+        f"Customer PO: {rng.randint(100000, 999999)}-00{rng.randint(1, 9)}",
+        f"TOTAL DUE IS PAYABLE ON {_date(rng)}",
+        "Ceco Door Products",
+        "9159 TELECOM DR.",
+        "MILAN, TN 38358",
+        "(888) 264-7474",
+        "Line Plant Item Number",
+        "Ord Shp BO",
+    ]
+    item_lines: list[str] = []
+    for i in range(1, n_items + 1):
+        ordq = rng.randint(1, 9)
+        shp = rng.randint(0, ordq)
+        bo = ordq - shp
+        if rng.random() < 0.3:
+            bo = bo + 1  # BO-invalid → folding path
+        code = rng.choice(["FR3PC", "FR4PC", "DR16GA", "HM3070"])
+        item_lines.append(f"{i:03d} 572 {code} {ordq} {shp} {bo}")
+        item_lines.append(
+            f"{rng.choice(['3 PIECE FRAME', '16GA DOOR', 'HM FRAME'])} "
+            f"{rng.randint(100, 999)}.000 {rng.randint(10, 99)}.{rng.randint(100, 999)} "
+            f"{_money(rng, 100, 999)} {_money(rng, 100, 999)}"
+        )
+        fmt = rng.randint(0, 2)
+        if fmt == 0:
+            item_lines.append(
+                f"MARK NO: HAP{rng.randint(1, 99)}({rng.randint(1, 99)}),"
+                f"HAP{rng.randint(1, 99)}({rng.randint(1, 99)})"
+            )
+        elif fmt == 1:
+            item_lines.append(f"{rng.randint(1_000_000, 99_999_999)}({rng.randint(1, 999)})")
+        else:
+            item_lines.append(f"{rng.randint(1, 999)}.{rng.randint(0, 9)}")
+        if rng.random() < 0.5:
+            item_lines.append(
+                f"{rng.choice(['MATERIAL', 'WELD', 'LABOR'])} AMOUNT "
+                f"{rng.randint(100, 999)}.{rng.randint(100, 999)} "
+                f"{rng.randint(10, 99)}.000 {_money(rng, 100, 999)} {_money(rng, 100, 999)}"
+            )
+    totals = [
+        f"YOU MAY DEDUCT A DISCOUNT OF $ {_money(rng, 10, 999)} {_money(rng, 1000, 99999)}",
+        f"FREIGHT CHARGE {_money(rng, 10, 999)}",
+        "2% 30 DAYS, NET 60",
+        f"SHIPMENT TRACKING NUMBER 25UTS{rng.randint(100000, 999999)}",
+        "ORDER SHIPPED FROM 572 - MILAN MANUFACTURING",
+        "PREPAID 3RD PARTY",
+    ]
+    # paginate: 3 items' worth of lines per page; headers repeat per page —
+    # items often straddle pages (cross-page association case).
+    all_lines = item_lines + totals
+    pages = [header]
+    per_page = max(6, len(all_lines) // max(1, (n_items + 2) // 3))
+    for i in range(0, len(all_lines), per_page):
+        chunk = all_lines[i : i + per_page]
+        if i == 0:
+            pages[0] = header + chunk
+        else:
+            pages.append([f"Page: {len(pages) + 1} of 9", "Ord Shp BO"] + chunk)
+    return pages
+
+
+def _steelcraft_lines(rng: random.Random, n_items: int) -> list[list[str]]:
+    inv = f"{rng.randint(100000, 999999)}-0{rng.randint(1, 9)}"
+    page1 = [
+        f"{rng.randint(1000, 9999)} {inv} {rng.randint(1, 9)}/0{rng.randint(1, 9)}/25 "
+        f"{rng.randint(10_000_000, 99_999_999)} {rng.randint(1, 9)}/0{rng.randint(1, 9)}/25 "
+        f"{rng.randint(1, 9)} {rng.randint(100000, 999999)}-0{rng.randint(1, 9)}",
+        "STEELCRAFT",
+        "9016 PRINCE WILLIAM ST",
+        "MANASSAS, VA 20110",
+        "SOLD TO COOK & BOARDMAN LLC",
+        "345 MASON RD",
+        "SHIP TO ENCOMPASS HEALTH",
+        "2 RESEARCH WAY",
+        "ATTN: A/R",
+    ]
+    items: list[str] = []
+    for i in range(1, n_items + 1):
+        q = rng.randint(1, 20)
+        if rng.random() < 0.6:
+            items.append(
+                f"{i:03d} {q}.00 {q}.00 F 164 F 164 SERIES WHOLE FRAME "
+                f"{rng.randint(100, 999)} .{rng.randint(10, 99)} 0 0 {_money(rng, 100, 9999)}"
+            )
+            items.append(f"JAMB DEPTH 5 3/4")
+            items.append(f"OPENING WIDTH {rng.randint(2, 4)}/0")
+            items.append(f"OPENING HEIGHT 7/0")
+            items.append(f"HAND OF FRAME {rng.choice(['RH', 'LH'])}")
+        else:
+            items.append(
+                f"{i:03d} {q}.00 {q}.00 UJA-{rng.randint(1, 9)} UNIVERSAL JAMB ANCHOR "
+                f".0 0 0 .00"
+            )
+        if rng.random() < 0.5:
+            items.append("MARK NUMBERS:")
+            items.append(
+                f"{rng.randint(1, 999):03d} ({rng.randint(1, 9)}), "
+                f"{rng.randint(1, 999):03d} ({rng.randint(1, 9)})"
+            )
+    totals = [
+        f"TOTAL WEIGHT / LBS: {rng.randint(100, 5000)}",
+        f"NET SALES: {_money(rng, 1000, 99999)}",
+        f"TOTAL DISCOUNT: {_money(rng, 100, 9999)}",
+        "TAX AMOUNT: 0.00",
+        f"TOTAL AMOUNT: {_money(rng, 1000, 99999)}",
+        f"MAT. INFLATION SURCHARGE: {_money(rng, 1, 99)}",
+        f"IF PAID BY {rng.randint(1, 9)}/0{rng.randint(1, 9)}/25 YOUR 2% DISCOUNT IS ${_money(rng, 1, 999)}",
+        "2% 20",
+        "NET 35 DAYS",
+        "FOB - Cincinnati",
+        "LESS THAN LOAD",
+    ]
+    lines = items + totals
+    pages = [page1 + lines[: len(lines) // 2], lines[len(lines) // 2 :]]
+    return [p for p in pages if p]
+
+
+def _schlage_lines(rng: random.Random, n_items: int, variant: str) -> list[list[str]]:
+    """variant ∈ {'surcharge_item','synthesis','derived'}"""
+    sub = round(rng.uniform(1000, 9999), 2)
+    sur = round(sub * 0.02, 2)
+    shp = round(sub * 0.03, 2)
+    head = [
+        f"INVOICE# {rng.randint(1_000_000, 9_999_999)}",
+        f"INVOICE DATE {rng.randint(10, 28)}-{rng.choice(['JAN', 'FEB', 'MAR', 'APR'])}-25",
+        f"ORDER# {rng.randint(10_000_000, 99_999_999)}",
+        f"CUSTOMER PO# {rng.randint(100000, 999999)}-0{rng.randint(10, 99)}",
+        f"CUSTOMER# {rng.randint(1_000_000, 9_999_999)}",
+        f"QUOTE NUMBER {rng.randint(100000, 999999)}",
+        "PAYMENT TERMS NET 30",
+        "SELLER: Schlage Lock Co. LLC",
+        "11819 NORTH PENNSYLVANIA STREET",
+        "CARMEL, IN 46032",
+        "RES_CONTACT_CENTER@ALLEGION.COM",
+        "BRAND CARRIER",
+    ]
+    items: list[str] = []
+    for i in range(1, n_items + 1):
+        brand = rng.choice(["SCHLAGE", "VON DUPRIN", "LCN"])
+        items.append(
+            f"{brand} UPS EXP {i} {rng.randint(100, 999)} {rng.randint(100, 999)} "
+            f"ICYLSS-SLCY*{rng.randint(100000, 999999)} "
+            f"|CYL.80-0{rng.randint(10, 99)}.EV.626.R134.| "
+            f"{rng.choice(['FEB', 'MAR'])} {rng.randint(1, 28)} "
+            f"{_money(rng, 50, 500)} {rng.randint(10, 99)}.{rng.randint(10, 99)}/00 "
+            f"{_money(rng, 1000, 9999)}"
+        )
+        wb = "".join(rng.choice("0123456789ABCDEFGHJKLMNPQRSTUVWXYZ") for _ in range(16))
+        if rng.random() < 0.4:
+            items.append(f"1Z{wb[:8]}")   # OCR-split continuation case
+            items.append(wb[8:])
+        else:
+            items.append(f"1Z{wb}")
+        items.append("PREPAY & ADD")
+    if variant == "surcharge_item":
+        items.append(
+            f"AGN_SURCHARGE FREIGHT 1 111 111 SURCHG*1 |FUEL SURCHARGE| FEB 28 "
+            f"{sur:,.2f} 0.00/00 {sur:,.2f}"
+        )
+    totals = [f"SUBTOTAL: {sub:,.2f}"]
+    if variant != "derived":
+        totals += [
+            "ADDITIONAL CHARGES:",
+            f"SURCHARGES: {sur:,.2f}",
+            f"RESTOCK FEE/SHIPPING and HANDLING: {shp:,.2f}",
+            f"USD TOTAL: {sub + sur + shp:,.2f}",
+        ]
+    return [head, items + totals]
+
+
+def _generic_lines(rng: random.Random, n_items: int, corrupted: bool) -> list[list[str]]:
+    if corrupted:
+        return [["x" * rng.randint(40, 80), "####" * rng.randint(5, 10)]]
+    lines = [
+        f"Invoice Number: {rng.choice(['ABC', 'XYZ', 'QRS'])}-{rng.randint(10000, 99999)}",
+        f"Invoice Date: {_date(rng)}",
+        f"billing{rng.randint(1, 99)}@acme.com",
+        f"({rng.randint(200, 999)}) {rng.randint(100, 999)}-{rng.randint(1000, 9999)}",
+    ]
+    for i in range(1, n_items + 1):
+        lines.append(
+            f"{i} WIDGET-{rng.randint(1, 99)} {rng.randint(1, 9)} "
+            f"{rng.choice(['blue widget large', 'red gadget', 'green gizmo'])} "
+            f"{_money(rng, 1, 99)} {_money(rng, 10, 999)}"
+        )
+    lines += [
+        f"Subtotal: ${_money(rng, 100, 9999)}",
+        "Tax: $0.00",
+        f"Invoice Total: ${_money(rng, 100, 9999)}",
+    ]
+    return [lines]
+
+
+def make_document(i: int, seed: int = 42) -> dict:
+    """One deterministic document: {'doc_id', 'spans'}."""
+    rng = random.Random(seed * 1_000_003 + i)
+    vclass = i % 4
+    heavy = i == 16  # skew-tail doc (vclass 0 → CECO, text-rich)
+
+    if vclass == 0:
+        n_items = 40 if heavy else rng.randint(1, 6)
+        pages = _ceco_lines(rng, n_items)
+        if heavy:
+            pages = pages * 30  # ~100x median span count
+        doc_id = f"ceco/F{rng.randint(1000, 9999)}A-I-{rng.randint(10_000_000, 99_999_999)}.pdf"
+        media_pages: set[int] = set()
+    elif vclass == 1:
+        pages = _steelcraft_lines(rng, rng.randint(1, 5))
+        doc_id = f"steelcraft/Allegion - Steelcraft {rng.randint(1, 9999):04d}.pdf"
+        media_pages = set()
+    elif vclass == 2:
+        variant = ["surcharge_item", "synthesis", "derived"][i % 3]
+        pages = _schlage_lines(rng, rng.randint(1, 3), variant)
+        doc_id = f"schlage/{rng.randint(100000, 999999)}-0{rng.randint(10, 99)} Schlage {rng.randint(1, 999):03d}.pdf"
+        # media-heavy by default (pdf_text_detector.py:100-104 expects a low
+        # text ratio for Schlage). Sub-variants keyed on (i//4)%4: 1 → fully
+        # text-selectable minority; 2 → mixed (text header page among 4
+        # pages, ratio 0.25 < 0.3 min_text_ratio → hybrid route, exercising
+        # the J1 merge); else all-media (pure stub-OCR route).
+        sub = (i // 4) % 4
+        if sub == 1:
+            media_pages = set()
+        elif sub == 2:
+            # split the item/total lines across 3 media pages so only
+            # page 0 (the header) is selectable text
+            body = pages[1]
+            third = max(1, len(body) // 3)
+            pages = [pages[0], body[:third], body[third : 2 * third], body[2 * third :]]
+            pages = [p for p in pages if p]
+            media_pages = set(range(1, len(pages)))
+        else:
+            media_pages = set(range(len(pages)))
+    else:
+        corrupted = i % 16 == 3
+        pages = _generic_lines(rng, rng.randint(1, 4), corrupted)
+        # filename/content disagreement case: generic-looking filename with
+        # vendor content is covered by schlage text-selectable docs; here a
+        # ceco-looking filename over generic content (combine logic P3):
+        if i % 12 == 3:
+            doc_id = f"ceco/F{rng.randint(1000, 9999)}A-I-{rng.randint(10_000_000, 99_999_999)}.pdf"
+        else:
+            doc_id = f"misc/invoice_{i:06d}.pdf"
+        media_pages = set()
+
+    spans: list[dict] = []
+    off = 0
+    for p, lines in enumerate(pages):
+        spans.append({"kind": "page_break", "text": f"=== PAGE {p + 1} ===", "media_ref": "", "offset": off})
+        off += 1
+        if p in media_pages:
+            ref = f"img://{doc_id}/{p + 1}/0"
+            spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": off})
+            off += 1
+            for l in lines:
+                spans.append({"kind": "media_text", "text": l, "media_ref": ref, "offset": off})
+                off += 1
+        else:
+            for l in lines:
+                spans.append({"kind": "text", "text": l, "media_ref": "", "offset": off})
+                off += 1
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def make_corpus(n_docs: int = 120, seed: int = 42) -> list[dict]:
+    return [make_document(i, seed) for i in range(n_docs)]
+
+
+def corpus_df(spark, n_docs: int = 120, seed: int = 42):
+    from .schemas import DOC_SCHEMA
+
+    return spark.createDataFrame(make_corpus(n_docs, seed), schema=DOC_SCHEMA)

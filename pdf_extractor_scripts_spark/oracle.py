@@ -1,0 +1,448 @@
+"""Pure-Python single-document oracle: the reference-semantics extraction
+spec, implemented doc-at-a-time with no Spark anywhere.
+
+The engine (operators/ + plans/pipeline.py) must reproduce this oracle's
+output under **span-sequence equality on (kind, text, media_ref, order)** for
+every document — the validation contract from BASELINE.json. Tests build the
+synthetic corpus (fixtures.py), run both, and diff.
+
+Semantics follow the reference pipeline (all citations are reference
+file:line):
+
+* vendor detection        vendor_detector.py:88-221
+* routing / OCR gate      pdf_text_detector.py:77-159, 633-688
+* text assembly + markers text_pdf_processor.py:662-670
+* page-header filtering   ceco_processor.py:376-426
+* field pattern banks     ceco_processor.py:86-205, steelcraft_processor.py:87-130,
+                          schlage_processor.py:82-130, text_pdf_processor.py:258-348
+* CECO two-pass items     ceco_processor.py:428-600 (BO folding
+                          text_pdf_processor.py:2405-2414)
+* Steelcraft items        steelcraft_processor.py:447-712
+* Schlage items           schlage_processor.py:1385-1716 (split-waybill rejoin
+                          :1420-1438, surcharge synthesis :1505-1553, derived
+                          totals :1908-1920)
+* hybrid merge            fallback_processor.py:518-620
+* ordering / dedup        text_pdf_processor.py:1718-1735, 2600-2613
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from . import config as C
+
+SECTION_TEXT_FIRST = ("header", "vendor")  # fallback_processor.py:560-575
+SECTION_OCR_FIRST = ("totals", "payment", "shipping")
+
+_HEADER_FILTER_RES = [re.compile(p) for p in C.PAGE_HEADER_FILTERS]
+
+
+@dataclass(frozen=True)
+class OutSpan:
+    kind: str
+    text: str
+    media_ref: str
+    order: int
+
+    def as_tuple(self):
+        return (self.kind, self.text, self.media_ref, self.order)
+
+
+# ---------------------------------------------------------------------------
+# Detection + routing
+# ---------------------------------------------------------------------------
+def detect_vendor(doc_id: str, all_text: str) -> tuple[str, float]:
+    file_vendor, file_conf = None, 0.0
+    for vendor, pats in C.FILENAME_PATTERNS.items():
+        if any(re.search(p, doc_id) for p in pats):
+            file_vendor, file_conf = vendor, 0.8  # vendor_detector.py:95-105
+            break
+
+    best_vendor, best_score = None, 0.0
+    for vendor in C.CONTENT_PATTERNS:
+        hits = sum(1 for p in C.CONTENT_PATTERNS[vendor] if re.search(p, all_text))
+        kws = sum(1 for k in C.CONTENT_KEYWORDS[vendor] if k in all_text)
+        score = min(0.3 * hits + 0.1 * kws, 1.0)  # vendor_detector.py:120-143
+        if score > best_score:
+            best_vendor, best_score = vendor, score
+
+    # combine: content >=0.6 wins, else filename >=0.5, else low-conf content
+    # (vendor_detector.py:155-221); agreement boosts by 0.1 capped at 1.0.
+    if best_score >= 0.6:
+        vendor, conf = best_vendor, best_score
+    elif file_conf >= 0.5 and file_vendor:
+        vendor, conf = file_vendor, file_conf
+    elif best_score > 0:
+        vendor, conf = best_vendor, best_score
+    else:
+        vendor, conf = "generic", 0.0
+    if file_vendor and best_vendor == file_vendor and vendor != "generic":
+        conf = min(conf + 0.1, 1.0)
+    return vendor, round(conf, 4)
+
+
+def route_document(vendor: str, spans: list[dict]) -> str:
+    n_text_chars = sum(len(s["text"]) for s in spans if s["kind"] == "text")
+    n_pages = max(1, sum(1 for s in spans if s["kind"] == "page_break"))
+    pages_with_text: set[int] = set()
+    page = 0
+    for s in spans:
+        if s["kind"] == "page_break":
+            page += 1
+        elif s["kind"] == "text":
+            pages_with_text.add(page)
+    ratio = len(pages_with_text) / n_pages
+    thr = C.TEXT_THRESHOLDS[vendor]
+    if n_text_chars >= thr and ratio >= C.MIN_TEXT_RATIO[vendor]:
+        return "text"
+    if n_text_chars >= thr:
+        return "hybrid"
+    return "ocr"
+
+
+def assemble(spans: list[dict], text_kind: str) -> str:
+    """Join page markers + the selected text kind in offset order
+    (text_pdf_processor.py:662-670 page-marker concatenation)."""
+    keep = ("page_break", text_kind)
+    return "\n".join(s["text"] for s in spans if s["kind"] in keep)
+
+
+# ---------------------------------------------------------------------------
+# Field extraction (ordered pattern banks, first match wins)
+# ---------------------------------------------------------------------------
+def extract_fields(vendor: str, text: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for key, patterns in C.FIELD_BANKS[vendor].items():
+        for pat in patterns:
+            m = re.search(pat, text, re.M)
+            if m:
+                groups = [g for g in m.groups() if g is not None]
+                out[key] = groups[0] if len(groups) == 1 else "|".join(groups)
+                break
+    if vendor == "schlage":
+        _schlage_derived_totals(out)
+    return out
+
+
+def _money(s: str) -> float:
+    try:
+        return float(s.replace(",", "").replace("$", ""))
+    except ValueError:
+        return 0.0  # text_pdf_processor.py:2566-2572 default-0 semantics
+
+
+def _schlage_derived_totals(fields: dict[str, str]) -> None:
+    """schlage_processor.py:1908-1920: surcharge=2% and shipping=3% of
+    subtotal when the printed lines are absent."""
+    sub = fields.get("totals.subtotal")
+    if sub is None:
+        return
+    subv = _money(sub)
+    if "totals.surcharges" not in fields:
+        fields["totals.surcharges"] = f"{round(subv * C.SCHLAGE_SURCHARGE_RATIO, 2):.2f}"
+    if "totals.shipping" not in fields:
+        fields["totals.shipping"] = f"{round(subv * C.SCHLAGE_SHIPPING_RATIO, 2):.2f}"
+
+
+# ---------------------------------------------------------------------------
+# Line items
+# ---------------------------------------------------------------------------
+def _filtered_lines(text: str) -> list[str]:
+    return [
+        l
+        for l in text.split("\n")
+        if not any(r.match(l) for r in _HEADER_FILTER_RES)
+    ]
+
+
+def _serialize(pairs: list[tuple[str, str]]) -> str:
+    return "|".join(f"{k}={v}" for k, v in pairs)
+
+
+def extract_items(vendor: str, text: str, fields: dict[str, str]) -> list[dict]:
+    lines = _filtered_lines(text)
+    if vendor == "ceco":
+        return _ceco_items(lines)
+    if vendor == "steelcraft":
+        return _steelcraft_items(lines)
+    if vendor == "schlage":
+        return _schlage_items(lines, fields)
+    return _generic_items(lines)
+
+
+def _ceco_items(lines: list[str]) -> list[dict]:
+    """Two-pass: headers first, then bounded forward scans
+    (ceco_processor.py:428-600)."""
+    hdr_re = re.compile(C.CECO_ITEM_HEADER)
+    price_re = re.compile(C.CECO_PRICING)
+    comp_re = re.compile(C.CECO_COMPONENT)
+    labeled_re = re.compile(C.CECO_MARK_LABELED)
+    standalone_re = re.compile(C.CECO_MARK_STANDALONE)
+    decimal_re = re.compile(C.CECO_MARK_DECIMAL)
+
+    headers = [(i, m) for i, l in enumerate(lines) if (m := hdr_re.match(l))]
+    items: list[dict] = []
+    seen: set[tuple[str, str]] = set()
+    for h, (idx, m) in enumerate(headers):
+        line_no, plant, code, qty_ord, qty_shp, bo = m.groups()
+        key = (line_no, code)
+        if key in seen:  # dedupe (text_pdf_processor.py:1718-1735)
+            continue
+        seen.add(key)
+        # BO validity: qty_ord == qty_shp + bo else fold
+        # (text_pdf_processor.py:2405-2414)
+        pairs = [("line", line_no), ("plant", plant), ("code", code),
+                 ("ord", qty_ord), ("shp", qty_shp)]
+        if bo is not None and int(qty_ord) == int(qty_shp) + int(bo):
+            pairs.append(("bo", bo))
+        else:
+            pairs.append(("bo", ""))
+            if bo is not None:
+                pairs.append(("bofold", bo))
+
+        end = headers[h + 1][0] if h + 1 < len(headers) else len(lines)
+        end = min(end, idx + 1 + C.CECO_SCAN_WINDOW)
+        marks: list[str] = []
+        priced = False
+        for j in range(idx + 1, end):
+            l = lines[j]
+            if not priced and (pm := price_re.match(l)) and not comp_re.match(l):
+                desc, lst, disc, net, ext = pm.groups()
+                pairs += [("desc", desc), ("list", lst), ("disc", disc),
+                          ("net", net), ("ext", ext)]
+                priced = True
+                continue
+            if (cm := comp_re.match(l)):
+                pairs.append(("comp", f"{cm.group(1)}:{cm.group(5)}"))
+                continue
+            if (lm := labeled_re.match(l)):
+                marks += [p.strip() for p in lm.group(1).split(",") if p.strip()]
+                continue
+            if (sm := standalone_re.match(l)):
+                marks.append(sm.group(1))
+                continue
+            if (dm := decimal_re.match(l)):
+                marks.append(dm.group(1))
+                continue
+        items.append({"line": line_no, "serialized": _serialize(pairs),
+                      "marks": _dedupe_keep_order(marks)})
+    return items
+
+
+def _dedupe_keep_order(vals: list[str]) -> list[str]:
+    """Order-preserving dedupe (text_pdf_processor.py:3217-3234)."""
+    seen: set[str] = set()
+    out = []
+    for v in vals:
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+    return out
+
+
+def _steelcraft_items(lines: list[str]) -> list[dict]:
+    """steelcraft_processor.py:447-712: two item grammars + bounded spec and
+    mark scans."""
+    f164_re = re.compile(C.STEELCRAFT_ITEM_F164)
+    anch_re = re.compile(C.STEELCRAFT_ITEM_ANCHOR)
+    spec_res = [(label, re.compile(p)) for label, p in C.STEELCRAFT_SPECS]
+    marks_hdr_re = re.compile(C.STEELCRAFT_MARKS_HEADER)
+    marks_line_re = re.compile(C.STEELCRAFT_MARKS_LINE)
+
+    hits = []
+    for i, l in enumerate(lines):
+        if (m := f164_re.match(l)):
+            g = m.groups()
+            pairs = [("line", g[0]), ("ord", g[1]), ("shp", g[2]), ("code", g[3]),
+                     ("desc", g[4]), ("list", g[5]), ("disc", f".{g[6]}"),
+                     ("w", g[7]), ("b", g[8]), ("ext", g[9])]
+            hits.append((i, g[0], g[3], pairs))
+        elif (m := anch_re.match(l)):
+            g = m.groups()
+            pairs = [("line", g[0]), ("ord", g[1]), ("shp", g[2]), ("code", g[3]),
+                     ("desc", g[4]), ("disc", f".{g[5]}"), ("w", g[6]),
+                     ("b", g[7]), ("ext", g[8])]
+            hits.append((i, g[0], g[3], pairs))
+
+    items: list[dict] = []
+    seen: set[tuple[str, str]] = set()
+    for h, (idx, line_no, code, pairs) in enumerate(hits):
+        if (line_no, code) in seen:
+            continue
+        seen.add((line_no, code))
+        end = hits[h + 1][0] if h + 1 < len(hits) else len(lines)
+        end = min(end, idx + 1 + C.STEELCRAFT_SPEC_WINDOW)
+        marks: list[str] = []
+        for j in range(idx + 1, end):
+            l = lines[j]
+            for label, sr in spec_res:
+                if (sm := sr.match(l)):
+                    pairs.append(("spec_" + label, sm.group(1)))
+                    break
+            if marks_hdr_re.match(l) and j + 1 < end:
+                if (ml := marks_line_re.match(lines[j + 1])):
+                    marks += [p.strip() for p in ml.group(1).split(",")]
+        items.append({"line": line_no, "serialized": _serialize(pairs),
+                      "marks": _dedupe_keep_order(marks)})
+    return items
+
+
+def _schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
+    """schlage_processor.py:1385-1716 + surcharge synthesis :1505-1553 and
+    split-waybill rejoin :1420-1438."""
+    item_re = re.compile(C.SCHLAGE_ITEM)
+    wb_full = re.compile(C.SCHLAGE_WAYBILL_FULL)
+    wb_a = re.compile(C.SCHLAGE_WAYBILL_SPLIT_A)
+    wb_b = re.compile(C.SCHLAGE_WAYBILL_SPLIT_B)
+    ft_re = re.compile(C.SCHLAGE_FREIGHT_TERMS)
+
+    hits = [(i, m) for i, l in enumerate(lines) if (m := item_re.match(l))]
+    items: list[dict] = []
+    for h, (idx, m) in enumerate(hits):
+        g = m.groups()
+        brand, carrier = g[0], g[1]
+        order_line, l1, l2 = g[3], g[4], g[5]
+        code, desc, ship_date = g[6], g[7], g[8]
+        list_price, disc, disc_code, ext = g[9], g[10], g[11], g[12]
+        # unit = list - discount (schlage_processor.py:1640-1650)
+        unit = f"{round(_money(list_price) - _money(disc), 2):.2f}"
+        pairs = [("line", order_line), ("brand", brand), ("carrier", carrier),
+                 ("code", code), ("desc", desc), ("ship", ship_date),
+                 ("list", list_price), ("disc", disc), ("dcode", disc_code),
+                 ("unit", unit), ("ext", ext)]
+        end = hits[h + 1][0] if h + 1 < len(hits) else len(lines)
+        end = min(end, idx + 1 + C.SCHLAGE_WAYBILL_WINDOW)
+        j = idx + 1
+        while j < end:
+            l = lines[j]
+            if (wm := wb_full.match(l)):
+                pairs.append(("waybill", wm.group(1)))
+            elif (am := wb_a.match(l)) and j + 1 < len(lines):
+                rest = am.group(1)[2:]
+                nm = wb_b.match(lines[j + 1])
+                if nm and len(rest) + len(nm.group(1)) == 16:
+                    pairs.append(("waybill", "1Z" + rest + nm.group(1)))
+                    j += 1
+            elif (fm := ft_re.match(l)):
+                pairs.append(("freight", fm.group(1)))
+            j += 1
+        items.append({"line": order_line, "serialized": _serialize(pairs),
+                      "marks": []})
+
+    # surcharge synthesis: totals-only surcharge with a single main item
+    # (schlage_processor.py:1505-1553, 1718-1831)
+    has_surcharge_item = any("brand=AGN_SURCHARGE" in it["serialized"] for it in items)
+    sur = fields.get("totals.surcharges")
+    if len(items) == 1 and sur is not None and not has_surcharge_item:
+        pairs = [("line", "999"), ("brand", "AGN_SURCHARGE"), ("carrier", ""),
+                 ("code", "SURCHG"), ("desc", "SURCHARGE"), ("ext", sur)]
+        items.append({"line": "999", "serialized": _serialize(pairs), "marks": []})
+    return items
+
+
+def _generic_items(lines: list[str]) -> list[dict]:
+    item_re = re.compile(C.GENERIC_ITEM)
+    items, seen = [], set()
+    for l in lines:
+        if (m := item_re.match(l)):
+            line_no, code, qty, desc, unit, ext = m.groups()
+            if (line_no, code) in seen:
+                continue
+            seen.add((line_no, code))
+            pairs = [("line", line_no), ("code", code), ("qty", qty),
+                     ("desc", desc), ("unit", unit), ("ext", ext)]
+            items.append({"line": line_no, "serialized": _serialize(pairs),
+                          "marks": []})
+    return items
+
+
+# ---------------------------------------------------------------------------
+# Hybrid merge (J1) + emission
+# ---------------------------------------------------------------------------
+def merge_routes(
+    vendor: str,
+    fields_t: dict[str, str], items_t: list[dict],
+    fields_o: dict[str, str], items_o: list[dict],
+) -> tuple[dict[str, str], list[dict]]:
+    """fallback_processor.py:518-620: per-section source priority —
+    header/vendor (and line items) from the text route, totals/payment/
+    shipping from OCR — falling back to the other side when missing."""
+    merged: dict[str, str] = {}
+    for key in C.FIELD_ORDER[vendor]:
+        section = key.split(".", 1)[0]
+        if section in SECTION_OCR_FIRST:
+            v = fields_o.get(key, fields_t.get(key))
+        else:
+            v = fields_t.get(key, fields_o.get(key))
+        if v is not None:
+            merged[key] = v
+    items = items_t if items_t else items_o
+    return merged, items
+
+
+def _item_sort_key(it: dict, idx: int) -> tuple[int, int]:
+    digits = re.sub(r"\D", "", it["line"])
+    return (int(digits) if digits else 10**9, idx)  # T1 numeric sort, stable
+
+
+def emit_spans(vendor: str, fields: dict[str, str], items: list[dict],
+               spans: list[dict]) -> list[OutSpan]:
+    out: list[OutSpan] = []
+    o = 0
+    for key in C.FIELD_ORDER[vendor]:
+        if key in fields:
+            out.append(OutSpan(f"field:{key}", fields[key], "", o))
+            o += 1
+    for idx, it in sorted(enumerate(items), key=lambda p: _item_sort_key(p[1], p[0])):
+        out.append(OutSpan("item", it["serialized"], "", o))
+        o += 1
+        for mk in it["marks"]:
+            out.append(OutSpan("mark", mk, "", o))
+            o += 1
+    for s in spans:
+        if s["kind"] == "media":
+            out.append(OutSpan("media", "", s["media_ref"], o))
+            o += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Whole-document oracle
+# ---------------------------------------------------------------------------
+def extract_document(doc_id: str, spans: list[dict]) -> dict:
+    """Returns {vendor, route, out_spans, validation_failed, ocr_used}."""
+    all_text = "\n".join(s["text"] for s in spans)
+    vendor, conf = detect_vendor(doc_id, all_text)
+    route = route_document(vendor, spans)
+
+    fields_t: dict[str, str] = {}
+    items_t: list[dict] = []
+    fields_o: dict[str, str] = {}
+    items_o: list[dict] = []
+    if route in ("text", "hybrid"):
+        text = assemble(spans, "text")
+        fields_t = extract_fields(vendor, text)
+        items_t = extract_items(vendor, text, fields_t)
+    if route in ("ocr", "hybrid"):
+        text = assemble(spans, "media_text")  # stub OCR reads the sidecar
+        fields_o = extract_fields(vendor, text)
+        items_o = extract_items(vendor, text, fields_o)
+
+    if route == "text":
+        fields, items = fields_t, items_t
+    elif route == "ocr":
+        fields, items = fields_o, items_o
+    else:
+        fields, items = merge_routes(vendor, fields_t, items_t, fields_o, items_o)
+
+    out = emit_spans(vendor, fields, items, spans)
+    return {
+        "vendor": vendor,
+        "confidence": conf,
+        "route": route,
+        "out_spans": out,
+        "validation_failed": int("header.invoice_number" not in fields),
+        "ocr_used": int(route in ("ocr", "hybrid")),
+        "n_pages": max(1, sum(1 for s in spans if s["kind"] == "page_break")),
+    }
