@@ -1,0 +1,93 @@
+"""Checkpoint / lineage / metrics and idempotent resume.
+
+Partition identity is a *stable hash bucket of doc_id* — pmod(xxhash64(doc_id),
+n_buckets) — NOT Spark's physical partition index, which changes with
+parallelism; this is what lets N- and 4N-executor runs share checkpoints
+(SURVEY.md §7.3(4)). The reference's closest analog is the detection cache
+keyed on path+mtime (pdf_text_detector.py:131-135); here resumability is a
+first-class table (FIXTURES.md §4) written once per completed bucket.
+
+Resume = anti-join the input against completed (run_id, partition_key) rows —
+a broadcast anti-join (the checkpoint side is tiny: one row per bucket).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def with_partition_key(df: DataFrame, n_buckets: int = 64) -> DataFrame:
+    return df.withColumn(
+        "partition_key", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def completed_buckets(spark: SparkSession, ckpt_dir: str, run_id: str) -> DataFrame | None:
+    path = os.path.join(ckpt_dir, "checkpoints")
+    try:
+        ck = spark.read.parquet(path)
+    except Exception:
+        return None
+    return (
+        ck.filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+        .select("partition_key")
+        .distinct()
+    )
+
+
+def resume_filter(df: DataFrame, spark: SparkSession, ckpt_dir: str, run_id: str) -> DataFrame:
+    """Drop documents in buckets already completed for this run_id."""
+    done = completed_buckets(spark, ckpt_dir, run_id)
+    if done is None:
+        return df
+    return df.join(F.broadcast(done), "partition_key", "left_anti")
+
+
+def write_outputs(result: DataFrame, spark: SparkSession, ckpt_dir: str, run_id: str) -> None:
+    """Write extracted spans partitioned by bucket, then one checkpoint row
+    and per-bucket metrics rows per completed bucket."""
+    out_path = os.path.join(ckpt_dir, "out_spans")
+    ck_path = os.path.join(ckpt_dir, "checkpoints")
+    mx_path = os.path.join(ckpt_dir, "metrics")
+
+    result.select(
+        "partition_key", "doc_id", "vendor", "route", "out_spans",
+        "validation_failed", "ocr_used", "n_pages",
+    ).write.mode("append").partitionBy("partition_key").parquet(out_path)
+
+    # Materialize the per-bucket stats on the driver (one tiny row per
+    # bucket) and write checkpoint + metrics from FRESH DataFrames. Writing
+    # them lazily would re-evaluate a lineage that (on a resumed run) reads
+    # the checkpoint table this very call appends to — a self-referential
+    # plan that silently yields zero rows on recompute.
+    import datetime
+
+    stat_rows = (
+        result.groupBy("partition_key")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_pages").cast("long").alias("pages"),
+            F.sum("ocr_used").cast("long").alias("ocr_fallbacks"),
+            F.sum("validation_failed").cast("long").alias("validation_failures"),
+        )
+        .collect()
+    )
+    now = datetime.datetime.now()
+    from ..schemas import CHECKPOINT_SCHEMA, METRICS_SCHEMA
+
+    ck_rows = [
+        (run_id, r["partition_key"], "done", r["docs"], r["pages"],
+         r["ocr_fallbacks"], r["validation_failures"], now)
+        for r in stat_rows
+    ]
+    spark.createDataFrame(ck_rows, schema=CHECKPOINT_SCHEMA).write.mode("append").parquet(ck_path)
+
+    mx_rows = [
+        (run_id, "extract", r["partition_key"], metric, int(r[metric]))
+        for r in stat_rows
+        for metric in ("docs", "pages", "ocr_fallbacks", "validation_failures")
+    ]
+    spark.createDataFrame(mx_rows, schema=METRICS_SCHEMA).write.mode("append").parquet(mx_path)

@@ -1,0 +1,149 @@
+"""Native-SQL detection + routing operators (P1-P8 of SURVEY.md §2.2).
+
+Everything here is Catalyst-expressible — rlike chains, higher-order
+functions over the spans array, CASE maps — so classification of a 10^12-doc
+corpus is a single scan with whole-stage codegen and zero Python. The
+reference does all of this per-document in Python (vendor_detector.py,
+pdf_text_detector.py); the semantics are identical, the execution is
+columnar.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .. import config as C
+
+
+def with_assembled_text(df: DataFrame) -> DataFrame:
+    """Assembly columns via array HOFs — no explode, no shuffle.
+
+    * all_text        — every span's text (detection input)
+    * text_route_text — page markers + selectable text lines
+      (text_pdf_processor.py:662-670 page-marker concatenation)
+    * ocr_route_text  — page markers + stub-OCR sidecar text
+      (the O2 stub: media_text spans stand in for tesseract output)
+    """
+    def joined(kinds: list[str]) -> Column:
+        cond = " or ".join(f"s.kind = '{k}'" for k in kinds)
+        return F.expr(
+            f"array_join(transform(filter(spans, s -> {cond}), s -> s.text), '\\n')"
+        )
+
+    return (
+        df.withColumn("all_text", F.expr("array_join(transform(spans, s -> s.text), '\\n')"))
+        .withColumn("text_route_text", joined(["page_break", "text"]))
+        .withColumn("ocr_route_text", joined(["page_break", "media_text"]))
+    )
+
+
+def _content_score(vendor: str) -> Column:
+    """+0.3 per content-pattern hit, +0.1 per keyword, cap 1.0
+    (vendor_detector.py:120-143)."""
+    hits = sum(
+        F.when(F.col("all_text").rlike(p), 1).otherwise(0)
+        for p in C.CONTENT_PATTERNS[vendor]
+    )
+    kws = sum(
+        F.when(F.col("all_text").contains(k), 1).otherwise(0)
+        for k in C.CONTENT_KEYWORDS[vendor]
+    )
+    return F.least(F.lit(0.3) * hits + F.lit(0.1) * kws, F.lit(1.0))
+
+
+def with_vendor(df: DataFrame) -> DataFrame:
+    """P1-P3: filename rlike chain + content scoring + combine cascade
+    (vendor_detector.py:88-221)."""
+    file_vendor = F.lit(None).cast("string")
+    for vendor, pats in reversed(list(C.FILENAME_PATTERNS.items())):
+        cond = F.lit(False)
+        for p in pats:
+            cond = cond | F.col("doc_id").rlike(p)
+        file_vendor = F.when(cond, F.lit(vendor)).otherwise(file_vendor)
+    df = df.withColumn("file_vendor", file_vendor).withColumn(
+        "file_conf", F.when(F.col("file_vendor").isNotNull(), 0.8).otherwise(0.0)
+    )
+
+    vendors = list(C.CONTENT_PATTERNS.keys())
+    for v in vendors:
+        df = df.withColumn(f"score_{v}", _content_score(v))
+    # argmax with strict-greater (first vendor wins ties) — mirrors the
+    # oracle's `if score > best_score` loop.
+    best_v, best_s = F.lit(None).cast("string"), F.lit(0.0)
+    for v in vendors:
+        is_better = F.col(f"score_{v}") > best_s
+        best_v = F.when(is_better, F.lit(v)).otherwise(best_v)
+        best_s = F.when(is_better, F.col(f"score_{v}")).otherwise(best_s)
+    df = df.withColumn("content_vendor", best_v).withColumn("content_conf", best_s)
+
+    vendor = (
+        F.when(F.col("content_conf") >= 0.6, F.col("content_vendor"))
+        .when((F.col("file_conf") >= 0.5) & F.col("file_vendor").isNotNull(), F.col("file_vendor"))
+        .when(F.col("content_conf") > 0, F.col("content_vendor"))
+        .otherwise(F.lit("generic"))
+    )
+    df = df.withColumn("vendor", vendor)
+    agree = (
+        F.col("file_vendor").isNotNull()
+        & (F.col("content_vendor") == F.col("file_vendor"))
+        & (F.col("vendor") != "generic")
+    )
+    base = (
+        F.when(F.col("content_conf") >= 0.6, F.col("content_conf"))
+        .when((F.col("file_conf") >= 0.5) & F.col("file_vendor").isNotNull(), F.col("file_conf"))
+        .when(F.col("content_conf") > 0, F.col("content_conf"))
+        .otherwise(F.lit(0.0))
+    )
+    conf = F.when(agree, F.least(base + 0.1, F.lit(1.0))).otherwise(base)
+    drop = [f"score_{v}" for v in vendors]
+    return df.withColumn("vendor_conf", F.round(conf, 4)).drop(*drop)
+
+
+def _vendor_map(mapping: dict[str, float | int]) -> Column:
+    c = F.lit(mapping["generic"])
+    for v, val in mapping.items():
+        if v != "generic":
+            c = F.when(F.col("vendor") == v, F.lit(val)).otherwise(c)
+    return c
+
+
+def with_route(df: DataFrame) -> DataFrame:
+    """P4/P5/P8: text-density OCR gate with per-vendor thresholds
+    (pdf_text_detector.py:77-159, 633-688).
+
+    pages_with_text is computed with a single aggregate() fold over the
+    spans array (struct accumulator: current page + set of text pages) —
+    one pass, JVM-side, no explode.
+    """
+    df = df.withColumn(
+        "n_text_chars",
+        F.expr(
+            "aggregate(filter(spans, s -> s.kind = 'text'), 0L, "
+            "(acc, s) -> acc + length(s.text))"
+        ),
+    ).withColumn(
+        "n_pages",
+        F.expr("greatest(1, size(filter(spans, s -> s.kind = 'page_break')))"),
+    ).withColumn(
+        "n_text_pages",
+        F.expr(
+            "size(aggregate(spans, "
+            "named_struct('pg', 0, 'tp', cast(array() as array<int>)), "
+            "(acc, s) -> CASE WHEN s.kind = 'page_break' "
+            "  THEN named_struct('pg', acc.pg + 1, 'tp', acc.tp) "
+            "WHEN s.kind = 'text' "
+            "  THEN named_struct('pg', acc.pg, 'tp', array_union(acc.tp, array(acc.pg))) "
+            "ELSE acc END, "
+            "acc -> acc.tp))"
+        ),
+    )
+    thr = _vendor_map(C.TEXT_THRESHOLDS)
+    mr = _vendor_map(C.MIN_TEXT_RATIO)
+    ratio = F.col("n_text_pages") / F.col("n_pages")
+    route = (
+        F.when((F.col("n_text_chars") >= thr) & (ratio >= mr), "text")
+        .when(F.col("n_text_chars") >= thr, "hybrid")
+        .otherwise("ocr")
+    )
+    return df.withColumn("route", route)

@@ -1,0 +1,89 @@
+"""Arrow-batch extraction kernel.
+
+Field extraction is implemented here a second time, *vectorized*: pandas
+``.str.extract`` (C regex over the whole Arrow batch) instead of the oracle's
+per-document ``re.search`` loop — the two implementations cross-check each
+other in the span-equality tests.
+
+Line-item extraction is inherently sequential per document (bounded forward
+scans with state — SURVEY.md §7.3(2)), so the per-document item parsers are
+the *shared spec kernels* from oracle.py, invoked row-wise inside the Arrow
+batch. Everything distributed around them (assembly, routing, merge,
+ordering, emission) is independently implemented and verified.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from .. import config as C
+from .. import oracle as O
+
+
+def extract_fields_batch(vendor: pd.Series, text: pd.Series) -> list[dict[str, str] | None]:
+    """Vectorized pattern-bank extraction for one Arrow batch.
+
+    Returns one {field_key: value} dict per row (None where text is null —
+    i.e. the route does not apply to that document).
+    """
+    n = len(text)
+    results: list[dict[str, str] | None] = [None] * n
+    pos = {idx: i for i, idx in enumerate(text.index)}
+
+    for v, bank in C.FIELD_BANKS.items():
+        mask = (vendor == v) & text.notna()
+        if not mask.any():
+            continue
+        sub = text[mask]
+        per_key: dict[str, pd.Series] = {}
+        for key, patterns in bank.items():
+            value = pd.Series([None] * len(sub), index=sub.index, dtype=object)
+            for pat in patterns:
+                todo = value.isna()
+                if not todo.any():
+                    break
+                ext = sub[todo].str.extract(pat, flags=re.M)
+                if ext.shape[1] == 1:
+                    got = ext.iloc[:, 0]
+                else:
+                    got = ext.apply(
+                        lambda row: "|".join(x for x in row if pd.notna(x))
+                        if row.notna().any()
+                        else None,
+                        axis=1,
+                    )
+                value.loc[todo] = value[todo].fillna(got)
+            per_key[key] = value
+        for idx in sub.index:
+            d = {k: s[idx] for k, s in per_key.items() if pd.notna(s[idx])}
+            if v == "schlage":
+                O._schlage_derived_totals(d)
+            results[pos[idx]] = d
+    return results
+
+
+def extract_batch(vendor: pd.Series, text: pd.Series) -> pd.DataFrame:
+    """Full extraction for one Arrow batch → DataFrame(fields, items).
+
+    fields: list[{key, value}] in bank order; items: list[{line, serialized,
+    marks}] in document order (sorting happens natively downstream).
+    """
+    fields_dicts = extract_fields_batch(vendor, text)
+    fields_col, items_col = [], []
+    for i, idx in enumerate(text.index):
+        d = fields_dicts[i]
+        if d is None:
+            fields_col.append(None)
+            items_col.append(None)
+            continue
+        v = vendor[idx]
+        bank_order = C.FIELD_ORDER.get(v, [])
+        fields_col.append([{"key": k, "value": d[k]} for k in bank_order if k in d])
+        items = O.extract_items(v, text[idx], d)
+        items_col.append(
+            [{"line": it["line"], "serialized": it["serialized"], "marks": it["marks"]}
+             for it in items]
+        )
+    return pd.DataFrame({"fields": fields_col, "items": items_col}, index=text.index)

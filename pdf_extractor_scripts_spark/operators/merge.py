@@ -1,0 +1,109 @@
+"""Hybrid route merge (J1) + deterministic span emission — all native
+Catalyst higher-order functions, no Python.
+
+Merge semantics (fallback_processor.py:518-620): header/vendor sections and
+line items prefer the text route; totals/payment/shipping prefer OCR; each
+falls back to the other side when missing. For single-route documents one of
+res_t/res_o is null and the coalesce degenerates to pass-through.
+
+Emission (the span-equality contract): fields in canonical bank order, then
+items sorted by numeric line number with a stable original-index tie-break
+(T1, text_pdf_processor.py:2600-2613), each followed by its marks, then media
+pass-through refs in reading order; `order` is the dense 0-based index.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .. import config as C
+
+_OCR_FIRST = ("totals", "payment", "shipping")
+
+
+def _field_order_arr(vendor: str) -> str:
+    keys = ", ".join(f"'{k}'" for k in C.FIELD_ORDER[vendor])
+    return f"array({keys})"
+
+
+def _merged_fields_expr() -> str:
+    """CASE over vendors → ordered per-key coalesce between the two routes."""
+    ocr_first = ", ".join(f"'{s}'" for s in _OCR_FIRST)
+    pick = (
+        "CASE WHEN substring_index(k, '.', 1) IN ({of}) "
+        "THEN coalesce(try_element_at(mo, k), try_element_at(mt, k)) "
+        "ELSE coalesce(try_element_at(mt, k), try_element_at(mo, k)) END"
+    ).format(of=ocr_first)
+    branches = " ".join(
+        f"WHEN vendor = '{v}' THEN "
+        f"filter(transform({_field_order_arr(v)}, "
+        f"k -> named_struct('key', k, 'value', {pick})), s -> s.value IS NOT NULL)"
+        for v in C.FIELD_ORDER
+    )
+    return (
+        "CASE " + branches + " ELSE cast(array() as "
+        "array<struct<key:string, value:string>>) END"
+    )
+
+
+def with_merge(df: DataFrame) -> DataFrame:
+    df = df.withColumn(
+        "mt", F.expr("map_from_entries(coalesce(res_t.fields, array()))")
+    ).withColumn("mo", F.expr("map_from_entries(coalesce(res_o.fields, array()))"))
+    df = df.withColumn("merged_fields", F.expr(_merged_fields_expr()))
+    df = df.withColumn(
+        "merged_items",
+        F.expr(
+            "CASE WHEN res_t.items IS NOT NULL AND size(res_t.items) > 0 "
+            "THEN res_t.items "
+            "WHEN res_o.items IS NOT NULL THEN res_o.items "
+            "ELSE cast(array() as array<struct<line:string, serialized:string, "
+            "marks:array<string>>>) END"
+        ),
+    )
+    return df.drop("mt", "mo")
+
+
+_ITEMS_SORTED = """
+array_sort(
+  transform(merged_items, (it, i) -> named_struct(
+    'ln', coalesce(try_cast(regexp_replace(it.line, '[^0-9]', '') as int), 999999999),
+    'idx', i,
+    'serialized', it.serialized,
+    'marks', it.marks)),
+  (l, r) -> CASE WHEN l.ln < r.ln THEN -1 WHEN l.ln > r.ln THEN 1
+                 WHEN l.idx < r.idx THEN -1 WHEN l.idx > r.idx THEN 1
+                 ELSE 0 END)
+"""
+
+_OUT_SPANS = f"""
+transform(
+  concat(
+    transform(merged_fields, f -> named_struct(
+      'kind', concat('field:', f.key), 'text', f.value, 'media_ref', '')),
+    flatten(transform({_ITEMS_SORTED}, it -> concat(
+      array(named_struct('kind', 'item', 'text', it.serialized, 'media_ref', '')),
+      transform(it.marks, m -> named_struct(
+        'kind', 'mark', 'text', m, 'media_ref', ''))))),
+    transform(filter(spans, s -> s.kind = 'media'), s -> named_struct(
+      'kind', 'media', 'text', '', 'media_ref', s.media_ref))
+  ),
+  (s, i) -> named_struct('kind', s.kind, 'text', s.text,
+                         'media_ref', s.media_ref, 'order', cast(i as int)))
+"""
+
+
+def with_emission(df: DataFrame) -> DataFrame:
+    df = df.withColumn("out_spans", F.expr(_OUT_SPANS))
+    df = df.withColumn(
+        "validation_failed",
+        F.expr(
+            "CASE WHEN exists(merged_fields, f -> f.key = 'header.invoice_number') "
+            "THEN 0 ELSE 1 END"
+        ),
+    ).withColumn(
+        "ocr_used",
+        F.when(F.col("route").isin("ocr", "hybrid"), 1).otherwise(0),
+    )
+    return df

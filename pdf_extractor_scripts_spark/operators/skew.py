@@ -1,0 +1,35 @@
+"""Weight-aware salted repartitioning for large-document skew.
+
+The reference processes one file per thread, so a 1000-page PDF silently
+stalls a worker (batch_processor.py:143-148 has no size awareness). At
+cluster scale the equivalent failure is one task dragging a stage. Strategy
+(SURVEY.md §4.2(1)):
+
+* weight = size(spans); docs above ``heavy_span_threshold`` are "heavy";
+* light docs share hash buckets (pmod(xxhash64(doc_id), P));
+* each heavy doc gets a unique salt (its own doc_id), so no partition
+  receives two heavy docs and AQE can rebalance the rest.
+
+A document cannot be split below one row here because the vendor extractors
+need whole-document context (cross-page items, ceco_processor.py:428-441) —
+so the defense is isolation + spreading, plus Arrow batching keeping per-doc
+overhead low.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def with_weight(df: DataFrame, heavy_span_threshold: int = 400) -> DataFrame:
+    return df.withColumn("weight", F.size("spans")).withColumn(
+        "is_heavy", (F.col("weight") > heavy_span_threshold).cast("int")
+    )
+
+
+def salted_repartition(df: DataFrame, n_partitions: int) -> DataFrame:
+    salt = F.when(
+        F.col("is_heavy") == 1, F.concat(F.lit("heavy:"), F.col("doc_id"))
+    ).otherwise(F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions)).cast("string"))
+    return df.withColumn("salt", salt).repartition(n_partitions, F.col("salt")).drop("salt")
