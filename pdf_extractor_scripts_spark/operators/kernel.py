@@ -54,7 +54,9 @@ def extract_fields_batch(vendor: pd.Series, text: pd.Series) -> list[dict[str, s
                         else None,
                         axis=1,
                     )
-                value.loc[todo] = value[todo].fillna(got)
+                # rows in `todo` are all-None: direct assignment (no fillna,
+                # which trips pandas' object-downcasting deprecation)
+                value.loc[todo] = got
             per_key[key] = value
         for idx in sub.index:
             d = {k: s[idx] for k, s in per_key.items() if pd.notna(s[idx])}

@@ -22,9 +22,43 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from .registry import register, load_table
-from ..functions.portable import minhash_sql, simhash_sql, shingle_hashes_sql
+from ..functions.portable import (
+    MOD_SHINGLE,
+    MINHASH_PARAMS,
+    SIMHASH_BITS,
+    minhash_sql,
+    simhash_sql,
+    shingle_hashes_sql,
+)
 
 _K = 8  # minhash signature width; 2 bands of 4 hashes
+
+
+def _shingle_rows(spark, sf_dir: str):
+    """(doc_id, h) — one row per 3-gram shingle hash, via posexplode of the
+    position sequence + a plain column expression for the hash.
+
+    This is the at-scale shape: zero lambda-interpreted HOFs (the hash is
+    whole-stage-codegen'd arithmetic), and every downstream signature is a
+    map-side-combined hash aggregation on doc_id. The DuckDB oracle keeps
+    the list-comprehension formulation — identical arithmetic, different
+    physical plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pos = (
+        d.filter(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.expr("sequence(1, length(text) - 2)")).alias("i"),
+        )
+    )
+    h = (
+        F.ascii(F.expr("substr(text, cast(i as int), 1)")) * 961
+        + F.ascii(F.expr("substr(text, cast(i + 1 as int), 1)")) * 31
+        + F.ascii(F.expr("substr(text, cast(i + 2 as int), 1)"))
+    ) % F.lit(MOD_SHINGLE)
+    return pos.select("doc_id", h.cast("bigint").alias("h"))
 
 
 # --------------------------------------------------------------------------
@@ -88,11 +122,12 @@ def _minhash_oracle() -> str:
         "DuckDB can afford at oracle scale.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    mh = minhash_sql("text", "spark", k=_K)
-    sig = d.select(
-        "doc_id",
-        *[F.expr(e).cast("bigint").alias(f"mh{i}") for i, e in enumerate(mh)],
+    rows = _shingle_rows(spark, sf_dir)
+    sig = rows.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD_SHINGLE)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS[:_K])
+        ]
     )
     sig.cache()
 
@@ -160,8 +195,31 @@ def _simhash_sql_full(dialect: str) -> str:
         "candidates are same-bucket (or Hamming-adjacent) signatures.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_simhash_sql_full("spark"))
+    rows = _shingle_rows(spark, sf_dir)
+    votes = rows.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.floor(F.col("h") / F.lit(1 << b)).cast("bigint") % 2) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    ).cast("bigint")
+    s = votes.select("doc_id", simhash.alias("simhash"))
+    # docs shorter than one shingle (none in this corpus, but keep the
+    # oracle's sentinel semantics): simhash = 0
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    s = d.join(s, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash")
+    )
+    from pyspark.sql import Window
+
+    return s.withColumn("n_bucket", F.count(F.lit(1)).over(Window.partitionBy("simhash")))
 
 
 # --------------------------------------------------------------------------

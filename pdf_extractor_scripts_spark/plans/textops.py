@@ -430,8 +430,21 @@ def _fp_sql(dialect: str) -> str:
         "oracle agree bit-for-bit.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_fp_sql("spark"))
+    # explode positions + codegen'd arithmetic + map-side-combined sum —
+    # the same numbers as the oracle's list-fold, at scan speed.
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", "n_chars", "text",
+        F.explode(F.expr("sequence(1, length(text))")).alias("i"),
+    )
+    term = F.ascii(F.expr("substr(text, cast(i as int), 1)")).cast("bigint") * (
+        (F.col("i") % 97) + 1
+    )
+    return (
+        pos.groupBy("doc_id", "n_chars")
+        .agg((F.sum(term) % F.lit(2147483647)).cast("bigint").alias("fingerprint"))
+        .select("doc_id", "fingerprint", "n_chars")
+    )
 
 
 # --------------------------------------------------------------------------
