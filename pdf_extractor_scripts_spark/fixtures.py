@@ -316,3 +316,25 @@ def corpus_df(spark, n_docs: int = 120, seed: int = 42):
     from .schemas import DOC_SCHEMA
 
     return spark.createDataFrame(make_corpus(n_docs, seed), schema=DOC_SCHEMA)
+
+
+def corpus_df_dist(spark, n_docs: int, seed: int = 42):
+    """Distributed corpus generation: each executor renders its own id range
+    via mapInPandas — same deterministic output as corpus_df (generation is
+    keyed on (seed, i) only), but scales to bench-sized corpora without a
+    driver-side bottleneck."""
+    import pandas as pd
+
+    from .schemas import DOC_SCHEMA
+
+    def gen(batches):
+        for pdf in batches:
+            docs = [make_document(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [d["doc_id"] for d in docs],
+                    "spans": [d["spans"] for d in docs],
+                }
+            )
+
+    return spark.range(n_docs).mapInPandas(gen, schema=DOC_SCHEMA)

@@ -127,15 +127,18 @@ def with_route(df: DataFrame) -> DataFrame:
         F.expr("greatest(1, size(filter(spans, s -> s.kind = 'page_break')))"),
     ).withColumn(
         "n_text_pages",
+        # O(1)-per-element fold: spans arrive in offset order, so "pages with
+        # text" is countable with (current page, last counted page, count) —
+        # no per-element set union.
         F.expr(
-            "size(aggregate(spans, "
-            "named_struct('pg', 0, 'tp', cast(array() as array<int>)), "
+            "aggregate(spans, "
+            "named_struct('pg', 0, 'last', -1, 'cnt', 0), "
             "(acc, s) -> CASE WHEN s.kind = 'page_break' "
-            "  THEN named_struct('pg', acc.pg + 1, 'tp', acc.tp) "
-            "WHEN s.kind = 'text' "
-            "  THEN named_struct('pg', acc.pg, 'tp', array_union(acc.tp, array(acc.pg))) "
+            "  THEN named_struct('pg', acc.pg + 1, 'last', acc.last, 'cnt', acc.cnt) "
+            "WHEN s.kind = 'text' AND acc.last <> acc.pg "
+            "  THEN named_struct('pg', acc.pg, 'last', acc.pg, 'cnt', acc.cnt + 1) "
             "ELSE acc END, "
-            "acc -> acc.tp))"
+            "acc -> acc.cnt)"
         ),
     )
     thr = _vendor_map(C.TEXT_THRESHOLDS)

@@ -51,22 +51,47 @@ EXTRACT_RESULT = StructType(
 )
 
 
-@F.pandas_udf(EXTRACT_RESULT)
-def _extract_udf(vendor: pd.Series, text: pd.Series) -> pd.DataFrame:
+BOTH_RESULT = StructType(
+    [StructField("t", EXTRACT_RESULT), StructField("o", EXTRACT_RESULT)]
+)
+
+
+@F.pandas_udf(BOTH_RESULT)
+def _extract_both_udf(vendor: pd.Series, text: pd.Series, ocr: pd.Series) -> pd.DataFrame:
+    """Both routes in ONE Arrow round-trip — halves the JVM↔Python transfer
+    and per-batch overhead vs two separate UDF invocations."""
     from .kernel import extract_batch
 
-    return extract_batch(vendor, text)
+    rt = extract_batch(vendor, text)
+    ro = extract_batch(vendor, ocr)
+    return pd.DataFrame(
+        {
+            "t": [
+                None if f is None else {"fields": f, "items": i}
+                for f, i in zip(rt["fields"], rt["items"])
+            ],
+            "o": [
+                None if f is None else {"fields": f, "items": i}
+                for f, i in zip(ro["fields"], ro["items"])
+            ],
+        },
+        index=vendor.index,
+    )
 
 
 def with_extraction(df: DataFrame) -> DataFrame:
     """Adds res_t / res_o struct columns. Input text columns are nulled out
-    for routes that don't need them so the kernel skips those rows."""
+    for routes that don't need them so the kernel skips those rows
+    (expensive-path gating as column masking)."""
     text_in = F.when(
         F.col("route").isin("text", "hybrid"), F.col("text_route_text")
     ).otherwise(F.lit(None))
     ocr_in = F.when(
         F.col("route").isin("ocr", "hybrid"), F.col("ocr_route_text")
     ).otherwise(F.lit(None))
-    return df.withColumn("res_t", _extract_udf(F.col("vendor"), text_in)).withColumn(
-        "res_o", _extract_udf(F.col("vendor"), ocr_in)
+    return (
+        df.withColumn("res_both", _extract_both_udf(F.col("vendor"), text_in, ocr_in))
+        .withColumn("res_t", F.col("res_both.t"))
+        .withColumn("res_o", F.col("res_both.o"))
+        .drop("res_both")
     )

@@ -29,7 +29,11 @@ def with_weight(df: DataFrame, heavy_span_threshold: int = 400) -> DataFrame:
 
 
 def salted_repartition(df: DataFrame, n_partitions: int) -> DataFrame:
+    # Salt cardinality must be >> n_partitions: with only P distinct salt
+    # values, hashing P values into P partitions leaves ~1/e of them empty
+    # (balls-in-bins), which caps scaling. 64x oversampling keeps occupancy
+    # near-uniform while still giving each heavy doc a unique salt.
     salt = F.when(
         F.col("is_heavy") == 1, F.concat(F.lit("heavy:"), F.col("doc_id"))
-    ).otherwise(F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions)).cast("string"))
+    ).otherwise(F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions * 64)).cast("string"))
     return df.withColumn("salt", salt).repartition(n_partitions, F.col("salt")).drop("salt")

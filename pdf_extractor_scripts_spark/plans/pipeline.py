@@ -36,15 +36,25 @@ def run_pipeline(
     docs: DataFrame,
     n_partitions: int | None = None,
     heavy_span_threshold: int = 400,
+    salt: bool = False,
 ) -> DataFrame:
-    """spans table → extraction result (one row per doc)."""
-    if n_partitions is None:
-        n_partitions = docs.sparkSession.sparkContext.defaultParallelism
+    """spans table → extraction result (one row per doc).
+
+    The pipeline is a pure mapper chain — extraction is embarrassingly
+    parallel, so by default there is NO shuffle anywhere: at 100 TB,
+    repartitioning the corpus would itself be a 100 TB shuffle. ``salt=True``
+    opts into the weight-aware salted repartition for corpora whose INPUT
+    partitioning is pathological (heavy documents co-located); it pays one
+    full-payload shuffle to spread them (operators/skew.py).
+    """
     df = with_assembled_text(docs)
     df = with_vendor(df)
     df = with_route(df)
     df = with_weight(df, heavy_span_threshold)
-    df = salted_repartition(df, n_partitions)
+    if salt:
+        if n_partitions is None:
+            n_partitions = docs.sparkSession.sparkContext.defaultParallelism
+        df = salted_repartition(df, n_partitions)
     df = with_extraction(df)
     df = with_merge(df)
     df = with_emission(df)
