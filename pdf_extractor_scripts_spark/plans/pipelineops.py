@@ -1,0 +1,404 @@
+"""Pipeline-mechanics queries — the merge / fallback / consolidation /
+scoring / adequacy operator families (J1-J3, A1-A2, T5, P7, P9-P10, O4 of
+SURVEY.md §2) as oracle-checked SQL over the driver's tables.
+
+Each query derives its inputs deterministically from the documents table
+(both dialects construct identical intermediates), then runs the *real*
+operator logic so the hash comparison exercises the operator, not the data
+prep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import register, load_table
+
+
+def _doc_view(spark: SparkSession, sf_dir: str) -> None:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+
+
+# --------------------------------------------------------------------------
+# J1 — hybrid text⊕OCR merge as a full outer join (fallback_processor.py:518-620)
+# --------------------------------------------------------------------------
+def _j1_sql(dialect: str) -> str:
+    half = "cast(floor(length(text) / 2) as int)" if dialect == "spark" else "(length(text) // 2)"
+    ex = lambda src: f"nullif(regexp_extract({src}, '(join [a-z]+)', 1), '')"
+    return f"""
+    WITH text_route AS (
+      SELECT doc_id, {ex(f"substr(text, 1, {half})")} AS header_val,
+             {ex(f"substr(text, 1, {half})")} AS totals_val
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    ocr_route AS (
+      SELECT doc_id, {ex(f"substr(text, {half} + 1)")} AS header_val,
+             {ex(f"substr(text, {half} + 1)")} AS totals_val
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT coalesce(t.doc_id, o.doc_id) AS doc_id,
+           coalesce(t.header_val, o.header_val) AS header_merged,
+           coalesce(o.totals_val, t.totals_val) AS totals_merged,
+           CASE WHEN t.doc_id IS NOT NULL AND o.doc_id IS NOT NULL THEN 'hybrid'
+                WHEN t.doc_id IS NOT NULL THEN 'text_only'
+                ELSE 'ocr_only' END AS merge_source
+    FROM text_route t FULL OUTER JOIN ocr_route o ON t.doc_id = o.doc_id
+    """
+
+
+@register(
+    "j1_hybrid_merge",
+    oracle=_j1_sql("duckdb"),
+    doc="Hybrid route merge: full outer self-join on doc_id + per-section "
+        "priority coalesce (header from text route, totals from OCR route) — "
+        "fallback_processor.py:518-620 as a genuine join. The engine's "
+        "production form is operators/merge.py.",
+)
+def j1_hybrid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _doc_view(spark, sf_dir)
+    return spark.sql(_j1_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# J2 — fallback compare-and-pick (fallback_processor.py:342-390)
+# --------------------------------------------------------------------------
+def _j2_sql(dialect: str) -> str:
+    return """
+    WITH primary_r AS (
+      SELECT doc_id, 'primary' AS method,
+             round(least(0.2 + 0.1 * (length(text) % 7), 1.0), 4) AS confidence
+      FROM documents WHERE lang = 'en'
+    ),
+    fallback_r AS (
+      SELECT doc_id, 'fallback' AS method,
+             round(least(0.3 + 0.1 * (doc_id % 5), 1.0), 4) AS confidence
+      FROM documents
+    )
+    SELECT f.doc_id,
+           CASE WHEN p.doc_id IS NOT NULL AND p.confidence >= f.confidence
+                THEN p.method ELSE f.method END AS picked_method,
+           CASE WHEN p.doc_id IS NOT NULL AND p.confidence >= f.confidence
+                THEN p.confidence ELSE f.confidence END AS picked_confidence
+    FROM fallback_r f LEFT JOIN primary_r p ON f.doc_id = p.doc_id
+    """
+
+
+@register(
+    "j2_fallback_pick",
+    oracle=_j2_sql("duckdb"),
+    doc="Fallback compare-and-pick: run the alternate method, keep whichever "
+        "result has higher confidence (primary wins ties) — "
+        "fallback_processor.py:342-390 as a left join + max_by cascade.",
+)
+def j2_fallback_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _doc_view(spark, sf_dir)
+    return spark.sql(_j2_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# J3 — consolidation group-merge (output_consolidator.py:148-341)
+# --------------------------------------------------------------------------
+def _j3_sql(dialect: str) -> str:
+    return """
+    WITH candidates AS (
+      SELECT doc_id, v AS variant,
+             round((cast((doc_id * 7 + v * 13) % 100 as double) / 100) * 0.5
+                   + (cast((doc_id + v) % 10 as double) / 10) * 0.3
+                   + (cast(v as double) / 4) * 0.2, 4) AS quality
+      FROM documents
+      CROSS JOIN (SELECT 1 AS v UNION ALL SELECT 2 UNION ALL SELECT 3) variants
+    )
+    SELECT doc_id, variant AS best_variant, quality AS best_quality
+    FROM (SELECT doc_id, variant, quality,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY quality DESC, variant) AS rn
+          FROM candidates)
+    WHERE rn = 1
+    """
+
+
+@register(
+    "j3_consolidation_pick",
+    oracle=_j3_sql("duckdb"),
+    doc="Consolidation: multiple candidate outputs per document, quality = "
+        "0.5*accuracy + 0.3*completeness + 0.2*confidence, keep the best "
+        "with a deterministic tie-break (output_consolidator.py:308-341). "
+        "groupBy doc_id + max_by in the engine; rank window here for "
+        "cross-engine tie determinism.",
+)
+def j3_consolidation_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _doc_view(spark, sf_dir)
+    return spark.sql(_j3_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# A1 — weighted section confidence (text_pdf_processor.py:1146-1168)
+# --------------------------------------------------------------------------
+def _a1_sql(dialect: str) -> str:
+    flags = ", 'g'" if dialect == "duckdb" else ""
+    alpha = f"cast(length(regexp_replace(text, '[^a-z]', ''{flags})) as double) / greatest(length(text), 1)"
+    digit = f"cast(length(regexp_replace(text, '[^0-9]', ''{flags})) as double) / greatest(length(text), 1)"
+    space = f"cast(length(regexp_replace(text, '[^ ]', ''{flags})) as double) / greatest(length(text), 1)"
+    return f"""
+    WITH sect AS (
+      SELECT lang,
+             {alpha} AS header_conf,
+             {space} AS vendor_conf,
+             {digit} AS items_conf,
+             CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS n_errors
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(greatest(
+             0.3 * header_conf + 0.3 * items_conf + 0.15 * vendor_conf
+             + 0.25 * 0.5
+             - least(0.1 * n_errors, 0.3), 0.0)), 4) AS avg_overall_conf
+    FROM sect GROUP BY lang
+    """
+
+
+@register(
+    "a1_weighted_confidence",
+    oracle=_a1_sql("duckdb"),
+    doc="Overall confidence = weighted mean of section confidences (header "
+        ".3, line_items .3, vendor .15, rest .25) minus 0.1/error capped at "
+        "0.3 (text_pdf_processor.py:1146-1168, 1133-1142). Pure per-row "
+        "column arithmetic — no shuffle until the tiny rollup.",
+)
+def a1_weighted_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _doc_view(spark, sf_dir)
+    return spark.sql(_a1_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# A2 — completeness score (data_validator.py:159-207)
+# --------------------------------------------------------------------------
+def _a2_sql(dialect: str) -> str:
+    if dialect == "spark":
+        ntok = "size(filter(split(text, ' '), x -> x <> ''))"
+    else:
+        ntok = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    has = lambda w: f"CASE WHEN text LIKE '%{w}%' THEN 1 ELSE 0 END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             cast(25 * {has("join")} + 15 * {has("filter")} + 15 * {has("group")}
+             + cast(round(35 * least(cast({ntok} as double) / 100, 1.0), 0) as int)
+             + 10 * (CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) as int) AS completeness
+      FROM documents
+    )
+    SELECT cast(floor(completeness / 20) as int) AS completeness_bucket,
+           count(*) AS n_docs,
+           round(avg(completeness), 4) AS avg_completeness
+    FROM scored GROUP BY 1
+    """
+
+
+@register(
+    "a2_completeness_score",
+    oracle=_a2_sql("duckdb"),
+    doc="Completeness scoring: 25 header + 15 vendor + 15 customer + 35 * "
+        "line-item quality ratio + 10 totals (data_validator.py:159-207), "
+        "bucketed distribution.",
+)
+def a2_completeness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _doc_view(spark, sf_dir)
+    return spark.sql(_a2_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# T5 — order-preserving dedup (text_pdf_processor.py:3217-3234)
+# --------------------------------------------------------------------------
+def _t5_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = "filter(split(text, ' '), x -> x <> '')"
+        dedup = f"array_distinct({toks})"  # keeps first occurrence
+        first5 = f"array_join(slice({dedup}, 1, 5), ' ')"
+        n = f"size({toks})"
+        nd = f"size({dedup})"
+    else:
+        toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+        # DuckDB's list_distinct does NOT preserve order; filter on first
+        # occurrence index instead.
+        dedup = f"list_filter({toks}, (x, i) -> list_position({toks}, x) = i)"
+        first5 = f"array_to_string(list_slice({dedup}, 1, 5), ' ')"
+        n = f"len({toks})"
+        nd = f"len({dedup})"
+    return f"""
+    SELECT doc_id, {n} AS n_tokens, {nd} AS n_distinct, {first5} AS first5
+    FROM documents
+    """
+
+
+@register(
+    "t5_order_preserving_dedup",
+    oracle=_t5_sql("duckdb"),
+    doc="Order-preserving dedupe keeping the FIRST occurrence — the "
+        "reference's seen-set filter for mark numbers / additional info "
+        "(text_pdf_processor.py:3217-3234, schlage_processor.py:2003-2008). "
+        "Spark's array_distinct preserves encounter order natively.",
+)
+def t5_order_preserving_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _doc_view(spark, sf_dir)
+    return spark.sql(_t5_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# P7 — page-level analysis / mixed-content rollup (pdf_text_detector.py:385-471)
+# --------------------------------------------------------------------------
+def _p7_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks_src = """
+      SELECT doc_id, pos, word FROM documents
+      LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
+        """
+        pageno = "cast(floor(pos / 24) as bigint)"
+    else:
+        toks_src = """
+      SELECT doc_id, i - 1 AS pos, toklist[i] AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS toklist FROM documents),
+           UNNEST(generate_series(1, len(toklist))) AS u(i)
+        """
+        pageno = "(pos // 24)::BIGINT"
+    return f"""
+    WITH toks AS ({toks_src}),
+    pages AS (
+      SELECT doc_id, {pageno} AS page_no,
+             count(*) AS n_tokens,
+             max(CASE WHEN word IN ('join', 'filter', 'group') THEN 1 ELSE 0 END) AS has_query_terms,
+             max(CASE WHEN word IN ('vector', 'hash') THEN 1 ELSE 0 END) AS has_vector_terms
+      FROM toks WHERE word <> '' GROUP BY doc_id, {pageno}
+    )
+    SELECT doc_id,
+           count(*) AS n_pages,
+           cast(sum(has_query_terms) as bigint) AS n_query_pages,
+           cast(sum(has_vector_terms) as bigint) AS n_vector_pages,
+           CASE WHEN sum(has_query_terms) > 0 AND sum(has_vector_terms) > 0
+                THEN 1 ELSE 0 END AS is_mixed
+    FROM pages GROUP BY doc_id
+    """
+
+
+@register(
+    "p7_page_analysis",
+    oracle=_p7_sql("duckdb"),
+    doc="Per-page analysis then per-document rollup (has_text/has_images → "
+        "mixed-content detection, pdf_text_detector.py:385-471, 690-722): "
+        "explode pages → page-level flags → groupBy(doc).agg.",
+)
+def p7_page_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _doc_view(spark, sf_dir)
+    return spark.sql(_p7_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# P9 — repetitive page-header filter (ceco_processor.py:376-426)
+# --------------------------------------------------------------------------
+def _p9_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks_src = """
+      SELECT doc_id, source, word FROM documents
+      LATERAL VIEW explode(split(text, ' ')) t AS word
+        """
+        drop = "word rlike '^(the|a)$'"
+    else:
+        toks_src = """
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+        """
+        drop = "regexp_matches(word, '^(the|a)$')"
+    return f"""
+    WITH toks AS ({toks_src})
+    SELECT source,
+           count(*) AS n_lines,
+           cast(sum(CASE WHEN {drop} THEN 1 ELSE 0 END) as bigint) AS n_dropped,
+           cast(sum(CASE WHEN NOT ({drop}) AND word <> '' THEN 1 ELSE 0 END) as bigint) AS n_kept
+    FROM toks GROUP BY source
+    """
+
+
+@register(
+    "p9_header_filter",
+    oracle=_p9_sql("duckdb"),
+    doc="Repetitive page-header filtering: drop the ~35 known noise patterns "
+        "before line-item scans (ceco_processor.py:376-426) — a NOT rlike "
+        "filter over exploded lines, patterns broadcast as literals.",
+)
+def p9_header_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _doc_view(spark, sf_dir)
+    return spark.sql(_p9_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# P10 — adequacy predicate (fallback_processor.py:392-422)
+# --------------------------------------------------------------------------
+def _p10_sql(dialect: str) -> str:
+    if dialect == "spark":
+        ntok = "size(filter(split(text, ' '), x -> x <> ''))"
+    else:
+        ntok = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    return f"""
+    WITH v AS (
+      SELECT lang,
+             CASE WHEN text LIKE '%join%' AND n_chars >= 100 THEN 1 ELSE 0 END AS validation_passed,
+             least(cast({ntok} as double), 100.0) AS completeness,
+             (CASE WHEN text NOT LIKE '%join%' THEN 1 ELSE 0 END
+              + CASE WHEN text NOT LIKE '%filter%' THEN 1 ELSE 0 END) AS missing_critical
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           cast(sum(CASE WHEN validation_passed = 1
+                          OR (completeness >= 70 AND missing_critical <= 1)
+                         THEN 1 ELSE 0 END) as bigint) AS n_adequate
+    FROM v GROUP BY lang
+    """
+
+
+@register(
+    "p10_adequacy",
+    oracle=_p10_sql("duckdb"),
+    doc="Adequacy predicate: result adequate iff validation passes OR "
+        "(completeness >= 70% AND <= 1 missing critical field) — "
+        "fallback_processor.py:392-422 as a boolean column expression.",
+)
+def p10_adequacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _doc_view(spark, sf_dir)
+    return spark.sql(_p10_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# O4 — OCR variant selection (image_pdf_processor.py:435-599)
+# --------------------------------------------------------------------------
+def _o4_sql(dialect: str) -> str:
+    return """
+    WITH variants AS (
+      SELECT doc_id, v AS variant,
+             round(0.4 * (cast((doc_id * (v + 3)) % 97 as double) / 97)
+                   + 0.2 * least(cast(n_chars as double) / 500, 1.0)
+                   + 0.4 * (cast((doc_id + v * 31) % 53 as double) / 53), 4) AS score
+      FROM documents
+      CROSS JOIN (SELECT 1 AS v UNION ALL SELECT 2 UNION ALL SELECT 3
+                  UNION ALL SELECT 4) vs
+    )
+    SELECT doc_id, variant AS best_variant, score AS best_score
+    FROM (SELECT doc_id, variant, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, variant) AS rn
+          FROM variants)
+    WHERE rn = 1
+    """
+
+
+@register(
+    "o4_ocr_variant_select",
+    oracle=_o4_sql("duckdb"),
+    doc="OCR preprocessing fan-out + best-variant selection: score each of "
+        "the preprocessing variants (40% confidence, 20% length, 40% "
+        "content indicators — image_pdf_processor.py:435-599) and keep the "
+        "argmax per page. The fan-out is an explode; selection is max_by "
+        "(rank window for cross-engine ties).",
+)
+def o4_ocr_variant_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _doc_view(spark, sf_dir)
+    return spark.sql(_o4_sql("spark"))
