@@ -1,0 +1,126 @@
+"""Unit tier: one test per operator-family quirk (SURVEY.md §5.2) — BO
+folding, split-waybill rejoin, derived totals, order-preserving dedup,
+detection cascade edges — on hand-crafted inputs, plus engine-kernel parity
+with the oracle's independently-implemented field extractor."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pdf_extractor_scripts_spark import oracle as O
+from pdf_extractor_scripts_spark.operators.kernel import extract_fields_batch
+
+
+def test_ceco_bo_folding_valid_and_invalid():
+    # text_pdf_processor.py:2405-2414: bo valid iff qty_ord == qty_shp + bo
+    lines = [
+        "001 572 FR3PC 3 2 1",   # 3 == 2+1 → bo kept
+        "002 572 FR4PC 5 2 1",   # 5 != 2+1 → bo folded
+    ]
+    items = O._ceco_items(lines)
+    assert "bo=1" in items[0]["serialized"]
+    assert "bo=|bofold=1" in items[1]["serialized"]
+
+
+def test_ceco_scan_window_bounded_and_next_header():
+    # marks beyond the next header must attach to the NEXT item
+    lines = [
+        "001 572 FR3PC 1 1 0",
+        "8241799(40)",
+        "002 572 FR4PC 1 1 0",
+        "8241800(41)",
+    ]
+    items = O._ceco_items(lines)
+    assert items[0]["marks"] == ["8241799(40)"]
+    assert items[1]["marks"] == ["8241800(41)"]
+
+
+def test_ceco_dedupe_keeps_first():
+    lines = ["001 572 FR3PC 1 1 0", "001 572 FR3PC 9 9 0"]
+    items = O._ceco_items(lines)
+    assert len(items) == 1
+    assert "ord=1" in items[0]["serialized"]
+
+
+def test_schlage_split_waybill_rejoin():
+    # schlage_processor.py:1420-1438: only rejoin when the halves complete
+    # a 16-char body
+    item = ("SCHLAGE UPS EXP 1 111 111 X*1 |D| FEB 28 85.00 54.64/00 4,280.16")
+    good = [item, "1Z59R8R803", "49403012"]
+    items = O._schlage_items(good, {})
+    assert "waybill=1Z59R8R80349403012" in items[0]["serialized"]
+
+    bad = [item, "1Z59R8R803", "494030123"]  # 8+9 = 17 ≠ 16
+    items = O._schlage_items(bad, {})
+    assert "waybill=" not in items[0]["serialized"]
+
+
+def test_schlage_surcharge_synthesis_only_single_item():
+    item = ("SCHLAGE UPS EXP 1 111 111 X*1 |D| FEB 28 85.00 54.64/00 4,280.16")
+    one = O._schlage_items([item], {"totals.surcharges": "85.60"})
+    assert len(one) == 2 and "brand=AGN_SURCHARGE" in one[1]["serialized"]
+    two = O._schlage_items([item, item.replace(" 1 111", " 2 111")],
+                           {"totals.surcharges": "85.60"})
+    assert len(two) == 2 and all("AGN_SURCHARGE" not in i["serialized"] for i in two)
+
+
+def test_schlage_derived_totals_ratios():
+    # schlage_processor.py:1908-1920: 2% / 3% of subtotal when absent
+    f = {"totals.subtotal": "4,000.00"}
+    O._schlage_derived_totals(f)
+    assert f["totals.surcharges"] == "80.00"
+    assert f["totals.shipping"] == "120.00"
+    g = {"totals.subtotal": "4,000.00", "totals.surcharges": "99.99"}
+    O._schlage_derived_totals(g)
+    assert g["totals.surcharges"] == "99.99"  # printed value wins
+
+
+def test_order_preserving_dedup():
+    assert O._dedupe_keep_order(["b", "a", "b", "c", "a"]) == ["b", "a", "c"]
+
+
+def test_vendor_detection_combine_cases():
+    # content >= 0.6 beats filename
+    v, c = O.detect_vendor("misc/x.pdf", "STEELCRAFT NET SALES: JAMB ANCHOR")
+    assert v == "steelcraft" and c >= 0.6
+    # filename wins when content is weak
+    v, _ = O.detect_vendor("ceco/F1234A-I-99.pdf", "nothing relevant")
+    assert v == "ceco"
+    # agreement boost caps at 1.0
+    v, c = O.detect_vendor(
+        "ceco/F1234A-I-99.pdf",
+        "Ceco Door Products MILAN, TN YOU MAY DEDUCT A DISCOUNT TELECOM FRAME",
+    )
+    assert v == "ceco" and c == 1.0
+    # nothing at all → generic
+    v, c = O.detect_vendor("misc/x.pdf", "xxxx")
+    assert v == "generic" and c == 0.0
+
+
+def test_routing_thresholds_per_vendor():
+    spans_small = [
+        {"kind": "page_break", "text": "=== PAGE 1 ===", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "x" * 40, "media_ref": "", "offset": 1},
+    ]
+    # 40 chars: above schlage threshold (30) but below generic (50)
+    assert O.route_document("schlage", spans_small) == "text"
+    assert O.route_document("generic", spans_small) == "ocr"
+
+
+def test_kernel_matches_oracle_fields_vectorized():
+    """The pandas-vectorized field extractor and the oracle's re.search
+    loop are independent implementations of the same banks."""
+    texts = [
+        "Invoice Number: 12345678\nInvoice Date: 6/12/25\nCeco Door Products\n"
+        "YOU MAY DEDUCT A DISCOUNT OF $ 290.52 14526.12\nFREIGHT CHARGE 316.50",
+        "INVOICE# 7858692\nSUBTOTAL: 4,280.16\nPAYMENT TERMS NET 30",
+        "Invoice Number: ABC-12345\nSubtotal: $1,000.00",
+        None,
+    ]
+    vendors = ["ceco", "schlage", "generic", "ceco"]
+    got = extract_fields_batch(pd.Series(vendors), pd.Series(texts))
+    for v, t, g in zip(vendors, texts, got):
+        if t is None:
+            assert g is None
+        else:
+            assert g == O.extract_fields(v, t)

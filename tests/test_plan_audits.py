@@ -1,0 +1,64 @@
+"""Plan-audit tier: assert the physical plans are the ones we designed —
+filters pushed to the parquet scan, columns pruned, zero shuffles in the
+extraction mapper chain, whole-stage codegen on the hot scan paths."""
+
+from __future__ import annotations
+
+from pdf_extractor_scripts_spark.fixtures import corpus_df
+from pdf_extractor_scripts_spark.plans.pipeline import run_pipeline
+from pdf_extractor_scripts_spark.plans.registry import all_queries
+from .conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q3_pushdown_and_pruning(spark):
+    df = all_queries()["q3_shipping_priority"].spark(spark, SF_DIR)
+    plan = _plan(df)
+    # the mktsegment filter must reach the customer parquet scan
+    assert "PushedFilters" in plan
+    assert "BUILDING" in plan.replace("EqualTo(c_mktsegment,BUILDING)", "BUILDING")
+    # lineitem scan must NOT read all 11 columns (projection pruning)
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "l_orderkey" in line:
+            assert "l_returnflag" not in line and "l_tax" not in line
+
+
+def test_q1_scan_prunes_columns(spark):
+    df = all_queries()["q1_pricing_summary"].spark(spark, SF_DIR)
+    plan = _plan(df)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all("l_partkey" not in l and "l_suppkey" not in l for l in read)
+
+
+def test_pipeline_is_shuffle_free_by_default(spark):
+    docs = corpus_df(spark, n_docs=24, seed=42)
+    plan = _plan(run_pipeline(docs))
+    assert "Exchange" not in plan, "default extraction plan must not shuffle"
+
+
+def test_pipeline_salted_has_single_shuffle(spark):
+    docs = corpus_df(spark, n_docs=24, seed=42)
+    plan = _plan(run_pipeline(docs, salt=True))
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and l.strip().endswith("Exchange")
+    ]
+    assert len(exchanges) == 1, exchanges
+
+
+def test_scan_stages_are_codegen(spark):
+    # AQE hides codegen spans until stages materialize; audit the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = all_queries()["q1_pricing_summary"].spark(spark, SF_DIR)
+        simple = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert "*(1)" in simple  # whole-stage codegen span over the scan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

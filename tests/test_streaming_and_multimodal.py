@@ -1,0 +1,132 @@
+"""Streaming tier (windowed agg with watermark over a file source equals the
+batch answer) and multimodal tier (binary payload + typed metadata through
+the mapInPandas decode/resize/frame-sample plumbing)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from pdf_extractor_scripts_spark.fixtures import corpus_df
+from pdf_extractor_scripts_spark.operators.multimodal import (
+    media_from_spans,
+    decode_media,
+    resize_stub,
+    frame_sample_refs,
+    checksum_audit,
+)
+from pdf_extractor_scripts_spark.streaming.events import (
+    hourly_event_stats,
+    run_file_stream,
+)
+from .conftest import SF_DIR
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="spark_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_matches_batch(spark, tmpdir):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # split input into several files to simulate micro-batch arrival
+    src = os.path.join(tmpdir, "in")
+    events.repartition(4).write.parquet(src)
+
+    q = run_file_stream(spark, src, events.schema, query_name="hourly_stats_t")
+    q.awaitTermination(120)
+
+    got = (
+        spark.sql("select * from hourly_stats_t")
+        .groupBy("window_start", "event_type")
+        .agg(F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value"))
+    )
+    exp = hourly_event_stats.__wrapped__(events) if hasattr(hourly_event_stats, "__wrapped__") else None
+    # batch twin: same grouping computed in batch mode (no watermark needed)
+    exp = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in exp.collect()}
+    assert g == e
+
+
+def test_streaming_dedup_bounded_state(spark, tmpdir):
+    from pdf_extractor_scripts_spark.streaming.events import dedup_stream
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    dup = events.union(events)  # every event twice
+    src = os.path.join(tmpdir, "dup")
+    dup.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) n, count(distinct event_id) d from dedup_t").first()
+    assert got["n"] == got["d"] == events.count()
+
+
+def test_multimodal_plumbing(spark):
+    docs = corpus_df(spark, n_docs=40, seed=42)
+    media = media_from_spans(docs)
+    n_media = media.count()
+    assert n_media > 0
+
+    feats = decode_media(media).collect()
+    assert len(feats) == n_media
+    for r in feats:
+        assert r["modality"] == "image"
+        assert len(r["feature"]) == 16
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6
+        assert r["n_bytes"] > 0
+
+    # determinism: same input → identical features
+    feats2 = {r["media_ref"]: r["feature"] for r in decode_media(media).collect()}
+    for r in feats:
+        assert feats2[r["media_ref"]] == r["feature"]
+
+    resized = resize_stub(media, 320, 240)
+    row = resized.first()
+    assert row["meta"]["width"] == 320 and row["meta"]["height"] == 240
+
+    audit = checksum_audit(media)
+    assert audit.filter(~F.col("checksum_ok")).count() == 0
+
+    # real decoder slot is explicitly not implemented here
+    with pytest.raises(NotImplementedError):
+        decode_media(media, deterministic_stub=False)
+
+
+def test_frame_sampling_plan(spark):
+    docs = corpus_df(spark, n_docs=20, seed=42)
+    media = media_from_spans(docs).withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("modality"),
+            F.lit("video/mp4").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.lit(3500).cast("long").alias("duration_ms"),
+            F.col("meta.sha256").alias("sha256"),
+        ),
+    )
+    frames = frame_sample_refs(media, every_ms=1000)
+    per_ref = frames.groupBy("media_ref").count().collect()
+    assert per_ref and all(r["count"] == 4 for r in per_ref)  # 0,1000,2000,3000
