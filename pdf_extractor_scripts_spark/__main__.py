@@ -1,0 +1,90 @@
+"""spark-submit entry point.
+
+The reference's three entry points (batch runner, single-file CLI, vendor
+processors — SURVEY.md §3) collapse into one job:
+
+    spark-submit --py-files pdf_extractor_scripts_spark.zip \
+        -m pdf_extractor_scripts_spark \
+        --mode batch --input /data/spans --output /data/out \
+        --run-id r42 [--salt] [--n-buckets 64]
+
+    --mode analyze     detection + routing columns only (no extraction)
+    --mode batch       full pipeline + checkpoint/lineage/metrics + resume
+    --mode single-doc  one document's extracted spans to stdout (--doc-id)
+    --mode synthetic   run over the deterministic fixture corpus (--n-docs)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _session(app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pdf_extractor_scripts_spark")
+    p.add_argument("--mode", choices=["batch", "analyze", "single-doc", "synthetic"],
+                   default="batch")
+    p.add_argument("--input", help="spans table path (parquet/Iceberg)")
+    p.add_argument("--output", help="output/checkpoint directory")
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--doc-id", help="single-doc mode: which document")
+    p.add_argument("--n-docs", type=int, default=1000, help="synthetic mode size")
+    p.add_argument("--salt", action="store_true",
+                   help="enable weight-aware salted repartition (skewed inputs)")
+    p.add_argument("--n-buckets", type=int, default=64)
+    args = p.parse_args(argv)
+
+    spark = _session(f"pdf-extract-{args.mode}")
+    from .plans.pipeline import run_pipeline, run_with_checkpoint
+    from .operators.detect import with_assembled_text, with_vendor, with_route
+
+    if args.mode == "synthetic":
+        from .fixtures import corpus_df_dist
+
+        docs = corpus_df_dist(spark, args.n_docs)
+    else:
+        if not args.input:
+            p.error("--input required")
+        from .sources.spans import read_spans
+
+        docs = read_spans(spark, args.input)
+
+    if args.mode == "analyze":
+        out = with_route(with_vendor(with_assembled_text(docs))).select(
+            "doc_id", "vendor", "vendor_conf", "route", "n_text_chars", "n_pages"
+        )
+        out.show(50, truncate=False)
+    elif args.mode == "single-doc":
+        if not args.doc_id:
+            p.error("--doc-id required for single-doc mode")
+        res = run_pipeline(docs.filter(docs.doc_id == args.doc_id), salt=False)
+        for row in res.collect():
+            for s in row["out_spans"]:
+                print((s["kind"], s["text"], s["media_ref"], s["order"]))
+    else:  # batch / synthetic
+        if args.output:
+            n = run_with_checkpoint(spark, docs, args.output, args.run_id)
+            print(f"processed {n} documents (resume-aware, run_id={args.run_id})")
+        else:
+            res = run_pipeline(docs, salt=args.salt)
+            res.write.format("noop").mode("overwrite").save()
+            print("pipeline completed (no --output: dry run)")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

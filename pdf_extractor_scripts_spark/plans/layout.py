@@ -214,3 +214,44 @@ def _l8_sql(dialect: str) -> str:
 def l8_page_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_l8_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# L6 — table extraction: positional rows keyed by a header row
+# --------------------------------------------------------------------------
+def _l6_sql(dialect: str) -> str:
+    if dialect == "spark":
+        mk_map = "map_from_arrays(array('line', 'part', 'qty'), cells)"
+        get = lambda k: f"element_at(m, '{k}')"
+    else:
+        mk_map = "map(['line', 'part', 'qty'], cells)"
+        get = lambda k: f"(m['{k}'])[1]"
+    cells = (
+        "array(cast(l_linenumber as string), cast(l_partkey as string), "
+        "cast(l_quantity as string))"
+        if dialect == "spark"
+        else "[l_linenumber::VARCHAR, l_partkey::VARCHAR, l_quantity::VARCHAR]"
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT l_orderkey, l_linenumber, {mk_map} AS m
+      FROM (SELECT l_orderkey, l_linenumber, {cells} AS cells
+            FROM lineitem WHERE l_orderkey % 50 = 0)
+    )
+    SELECT l_orderkey, l_linenumber,
+           {get("line")} AS line, {get("part")} AS part, {get("qty")} AS qty
+    FROM keyed
+    """
+
+
+@register(
+    "l6_table_extract",
+    oracle=_l6_sql("duckdb"),
+    doc="Table extraction: first row = headers, remaining rows become "
+        "header-keyed dicts (text_pdf_processor.py:918-954). Positional "
+        "cells → map_from_arrays(headers, cells) → keyed lookup; downstream "
+        "consumers explode the row maps.",
+)
+def l6_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_l6_sql("spark"))
