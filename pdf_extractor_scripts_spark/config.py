@@ -126,11 +126,34 @@ FIELD_BANKS: dict[str, dict[str, list[str]]] = {
     },
 }
 
+# F5 — address-block extraction (schlage_processor.py:1244-1383): scan lines
+# after a section header until a terminator; classify each line.
+ADDRESS_SECTIONS = [("customer.bill_to", "BILL TO:"), ("customer.ship_to", "SHIP TO:")]
+ADDRESS_TERMINATORS = ("BRAND CARRIER", "QUOTE NUMBER", "PAYMENT TERMS",
+                       "BILL TO:", "SHIP TO:")
+ADDRESS_STREET = r"^\d+\s+[A-Z0-9 ]+\s(ST|DR|AVE|BLVD|STREET|WAY|RD)$"
+ADDRESS_CITY = r"^[A-Z ]+,\s*[A-Z]{2}\s+\d{5}(-\d{4})?$"
+ADDRESS_MAX_LINES = 5  # schlage_processor.py:1259-1276 bounded scan
+
+_SCHLAGE_ADDRESS_KEYS = [
+    f"{sec}_{part}"
+    for sec, _ in ADDRESS_SECTIONS
+    for part in ("company", "street", "citystate")
+]
+
 # Canonical field emission order per vendor (drives output-span `order`) —
 # deterministic total ordering is contract-critical (SURVEY.md §7.3(1)).
 FIELD_ORDER: dict[str, list[str]] = {
     v: list(bank.keys()) for v, bank in FIELD_BANKS.items()
 }
+# address-block fields (computed by the F5 state machine, not the regex
+# bank) emit after the header section for schlage:
+_sh = FIELD_ORDER["schlage"]
+FIELD_ORDER["schlage"] = (
+    [k for k in _sh if k.startswith("header.")]
+    + _SCHLAGE_ADDRESS_KEYS
+    + [k for k in _sh if not k.startswith("header.")]
+)
 
 # ---------------------------------------------------------------------------
 # Line-item grammars

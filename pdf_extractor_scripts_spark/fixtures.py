@@ -179,6 +179,13 @@ def _schlage_lines(rng: random.Random, n_items: int, variant: str) -> list[list[
         "11819 NORTH PENNSYLVANIA STREET",
         "CARMEL, IN 46032",
         "RES_CONTACT_CENTER@ALLEGION.COM",
+        f"BILL TO: {rng.choice(['ACME DOORS LLC', 'COOK & BOARDMAN LLC'])}",
+        f"{rng.randint(10, 9999)} {rng.choice(['OAK', 'ELM', 'MASON'])} {rng.choice(['ST', 'DR', 'BLVD'])}",
+        f"{rng.choice(['CARY', 'RALEIGH', 'DURHAM'])}, NC {rng.randint(27000, 27999)}",
+        "SHIP TO:",
+        f"{rng.choice(['ACME WAREHOUSE', 'ENCOMPASS HEALTH'])}",
+        f"{rng.randint(10, 9999)} {rng.choice(['PINE', 'LAKE'])} {rng.choice(['AVE', 'RD', 'WAY'])}",
+        f"{rng.choice(['APEX', 'GARNER'])}, NC {rng.randint(27000, 27999)}",
         "BRAND CARRIER",
     ]
     items: list[str] = []

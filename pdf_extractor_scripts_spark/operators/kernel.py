@@ -61,6 +61,9 @@ def extract_fields_batch(vendor: pd.Series, text: pd.Series) -> list[dict[str, s
         for idx in sub.index:
             d = {k: s[idx] for k, s in per_key.items() if pd.notna(s[idx])}
             if v == "schlage":
+                # F5 address blocks are a line-scanning state machine
+                # (inherently sequential), then the derived-totals quirk.
+                O._schlage_address_blocks(sub[idx], d)
                 O._schlage_derived_totals(d)
             results[pos[idx]] = d
     return results

@@ -121,8 +121,36 @@ def extract_fields(vendor: str, text: str) -> dict[str, str]:
                 out[key] = groups[0] if len(groups) == 1 else "|".join(groups)
                 break
     if vendor == "schlage":
+        _schlage_address_blocks(text, out)
         _schlage_derived_totals(out)
     return out
+
+
+def _schlage_address_blocks(text: str, fields: dict[str, str]) -> None:
+    """F5 (schlage_processor.py:1244-1383): scan lines after 'BILL TO:' /
+    'SHIP TO:' headers until a terminator, classifying each line as
+    company / street / city-state-zip; bounded at ADDRESS_MAX_LINES."""
+    street_re = re.compile(C.ADDRESS_STREET)
+    city_re = re.compile(C.ADDRESS_CITY)
+    lines = text.split("\n")
+    for prefix, header in C.ADDRESS_SECTIONS:
+        for i, l in enumerate(lines):
+            if not l.startswith(header):
+                continue
+            rest = l[len(header):].strip()
+            if rest:
+                fields[f"{prefix}_company"] = rest
+            for j in range(i + 1, min(i + 1 + C.ADDRESS_MAX_LINES, len(lines))):
+                nxt = lines[j]
+                if any(nxt.startswith(t) for t in C.ADDRESS_TERMINATORS):
+                    break
+                if street_re.match(nxt):
+                    fields.setdefault(f"{prefix}_street", nxt)
+                elif city_re.match(nxt):
+                    fields.setdefault(f"{prefix}_citystate", nxt)
+                elif f"{prefix}_company" not in fields:
+                    fields[f"{prefix}_company"] = nxt
+            break
 
 
 def _money(s: str) -> float:

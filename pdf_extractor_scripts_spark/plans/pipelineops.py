@@ -402,3 +402,70 @@ def _o4_sql(dialect: str) -> str:
 def o4_ocr_variant_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     _doc_view(spark, sf_dir)
     return spark.sql(_o4_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# F8 — table-driven line-item extraction: header↔field-name mapping score
+# (text_pdf_processor.py:1351-1489)
+# --------------------------------------------------------------------------
+def _f8_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = "slice(filter(split(text, ' '), x -> x <> ''), 1, 4)"
+        hdr_src = f"""
+      SELECT doc_id, posexplode({toks}) AS (hpos, header) FROM documents
+        """
+        hdr_src = f"""
+      SELECT doc_id, hpos, header FROM documents
+      LATERAL VIEW posexplode({toks}) t AS hpos, header
+        """
+    else:
+        toks = "list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 4)"
+        hdr_src = f"""
+      SELECT doc_id, i - 1 AS hpos, hl[i] AS header
+      FROM (SELECT doc_id, {toks} AS hl FROM documents),
+           UNNEST(generate_series(1, len(hl))) AS u(i)
+        """
+    # candidate field bank (reference: required/optional field names)
+    cands = "SELECT 'order_qty' AS field UNION ALL SELECT 'part' UNION ALL " \
+            "SELECT 'row_id' UNION ALL SELECT 'key_code' UNION ALL SELECT 'value'"
+    return f"""
+    WITH headers AS ({hdr_src}),
+    cands AS ({cands}),
+    scored AS (
+      SELECT h.doc_id, h.hpos, h.header, c.field,
+             CASE WHEN h.header = c.field THEN 1.0
+                  WHEN length(h.header) >= 3
+                       AND (contains(c.field, h.header) OR contains(h.header, c.field))
+                  THEN round(cast(least(length(h.header), length(c.field)) as double)
+                             / greatest(length(h.header), length(c.field)), 4)
+                  ELSE 0.0 END AS score
+      FROM headers h CROSS JOIN cands c
+    ),
+    best AS (
+      SELECT doc_id, hpos, header, field AS mapped_field, score
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, hpos
+                                         ORDER BY score DESC, field) AS rn
+            FROM scored)
+      WHERE rn = 1
+    )
+    SELECT doc_id,
+           cast(sum(CASE WHEN score > 0.3 THEN 1 ELSE 0 END) as bigint) AS n_mapped,
+           CASE WHEN sum(CASE WHEN score > 0.3 THEN 1 ELSE 0 END) >= 2
+                THEN 1 ELSE 0 END AS is_line_item_table,
+           round(avg(score), 4) AS avg_score
+    FROM best GROUP BY doc_id
+    """
+
+
+@register(
+    "f8_header_mapping",
+    oracle=_f8_sql("duckdb"),
+    doc="Table-driven line-item extraction: score header↔field-name mapping "
+        "by containment length-ratio; is_line_item_table iff >= 2 required "
+        "fields map with score > 0.3 (text_pdf_processor.py:1351-1489). "
+        "Headers derived from each doc's leading tokens; the mapping itself "
+        "is the operator under test.",
+)
+def f8_header_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _doc_view(spark, sf_dir)
+    return spark.sql(_f8_sql("spark"))
