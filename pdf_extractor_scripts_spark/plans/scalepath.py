@@ -1,0 +1,134 @@
+"""Scale-path additions: IVF-bucketed ANN, gap-based sessionization, and
+exact-quantile rollups — operators a 100 TB training-data pipeline needs
+beyond the reference's own inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import register, load_table, _utc
+from .dedup import _emb_cte, _dot
+
+
+# --------------------------------------------------------------------------
+# ANN — IVF (inverted-file) variant: coarse quantizer + cell-probed search
+# --------------------------------------------------------------------------
+def _ivf_sql(dialect: str) -> str:
+    dot_ec = _dot(dialect, "e", "c")   # vector vs centroid
+    dot_qc = _dot(dialect, "q", "c")   # query vs candidate... renamed below
+    return f"""
+    WITH {_emb_cte(dialect)},
+    centroids AS (
+      -- deterministic coarse quantizer: the first 8 vectors act as
+      -- centroids (a trained k-means would slot in identically)
+      SELECT vec_id AS cell, embedding, nrm FROM e WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, cell, embedding, nrm
+      FROM (
+        SELECT e.vec_id, c.cell, e.embedding, e.nrm,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round(({dot_ec}) / (e.nrm * c.nrm), 6) DESC,
+                                           c.cell) AS rn
+        FROM e CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT * FROM assigned WHERE vec_id < 24),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
+             round(({_dot(dialect, "q", "c")}) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, cell, neighbor_id, cos_sim, rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_ivf_sql("duckdb"),
+    doc="IVF approximate nearest-neighbor: assign every vector to its "
+        "nearest coarse centroid (the inverted file), probe only the "
+        "query's cell. The cell id is the shuffle/cluster key — at scale "
+        "each cell is a co-partitioned join; centroids are broadcast "
+        "(O(k) rows). Deterministic quantizer here; a trained k-means "
+        "slots in without changing the plan.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_ivf_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# Sessionization — gap-based session assignment over the event stream
+# --------------------------------------------------------------------------
+def _sess_sql(dialect: str) -> str:
+    epoch = "floor(epoch(ts))" if dialect == "duckdb" else "unix_timestamp(ts)"
+    return f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, {epoch} AS es,
+             CASE WHEN lag({epoch}) OVER w IS NULL
+                       OR {epoch} - lag({epoch}) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, es,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, cast(session_no as bigint) AS session_no,
+           count(*) AS n_events,
+           cast(max(es) - min(es) as bigint) AS duration_sec
+    FROM sess GROUP BY user_id, session_no
+    """
+
+
+@register(
+    "sessionize_events",
+    oracle=_sess_sql("duckdb"),
+    doc="Gap-based sessionization (30-min inactivity): lag + cumulative "
+        "new-session flag per user — the same sessionization idiom as the "
+        "L3 line clustering, over event time. One shuffle on user_id; in "
+        "streaming form this is applyInPandasWithState/session windows.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_sess_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# Quantile rollups (interpolated percentiles agree across engines)
+# --------------------------------------------------------------------------
+def _quant_sql(dialect: str) -> str:
+    if dialect == "spark":
+        q = lambda p: f"round(percentile(value, {p}), 4)"
+    else:
+        q = lambda p: f"round(quantile_cont(value, {p})::DOUBLE, 4)"
+    return f"""
+    SELECT event_type,
+           count(*) AS n,
+           {q(0.5)} AS p50,
+           {q(0.9)} AS p90,
+           {q(0.99)} AS p99
+    FROM events GROUP BY event_type
+    """
+
+
+@register(
+    "a11_value_quantiles",
+    oracle=_quant_sql("duckdb"),
+    doc="Exact interpolated percentiles per group (p50/p90/p99) — the "
+        "distribution rollup for quality-score monitoring. At 100 TB this "
+        "becomes approx_percentile with a bounded error budget; exact here "
+        "so the oracle can verify.",
+)
+def a11_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_quant_sql("spark"))
