@@ -150,13 +150,14 @@ def _cpu_control(levels: list[int], iters: int = 10_000_000) -> dict[int, float]
     the pipeline's efficiency can be read against it."""
     import multiprocessing as mp
 
-    out = {}
-    for n in levels:
-        with mp.Pool(n) as p:
-            t0 = time.time()
-            p.map(_burn, [iters] * n)
-            out[n] = n * iters / (time.time() - t0)
-    return out
+    samples: dict[int, list[float]] = {n: [] for n in levels}
+    for _ in range(3):  # interleaved rounds: the control is noise-prone too
+        for n in levels:
+            with mp.Pool(n) as p:
+                t0 = time.time()
+                p.map(_burn, [iters] * n)
+                samples[n].append(n * iters / (time.time() - t0))
+    return {n: sorted(v)[len(v) // 2] for n, v in samples.items()}
 
 
 def scaling() -> None:
@@ -172,7 +173,7 @@ def scaling() -> None:
     pure-CPU control measures the hardware's own N->4N ceiling.
     """
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "4"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "6"))
     pairs = [(4, 16), (8, 32)]
     levels = sorted({n for p in pairs for n in p})
 
@@ -198,12 +199,26 @@ def scaling() -> None:
     thr = {n: round(n_docs / best[n], 1) for n in levels}
     control = _cpu_control(levels)
 
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
     pair_stats = []
     for lo, hi in pairs:
-        raw = round(thr[hi] / (4 * thr[lo]), 3)
+        # Efficiency per ROUND (adjacent-in-time measurements share the same
+        # noisy-neighbor window), then the median across rounds — far more
+        # stable than ratios of per-level minima under multiplicative noise.
+        per_round = [
+            times[lo][r] / (4 * times[hi][r]) for r in range(len(times[lo]))
+        ]
+        raw = round(_median(per_round), 3)
         ctl = round(control[hi] / (4 * control[lo]), 3)
         pair_stats.append(
-            {"n": lo, "4n": hi, "efficiency": raw, "hardware_ceiling": ctl,
+            {"n": lo, "4n": hi, "efficiency": raw,
+             "best_round": round(max(per_round), 3),
+             "per_round": [round(x, 3) for x in per_round],
+             "hardware_ceiling": ctl,
              "normalized": round(raw / ctl, 3) if ctl else None}
         )
 
@@ -233,11 +248,18 @@ def scaling() -> None:
                 f"| {p['n']}→{p['4n']} | {p['efficiency']} | "
                 f"{p['hardware_ceiling']} | {p['normalized']} |\n"
             )
+        f.write("\nPer-round pair ratios (noise visibility): ")
+        f.write("; ".join(
+            f"{p['n']}→{p['4n']}: {p['per_round']} (best window {p['best_round']})"
+            for p in pair_stats
+        ) + "\n")
         f.write(
             "\nMethodology: single Spark session, zero-shuffle map-only plan, "
             "parallelism = concurrent task slots (input coalesced to N vs 4N "
-            "partitions), levels interleaved across rounds with min-per-level "
-            "to defeat multi-minute noisy-neighbor windows on this shared VM. "
+            "partitions), levels interleaved across rounds; pair efficiency "
+            "is the MEDIAN of per-round ratios (adjacent measurements share "
+            "the same noisy-neighbor window on this shared VM, so the ratio "
+            "cancels the noise that per-level minima cannot). "
             "The pure-CPU control (N independent processes of native-speed "
             "arithmetic) measures the hardware's own N→4N ceiling — this box "
             "sustains ~16 effective cores behind 32 vCPUs, so no workload can "
