@@ -78,6 +78,11 @@ def _ceco_lines(rng: random.Random, n_items: int) -> list[list[str]]:
             item_lines.append(f"{rng.randint(1_000_000, 99_999_999)}({rng.randint(1, 999)})")
         else:
             item_lines.append(f"{rng.randint(1, 999)}.{rng.randint(0, 9)}")
+        if rng.random() < 0.15:
+            # duplicate item header (same line_no + code, different qtys) —
+            # exercises the T4 dedupe-keep-first path
+            # (text_pdf_processor.py:1718-1735; FIXTURES.md §5.5)
+            item_lines.append(f"{i:03d} 572 {code} {rng.randint(1, 9)} 0 0")
         if rng.random() < 0.5:
             item_lines.append(
                 f"{rng.choice(['MATERIAL', 'WELD', 'LABOR'])} AMOUNT "
