@@ -107,6 +107,10 @@ def main() -> None:
     spark = make_session(CPUS)
     qspecs = all_queries()
 
+    # JVM/JIT + python-worker warmup (untimed): representative queries once
+    for name in ("q1_pricing_summary", "dedup_simhash", "l4_spacing_reconstruct"):
+        _force(qspecs[name].spark(spark, SF_DIR))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

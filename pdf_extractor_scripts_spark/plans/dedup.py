@@ -258,8 +258,35 @@ def _jaccard_sql(dialect: str) -> str:
         "semantics on both engines).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_jaccard_sql("spark"))
+    # shingle sets via explode + collect_set (codegen'd hash + hash agg)
+    # instead of interpreted per-element HOFs; set order is irrelevant to
+    # the intersection/union sizes the oracle checks.
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    sh = (
+        _shingle_rows(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
+        .join(d, "doc_id")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union).alias("jac_raw"),
+        )
+        .filter(F.col("jac_raw") >= 0.5)  # filter BEFORE rounding (oracle does)
+        .select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard"))
+    )
 
 
 # --------------------------------------------------------------------------
