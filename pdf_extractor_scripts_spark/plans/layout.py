@@ -152,7 +152,7 @@ def _l4_sql(dialect: str) -> str:
              END AS piece
       FROM gaps
     )
-    SELECT doc_id, line_no, line_text, length(line_text) AS line_len
+    SELECT doc_id, line_no, line_text, cast(length(line_text) as bigint) AS line_len
     FROM (
       SELECT doc_id, line_no,
              {_line_agg(dialect, "piece", "")} AS line_text

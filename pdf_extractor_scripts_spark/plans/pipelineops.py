@@ -77,8 +77,8 @@ def _j2_sql(dialect: str) -> str:
     SELECT f.doc_id,
            CASE WHEN p.doc_id IS NOT NULL AND p.confidence >= f.confidence
                 THEN p.method ELSE f.method END AS picked_method,
-           CASE WHEN p.doc_id IS NOT NULL AND p.confidence >= f.confidence
-                THEN p.confidence ELSE f.confidence END AS picked_confidence
+           cast(CASE WHEN p.doc_id IS NOT NULL AND p.confidence >= f.confidence
+                THEN p.confidence ELSE f.confidence END as double) AS picked_confidence
     FROM fallback_r f LEFT JOIN primary_r p ON f.doc_id = p.doc_id
     """
 
@@ -225,7 +225,7 @@ def _t5_sql(dialect: str) -> str:
         n = f"len({toks})"
         nd = f"len({dedup})"
     return f"""
-    SELECT doc_id, {n} AS n_tokens, {nd} AS n_distinct, {first5} AS first5
+    SELECT doc_id, cast({n} as bigint) AS n_tokens, cast({nd} as bigint) AS n_distinct, {first5} AS first5
     FROM documents
     """
 

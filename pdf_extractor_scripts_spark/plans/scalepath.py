@@ -40,7 +40,7 @@ def _ivf_sql(dialect: str) -> str:
              round(({_dot(dialect, "q", "c")}) / (q.nrm * c.nrm), 6) AS cos_sim
       FROM q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
     )
-    SELECT query_id, cell, neighbor_id, cos_sim, rn AS rank
+    SELECT query_id, cell, neighbor_id, cos_sim, cast(rn as bigint) AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos_sim DESC, neighbor_id) AS rn
           FROM scored)

@@ -38,7 +38,7 @@ def _bf_sql(dialect: str) -> str:
                                 ORDER BY cos_sim DESC, neighbor_id) AS rn
       FROM scored
     )
-    SELECT query_id, neighbor_id, cos_sim, rn AS rank
+    SELECT query_id, neighbor_id, cos_sim, cast(rn as bigint) AS rank
     FROM ranked WHERE rn <= 5
     """
 
@@ -89,7 +89,7 @@ def _lsh_sql(dialect: str) -> str:
                                 ORDER BY cos_sim DESC, neighbor_id) AS rn
       FROM scored
     )
-    SELECT query_id, bucket, neighbor_id, cos_sim, rn AS rank
+    SELECT query_id, bucket, neighbor_id, cos_sim, cast(rn as bigint) AS rank
     FROM ranked WHERE rn <= 3
     """
 

@@ -101,7 +101,7 @@ def _p2_select(dialect: str) -> str:
            CASE WHEN ({s0}) >= ({s1}) AND ({s0}) >= ({s2}) THEN 'relational'
                 WHEN ({s1}) >= ({s2}) THEN 'streaming'
                 ELSE 'vector' END AS content_class,
-           round(greatest({s0}, {s1}, {s2}), 2) AS content_conf
+           cast(round(greatest({s0}, {s1}, {s2}), 2) as double) AS content_conf
     FROM documents
     """
 
@@ -145,9 +145,9 @@ def _p3_sql(dialect: str) -> str:
          )
     SELECT decided AS vendor,
            count(*) AS n_docs,
-           round(avg(CASE WHEN content_class = file_class
+           cast(round(avg(CASE WHEN content_class = file_class
                           THEN least(base_conf + 0.1, 1.0)
-                          ELSE base_conf END), 4) AS avg_conf
+                          ELSE base_conf END), 4) as double) AS avg_conf
     FROM combined GROUP BY decided
     """
 
@@ -178,7 +178,7 @@ def _p4_sql(dialect: str) -> str:
     SELECT vendor,
            count(*) AS n_docs,
            sum(CASE WHEN n_chars >= {_THRESH} THEN 1 ELSE 0 END){'::BIGINT' if dialect == 'duckdb' else ''} AS n_selectable,
-           round(avg(CASE WHEN n_chars >= {_THRESH} THEN 1.0 ELSE 0.0 END), 4) AS frac_selectable
+           cast(round(avg(CASE WHEN n_chars >= {_THRESH} THEN 1.0 ELSE 0.0 END), 4) as double) AS frac_selectable
     FROM v GROUP BY vendor
     """
 
@@ -288,10 +288,10 @@ def _f1_sql(dialect: str) -> str:
                 WHEN {e1} IS NOT NULL THEN 1
                 WHEN {e2} IS NOT NULL THEN 2
                 ELSE -1 END AS pattern_idx,
-           CASE WHEN {e0} IS NOT NULL THEN round(0.9 * 1.0, 4)
+           cast(CASE WHEN {e0} IS NOT NULL THEN round(0.9 * 1.0, 4)
                 WHEN {e1} IS NOT NULL THEN round(0.9 * 0.9, 4)
                 WHEN {e2} IS NOT NULL THEN round(0.9 * 0.8, 4)
-                ELSE 0.0 END AS confidence
+                ELSE 0.0 END as double) AS confidence
     FROM documents
     """
 
@@ -461,7 +461,7 @@ def _mm_sql(dialect: str) -> str:
     SELECT source,
            count(*) AS n_media,
            sum({nbytes}){cast} AS total_bytes,
-           max({nbytes}) AS max_bytes
+           cast(max({nbytes}) as bigint) AS max_bytes
     FROM documents GROUP BY source
     """
 
