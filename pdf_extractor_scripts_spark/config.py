@@ -182,6 +182,12 @@ STEELCRAFT_SPECS = [
 ]
 STEELCRAFT_MARKS_HEADER = r"^MARK NUMBERS:$"
 STEELCRAFT_MARKS_LINE = r"^(\d{3} \(\d+\)(?:, \d{3} \(\d+\))*)$"
+# steelcraft_processor.py:588-609 pricing-detail forward scan (<=30 lines)
+# and :708 discount line (<=10 lines)
+STEELCRAFT_PRICING_WINDOW = 30
+STEELCRAFT_DISCOUNT_WINDOW = 10
+STEELCRAFT_PRICING_DETAIL = r"^(BASE FRAME LIST PRICE|LABEL|WELD|GLAZING)\s+([\d,]+\.\d{2})$"
+STEELCRAFT_DISCOUNT_LINE = r"^([\d.]+) %$"
 
 # schlage_processor.py:1567-1578 main item line:
 SCHLAGE_ITEM = (
@@ -203,6 +209,32 @@ SCHLAGE_SHIPPING_RATIO = 0.03
 GENERIC_ITEM = r"^(\d+)\s+([A-Z]+-\d+)\s+(\d+)\s+(.+?)\s+([\d,]+\.\d{2})\s+([\d,]+\.\d{2})$"
 
 PAGE_MARKER = "=== PAGE {n} ==="  # text_pdf_processor.py:668
+
+# A1 — overall confidence weights (text_pdf_processor.py:1146-1168: header
+# .3, line_items .3, vendor .15, customer .15, totals .1). Section score =
+# extracted keys / bank keys for that section; items = 1.0 iff any item.
+CONF_WEIGHTS = {
+    "header": 0.3,
+    "items": 0.3,
+    "vendor": 0.15,
+    "customer": 0.15,
+    "totals": 0.1,
+}
+
+# per-vendor section sizes (how many keys FIELD_ORDER has per section) —
+# computed once so the oracle and the engine's CASE literals agree.
+def _section_sizes() -> dict[str, dict[str, int]]:
+    out: dict[str, dict[str, int]] = {}
+    for v, keys in FIELD_ORDER.items():
+        sizes: dict[str, int] = {}
+        for k in keys:
+            sec = k.split(".", 1)[0]
+            sizes[sec] = sizes.get(sec, 0) + 1
+        out[v] = sizes
+    return out
+
+
+SECTION_SIZES = _section_sizes()
 
 
 @dataclass(frozen=True)

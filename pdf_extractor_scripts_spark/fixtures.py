@@ -138,6 +138,11 @@ def _steelcraft_lines(rng: random.Random, n_items: int) -> list[list[str]]:
             items.append(f"OPENING WIDTH {rng.randint(2, 4)}/0")
             items.append(f"OPENING HEIGHT 7/0")
             items.append(f"HAND OF FRAME {rng.choice(['RH', 'LH'])}")
+            items.append(f"BASE FRAME LIST PRICE {_money(rng, 100, 999)}")
+            if rng.random() < 0.6:
+                items.append(f"{rng.choice(['LABEL', 'WELD'])} {_money(rng, 10, 99)}")
+            if rng.random() < 0.5:
+                items.append(f"{rng.randint(10, 79)}.{rng.randint(10, 99)} %")
         else:
             items.append(
                 f"{i:03d} {q}.00 {q}.00 UJA-{rng.randint(1, 9)} UNIVERSAL JAMB ANCHOR "

@@ -55,7 +55,7 @@ def write_outputs(result: DataFrame, spark: SparkSession, ckpt_dir: str, run_id:
 
     result.select(
         "partition_key", "doc_id", "vendor", "route", "out_spans",
-        "validation_failed", "ocr_used", "n_pages",
+        "validation_failed", "ocr_used", "n_pages", "extraction_confidence",
     ).write.mode("append").partitionBy("partition_key").parquet(out_path)
 
     # Materialize the per-bucket stats on the driver (one tiny row per

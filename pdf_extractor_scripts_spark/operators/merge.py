@@ -94,8 +94,28 @@ transform(
 """
 
 
+def _confidence_expr() -> str:
+    """A1 overall confidence, natively: weighted section extraction ratios
+    (weights + per-vendor bank sizes from config — same spec the oracle's
+    score_confidence implements in Python)."""
+    def sec_count(sec: str) -> str:
+        return f"size(filter(merged_fields, f -> substring_index(f.key, '.', 1) = '{sec}'))"
+
+    branches = []
+    for vendor, sizes in C.SECTION_SIZES.items():
+        terms = []
+        for sec, w in C.CONF_WEIGHTS.items():
+            if sec == "items":
+                terms.append(f"{w} * (CASE WHEN size(merged_items) > 0 THEN 1.0 ELSE 0.0 END)")
+            elif sizes.get(sec):
+                terms.append(f"{w} * (cast({sec_count(sec)} as double) / {sizes[sec]})")
+        branches.append(f"WHEN vendor = '{vendor}' THEN " + " + ".join(terms))
+    return "cast(round(CASE " + " ".join(branches) + " ELSE 0.0 END, 4) as double)"
+
+
 def with_emission(df: DataFrame) -> DataFrame:
     df = df.withColumn("out_spans", F.expr(_OUT_SPANS))
+    df = df.withColumn("extraction_confidence", F.expr(_confidence_expr()))
     df = df.withColumn(
         "validation_failed",
         F.expr(

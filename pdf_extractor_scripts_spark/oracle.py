@@ -277,6 +277,8 @@ def _steelcraft_items(lines: list[str]) -> list[dict]:
     spec_res = [(label, re.compile(p)) for label, p in C.STEELCRAFT_SPECS]
     marks_hdr_re = re.compile(C.STEELCRAFT_MARKS_HEADER)
     marks_line_re = re.compile(C.STEELCRAFT_MARKS_LINE)
+    pricing_re = re.compile(C.STEELCRAFT_PRICING_DETAIL)
+    discount_re = re.compile(C.STEELCRAFT_DISCOUNT_LINE)
 
     hits = []
     for i, l in enumerate(lines):
@@ -299,8 +301,8 @@ def _steelcraft_items(lines: list[str]) -> list[dict]:
         if (line_no, code) in seen:
             continue
         seen.add((line_no, code))
-        end = hits[h + 1][0] if h + 1 < len(hits) else len(lines)
-        end = min(end, idx + 1 + C.STEELCRAFT_SPEC_WINDOW)
+        nxt = hits[h + 1][0] if h + 1 < len(hits) else len(lines)
+        end = min(nxt, idx + 1 + C.STEELCRAFT_SPEC_WINDOW)
         marks: list[str] = []
         for j in range(idx + 1, end):
             l = lines[j]
@@ -311,6 +313,16 @@ def _steelcraft_items(lines: list[str]) -> list[dict]:
             if marks_hdr_re.match(l) and j + 1 < end:
                 if (ml := marks_line_re.match(lines[j + 1])):
                     marks += [p.strip() for p in ml.group(1).split(",")]
+        # pricing-detail scan (<=30 lines, steelcraft_processor.py:588-609)
+        for j in range(idx + 1, min(nxt, idx + 1 + C.STEELCRAFT_PRICING_WINDOW)):
+            if (pm := pricing_re.match(lines[j])):
+                label = pm.group(1).lower().replace(" ", "_")
+                pairs.append((f"pd_{label}", pm.group(2)))
+        # discount scan (<=10 lines, steelcraft_processor.py:708)
+        for j in range(idx + 1, min(nxt, idx + 1 + C.STEELCRAFT_DISCOUNT_WINDOW)):
+            if (dm := discount_re.match(lines[j])):
+                pairs.append(("discount_pct", dm.group(1)))
+                break
         items.append({"line": line_no, "serialized": _serialize(pairs),
                       "marks": _dedupe_keep_order(marks)})
     return items
@@ -435,6 +447,23 @@ def emit_spans(vendor: str, fields: dict[str, str], items: list[dict],
     return out
 
 
+def score_confidence(vendor: str, fields: dict[str, str], items: list[dict]) -> float:
+    """A1 (text_pdf_processor.py:1146-1168): weighted mean of section
+    extraction ratios; items contribute 1.0 iff any item extracted."""
+    sizes = C.SECTION_SIZES[vendor]
+    got: dict[str, int] = {}
+    for k in fields:
+        sec = k.split(".", 1)[0]
+        got[sec] = got.get(sec, 0) + 1
+    score = 0.0
+    for sec, w in C.CONF_WEIGHTS.items():
+        if sec == "items":
+            score += w * (1.0 if items else 0.0)
+        elif sizes.get(sec):
+            score += w * (got.get(sec, 0) / sizes[sec])
+    return round(score, 4)
+
+
 # ---------------------------------------------------------------------------
 # Whole-document oracle
 # ---------------------------------------------------------------------------
@@ -468,6 +497,7 @@ def extract_document(doc_id: str, spans: list[dict]) -> dict:
     return {
         "vendor": vendor,
         "confidence": conf,
+        "extraction_confidence": score_confidence(vendor, fields, items),
         "route": route,
         "out_spans": out,
         "validation_failed": int("header.invoice_number" not in fields),

@@ -28,7 +28,7 @@ from ..operators.checkpoint import with_partition_key, resume_filter, write_outp
 
 RESULT_COLS = [
     "doc_id", "vendor", "route", "out_spans",
-    "validation_failed", "ocr_used", "n_pages",
+    "validation_failed", "ocr_used", "n_pages", "extraction_confidence",
 ]
 
 
@@ -100,6 +100,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_items"),
             F.sum("validation_failed").cast("long").alias("n_validation_failures"),
             F.sum("ocr_used").cast("long").alias("n_ocr_docs"),
+            F.round(F.avg("extraction_confidence"), 4).alias("avg_confidence"),
         )
         .orderBy("vendor", "route")
     )

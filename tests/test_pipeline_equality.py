@@ -70,3 +70,13 @@ def test_validation_and_metrics_flags(engine_results, oracle_results):
         assert got["validation_failed"] == exp["validation_failed"], doc_id
         assert got["ocr_used"] == exp["ocr_used"], doc_id
         assert got["n_pages"] == exp["n_pages"], doc_id
+
+
+def test_confidence_scoring_matches(engine_results, oracle_results):
+    """A1 weighted confidence: engine's native SQL vs the oracle's Python."""
+    for doc_id, exp in oracle_results.items():
+        got = engine_results[doc_id]
+        assert abs(got["extraction_confidence"] - exp["extraction_confidence"]) < 1e-9, (
+            f"{doc_id}: engine={got['extraction_confidence']} "
+            f"oracle={exp['extraction_confidence']}"
+        )
