@@ -205,6 +205,18 @@ SCHLAGE_FREIGHT_TERMS = r"^(PREPAY & ADD|PREPAID|COLLECT)$"
 SCHLAGE_SURCHARGE_RATIO = 0.02
 SCHLAGE_SHIPPING_RATIO = 0.03
 
+# F13 — additional-info harvester (schlage_processor.py:1980-2081): lines in
+# the item window that are none of the known shapes, pass length/word gates,
+# and don't match the skip bank become additional_info (order-preserving
+# dedupe).
+SCHLAGE_INFO_SKIP = [
+    r"^SUBTOTAL:", r"^SURCHARGES:", r"^USD TOTAL:", r"^RESTOCK FEE",
+    r"^ADDITIONAL CHARGES:", r"^PAGE ", r"^=== PAGE", r"^\d+$",
+]
+SCHLAGE_INFO_MIN_LEN = 8
+SCHLAGE_INFO_MAX_LEN = 60
+SCHLAGE_INFO_MIN_WORDS = 2
+
 # text_pdf_processor.py:1523-1526 generic item line:
 GENERIC_ITEM = r"^(\d+)\s+([A-Z]+-\d+)\s+(\d+)\s+(.+?)\s+([\d,]+\.\d{2})\s+([\d,]+\.\d{2})$"
 

@@ -216,6 +216,13 @@ def _schlage_lines(rng: random.Random, n_items: int, variant: str) -> list[list[
         else:
             items.append(f"1Z{wb}")
         items.append("PREPAY & ADD")
+        if rng.random() < 0.5:
+            # additional-info line (F13 harvest) + a skip-bank decoy
+            items.append(rng.choice(
+                ["HANDLING INSTRUCTIONS FRAGILE", "SHIP COMPLETE ONLY",
+                 "KEYED ALIKE GROUP A", "CONTACT DOCK B ON ARRIVAL"]))
+        if rng.random() < 0.3:
+            items.append(str(rng.randint(10000, 99999)))  # fails word gate
     if variant == "surcharge_item":
         items.append(
             f"AGN_SURCHARGE FREIGHT 1 111 111 SURCHG*1 |FUEL SURCHARGE| FEB 28 "

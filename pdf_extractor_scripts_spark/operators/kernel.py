@@ -47,6 +47,14 @@ def extract_fields_batch(vendor: pd.Series, text: pd.Series) -> list[dict[str, s
                 ext = sub[todo].str.extract(pat, flags=re.M)
                 if ext.shape[1] == 1:
                     got = ext.iloc[:, 0]
+                elif key.endswith(".phone") and ext.shape[1] == 3:
+                    # phone reformat op (ceco_processor.py:706-719)
+                    got = ext.apply(
+                        lambda r: f"({r.iloc[0]}) {r.iloc[1]}-{r.iloc[2]}"
+                        if r.notna().all()
+                        else None,
+                        axis=1,
+                    )
                 else:
                     got = ext.apply(
                         lambda row: "|".join(x for x in row if pd.notna(x))

@@ -37,3 +37,22 @@ def salted_repartition(df: DataFrame, n_partitions: int) -> DataFrame:
         F.col("is_heavy") == 1, F.concat(F.lit("heavy:"), F.col("doc_id"))
     ).otherwise(F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions * 64)).cast("string"))
     return df.withColumn("salt", salt).repartition(n_partitions, F.col("salt")).drop("salt")
+
+
+def should_salt(docs: DataFrame, heavy_span_threshold: int = 400,
+                skew_ratio: float = 50.0) -> bool:
+    """Auto skew detection: one cheap column-pruned pass over span counts.
+
+    Salting pays a full-payload shuffle, so it must earn its keep: only when
+    the heaviest document exceeds ``skew_ratio`` x the median weight (the
+    1000-page-PDF-among-leaflets case) does isolation beat just running the
+    narrow plan. The probe reads only size(spans) — Parquet/Iceberg serves
+    it without materializing span contents.
+    """
+    import pyspark.sql.functions as F
+
+    row = docs.select(F.size("spans").alias("w")).agg(
+        F.expr("percentile(w, 0.5)").alias("med"), F.max("w").alias("mx")
+    ).first()
+    med = max(float(row["med"] or 1.0), 1.0)
+    return float(row["mx"] or 0.0) > skew_ratio * med

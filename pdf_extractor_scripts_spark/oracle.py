@@ -118,7 +118,11 @@ def extract_fields(vendor: str, text: str) -> dict[str, str]:
             m = re.search(pat, text, re.M)
             if m:
                 groups = [g for g in m.groups() if g is not None]
-                out[key] = groups[0] if len(groups) == 1 else "|".join(groups)
+                if key.endswith(".phone") and len(groups) == 3:
+                    # phone reformat op (ceco_processor.py:706-719)
+                    out[key] = f"({groups[0]}) {groups[1]}-{groups[2]}"
+                else:
+                    out[key] = groups[0] if len(groups) == 1 else "|".join(groups)
                 break
     if vendor == "schlage":
         _schlage_address_blocks(text, out)
@@ -336,6 +340,7 @@ def _schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
     wb_a = re.compile(C.SCHLAGE_WAYBILL_SPLIT_A)
     wb_b = re.compile(C.SCHLAGE_WAYBILL_SPLIT_B)
     ft_re = re.compile(C.SCHLAGE_FREIGHT_TERMS)
+    skip_res = [re.compile(p) for p in C.SCHLAGE_INFO_SKIP]
 
     hits = [(i, m) for i, l in enumerate(lines) if (m := item_re.match(l))]
     items: list[dict] = []
@@ -353,6 +358,7 @@ def _schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
                  ("unit", unit), ("ext", ext)]
         end = hits[h + 1][0] if h + 1 < len(hits) else len(lines)
         end = min(end, idx + 1 + C.SCHLAGE_WAYBILL_WINDOW)
+        info: list[str] = []
         j = idx + 1
         while j < end:
             l = lines[j]
@@ -364,9 +370,15 @@ def _schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
                 if nm and len(rest) + len(nm.group(1)) == 16:
                     pairs.append(("waybill", "1Z" + rest + nm.group(1)))
                     j += 1
+                else:
+                    _maybe_info(l, skip_res, info)
             elif (fm := ft_re.match(l)):
                 pairs.append(("freight", fm.group(1)))
+            else:
+                _maybe_info(l, skip_res, info)
             j += 1
+        for inf in _dedupe_keep_order(info):
+            pairs.append(("info", inf))
         items.append({"line": order_line, "serialized": _serialize(pairs),
                       "marks": []})
 
@@ -379,6 +391,18 @@ def _schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
                  ("code", "SURCHG"), ("desc", "SURCHARGE"), ("ext", sur)]
         items.append({"line": "999", "serialized": _serialize(pairs), "marks": []})
     return items
+
+
+def _maybe_info(line: str, skip_res, info: list[str]) -> None:
+    """F13 gates (schlage_processor.py:1980-2081): length bounds, word
+    count, skip bank."""
+    if not (C.SCHLAGE_INFO_MIN_LEN <= len(line) <= C.SCHLAGE_INFO_MAX_LEN):
+        return
+    if len(line.split()) < C.SCHLAGE_INFO_MIN_WORDS:
+        return
+    if any(r.search(line) for r in skip_res):
+        return
+    info.append(line)
 
 
 def _generic_items(lines: list[str]) -> list[dict]:

@@ -132,3 +132,44 @@ def _quant_sql(dialect: str) -> str:
 def a11_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_quant_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# Sketch-based approximations — the 100 TB forms of count-distinct and
+# percentiles. Genuinely non-SQL-expressible for an exact oracle (HLL++ and
+# quantile-sketch results depend on the sketch), so these are registered
+# WITHOUT oracle SQL and the driver records the weaker rows-only check;
+# their exact twins (a8_event_stats, a11_value_quantiles) ARE oracle-checked.
+# --------------------------------------------------------------------------
+@register(
+    "sketch_approx_distinct",
+    oracle=None,
+    doc="approx_count_distinct (HyperLogLog++, rsd 1%) per event_type — the "
+        "sketch replaces the exact shuffle-heavy count(DISTINCT) at scale; "
+        "exact twin a8_event_stats is oracle-checked.",
+)
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "sketch_approx_quantiles",
+    oracle=None,
+    doc="approx_percentile (quantile sketch, accuracy 10000) per event_type "
+        "— single-pass mergeable percentile estimates for 100 TB streams; "
+        "exact twin a11_value_quantiles is oracle-checked.",
+)
+def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias("approx_p"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
