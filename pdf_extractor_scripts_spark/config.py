@@ -249,6 +249,61 @@ def _section_sizes() -> dict[str, dict[str, int]]:
 SECTION_SIZES = _section_sizes()
 
 
+def load_overrides(path: str) -> dict:
+    """S8 config source: load a YAML/JSON override file (the reference's
+    schlage_config_template.yaml mechanism, schlage_processor.py:80-141) and
+    apply it over the module banks via apply_overrides()."""
+    text = open(path).read()
+    try:
+        import yaml  # optional; JSON accepted when absent
+
+        return yaml.safe_load(text)
+    except ImportError:
+        import json
+
+        return json.loads(text)
+
+
+def apply_overrides(overrides: dict) -> dict:
+    """Merge overrides into the live banks (reference semantics: template
+    values replace defaults, unknown keys pass through —
+    schlage_processor.py:96-141). Returns the inverse dict so tests can
+    restore. Supported sections: text_thresholds, min_text_ratio,
+    field_banks.<vendor>.<field> (list of patterns)."""
+    inverse: dict = {"text_thresholds": {}, "min_text_ratio": {}, "field_banks": {}}
+    for k, v in overrides.get("text_thresholds", {}).items():
+        inverse["text_thresholds"][k] = TEXT_THRESHOLDS.get(k)
+        TEXT_THRESHOLDS[k] = v
+    for k, v in overrides.get("min_text_ratio", {}).items():
+        inverse["min_text_ratio"][k] = MIN_TEXT_RATIO.get(k)
+        MIN_TEXT_RATIO[k] = v
+    for vendor, bank in overrides.get("field_banks", {}).items():
+        inv_bank = inverse["field_banks"].setdefault(vendor, {})
+        for field_key, patterns in bank.items():
+            inv_bank[field_key] = FIELD_BANKS[vendor].get(field_key)
+            FIELD_BANKS[vendor][field_key] = patterns
+    return inverse
+
+
+def restore_overrides(inverse: dict) -> None:
+    for k, v in inverse.get("text_thresholds", {}).items():
+        if v is None:
+            TEXT_THRESHOLDS.pop(k, None)
+        else:
+            TEXT_THRESHOLDS[k] = v
+    for k, v in inverse.get("min_text_ratio", {}).items():
+        if v is None:
+            MIN_TEXT_RATIO.pop(k, None)
+        else:
+            MIN_TEXT_RATIO[k] = v
+    for vendor, bank in inverse.get("field_banks", {}).items():
+        for field_key, patterns in bank.items():
+            if patterns is None:
+                FIELD_BANKS[vendor].pop(field_key, None)
+            else:
+                FIELD_BANKS[vendor][field_key] = patterns
+
+
 @dataclass(frozen=True)
 class EngineConfig:
     """Broadcastable bundle of all banks + knobs."""

@@ -1,0 +1,85 @@
+"""Comparison-harness tier (engine vs oracle similarity must be 1.0;
+degraded outputs must score below) and the S8 config-override mechanism."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from pdf_extractor_scripts_spark import config as C
+from pdf_extractor_scripts_spark import oracle as O
+from pdf_extractor_scripts_spark.fixtures import corpus_df, make_corpus
+from pdf_extractor_scripts_spark.operators.compare_text import (
+    compare_extractions,
+    comparison_summary,
+)
+from pdf_extractor_scripts_spark.plans.pipeline import run_pipeline
+from pdf_extractor_scripts_spark.schemas import RESULT_SCHEMA
+
+
+def _oracle_results_df(spark, n):
+    rows = []
+    for d in make_corpus(n, seed=42):
+        r = O.extract_document(d["doc_id"], d["spans"])
+        rows.append(
+            (
+                d["doc_id"], r["vendor"], r["route"],
+                [s.as_tuple() for s in r["out_spans"]],
+                r["validation_failed"], r["ocr_used"], r["n_pages"],
+            )
+        )
+    return spark.createDataFrame(rows, schema=RESULT_SCHEMA)
+
+
+def test_comparison_harness_engine_vs_oracle(spark):
+    n = 40
+    engine = run_pipeline(corpus_df(spark, n_docs=n, seed=42))
+    oracle = _oracle_results_df(spark, n)
+    cmp = compare_extractions(engine, oracle)
+    s = comparison_summary(cmp).first()
+    assert s["n_docs"] == n
+    assert s["n_exact"] == n
+    assert s["avg_similarity"] == 1.0
+    assert s["avg_numeric_recall"] == 1.0
+
+    # degraded variant: drop the last span from each doc → similarity < 1
+    degraded = engine.withColumn(
+        "out_spans", F.expr("slice(out_spans, 1, greatest(size(out_spans) - 1, 0))")
+    )
+    s2 = comparison_summary(compare_extractions(engine, degraded)).first()
+    assert s2["n_exact"] < n
+    assert s2["avg_similarity"] < 1.0
+
+
+def test_config_overrides_roundtrip(tmp_path=None):
+    ov = {
+        "text_thresholds": {"generic": 10_000},
+        "field_banks": {"generic": {"header.invoice_number": [r"XX-(\d+)"]}},
+    }
+    fd, path = tempfile.mkstemp(suffix=".json")
+    with os.fdopen(fd, "w") as f:
+        json.dump(ov, f)
+    loaded = C.load_overrides(path)
+    inverse = C.apply_overrides(loaded)
+    try:
+        # routing now sends generic docs to OCR (threshold unreachable)
+        spans = [
+            {"kind": "page_break", "text": "=== PAGE 1 ===", "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "Invoice Number: ABC-12345", "media_ref": "", "offset": 1},
+        ]
+        assert O.route_document("generic", spans) == "ocr"
+        # the overridden pattern bank no longer matches the old grammar
+        assert "header.invoice_number" not in O.extract_fields(
+            "generic", "Invoice Number: ABC-12345"
+        )
+        assert O.extract_fields("generic", "XX-777")["header.invoice_number"] == "777"
+    finally:
+        C.restore_overrides(inverse)
+        os.unlink(path)
+    assert C.TEXT_THRESHOLDS["generic"] == 50
+    assert O.extract_fields("generic", "Invoice Number: ABC-12345")[
+        "header.invoice_number"
+    ] == "ABC-12345"
