@@ -31,10 +31,17 @@ def with_assembled_text(df: DataFrame) -> DataFrame:
             f"array_join(transform(filter(spans, s -> {cond}), s -> s.text), '\\n')"
         )
 
+    # detection text = the two route assemblies concatenated (one fewer full
+    # pass over spans than joining everything again; detection is rlike/
+    # contains — insensitive to the block ordering). oracle.py builds the
+    # identical string.
     return (
-        df.withColumn("all_text", F.expr("array_join(transform(spans, s -> s.text), '\\n')"))
-        .withColumn("text_route_text", joined(["page_break", "text"]))
+        df.withColumn("text_route_text", joined(["page_break", "text"]))
         .withColumn("ocr_route_text", joined(["page_break", "media_text"]))
+        .withColumn(
+            "all_text",
+            F.concat_ws("\n", F.col("text_route_text"), F.col("ocr_route_text")),
+        )
     )
 
 

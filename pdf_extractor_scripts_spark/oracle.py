@@ -493,7 +493,9 @@ def score_confidence(vendor: str, fields: dict[str, str], items: list[dict]) -> 
 # ---------------------------------------------------------------------------
 def extract_document(doc_id: str, spans: list[dict]) -> dict:
     """Returns {vendor, route, out_spans, validation_failed, ocr_used}."""
-    all_text = "\n".join(s["text"] for s in spans)
+    # detection text = both route assemblies (matches the engine's
+    # single-pass construction; rlike/contains don't care about ordering)
+    all_text = assemble(spans, "text") + "\n" + assemble(spans, "media_text")
     vendor, conf = detect_vendor(doc_id, all_text)
     route = route_document(vendor, spans)
 
