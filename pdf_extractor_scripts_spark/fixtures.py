@@ -329,6 +329,15 @@ def make_document(i: int, seed: int = 42) -> dict:
             for l in lines:
                 spans.append({"kind": "text", "text": l, "media_ref": "", "offset": off})
                 off += 1
+            if vclass == 0 and rng.random() < 0.3:
+                # L7 layout hint: a horizontal rule bbox on some CECO pages
+                # (text_pdf_processor.py:719-728)
+                spans.append({
+                    "kind": "rule",
+                    "text": f"{rng.randint(0, 50)},{rng.randint(0, 700)},600,2",
+                    "media_ref": "", "offset": off,
+                })
+                off += 1
     return {"doc_id": doc_id, "spans": spans}
 
 

@@ -87,7 +87,9 @@ transform(
       transform(it.marks, m -> named_struct(
         'kind', 'mark', 'text', m, 'media_ref', ''))))),
     transform(filter(spans, s -> s.kind = 'media'), s -> named_struct(
-      'kind', 'media', 'text', '', 'media_ref', s.media_ref))
+      'kind', 'media', 'text', '', 'media_ref', s.media_ref)),
+    transform(filter(spans, s -> s.kind = 'rule'), s -> named_struct(
+      'kind', 'rule', 'text', s.text, 'media_ref', ''))
   ),
   (s, i) -> named_struct('kind', s.kind, 'text', s.text,
                          'media_ref', s.media_ref, 'order', cast(i as int)))

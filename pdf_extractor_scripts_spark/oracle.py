@@ -468,6 +468,12 @@ def emit_spans(vendor: str, fields: dict[str, str], items: list[dict],
         if s["kind"] == "media":
             out.append(OutSpan("media", "", s["media_ref"], o))
             o += 1
+    # L7: rule/line layout hints pass through after media, in reading order
+    # (text_pdf_processor.py:719-728 keeps page.lines as bbox hints)
+    for s in spans:
+        if s["kind"] == "rule":
+            out.append(OutSpan("rule", s["text"], "", o))
+            o += 1
     return out
 
 

@@ -71,7 +71,7 @@ def test_schlage_derived_totals_fire_on_ocr_edge_doc():
 # ---------------------------------------------------------------------------
 span_strategy = st.lists(
     st.tuples(
-        st.sampled_from(["text", "page_break", "media", "media_text"]),
+        st.sampled_from(["text", "page_break", "media", "media_text", "rule"]),
         st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60),
         st.sampled_from(["", "img://x/1/0"]),
     ),
