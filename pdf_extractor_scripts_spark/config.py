@@ -126,20 +126,47 @@ FIELD_BANKS: dict[str, dict[str, list[str]]] = {
     },
 }
 
-# F5 — address-block extraction (schlage_processor.py:1244-1383): scan lines
-# after a section header until a terminator; classify each line.
-ADDRESS_SECTIONS = [("customer.bill_to", "BILL TO:"), ("customer.ship_to", "SHIP TO:")]
-ADDRESS_TERMINATORS = ("BRAND CARRIER", "QUOTE NUMBER", "PAYMENT TERMS",
-                       "BILL TO:", "SHIP TO:")
-ADDRESS_STREET = r"^\d+\s+[A-Z0-9 ]+\s(ST|DR|AVE|BLVD|STREET|WAY|RD)$"
-ADDRESS_CITY = r"^[A-Z ]+,\s*[A-Z]{2}\s+\d{5}(-\d{4})?$"
-ADDRESS_MAX_LINES = 5  # schlage_processor.py:1259-1276 bounded scan
+# F5 — address-block extraction: scan lines after a section header until a
+# terminator; classify each line as company/street/city-state. Per-vendor
+# configs (Schlage BILL TO/SHIP TO: schlage_processor.py:1244-1383; CECO
+# sold/ship/remit variants: text_pdf_processor.py:1925-2032).
+ADDRESS_CONFIG: dict[str, dict] = {
+    "schlage": {
+        "sections": [("customer.bill_to", "BILL TO:"), ("customer.ship_to", "SHIP TO:")],
+        "terminators": ("BRAND CARRIER", "QUOTE NUMBER", "PAYMENT TERMS",
+                        "BILL TO:", "SHIP TO:"),
+        "street": r"^\d+\s+[A-Z0-9 ]+\s(ST|DR|AVE|BLVD|STREET|WAY|RD)$",
+        "city": r"^[A-Z ]+,\s*[A-Z]{2}\s+\d{5}(-\d{4})?$",
+        "max_lines": 5,  # schlage_processor.py:1259-1276 bounded scan
+    },
+    "ceco": {
+        "sections": [("customer.sold_to", "SOLD TO:"),
+                     ("vendor.remit", "Please Remit to:")],
+        "terminators": ("SOLD TO:", "SHIP TO:", "Please Remit to:",
+                        "Line Plant", "Ord Shp", "TOTAL DUE"),
+        "street": r"^\d+\s+[A-Za-z0-9 .]+$",
+        "city": r"^[A-Za-z ]+,?\s+[A-Za-z]+\s+\d{5}(-\d{4})?$",
+        "max_lines": 4,
+    },
+}
 
-_SCHLAGE_ADDRESS_KEYS = [
-    f"{sec}_{part}"
-    for sec, _ in ADDRESS_SECTIONS
-    for part in ("company", "street", "citystate")
-]
+# legacy aliases (kept for the schlage-specific tests/docs)
+ADDRESS_SECTIONS = ADDRESS_CONFIG["schlage"]["sections"]
+ADDRESS_TERMINATORS = ADDRESS_CONFIG["schlage"]["terminators"]
+ADDRESS_STREET = ADDRESS_CONFIG["schlage"]["street"]
+ADDRESS_CITY = ADDRESS_CONFIG["schlage"]["city"]
+ADDRESS_MAX_LINES = ADDRESS_CONFIG["schlage"]["max_lines"]
+
+
+def _address_keys(vendor: str) -> list[str]:
+    cfg = ADDRESS_CONFIG.get(vendor)
+    if not cfg:
+        return []
+    return [
+        f"{sec}_{part}"
+        for sec, _ in cfg["sections"]
+        for part in ("company", "street", "citystate")
+    ]
 
 # Canonical field emission order per vendor (drives output-span `order`) —
 # deterministic total ordering is contract-critical (SURVEY.md §7.3(1)).
@@ -147,13 +174,14 @@ FIELD_ORDER: dict[str, list[str]] = {
     v: list(bank.keys()) for v, bank in FIELD_BANKS.items()
 }
 # address-block fields (computed by the F5 state machine, not the regex
-# bank) emit after the header section for schlage:
-_sh = FIELD_ORDER["schlage"]
-FIELD_ORDER["schlage"] = (
-    [k for k in _sh if k.startswith("header.")]
-    + _SCHLAGE_ADDRESS_KEYS
-    + [k for k in _sh if not k.startswith("header.")]
-)
+# bank) emit after the header section for vendors with an address config:
+for _v in ADDRESS_CONFIG:
+    _keys = FIELD_ORDER[_v]
+    FIELD_ORDER[_v] = (
+        [k for k in _keys if k.startswith("header.")]
+        + _address_keys(_v)
+        + [k for k in _keys if not k.startswith("header.")]
+    )
 
 # ---------------------------------------------------------------------------
 # Line-item grammars

@@ -51,6 +51,12 @@ def _ceco_lines(rng: random.Random, n_items: int) -> list[list[str]]:
         "9159 TELECOM DR.",
         "MILAN, TN 38358",
         "(888) 264-7474",
+        "Please Remit to:",
+        f"{rng.randint(1000, 9999)} Solutions Center",
+        "Chicago Illinois 60677-1008",
+        f"SOLD TO: COOK & BOARDMAN {rng.choice(['LLC', 'GROUP'])}",
+        f"{rng.randint(100, 9999)} IMESON PARK BLVD",
+        f"{rng.choice(['JACKSONVILLE', 'ORLANDO'])} FL {rng.randint(32000, 32999)}",
         "Line Plant Item Number",
         "Ord Shp BO",
     ]

@@ -68,10 +68,10 @@ def extract_fields_batch(vendor: pd.Series, text: pd.Series) -> list[dict[str, s
             per_key[key] = value
         for idx in sub.index:
             d = {k: s[idx] for k, s in per_key.items() if pd.notna(s[idx])}
+            # F5 address blocks are a line-scanning state machine
+            # (inherently sequential); schlage adds the derived-totals quirk.
+            O._address_blocks(v, sub[idx], d)
             if v == "schlage":
-                # F5 address blocks are a line-scanning state machine
-                # (inherently sequential), then the derived-totals quirk.
-                O._schlage_address_blocks(sub[idx], d)
                 O._schlage_derived_totals(d)
             results[pos[idx]] = d
     return results

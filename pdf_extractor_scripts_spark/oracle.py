@@ -124,29 +124,33 @@ def extract_fields(vendor: str, text: str) -> dict[str, str]:
                 else:
                     out[key] = groups[0] if len(groups) == 1 else "|".join(groups)
                 break
+    _address_blocks(vendor, text, out)
     if vendor == "schlage":
-        _schlage_address_blocks(text, out)
         _schlage_derived_totals(out)
     return out
 
 
-def _schlage_address_blocks(text: str, fields: dict[str, str]) -> None:
-    """F5 (schlage_processor.py:1244-1383): scan lines after 'BILL TO:' /
-    'SHIP TO:' headers until a terminator, classifying each line as
-    company / street / city-state-zip; bounded at ADDRESS_MAX_LINES."""
-    street_re = re.compile(C.ADDRESS_STREET)
-    city_re = re.compile(C.ADDRESS_CITY)
+def _address_blocks(vendor: str, text: str, fields: dict[str, str]) -> None:
+    """F5: scan lines after the vendor's section headers ('BILL TO:' etc.)
+    until a terminator, classifying each line as company / street /
+    city-state-zip; bounded scan (schlage_processor.py:1244-1383; CECO
+    sold/ship/remit variants text_pdf_processor.py:1925-2032)."""
+    cfg = C.ADDRESS_CONFIG.get(vendor)
+    if not cfg:
+        return
+    street_re = re.compile(cfg["street"])
+    city_re = re.compile(cfg["city"])
     lines = text.split("\n")
-    for prefix, header in C.ADDRESS_SECTIONS:
+    for prefix, header in cfg["sections"]:
         for i, l in enumerate(lines):
             if not l.startswith(header):
                 continue
             rest = l[len(header):].strip()
             if rest:
                 fields[f"{prefix}_company"] = rest
-            for j in range(i + 1, min(i + 1 + C.ADDRESS_MAX_LINES, len(lines))):
+            for j in range(i + 1, min(i + 1 + cfg["max_lines"], len(lines))):
                 nxt = lines[j]
-                if any(nxt.startswith(t) for t in C.ADDRESS_TERMINATORS):
+                if any(nxt.startswith(t) for t in cfg["terminators"]):
                     break
                 if street_re.match(nxt):
                     fields.setdefault(f"{prefix}_street", nxt)
@@ -155,6 +159,11 @@ def _schlage_address_blocks(text: str, fields: dict[str, str]) -> None:
                 elif f"{prefix}_company" not in fields:
                     fields[f"{prefix}_company"] = nxt
             break
+
+
+# backwards-compat alias used by the Arrow kernel before generalization
+def _schlage_address_blocks(text: str, fields: dict[str, str]) -> None:
+    _address_blocks("schlage", text, fields)
 
 
 def _money(s: str) -> float:

@@ -477,3 +477,45 @@ def _mm_sql(dialect: str) -> str:
 def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_mm_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# F3 — adaptive detector with position priors
+# (enhanced_pattern_detector.py:54-356)
+# --------------------------------------------------------------------------
+def _f3_sql_real(dialect: str) -> str:
+    ex = "nullif(regexp_extract(text, 'join [a-z]+', 0), '')"
+    pos_fn = "instr" if dialect == "spark" else "strpos"
+    # confidence = 50 base + specificity(25 * len/20 capped) + position(20 *
+    # (1 - |pos_ratio - 0.25| / 0.75)) — the enhanced detector's additive
+    # scoring with an ideal-position prior at 25% into the document
+    # (enhanced_pattern_detector.py:160-356).
+    return f"""
+    WITH m AS (
+      SELECT doc_id, text, length(text) AS tl, {ex} AS matched FROM documents
+    )
+    SELECT doc_id,
+           coalesce(matched, 'NONE') AS value,
+           cast(CASE WHEN matched IS NULL THEN 0.0 ELSE round(
+             50.0
+             + 25.0 * least(cast(length(matched) as double) / 20.0, 1.0)
+             + 20.0 * (1.0 - abs((cast({pos_fn}(text, matched) as double)
+                                  / greatest(tl, 1)) - 0.25) / 0.75), 4)
+           END as double) AS confidence
+    FROM m
+    """
+
+
+@register(
+    "f3_position_prior",
+    oracle=_f3_sql_real("duckdb"),
+    doc="Adaptive (vendor-free) detection with position priors: confidence "
+        "= 50 base + specificity (match length) + ideal-position score "
+        "(enhanced_pattern_detector.py:54-356: position contributes up to "
+        "20 points, prior peak near the document head). Match position via "
+        "instr/strpos of the full match — identical leftmost semantics on "
+        "both engines.",
+)
+def f3_position_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_f3_sql_real("spark"))
