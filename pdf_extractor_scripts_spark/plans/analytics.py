@@ -477,3 +477,40 @@ def f15_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis — ordered event-sequence conversion per user
+# --------------------------------------------------------------------------
+def _funnel_sql(dialect: str) -> str:
+    epoch = "floor(epoch(ts))" if dialect == "duckdb" else "unix_timestamp(ts)"
+    return f"""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN {epoch} END) AS t_signup,
+             min(CASE WHEN event_type = 'view' THEN {epoch} END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN {epoch} END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END){"::BIGINT" if dialect == "duckdb" else ""} AS n_signed_up,
+           sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                    THEN 1 ELSE 0 END){"::BIGINT" if dialect == "duckdb" else ""} AS n_viewed_after,
+           sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                     AND t_purchase > t_view
+                    THEN 1 ELSE 0 END){"::BIGINT" if dialect == "duckdb" else ""} AS n_converted
+    FROM stages
+    """
+
+
+@register(
+    "funnel_conversion",
+    oracle=_funnel_sql("duckdb"),
+    doc="Ordered funnel (signup → first view after → first purchase after): "
+        "one groupBy(user) with conditional-min stage times, then ordering "
+        "predicates — no self-joins, one shuffle.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_funnel_sql("spark"))

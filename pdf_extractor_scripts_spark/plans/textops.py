@@ -519,3 +519,44 @@ def _f3_sql_real(dialect: str) -> str:
 def f3_position_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_f3_sql_real("spark"))
+
+
+# --------------------------------------------------------------------------
+# Top-terms word count (the canonical corpus wordcount, ranked per group)
+# --------------------------------------------------------------------------
+def _topterms_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = """
+      SELECT lang, word FROM documents
+      LATERAL VIEW explode(split(text, ' ')) t AS word
+        """
+    else:
+        toks = """
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+        """
+    return f"""
+    WITH toks AS ({toks}),
+    counts AS (
+      SELECT lang, word, count(*) AS n
+      FROM toks
+      WHERE word <> '' AND word NOT IN ('the', 'a')
+      GROUP BY lang, word
+    )
+    SELECT lang, word, n
+    FROM (SELECT lang, word, n,
+                 row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rn
+          FROM counts)
+    WHERE rn <= 5
+    """
+
+
+@register(
+    "text_top_terms",
+    oracle=_topterms_sql("duckdb"),
+    doc="Stopword-filtered top-5 terms per language — explode + map-side-"
+        "combined count + per-group rank; the wordcount shape every corpus "
+        "profiling pass uses.",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_topterms_sql("spark"))

@@ -37,3 +37,15 @@ def test_rerun_is_identical(spark):
     a = _results(run_pipeline(docs, salt=True))
     b = _results(run_pipeline(docs, salt=True))
     assert a == b
+
+
+def test_distributed_generation_equals_driver_generation(spark):
+    """corpus_df_dist (mapInPandas, bench path) must produce byte-identical
+    documents to corpus_df (driver-side, test path)."""
+    from pdf_extractor_scripts_spark.fixtures import corpus_df_dist
+
+    a = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+         for r in corpus_df(spark, n_docs=50, seed=42).collect()}
+    b = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+         for r in corpus_df_dist(spark, n_docs=50, seed=42).collect()}
+    assert a == b
