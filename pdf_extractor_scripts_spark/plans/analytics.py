@@ -514,3 +514,34 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_funnel_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# Running totals — cumulative window aggregation per entity
+# --------------------------------------------------------------------------
+def _runtot_sql(dialect: str) -> str:
+    epoch = "floor(epoch(o_orderdate))" if dialect == "duckdb" else "unix_timestamp(o_orderdate)"
+    return f"""
+    SELECT o_custkey, o_orderkey,
+           cast({epoch} as bigint) AS order_epoch,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           cast(row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) as bigint) AS order_seq
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    """
+
+
+@register(
+    "running_total_per_customer",
+    oracle=_runtot_sql("duckdb"),
+    doc="Cumulative spend per customer (running-sum window with explicit "
+        "ROWS frame and orderkey tie-break): one shuffle on the partition "
+        "key, then partition-local accumulation.",
+)
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_runtot_sql("spark"))
