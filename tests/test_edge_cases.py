@@ -122,3 +122,43 @@ def test_portable_shingle_hash_matches_duckdb(text):
     sql = shingle_hashes_sql("t", "duckdb")
     got = con.execute(f"SELECT {sql} FROM (SELECT ? AS t)", [text]).fetchone()[0]
     assert list(got) == expected
+
+
+def test_random_soup_through_spark_pipeline(spark):
+    """50 seeded adversarial docs (regex metachars, quotes, newlines,
+    control chars, long runs) through the REAL distributed pipeline must
+    match the oracle span-for-span."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = (
+        "abcXYZ0123456789 .*+?()[]{}|\\^$'\"`\n\t;,%_-=@#&/"
+        + "äöüß日本語🎉"
+    )
+    kinds = ["text", "page_break", "media", "media_text", "rule"]
+    prefixes = ["ceco/F1A-I-9.pdf", "steelcraft/Allegion - Steelcraft 9.pdf",
+                "schlage/9-9 Schlage 9.pdf", "misc/soup.pdf"]
+    docs = []
+    for i in range(50):
+        spans = []
+        for off in range(rng.randint(0, 20)):
+            k = rng.choice(kinds)
+            t = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+            spans.append({
+                "kind": k,
+                "text": "" if k == "media" else t,
+                "media_ref": f"img://soup/{i}/{off}" if k in ("media", "media_text") else "",
+                "offset": off,
+            })
+        docs.append({"doc_id": f"{i}-{prefixes[i % 4]}", "spans": spans})
+
+    sdf = spark.createDataFrame(docs, schema=DOC_SCHEMA)
+    got = {r["doc_id"]: r for r in run_pipeline(sdf).collect()}
+    for d in docs:
+        exp = O.extract_document(d["doc_id"], d["spans"])
+        g = got[d["doc_id"]]
+        exp_spans = [s.as_tuple() for s in exp["out_spans"]]
+        got_spans = [(s["kind"], s["text"], s["media_ref"], s["order"])
+                     for s in g["out_spans"]]
+        assert got_spans == exp_spans, d["doc_id"]
+        assert g["vendor"] == exp["vendor"] and g["route"] == exp["route"], d["doc_id"]

@@ -130,3 +130,64 @@ def test_frame_sampling_plan(spark):
     frames = frame_sample_refs(media, every_ms=1000)
     per_ref = frames.groupBy("media_ref").count().collect()
     assert per_ref and all(r["count"] == 4 for r in per_ref)  # 0,1000,2000,3000
+
+
+def test_stateful_session_operator(spark, tmpdir):
+    """applyInPandasWithState sessionization: closed sessions from the
+    stream equal the batch sessionizer's output minus each user's final
+    (still-open) session."""
+    from pdf_extractor_scripts_spark.streaming.stateful import sessionize_stream
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = os.path.join(tmpdir, "sess_in")
+    events.coalesce(1).write.parquet(src)  # single batch → exact ordering
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sessions_t").collect()
+    }
+
+    # batch twin: all sessions, minus each user's last (still open) one
+    from pdf_extractor_scripts_spark.plans.registry import all_queries
+
+    batch = all_queries()["sessionize_events"].spark(spark, SF_DIR)
+    rows = batch.collect()
+    last_sess = {}
+    for r in rows:
+        k = r["user_id"]
+        if k not in last_sess or r["session_no"] > last_sess[k]:
+            last_sess[k] = r["session_no"]
+    # batch emits (user, session_no, n_events, duration) — recompute
+    # start/end epochs for the comparison
+    import pyspark.sql.functions as F
+    ev = events.select("user_id", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("es"))
+    per_user = {}
+    for r in ev.collect():
+        per_user.setdefault(r["user_id"], []).append(r["es"])
+    exp = set()
+    for uid, ts_list in per_user.items():
+        ts_list.sort()
+        sessions = []
+        start = last = ts_list[0]
+        n = 1
+        for es in ts_list[1:]:
+            if es - last > 1800:
+                sessions.append((uid, start, last, n))
+                start, last, n = es, es, 1
+            else:
+                last = es
+                n += 1
+        # final session stays open in the stream → excluded
+        exp.update(sessions)
+    assert got == exp
