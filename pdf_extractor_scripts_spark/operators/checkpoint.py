@@ -19,6 +19,27 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+def quality_report(spark: SparkSession, ckpt_dir: str) -> DataFrame:
+    """Operational rollup over the written outputs: per (vendor, route)
+    doc counts, confidence distribution, validation-failure and OCR rates —
+    the corpus-level form of the reference's batch summary + accuracy
+    rubrics (batch_processor.py:321-403, test_enhanced_processor.py:158-171)."""
+    out = spark.read.parquet(os.path.join(ckpt_dir, "out_spans"))
+    return (
+        out.groupBy("vendor", "route")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("extraction_confidence"), 4).alias("avg_confidence"),
+            F.round(F.expr("percentile(extraction_confidence, 0.1)"), 4).alias("p10_confidence"),
+            F.round(F.expr("percentile(extraction_confidence, 0.9)"), 4).alias("p90_confidence"),
+            F.round(F.avg("validation_failed"), 4).alias("validation_failure_rate"),
+            F.round(F.avg("ocr_used"), 4).alias("ocr_rate"),
+            F.sum(F.expr("size(out_spans)")).cast("long").alias("total_spans"),
+        )
+        .orderBy("vendor", "route")
+    )
+
+
 def with_partition_key(df: DataFrame, n_buckets: int = 64) -> DataFrame:
     return df.withColumn(
         "partition_key", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")

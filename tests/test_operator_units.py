@@ -124,3 +124,29 @@ def test_kernel_matches_oracle_fields_vectorized():
             assert g is None
         else:
             assert g == O.extract_fields(v, t)
+
+
+def test_merge_routes_priority_invariants():
+    """J1 merge laws: text-first sections prefer fields_t, OCR-first prefer
+    fields_o, each falls back to the other, items prefer text when any."""
+    ft = {"header.invoice_number": "T1", "totals.subtotal": "T2"}
+    fo = {"header.invoice_number": "O1", "totals.subtotal": "O2",
+          "totals.total": "O3"}
+    fields, items = O.merge_routes("schlage", ft, [{"line": "1"}], fo, [{"line": "9"}])
+    assert fields["header.invoice_number"] == "T1"   # text-first section
+    assert fields["totals.subtotal"] == "O2"         # ocr-first section
+    assert fields["totals.total"] == "O3"            # fallback fills gaps
+    assert items == [{"line": "1"}]                  # items prefer text
+    _, items2 = O.merge_routes("schlage", ft, [], fo, [{"line": "9"}])
+    assert items2 == [{"line": "9"}]                 # empty text → ocr items
+
+
+def test_confidence_scoring_bounds_and_monotonicity():
+    from pdf_extractor_scripts_spark.oracle import score_confidence
+
+    empty = score_confidence("ceco", {}, [])
+    assert empty == 0.0
+    some = score_confidence("ceco", {"header.invoice_number": "1"}, [])
+    more = score_confidence("ceco", {"header.invoice_number": "1",
+                                     "header.invoice_date": "2"}, [{"line": "1"}])
+    assert 0.0 < some < more <= 1.0
