@@ -1,0 +1,268 @@
+"""Engine-side line-item extraction — an INDEPENDENT implementation of the
+item grammars (F6/F9/F10/F7), cross-checked against oracle.py by the
+span-equality tests.
+
+Where the oracle walks each document with nested forward scans (mirroring
+the reference's control flow, ceco_processor.py:428-600 etc.), this
+implementation classifies every line exactly once against a precompiled
+regex table and then attaches classified lines to their governing item by
+index interval — the same spec, a different algorithm, so a bug in either
+implementation surfaces as a span mismatch.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .. import config as C
+
+_serialize = lambda pairs: "|".join(f"{k}={v}" for k, v in pairs)
+
+
+def _dedupe_keep_order(vals: list[str]) -> list[str]:
+    seen: set[str] = set()
+    return [v for v in vals if not (v in seen or seen.add(v))]
+
+
+def _filtered_lines(text: str) -> list[str]:
+    return [
+        l for l in text.split("\n")
+        if not any(r.match(l) for r in _HEADER_FILTER_RES)
+    ]
+
+
+_HEADER_FILTER_RES = [re.compile(p) for p in C.PAGE_HEADER_FILTERS]
+
+# ---------------------------------------------------------------------------
+# precompiled classification tables
+# ---------------------------------------------------------------------------
+_CECO_HDR = re.compile(C.CECO_ITEM_HEADER)
+_CECO_PRICE = re.compile(C.CECO_PRICING)
+_CECO_COMP = re.compile(C.CECO_COMPONENT)
+_CECO_MARKS = [
+    ("labeled", re.compile(C.CECO_MARK_LABELED)),
+    ("standalone", re.compile(C.CECO_MARK_STANDALONE)),
+    ("decimal", re.compile(C.CECO_MARK_DECIMAL)),
+]
+
+_SC_F164 = re.compile(C.STEELCRAFT_ITEM_F164)
+_SC_ANCH = re.compile(C.STEELCRAFT_ITEM_ANCHOR)
+_SC_SPECS = [(lbl, re.compile(p)) for lbl, p in C.STEELCRAFT_SPECS]
+_SC_MHDR = re.compile(C.STEELCRAFT_MARKS_HEADER)
+_SC_MLINE = re.compile(C.STEELCRAFT_MARKS_LINE)
+_SC_PRICE = re.compile(C.STEELCRAFT_PRICING_DETAIL)
+_SC_DISC = re.compile(C.STEELCRAFT_DISCOUNT_LINE)
+
+_SH_ITEM = re.compile(C.SCHLAGE_ITEM)
+_SH_WB_FULL = re.compile(C.SCHLAGE_WAYBILL_FULL)
+_SH_WB_A = re.compile(C.SCHLAGE_WAYBILL_SPLIT_A)
+_SH_WB_B = re.compile(C.SCHLAGE_WAYBILL_SPLIT_B)
+_SH_FT = re.compile(C.SCHLAGE_FREIGHT_TERMS)
+_SH_SKIP = [re.compile(p) for p in C.SCHLAGE_INFO_SKIP]
+
+_GEN_ITEM = re.compile(C.GENERIC_ITEM)
+
+
+def _intervals(header_idx: list[int], n_lines: int, window: int):
+    """(start, end) line interval governed by each header: bounded by the
+    next header and by the per-vendor scan window."""
+    out = []
+    for h, idx in enumerate(header_idx):
+        nxt = header_idx[h + 1] if h + 1 < len(header_idx) else n_lines
+        out.append((idx + 1, min(nxt, idx + 1 + window), nxt))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CECO (F6/F11/F12 + BO folding)
+# ---------------------------------------------------------------------------
+def ceco_items(lines: list[str]) -> list[dict]:
+    headers = [(i, m) for i, l in enumerate(lines) if (m := _CECO_HDR.match(l))]
+    # classify every line once
+    cls: dict[int, tuple[str, object]] = {}
+    for i, l in enumerate(lines):
+        if (m := _CECO_PRICE.match(l)) and not _CECO_COMP.match(l):
+            cls[i] = ("price", m)
+        elif (m := _CECO_COMP.match(l)):
+            cls[i] = ("comp", m)
+        else:
+            for kind, rx in _CECO_MARKS:
+                if (m := rx.match(l)):
+                    cls[i] = (kind, m)
+                    break
+
+    spans = _intervals([i for i, _ in headers], len(lines), C.CECO_SCAN_WINDOW)
+    items, seen = [], set()
+    for (idx, m), (lo, hi, _) in zip(headers, spans):
+        line_no, plant, code, qty_ord, qty_shp, bo = m.groups()
+        if (line_no, code) in seen:
+            continue
+        seen.add((line_no, code))
+        pairs = [("line", line_no), ("plant", plant), ("code", code),
+                 ("ord", qty_ord), ("shp", qty_shp)]
+        if bo is not None and int(qty_ord) == int(qty_shp) + int(bo):
+            pairs.append(("bo", bo))
+        else:
+            pairs.append(("bo", ""))
+            if bo is not None:
+                pairs.append(("bofold", bo))
+        marks, priced = [], False
+        for j in range(lo, hi):
+            got = cls.get(j)
+            if not got:
+                continue
+            kind, mm = got
+            if kind == "price" and not priced:
+                desc, lst, disc, net, ext = mm.groups()
+                pairs += [("desc", desc), ("list", lst), ("disc", disc),
+                          ("net", net), ("ext", ext)]
+                priced = True
+            elif kind == "comp":
+                pairs.append(("comp", f"{mm.group(1)}:{mm.group(5)}"))
+            elif kind == "labeled":
+                marks += [p.strip() for p in mm.group(1).split(",") if p.strip()]
+            elif kind in ("standalone", "decimal"):
+                marks.append(mm.group(1))
+        items.append({"line": line_no, "serialized": _serialize(pairs),
+                      "marks": _dedupe_keep_order(marks)})
+    return items
+
+
+# ---------------------------------------------------------------------------
+# Steelcraft (F9 + specs/pricing/discount scans)
+# ---------------------------------------------------------------------------
+def steelcraft_items(lines: list[str]) -> list[dict]:
+    headers = []
+    for i, l in enumerate(lines):
+        if (m := _SC_F164.match(l)):
+            g = m.groups()
+            pairs = [("line", g[0]), ("ord", g[1]), ("shp", g[2]), ("code", g[3]),
+                     ("desc", g[4]), ("list", g[5]), ("disc", f".{g[6]}"),
+                     ("w", g[7]), ("b", g[8]), ("ext", g[9])]
+            headers.append((i, g[0], g[3], pairs))
+        elif (m := _SC_ANCH.match(l)):
+            g = m.groups()
+            pairs = [("line", g[0]), ("ord", g[1]), ("shp", g[2]), ("code", g[3]),
+                     ("desc", g[4]), ("disc", f".{g[5]}"), ("w", g[6]),
+                     ("b", g[7]), ("ext", g[8])]
+            headers.append((i, g[0], g[3], pairs))
+
+    idxs = [i for i, *_ in headers]
+    items, seen = [], set()
+    for h, (idx, line_no, code, pairs) in enumerate(headers):
+        if (line_no, code) in seen:
+            continue
+        seen.add((line_no, code))
+        nxt = idxs[h + 1] if h + 1 < len(idxs) else len(lines)
+        marks: list[str] = []
+        # spec + marks window
+        for j in range(idx + 1, min(nxt, idx + 1 + C.STEELCRAFT_SPEC_WINDOW)):
+            l = lines[j]
+            for lbl, rx in _SC_SPECS:
+                if (sm := rx.match(l)):
+                    pairs.append(("spec_" + lbl, sm.group(1)))
+                    break
+            if _SC_MHDR.match(l) and j + 1 < min(nxt, idx + 1 + C.STEELCRAFT_SPEC_WINDOW):
+                if (ml := _SC_MLINE.match(lines[j + 1])):
+                    marks += [p.strip() for p in ml.group(1).split(",")]
+        # pricing-detail window (<=30)
+        for j in range(idx + 1, min(nxt, idx + 1 + C.STEELCRAFT_PRICING_WINDOW)):
+            if (pm := _SC_PRICE.match(lines[j])):
+                pairs.append((f"pd_{pm.group(1).lower().replace(' ', '_')}", pm.group(2)))
+        # discount window (<=10, first only)
+        for j in range(idx + 1, min(nxt, idx + 1 + C.STEELCRAFT_DISCOUNT_WINDOW)):
+            if (dm := _SC_DISC.match(lines[j])):
+                pairs.append(("discount_pct", dm.group(1)))
+                break
+        items.append({"line": line_no, "serialized": _serialize(pairs),
+                      "marks": _dedupe_keep_order(marks)})
+    return items
+
+
+# ---------------------------------------------------------------------------
+# Schlage (F10 + waybill rejoin + F13 info + J5 surcharge synthesis)
+# ---------------------------------------------------------------------------
+def _money(s: str) -> float:
+    try:
+        return float(s.replace(",", "").replace("$", ""))
+    except ValueError:
+        return 0.0
+
+
+def _info_ok(line: str) -> bool:
+    return (
+        C.SCHLAGE_INFO_MIN_LEN <= len(line) <= C.SCHLAGE_INFO_MAX_LEN
+        and len(line.split()) >= C.SCHLAGE_INFO_MIN_WORDS
+        and not any(r.search(line) for r in _SH_SKIP)
+    )
+
+
+def schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
+    headers = [(i, m) for i, l in enumerate(lines) if (m := _SH_ITEM.match(l))]
+    idxs = [i for i, _ in headers]
+    items = []
+    for h, (idx, m) in enumerate(headers):
+        g = m.groups()
+        unit = f"{round(_money(g[9]) - _money(g[10]), 2):.2f}"
+        pairs = [("line", g[3]), ("brand", g[0]), ("carrier", g[1]),
+                 ("code", g[6]), ("desc", g[7]), ("ship", g[8]),
+                 ("list", g[9]), ("disc", g[10]), ("dcode", g[11]),
+                 ("unit", unit), ("ext", g[12])]
+        nxt = idxs[h + 1] if h + 1 < len(idxs) else len(lines)
+        hi = min(nxt, idx + 1 + C.SCHLAGE_WAYBILL_WINDOW)
+        info: list[str] = []
+        j = idx + 1
+        while j < hi:
+            l = lines[j]
+            if (wm := _SH_WB_FULL.match(l)):
+                pairs.append(("waybill", wm.group(1)))
+            elif (am := _SH_WB_A.match(l)) and j + 1 < len(lines):
+                rest = am.group(1)[2:]
+                nm = _SH_WB_B.match(lines[j + 1])
+                if nm and len(rest) + len(nm.group(1)) == 16:
+                    pairs.append(("waybill", "1Z" + rest + nm.group(1)))
+                    j += 1
+                elif _info_ok(l):
+                    info.append(l)
+            elif _SH_FT.match(l):
+                pairs.append(("freight", _SH_FT.match(l).group(1)))
+            elif _info_ok(l):
+                info.append(l)
+            j += 1
+        for inf in _dedupe_keep_order(info):
+            pairs.append(("info", inf))
+        items.append({"line": g[3], "serialized": _serialize(pairs), "marks": []})
+
+    sur = fields.get("totals.surcharges")
+    has_sur = any("brand=AGN_SURCHARGE" in it["serialized"] for it in items)
+    if len(items) == 1 and sur is not None and not has_sur:
+        pairs = [("line", "999"), ("brand", "AGN_SURCHARGE"), ("carrier", ""),
+                 ("code", "SURCHG"), ("desc", "SURCHARGE"), ("ext", sur)]
+        items.append({"line": "999", "serialized": _serialize(pairs), "marks": []})
+    return items
+
+
+def generic_items(lines: list[str]) -> list[dict]:
+    items, seen = [], set()
+    for l in lines:
+        if (m := _GEN_ITEM.match(l)):
+            line_no, code, qty, desc, unit, ext = m.groups()
+            if (line_no, code) in seen:
+                continue
+            seen.add((line_no, code))
+            pairs = [("line", line_no), ("code", code), ("qty", qty),
+                     ("desc", desc), ("unit", unit), ("ext", ext)]
+            items.append({"line": line_no, "serialized": _serialize(pairs),
+                          "marks": []})
+    return items
+
+
+def extract_items(vendor: str, text: str, fields: dict[str, str]) -> list[dict]:
+    lines = _filtered_lines(text)
+    if vendor == "ceco":
+        return ceco_items(lines)
+    if vendor == "steelcraft":
+        return steelcraft_items(lines)
+    if vendor == "schlage":
+        return schlage_items(lines, fields)
+    return generic_items(lines)

@@ -6,10 +6,11 @@ per-document ``re.search`` loop — the two implementations cross-check each
 other in the span-equality tests.
 
 Line-item extraction is inherently sequential per document (bounded forward
-scans with state — SURVEY.md §7.3(2)), so the per-document item parsers are
-the *shared spec kernels* from oracle.py, invoked row-wise inside the Arrow
-batch. Everything distributed around them (assembly, routing, merge,
-ordering, emission) is independently implemented and verified.
+scans with state — SURVEY.md §7.3(2)); the engine's parsers in
+operators/items.py are an INDEPENDENT implementation of the item grammars
+(classify-every-line-once + interval attachment vs the oracle's nested
+forward scans), so the span-equality tests cross-check two genuinely
+different implementations of every stage.
 """
 
 from __future__ import annotations
@@ -94,7 +95,9 @@ def extract_batch(vendor: pd.Series, text: pd.Series) -> pd.DataFrame:
         v = vendor[idx]
         bank_order = C.FIELD_ORDER.get(v, [])
         fields_col.append([{"key": k, "value": d[k]} for k in bank_order if k in d])
-        items = O.extract_items(v, text[idx], d)
+        from .items import extract_items
+
+        items = extract_items(v, text[idx], d)
         items_col.append(
             [{"line": it["line"], "serialized": it["serialized"], "marks": it["marks"]}
              for it in items]

@@ -150,3 +150,21 @@ def test_confidence_scoring_bounds_and_monotonicity():
     more = score_confidence("ceco", {"header.invoice_number": "1",
                                      "header.invoice_date": "2"}, [{"line": "1"}])
     assert 0.0 < some < more <= 1.0
+
+
+def test_engine_item_parsers_match_oracle_across_corpus():
+    """operators/items.py (classify+attach) vs oracle (nested scans): two
+    independent implementations of the item grammars must agree on every
+    fixture document's assembled text."""
+    from pdf_extractor_scripts_spark.fixtures import make_corpus
+    from pdf_extractor_scripts_spark.operators import items as I
+
+    for d in make_corpus(80, seed=7):
+        for kind in ("text", "media_text"):
+            text = O.assemble(d["spans"], kind)
+            all_text = O.assemble(d["spans"], "text") + "\n" + O.assemble(d["spans"], "media_text")
+            vendor, _ = O.detect_vendor(d["doc_id"], all_text)
+            fields = O.extract_fields(vendor, text)
+            assert I.extract_items(vendor, text, fields) == O.extract_items(
+                vendor, text, fields
+            ), (d["doc_id"], kind)
