@@ -67,8 +67,9 @@ PAGE_HEADER_FILTERS: list[str] = [
 # ---------------------------------------------------------------------------
 FIELD_BANKS: dict[str, dict[str, list[str]]] = {
     "ceco": {
-        # ceco_processor.py:86-205
-        "header.invoice_number": [r"Invoice Number:\s*(\d{8})"],
+        # ceco_processor.py:86-205 (ordered pattern lists: first match wins,
+        # later entries are fallbacks — DynamicPatternExtractor semantics)
+        "header.invoice_number": [r"Invoice Number:\s*(\d{8})", r"INV NO:\s*(\d{8})"],
         "header.invoice_date": [r"Invoice Date:\s*(\d{1,2}/\d{1,2}/\d{2})"],
         "header.order_no": [r"Order No:\s*([A-Z]\d+[A-Z]*-\d+)"],
         "header.customer_po": [r"Customer PO:\s*([A-Za-z0-9-]+)"],

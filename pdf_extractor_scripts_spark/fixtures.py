@@ -40,9 +40,12 @@ def _date(rng: random.Random) -> str:
 def _ceco_lines(rng: random.Random, n_items: int) -> list[list[str]]:
     """Pages of lines for one CECO doc."""
     inv = rng.randint(10_000_000, 99_999_999)
+    # ~20% of docs use the alternative label → exercises the bank's
+    # fallback-pattern priority (F1 ordered lists)
+    inv_line = f"Invoice Number: {inv}" if rng.random() < 0.8 else f"INV NO: {inv}"
     header = [
         f"Page: 1 of {1 + (n_items + 2) // 3}",
-        f"Invoice Number: {inv}",
+        inv_line,
         f"Invoice Date: {_date(rng)}",
         f"Order No: F{rng.randint(1, 9)}GU{rng.randint(1, 9)}A-0{rng.randint(0, 9)}",
         f"Customer PO: {rng.randint(100000, 999999)}-00{rng.randint(1, 9)}",
@@ -168,7 +171,8 @@ def _steelcraft_lines(rng: random.Random, n_items: int) -> list[list[str]]:
         f"TOTAL AMOUNT: {_money(rng, 1000, 99999)}",
         f"MAT. INFLATION SURCHARGE: {_money(rng, 1, 99)}",
         f"IF PAID BY {rng.randint(1, 9)}/0{rng.randint(1, 9)}/25 YOUR 2% DISCOUNT IS ${_money(rng, 1, 999)}",
-        "2% 20",
+    ] + (["2% 20"] if rng.random() < 0.7 else []) + [  # omit sometimes →
+        # payment.terms falls back to the second bank pattern (NET n DAYS)
         "NET 35 DAYS",
         "FOB - Cincinnati",
         "LESS THAN LOAD",
@@ -248,8 +252,13 @@ def _schlage_lines(rng: random.Random, n_items: int, variant: str) -> list[list[
 def _generic_lines(rng: random.Random, n_items: int, corrupted: bool) -> list[list[str]]:
     if corrupted:
         return [["x" * rng.randint(40, 80), "####" * rng.randint(5, 10)]]
+    if rng.random() < 0.75:
+        inv_line = f"Invoice Number: {rng.choice(['ABC', 'XYZ', 'QRS'])}-{rng.randint(10000, 99999)}"
+    else:
+        # second-bank-pattern variant (Invoice #:)
+        inv_line = f"Invoice #: {rng.choice(['ABC', 'XYZ'])}-{rng.randint(10000, 99999)}"
     lines = [
-        f"Invoice Number: {rng.choice(['ABC', 'XYZ', 'QRS'])}-{rng.randint(10000, 99999)}",
+        inv_line,
         f"Invoice Date: {_date(rng)}",
         f"billing{rng.randint(1, 99)}@acme.com",
         f"({rng.randint(200, 999)}) {rng.randint(100, 999)}-{rng.randint(1000, 9999)}",
