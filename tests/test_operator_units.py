@@ -168,3 +168,40 @@ def test_engine_item_parsers_match_oracle_across_corpus():
             assert I.extract_items(vendor, text, fields) == O.extract_items(
                 vendor, text, fields
             ), (d["doc_id"], kind)
+
+
+def test_ceco_cross_page_item_association():
+    """An item header at the end of page n must pick up its pricing line,
+    marks and components from page n+1 — the forward scan crosses the
+    page-marker line (ceco_processor.py:428-441; FIXTURES.md §2.1)."""
+    from pdf_extractor_scripts_spark.operators import items as I
+
+    lines = [
+        "=== PAGE 1 ===",
+        "001 572 FR3PC 1 1 0",
+        "=== PAGE 2 ===",
+        "3 PIECE FRAME 829.000 54.871 374.11 374.12",
+        "MARK NO: HAP1(56)",
+        "MATERIAL AMOUNT 828.999 56.000 364.76 364.76",
+    ]
+    for impl in (O._ceco_items, I.ceco_items):
+        items = impl(lines)
+        assert len(items) == 1
+        s = items[0]["serialized"]
+        assert "desc=3 PIECE FRAME" in s and "comp=MATERIAL:364.76" in s
+        assert items[0]["marks"] == ["HAP1(56)"]
+
+
+def test_schlage_waybill_across_page_marker():
+    from pdf_extractor_scripts_spark.operators import items as I
+
+    lines = [
+        "SCHLAGE UPS EXP 1 111 111 X*1 |D| FEB 28 85.00 54.64/00 4,280.16",
+        "=== PAGE 2 ===",
+        "1Z59R8R8034940301234",  # full 16-char body after the marker
+    ]
+    # fix: make the waybill line a valid FULL match (1Z + 16 chars)
+    lines[2] = "1Z" + "59R8R80349403012"
+    for impl in (O._schlage_items, I.schlage_items):
+        items = impl(lines, {})
+        assert "waybill=1Z59R8R80349403012" in items[0]["serialized"], impl
