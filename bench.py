@@ -111,17 +111,21 @@ def main() -> None:
     for name in ("q1_pricing_summary", "dedup_simhash", "l4_spacing_reconstruct"):
         _force(qspecs[name].spark(spark, SF_DIR))
 
+    # extraction throughput: best of three samples SPREAD ACROSS the suite —
+    # this VM's noise comes in multi-minute windows, so adjacent repeats
+    # share the window while time-separated ones don't.
+    ext_times = [run_extraction(spark, n_docs)]
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         t0 = time.time()
         _force(qspecs[name].spark(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
+        if i == len(HEADLINE) // 2:
+            ext_times.append(run_extraction(spark, n_docs, warmup=False))
 
-    # best-of-2: single runs are hostage to this VM's noise windows
-    ext_sec = min(
-        run_extraction(spark, n_docs),
-        run_extraction(spark, n_docs, warmup=False),
-    )
+    ext_times.append(run_extraction(spark, n_docs, warmup=False))
+    ext_sec = min(ext_times)
     timings["extract_pipeline"] = round(ext_sec, 3)
     docs_per_sec = round(n_docs / ext_sec, 2)
     spark.stop()
