@@ -5,9 +5,13 @@ emission order.
 This is the engine's equivalent of the reference's pattern banks
 (text_pdf_processor.py:106-365, ceco_processor.py:86-205,
 steelcraft_processor.py:87-130, schlage_processor.py:82-130) and vendor
-thresholds (pdf_text_detector.py:77-115). In the Spark engine the whole
-object is broadcast once and consumed inside vectorized UDFs; the pure-Python
-oracle (oracle.py) reads the same banks so both sides share one spec.
+thresholds (pdf_text_detector.py:77-115). In the Spark engine the effective
+banks are snapshotted BY VALUE into the extraction UDF closure at plan-build
+time (operators/extract.py::_make_extract_udf) — executor workers re-import
+this module and would otherwise see pristine defaults, dropping S8 overrides;
+thresholds/ratios become plan literals driver-side (operators/detect.py). The
+pure-Python oracle (oracle.py) reads the same banks so both sides share one
+spec.
 """
 
 from __future__ import annotations

@@ -9,6 +9,16 @@ first-class table (FIXTURES.md §4) written once per completed bucket.
 
 Resume = anti-join the input against completed (run_id, partition_key) rows —
 a broadcast anti-join (the checkpoint side is tiny: one row per bucket).
+
+Output commit protocol (manifest pattern — what Iceberg snapshot commits give
+you natively in production): every physical write of out_spans/metrics rows
+carries an ``attempt_id``; the checkpoint row recording that attempt is
+written LAST and is the commit point. A crash between the data write and the
+checkpoint write leaves orphan rows whose attempt_id no checkpoint mentions —
+invisible to readers, because committed_outputs()/quality_report() semi-join
+outputs against committed (partition_key, attempt_id) pairs. Physical writes
+are therefore at-least-once, but the VISIBLE table is exactly-once, and
+resume can safely re-process any bucket whose commit row is missing.
 """
 
 from __future__ import annotations
@@ -19,12 +29,44 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+def committed_outputs(spark: SparkSession, ckpt_dir: str) -> DataFrame:
+    """out_spans restricted to COMMITTED attempts: semi-join against the
+    checkpoint manifest on (run_id, partition_key, attempt_id). Orphan rows
+    from attempts that crashed before their checkpoint write are excluded —
+    this is the read side of the manifest commit protocol."""
+    out = spark.read.parquet(os.path.join(ckpt_dir, "out_spans"))
+    ck = spark.read.parquet(os.path.join(ckpt_dir, "checkpoints"))
+    committed = (
+        ck.filter(F.col("status") == "done")
+        .select("run_id", "partition_key", "attempt_id")
+        .distinct()
+    )
+    return out.join(
+        F.broadcast(committed), ["run_id", "partition_key", "attempt_id"], "left_semi"
+    )
+
+
+def committed_metrics(spark: SparkSession, ckpt_dir: str) -> DataFrame:
+    """metrics restricted to committed attempts (same manifest semi-join as
+    committed_outputs) — uncommitted attempts must not double-count."""
+    mx = spark.read.parquet(os.path.join(ckpt_dir, "metrics"))
+    ck = spark.read.parquet(os.path.join(ckpt_dir, "checkpoints"))
+    committed = (
+        ck.filter(F.col("status") == "done")
+        .select("run_id", "partition_key", "attempt_id")
+        .distinct()
+    )
+    return mx.join(
+        F.broadcast(committed), ["run_id", "partition_key", "attempt_id"], "left_semi"
+    )
+
+
 def quality_report(spark: SparkSession, ckpt_dir: str) -> DataFrame:
-    """Operational rollup over the written outputs: per (vendor, route)
+    """Operational rollup over the COMMITTED outputs: per (vendor, route)
     doc counts, confidence distribution, validation-failure and OCR rates —
     the corpus-level form of the reference's batch summary + accuracy
     rubrics (batch_processor.py:321-403, test_enhanced_processor.py:158-171)."""
-    out = spark.read.parquet(os.path.join(ckpt_dir, "out_spans"))
+    out = committed_outputs(spark, ckpt_dir)
     return (
         out.groupBy("vendor", "route")
         .agg(
@@ -67,9 +109,19 @@ def resume_filter(df: DataFrame, spark: SparkSession, ckpt_dir: str, run_id: str
     return df.join(F.broadcast(done), "partition_key", "left_anti")
 
 
-def write_outputs(result: DataFrame, spark: SparkSession, ckpt_dir: str, run_id: str) -> None:
-    """Write extracted spans partitioned by bucket, then one checkpoint row
-    and per-bucket metrics rows per completed bucket."""
+def write_outputs(
+    result: DataFrame,
+    spark: SparkSession,
+    ckpt_dir: str,
+    run_id: str,
+    attempt_id: str | None = None,
+) -> str:
+    """Write extracted spans partitioned by bucket, then per-bucket metrics
+    rows, then the checkpoint rows — the checkpoint write is the COMMIT (see
+    module docstring). Returns the attempt_id used."""
+    import uuid
+
+    attempt_id = attempt_id or uuid.uuid4().hex
     out_path = os.path.join(ckpt_dir, "out_spans")
     ck_path = os.path.join(ckpt_dir, "checkpoints")
     mx_path = os.path.join(ckpt_dir, "metrics")
@@ -77,6 +129,8 @@ def write_outputs(result: DataFrame, spark: SparkSession, ckpt_dir: str, run_id:
     result.select(
         "partition_key", "doc_id", "vendor", "route", "out_spans",
         "validation_failed", "ocr_used", "n_pages", "extraction_confidence",
+    ).withColumn("run_id", F.lit(run_id)).withColumn(
+        "attempt_id", F.lit(attempt_id)
     ).write.mode("append").partitionBy("partition_key").parquet(out_path)
 
     # Materialize the per-bucket stats on the driver (one tiny row per
@@ -99,16 +153,19 @@ def write_outputs(result: DataFrame, spark: SparkSession, ckpt_dir: str, run_id:
     now = datetime.datetime.now()
     from ..schemas import CHECKPOINT_SCHEMA, METRICS_SCHEMA
 
-    ck_rows = [
-        (run_id, r["partition_key"], "done", r["docs"], r["pages"],
-         r["ocr_fallbacks"], r["validation_failures"], now)
-        for r in stat_rows
-    ]
-    spark.createDataFrame(ck_rows, schema=CHECKPOINT_SCHEMA).write.mode("append").parquet(ck_path)
-
+    # metrics BEFORE checkpoints: the checkpoint append is the commit point,
+    # so a crash anywhere earlier leaves only uncommitted (orphan) rows.
     mx_rows = [
-        (run_id, "extract", r["partition_key"], metric, int(r[metric]))
+        (run_id, attempt_id, "extract", r["partition_key"], metric, int(r[metric]))
         for r in stat_rows
         for metric in ("docs", "pages", "ocr_fallbacks", "validation_failures")
     ]
     spark.createDataFrame(mx_rows, schema=METRICS_SCHEMA).write.mode("append").parquet(mx_path)
+
+    ck_rows = [
+        (run_id, r["partition_key"], attempt_id, "done", r["docs"], r["pages"],
+         r["ocr_fallbacks"], r["validation_failures"], now)
+        for r in stat_rows
+    ]
+    spark.createDataFrame(ck_rows, schema=CHECKPOINT_SCHEMA).write.mode("append").parquet(ck_path)
+    return attempt_id

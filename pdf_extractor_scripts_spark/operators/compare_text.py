@@ -53,17 +53,28 @@ def compare_extractions(a: DataFrame, b: DataFrame) -> DataFrame:
         F.expr("out_spans").alias("spans_b"),
     )
     j = sa.join(sb, "doc_id", "full_outer")
+    # One-sided docs (full-outer nulls) must score as mismatches, not NULL:
+    # NULL `exact` is silently dropped by sum() in comparison_summary, and
+    # size(regexp_extract_all(NULL, ...)) is -1 in Spark, which would turn
+    # numeric_recall negative. Coalesce to '' so absent == empty extraction.
+    j = j.withColumn("ser_a", F.coalesce("ser_a", F.lit(""))).withColumn(
+        "ser_b", F.coalesce("ser_b", F.lit(""))
+    )
     return j.select(
         "doc_id",
-        (F.col("ser_a") == F.col("ser_b")).cast("int").alias("exact"),
+        (
+            (F.col("ser_a") == F.col("ser_b"))
+            & F.col("spans_a").isNotNull()
+            & F.col("spans_b").isNotNull()
+        ).cast("int").alias("exact"),
         F.round(_difflib_ratio(F.col("ser_a"), F.col("ser_b")), 4).alias("similarity"),
         F.expr(
             f"CASE WHEN size({nums('ser_a')}) = 0 THEN 1.0 "
             f"ELSE cast(size(array_intersect({nums('ser_a')}, {nums('ser_b')})) as double)"
             f" / size({nums('ser_a')}) END"
         ).alias("numeric_recall"),
-        F.expr("size(spans_a)").alias("n_spans_a"),
-        F.expr("size(spans_b)").alias("n_spans_b"),
+        F.expr("coalesce(size(spans_a), 0)").alias("n_spans_a"),
+        F.expr("coalesce(size(spans_b), 0)").alias("n_spans_b"),
     )
 
 

@@ -56,33 +56,52 @@ BOTH_RESULT = StructType(
 )
 
 
-@F.pandas_udf(BOTH_RESULT)
-def _extract_both_udf(vendor: pd.Series, text: pd.Series, ocr: pd.Series) -> pd.DataFrame:
-    """Both routes in ONE Arrow round-trip — halves the JVM↔Python transfer
-    and per-batch overhead vs two separate UDF invocations."""
-    from .kernel import extract_batch
+def _make_extract_udf(field_banks: dict, field_order: dict):
+    """Build the extraction UDF with the EFFECTIVE config captured by value.
 
-    rt = extract_batch(vendor, text)
-    ro = extract_batch(vendor, ocr)
-    return pd.DataFrame(
-        {
-            "t": [
-                None if f is None else {"fields": f, "items": i}
-                for f, i in zip(rt["fields"], rt["items"])
-            ],
-            "o": [
-                None if f is None else {"fields": f, "items": i}
-                for f, i in zip(ro["fields"], ro["items"])
-            ],
-        },
-        index=vendor.index,
-    )
+    S8 overrides (config.apply_overrides) mutate driver-side module globals;
+    executor Python workers re-import config and would see pristine defaults.
+    Snapshotting the banks into the UDF closure at plan-build time ships them
+    inside the serialized task (Spark broadcasts task binaries), so overrides
+    reach every executor without a side channel.
+    """
+
+    @F.pandas_udf(BOTH_RESULT)
+    def _extract_both_udf(
+        vendor: pd.Series, text: pd.Series, ocr: pd.Series
+    ) -> pd.DataFrame:
+        # Both routes in ONE Arrow round-trip — halves the JVM↔Python
+        # transfer and per-batch overhead vs two separate UDF invocations.
+        from .kernel import extract_batch
+
+        rt = extract_batch(vendor, text, field_banks, field_order)
+        ro = extract_batch(vendor, ocr, field_banks, field_order)
+        return pd.DataFrame(
+            {
+                "t": [
+                    None if f is None else {"fields": f, "items": i}
+                    for f, i in zip(rt["fields"], rt["items"])
+                ],
+                "o": [
+                    None if f is None else {"fields": f, "items": i}
+                    for f, i in zip(ro["fields"], ro["items"])
+                ],
+            },
+            index=vendor.index,
+        )
+
+    return _extract_both_udf
 
 
 def with_extraction(df: DataFrame) -> DataFrame:
     """Adds res_t / res_o struct columns. Input text columns are nulled out
     for routes that don't need them so the kernel skips those rows
     (expensive-path gating as column masking)."""
+    from .. import config as C
+
+    banks = {v: {k: list(p) for k, p in bank.items()} for v, bank in C.FIELD_BANKS.items()}
+    order = {v: list(ks) for v, ks in C.FIELD_ORDER.items()}
+    extract_udf = _make_extract_udf(banks, order)
     text_in = F.when(
         F.col("route").isin("text", "hybrid"), F.col("text_route_text")
     ).otherwise(F.lit(None))
@@ -90,7 +109,7 @@ def with_extraction(df: DataFrame) -> DataFrame:
         F.col("route").isin("ocr", "hybrid"), F.col("ocr_route_text")
     ).otherwise(F.lit(None))
     return (
-        df.withColumn("res_both", _extract_both_udf(F.col("vendor"), text_in, ocr_in))
+        df.withColumn("res_both", extract_udf(F.col("vendor"), text_in, ocr_in))
         .withColumn("res_t", F.col("res_both.t"))
         .withColumn("res_o", F.col("res_both.o"))
         .drop("res_both")

@@ -23,17 +23,27 @@ from .. import config as C
 from .. import oracle as O
 
 
-def extract_fields_batch(vendor: pd.Series, text: pd.Series) -> list[dict[str, str] | None]:
+def extract_fields_batch(
+    vendor: pd.Series,
+    text: pd.Series,
+    field_banks: dict | None = None,
+) -> list[dict[str, str] | None]:
     """Vectorized pattern-bank extraction for one Arrow batch.
 
     Returns one {field_key: value} dict per row (None where text is null —
     i.e. the route does not apply to that document).
+
+    ``field_banks`` is the effective bank snapshot captured driver-side at
+    plan-build time (S8 overrides applied); defaulting to the module banks
+    would silently drop overrides on executors, which re-import this module
+    with pristine defaults.
     """
+    banks = C.FIELD_BANKS if field_banks is None else field_banks
     n = len(text)
     results: list[dict[str, str] | None] = [None] * n
     pos = {idx: i for i, idx in enumerate(text.index)}
 
-    for v, bank in C.FIELD_BANKS.items():
+    for v, bank in banks.items():
         mask = (vendor == v) & text.notna()
         if not mask.any():
             continue
@@ -78,13 +88,19 @@ def extract_fields_batch(vendor: pd.Series, text: pd.Series) -> list[dict[str, s
     return results
 
 
-def extract_batch(vendor: pd.Series, text: pd.Series) -> pd.DataFrame:
+def extract_batch(
+    vendor: pd.Series,
+    text: pd.Series,
+    field_banks: dict | None = None,
+    field_order: dict | None = None,
+) -> pd.DataFrame:
     """Full extraction for one Arrow batch → DataFrame(fields, items).
 
     fields: list[{key, value}] in bank order; items: list[{line, serialized,
     marks}] in document order (sorting happens natively downstream).
     """
-    fields_dicts = extract_fields_batch(vendor, text)
+    order = C.FIELD_ORDER if field_order is None else field_order
+    fields_dicts = extract_fields_batch(vendor, text, field_banks)
     fields_col, items_col = [], []
     for i, idx in enumerate(text.index):
         d = fields_dicts[i]
@@ -93,7 +109,7 @@ def extract_batch(vendor: pd.Series, text: pd.Series) -> pd.DataFrame:
             items_col.append(None)
             continue
         v = vendor[idx]
-        bank_order = C.FIELD_ORDER.get(v, [])
+        bank_order = order.get(v, [])
         fields_col.append([{"key": k, "value": d[k]} for k in bank_order if k in d])
         from .items import extract_items
 

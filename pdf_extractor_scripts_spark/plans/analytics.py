@@ -109,12 +109,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderpriority").alias("o_orderpriority"),
         )
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-    return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
-    )
+    # orderBy + limit compiles to TakeOrderedAndProject: per-partition top-k
+    # merged on the driver. A global row_number() window would instead pull
+    # every post-agg row into a single task to rank — a scale-killer at 100x.
+    return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
 
 
 # --------------------------------------------------------------------------

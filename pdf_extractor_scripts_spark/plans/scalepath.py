@@ -169,7 +169,17 @@ def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    # Scalar p50/p90/p99 columns (not one array column): array cells are
+    # unhashable for downstream canonicalizers, and the scalar shape matches
+    # the exact twin a11_value_quantiles so the two can be diffed directly.
+    agg = e.groupBy("event_type").agg(
         F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias("approx_p"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.element_at("approx_p", 1), 4).alias("p50"),
+        F.round(F.element_at("approx_p", 2), 4).alias("p90"),
+        F.round(F.element_at("approx_p", 3), 4).alias("p99"),
+        "n_events",
     )

@@ -59,6 +59,7 @@ CHECKPOINT_SCHEMA = StructType(
     [
         StructField("run_id", StringType(), False),
         StructField("partition_key", IntegerType(), False),
+        StructField("attempt_id", StringType(), False),
         StructField("status", StringType(), False),
         StructField("docs", LongType(), False),
         StructField("pages", LongType(), False),
@@ -71,6 +72,7 @@ CHECKPOINT_SCHEMA = StructType(
 METRICS_SCHEMA = StructType(
     [
         StructField("run_id", StringType(), False),
+        StructField("attempt_id", StringType(), False),
         StructField("stage", StringType(), False),
         StructField("partition_key", IntegerType(), False),
         StructField("metric", StringType(), False),

@@ -1,0 +1,624 @@
+"""Pure-Python (stdlib-only) PDF byte-stream parsing → interleaved spans.
+
+This is the real implementation of the S2-S4 parse slot (reference:
+pdfplumber/PyPDF2/fitz parse branches, text_pdf_processor.py:661-670,
+pdf_text_detector.py:171-204, schlage_processor.py:230-261). No PDF toolkit
+ships in this sandbox, so the parse is built directly on the PDF 1.4 file
+format: classic xref table walk → trailer /Root → /Pages page-tree traversal
+in document order → per-page /Contents stream fetch (FlateDecode via stdlib
+zlib) → content-stream tokenization (BT/ET text blocks; Tj / TJ / ' / " show
+operators; Td/TD/T*/Tm line moves; Do image-XObject placements).
+
+Output span grammar matches the corpus fixtures (FIXTURES.md):
+  page_break  "=== PAGE {n} ==="            one per page, in order
+  text        one span per rendered line     selectable-text pages
+  media       media_ref=img://{doc}/{p}/{i}  one per image placement
+Image pages yield media spans only — text inside an image is physically
+unreadable without OCR, which is the downstream O2 stage's job.
+
+Scope (documented simplifications, fine for the invoice-class PDFs the
+reference handles): classic xref tables (not xref streams), FlateDecode (the
+only filter the reference's PDFs use) + uncompressed streams, WinAnsi/ASCII
+string bytes (latin-1 decode), one text line per Td/TD/T*/Tm move (how
+virtually every line-oriented PDF writer, including ours, emits text).
+
+The module also ships a deterministic PDF WRITER (build_pdf) so tests can
+round-trip: fixture lines → real PDF bytes → parse_pdf_spans → identical
+span sequence → identical pipeline output.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+
+# ---------------------------------------------------------------------------
+# Object model
+# ---------------------------------------------------------------------------
+class Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+    def __repr__(self):  # pragma: no cover
+        return f"Ref({self.num})"
+
+
+class Name(str):
+    """A PDF name token (/Type etc.) — distinct from string literals."""
+
+
+_DELIM = b"()<>[]{}/%"
+_WS = b"\x00\t\n\x0c\r "
+
+
+class _Lexer:
+    """Minimal PDF token reader over a bytes buffer."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, i, n = self.data, self.pos, len(self.data)
+        while i < n:
+            c = d[i]
+            if c in _WS:
+                i += 1
+            elif c == 0x25:  # % comment
+                j = d.find(b"\n", i)
+                i = n if j < 0 else j + 1
+            else:
+                break
+        self.pos = i
+
+    def next_token(self):
+        """→ ('num', float) | ('str', bytes) | ('name', str) | ('op', bytes)
+        | ('dict_open'/'dict_close'/'arr_open'/'arr_close', None) | None."""
+        self._skip_ws()
+        d, i = self.data, self.pos
+        if i >= len(d):
+            return None
+        c = d[i : i + 1]
+        if c == b"(":
+            return self._literal_string()
+        if c == b"<":
+            if d[i : i + 2] == b"<<":
+                self.pos = i + 2
+                return ("dict_open", None)
+            return self._hex_string()
+        if c == b">":
+            if d[i : i + 2] == b">>":
+                self.pos = i + 2
+                return ("dict_close", None)
+            self.pos = i + 1
+            return ("op", b">")
+        if c == b"[":
+            self.pos = i + 1
+            return ("arr_open", None)
+        if c == b"]":
+            self.pos = i + 1
+            return ("arr_close", None)
+        if c == b"/":
+            j = i + 1
+            while j < len(d) and d[j] not in _WS and d[j] not in _DELIM:
+                j += 1
+            self.pos = j
+            return ("name", d[i + 1 : j].decode("latin-1"))
+        if c in b"+-.0123456789":
+            j = i + 1
+            while j < len(d) and d[j : j + 1] in b"+-.0123456789":
+                j += 1
+            self.pos = j
+            return ("num", float(d[i:j]))
+        # operator / keyword: run of regular characters
+        j = i
+        while j < len(d) and d[j] not in _WS and d[j] not in _DELIM:
+            j += 1
+        if j == i:  # lone delimiter we don't model
+            self.pos = i + 1
+            return ("op", c)
+        self.pos = j
+        return ("op", d[i:j])
+
+    def _literal_string(self):
+        d = self.data
+        i = self.pos + 1
+        out = bytearray()
+        depth = 1
+        while i < len(d):
+            c = d[i]
+            if c == 0x5C:  # backslash
+                i += 1
+                e = d[i : i + 1]
+                esc = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                       b"f": b"\x0c", b"(": b"(", b")": b")", b"\\": b"\\"}
+                if e in esc:
+                    out += esc[e]
+                    i += 1
+                elif e.isdigit():  # octal, up to 3 digits
+                    j = i
+                    while j < i + 3 and j < len(d) and chr(d[j]).isdigit():
+                        j += 1
+                    out.append(int(d[i:j], 8) & 0xFF)
+                    i = j
+                elif e in (b"\n", b"\r"):  # line continuation
+                    i += 1
+                else:
+                    out += e
+                    i += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                i += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos = i + 1
+                    return ("str", bytes(out))
+                out.append(c)
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        raise ValueError("unterminated string literal")
+
+    def _hex_string(self):
+        d = self.data
+        j = d.find(b">", self.pos)
+        if j < 0:
+            raise ValueError("unterminated hex string")
+        hx = re.sub(rb"\s", b"", d[self.pos + 1 : j])
+        if len(hx) % 2:
+            hx += b"0"
+        self.pos = j + 1
+        return ("str", bytes.fromhex(hx.decode("ascii")))
+
+
+def _parse_value(lx: _Lexer, tok=None):
+    """Recursive-descent parse of one PDF object value (dict/array/number/
+    name/string/ref/bool/null)."""
+    if tok is None:
+        tok = lx.next_token()
+    if tok is None:
+        raise ValueError("unexpected EOF in object")
+    kind, val = tok
+    if kind == "dict_open":
+        d: dict = {}
+        while True:
+            t = lx.next_token()
+            if t is None or t[0] == "dict_close":
+                return d
+            if t[0] != "name":
+                raise ValueError(f"dict key must be a name, got {t}")
+            d[t[1]] = _parse_value(lx)
+    if kind == "arr_open":
+        arr = []
+        while True:
+            t = lx.next_token()
+            if t is None or t[0] == "arr_close":
+                return arr
+            arr.append(_parse_value(lx, t))
+    if kind == "num":
+        # look ahead for "gen R" indirect reference
+        save = lx.pos
+        t2 = lx.next_token()
+        if t2 and t2[0] == "num":
+            t3 = lx.next_token()
+            if t3 and t3 == ("op", b"R"):
+                return Ref(int(val))
+        lx.pos = save
+        return int(val) if val == int(val) else val
+    if kind == "name":
+        return Name(val)
+    if kind == "str":
+        return val
+    if kind == "op":
+        if val == b"true":
+            return True
+        if val == b"false":
+            return False
+        if val == b"null":
+            return None
+    raise ValueError(f"unexpected token {tok}")
+
+
+# ---------------------------------------------------------------------------
+# Document structure: xref walk → page tree → streams
+# ---------------------------------------------------------------------------
+class PdfDocument:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.offsets, self.trailer = self._read_xref_chain()
+        self._cache: dict[int, object] = {}
+
+    # -- xref ---------------------------------------------------------------
+    def _read_xref_chain(self):
+        data = self.data
+        sx = data.rfind(b"startxref")
+        if sx < 0:
+            raise ValueError("no startxref — not a PDF or truncated")
+        start = int(data[sx + len(b"startxref"):].split()[0])
+        offsets: dict[int, int] = {}
+        trailer: dict = {}
+        seen = set()
+        pos = start
+        while pos is not None and pos not in seen:
+            seen.add(pos)
+            section_offsets, section_trailer = self._read_xref_section(pos)
+            for num, off in section_offsets.items():
+                offsets.setdefault(num, off)  # newest (first-seen) wins
+            for k, v in section_trailer.items():
+                trailer.setdefault(k, v)
+            prev = section_trailer.get("Prev")
+            pos = int(prev) if prev is not None else None
+        return offsets, trailer
+
+    def _read_xref_section(self, pos: int):
+        data = self.data
+        m = re.compile(rb"xref\s+").match(data, pos)
+        if not m:
+            raise ValueError(f"expected classic xref table at {pos} "
+                             "(xref streams not supported)")
+        i = m.end()
+        offsets: dict[int, int] = {}
+        sub_re = re.compile(rb"(\d+)\s+(\d+)\s*")
+        ent_re = re.compile(rb"(\d{10})\s(\d{5})\s([nf])\s*")
+        while True:
+            sm = sub_re.match(data, i)
+            if not sm:
+                break
+            first, count = int(sm.group(1)), int(sm.group(2))
+            i = sm.end()
+            for k in range(count):
+                em = ent_re.match(data, i)
+                if not em:
+                    raise ValueError("malformed xref entry")
+                if em.group(3) == b"n":
+                    offsets[first + k] = int(em.group(1))
+                i = em.end()
+        tm = re.compile(rb"trailer\s*").match(data, i)
+        if not tm:
+            raise ValueError("missing trailer after xref")
+        trailer = _parse_value(_Lexer(data, tm.end()))
+        return offsets, trailer
+
+    # -- objects ------------------------------------------------------------
+    def get(self, obj):
+        """Resolve an indirect reference (pass-through for direct values)."""
+        if not isinstance(obj, Ref):
+            return obj
+        if obj.num in self._cache:
+            return self._cache[obj.num]
+        off = self.offsets[obj.num]
+        m = re.compile(rb"(\d+)\s+(\d+)\s+obj\s*").match(self.data, off)
+        if not m:
+            raise ValueError(f"no object header at offset {off}")
+        lx = _Lexer(self.data, m.end())
+        val = _parse_value(lx)
+        # stream payload?
+        lx._skip_ws()
+        if self.data[lx.pos : lx.pos + 6] == b"stream":
+            p = lx.pos + 6
+            if self.data[p : p + 2] == b"\r\n":
+                p += 2
+            elif self.data[p : p + 1] == b"\n":
+                p += 1
+            length = int(self.get(val["Length"]))
+            raw = self.data[p : p + length]
+            val = _Stream(val, raw)
+        self._cache[obj.num] = val
+        return val
+
+    # -- pages --------------------------------------------------------------
+    def pages(self) -> list[dict]:
+        root = self.get(self.trailer["Root"])
+        out: list[dict] = []
+        self._walk_pages(self.get(root["Pages"]), out)
+        return out
+
+    def _walk_pages(self, node: dict, out: list[dict]) -> None:
+        if node.get("Type") == "Page":
+            out.append(node)
+            return
+        for kid in self.get(node.get("Kids", [])):
+            self._walk_pages(self.get(kid), out)
+
+    def page_content(self, page: dict) -> bytes:
+        contents = self.get(page.get("Contents"))
+        if contents is None:
+            return b""
+        streams = contents if isinstance(contents, list) else [contents]
+        return b"\n".join(_decode_stream(self.get(s)) for s in streams)
+
+    def page_image_xobjects(self, page: dict) -> dict[str, dict]:
+        """name → image-XObject dict for this page's resources."""
+        res = self.get(page.get("Resources", {})) or {}
+        xo = self.get(res.get("XObject", {})) or {}
+        out = {}
+        for name, ref in xo.items():
+            obj = self.get(ref)
+            d = obj.attrs if isinstance(obj, _Stream) else obj
+            if d.get("Subtype") == "Image":
+                out[name] = d
+        return out
+
+
+class _Stream:
+    __slots__ = ("attrs", "raw")
+
+    def __init__(self, attrs: dict, raw: bytes):
+        self.attrs = attrs
+        self.raw = raw
+
+
+def _decode_stream(s) -> bytes:
+    if not isinstance(s, _Stream):
+        raise ValueError("Contents entry is not a stream object")
+    filt = s.attrs.get("Filter")
+    filters = [filt] if isinstance(filt, (str, Name)) else (filt or [])
+    data = s.raw
+    for f in filters:
+        if f == "FlateDecode":
+            data = zlib.decompress(data)
+        else:
+            raise ValueError(f"unsupported stream filter {f!r} "
+                             "(only FlateDecode is implemented)")
+    return data
+
+
+# ---------------------------------------------------------------------------
+# Content-stream tokenization → ordered paint events
+# ---------------------------------------------------------------------------
+def _fmt_num(v: float) -> str:
+    return str(int(v)) if v == int(v) else str(v)
+
+
+def content_events(content: bytes, image_names: set[str]) -> list[tuple]:
+    """Tokenize one page's content stream into ordered paint events:
+    ("line", str) — one per Td/TD/T*/Tm text-line move, show-op strings on
+    the same line concatenated; ("image", name) — per Do of an image
+    XObject; ("rule", "x,y,w,h") — per `re` rectangle (layout hints, L7).
+    Event order is the content-stream paint order.
+    """
+    lx = _Lexer(content)
+    operands: list = []
+    cur: list[str] = []
+    events: list[tuple] = []
+
+    def flush():
+        if cur:
+            events.append(("line", "".join(cur)))
+            cur.clear()
+
+    while True:
+        tok = lx.next_token()
+        if tok is None:
+            break
+        kind, val = tok
+        if kind in ("num", "str", "name"):
+            operands.append((kind, val))
+            continue
+        if kind == "arr_open":
+            # TJ operand: collect until arr_close, keep strings only
+            parts = []
+            while True:
+                t = lx.next_token()
+                if t is None or t[0] == "arr_close":
+                    break
+                if t[0] == "str":
+                    parts.append(t[1])
+            operands.append(("tjarr", parts))
+            continue
+        if kind in ("dict_open",):  # inline dicts (e.g. BDC) — skip value
+            _parse_value(lx, tok)
+            operands.clear()
+            continue
+        # operator
+        op = val
+        if op in (b"Td", b"TD", b"T*", b"Tm"):
+            flush()
+        elif op == b"Tj":
+            if operands and operands[-1][0] == "str":
+                cur.append(operands[-1][1].decode("latin-1"))
+        elif op in (b"'", b'"'):
+            flush()
+            if operands and operands[-1][0] == "str":
+                cur.append(operands[-1][1].decode("latin-1"))
+        elif op == b"TJ":
+            if operands and operands[-1][0] == "tjarr":
+                cur.append(b"".join(operands[-1][1]).decode("latin-1"))
+        elif op == b"ET":
+            flush()
+        elif op == b"Do":
+            if operands and operands[-1][0] == "name":
+                nm = operands[-1][1]
+                if nm in image_names:
+                    flush()
+                    events.append(("image", nm))
+        elif op == b"re":
+            nums = [v for k, v in operands if k == "num"]
+            if len(nums) >= 4:
+                flush()
+                events.append(("rule", ",".join(_fmt_num(v) for v in nums[-4:])))
+        operands.clear()
+    flush()
+    return events
+
+
+# ---------------------------------------------------------------------------
+# Top-level: PDF bytes → interleaved spans
+# ---------------------------------------------------------------------------
+def parse_pdf_spans(data: bytes, doc_id: str) -> list[dict]:
+    """PDF bytes → ordered (kind, text, media_ref, offset) spans.
+
+    Span grammar matches fixtures.make_document: a page_break per page, then
+    text / media / rule spans in content-stream paint order. Text burned
+    into images is NOT recovered here (that is the OCR stage's job), so
+    media pages yield media spans only.
+    """
+    doc = PdfDocument(data)
+    spans: list[dict] = []
+    off = 0
+    for p, page in enumerate(doc.pages()):
+        spans.append({"kind": "page_break", "text": f"=== PAGE {p + 1} ===",
+                      "media_ref": "", "offset": off})
+        off += 1
+        images = doc.page_image_xobjects(page)
+        img_i = 0
+        for ev in content_events(doc.page_content(page), set(images)):
+            if ev[0] == "line":
+                spans.append({"kind": "text", "text": ev[1], "media_ref": "",
+                              "offset": off})
+            elif ev[0] == "image":
+                spans.append({"kind": "media", "text": "",
+                              "media_ref": f"img://{doc_id}/{p + 1}/{img_i}",
+                              "offset": off})
+                img_i += 1
+            else:  # rule
+                spans.append({"kind": "rule", "text": ev[1], "media_ref": "",
+                              "offset": off})
+            off += 1
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# Deterministic PDF writer (test fixture): lines/images → real PDF bytes
+# ---------------------------------------------------------------------------
+def _esc(s: str) -> bytes:
+    b = s.encode("latin-1", errors="replace")
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def build_pdf(pages: list[list[tuple]], compress: bool = True) -> bytes:
+    """Build a classic-xref PDF 1.4 file from ordered paint events.
+
+    pages: one list of events per page — ("text", line) | ("image",) |
+    ("rule", "x,y,w,h") — painted in order (text as Tj lines, images as 1×1
+    gray XObjects via Do, rules as filled `re` rectangles).
+    """
+    objects: dict[int, bytes] = {}
+    next_num = 1
+
+    def alloc() -> int:
+        nonlocal next_num
+        n = next_num
+        next_num += 1
+        return n
+
+    catalog_num = alloc()
+    pages_num = alloc()
+    font_num = alloc()
+    objects[font_num] = (b"<< /Type /Font /Subtype /Type1 "
+                         b"/BaseFont /Helvetica >>")
+
+    kid_nums = []
+    for events in pages:
+        n_images = sum(1 for e in events if e[0] == "image")
+        img_nums = []
+        for _ in range(n_images):
+            inum = alloc()
+            img_data = zlib.compress(b"\x80")
+            objects[inum] = (
+                b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
+                % (len(img_data), img_data)
+            )
+            img_nums.append(inum)
+
+        ops = []
+        in_text = False
+        first_line = True
+        img_i = 0
+        for ev in events:
+            if ev[0] == "text":
+                if not in_text:
+                    ops.append(b"BT /F1 10 Tf 1 0 0 1 72 760 Tm")
+                    in_text = True
+                    first_line = True
+                if not first_line:
+                    ops.append(b"0 -12 Td")
+                ops.append(b"(%s) Tj" % _esc(ev[1]))
+                first_line = False
+            else:
+                if in_text:
+                    ops.append(b"ET")
+                    in_text = False
+                if ev[0] == "image":
+                    ops.append(b"q 100 0 0 100 %d 80 cm /Im%d Do Q"
+                               % (72 + 110 * img_i, img_i))
+                    img_i += 1
+                else:  # rule: "x,y,w,h"
+                    x, y, w, h = ev[1].split(",")
+                    ops.append(b"%s %s %s %s re f"
+                               % tuple(v.encode("ascii") for v in (x, y, w, h)))
+        if in_text:
+            ops.append(b"ET")
+        content = b"\n".join(ops)
+        if compress:
+            payload = zlib.compress(content)
+            stream_dict = b"<< /Filter /FlateDecode /Length %d >>" % len(payload)
+        else:
+            payload = content
+            stream_dict = b"<< /Length %d >>" % len(payload)
+        cnum = alloc()
+        objects[cnum] = b"%s\nstream\n%s\nendstream" % (stream_dict, payload)
+
+        xobj = b""
+        if img_nums:
+            entries = b" ".join(
+                b"/Im%d %d 0 R" % (i, n) for i, n in enumerate(img_nums)
+            )
+            xobj = b"/XObject << %s >>" % entries
+        pnum = alloc()
+        objects[pnum] = (
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> %s >> "
+            b"/Contents %d 0 R >>" % (pages_num, font_num, xobj, cnum)
+        )
+        kid_nums.append(pnum)
+
+    kids = b" ".join(b"%d 0 R" % n for n in kid_nums)
+    objects[pages_num] = (b"<< /Type /Pages /Kids [%s] /Count %d >>"
+                          % (kids, len(kid_nums)))
+    objects[catalog_num] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num
+        out += objects[num]
+        out += b"\nendobj\n"
+    xref_pos = len(out)
+    n_objs = max(objects) + 1
+    out += b"xref\n0 %d\n" % n_objs
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n_objs):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (n_objs, catalog_num, xref_pos))
+    return bytes(out)
+
+
+def spans_to_pdf(spans: list[dict], compress: bool = True) -> bytes:
+    """Render a fixture span sequence (FIXTURES.md grammar) as real PDF
+    bytes, for round-trip tests: build → parse_pdf_spans → the original
+    spans back (minus media_text sidecars, which are OCR ground truth, not
+    PDF content — a PDF physically stores image pixels, not their text).
+    """
+    pages: list[list[tuple]] = []
+    for s in spans:
+        if s["kind"] == "page_break":
+            pages.append([])
+        elif s["kind"] == "text":
+            pages[-1].append(("text", s["text"]))
+        elif s["kind"] == "media":
+            pages[-1].append(("image",))
+        elif s["kind"] == "rule":
+            pages[-1].append(("rule", s["text"]))
+        # media_text: dropped — not representable in PDF bytes
+    return build_pdf(pages, compress=compress)

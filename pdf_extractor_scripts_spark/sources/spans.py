@@ -9,8 +9,9 @@ code is identical either way (S1, SURVEY.md §2.1).
 
 Raw-PDF ingestion (S2-S5) at scale starts from ``spark.read.format
 ("binaryFile")`` over the object store; ``read_binary_docs`` wires that
-shape. Byte-stream parsing into spans is the stubbed step here (the sandbox
-ships no PDF libraries) — the spans corpus stands in for its output.
+shape and ``parse_binary_to_spans`` performs the byte-stream parse for real
+via the pure-stdlib tokenizer in sources/pdfparse.py (classic xref +
+FlateDecode text PDFs — the class the reference handles).
 """
 
 from __future__ import annotations
@@ -40,9 +41,13 @@ def write_spans(docs: DataFrame, path: str, n_buckets: int = N_BUCKETS_DEFAULT) 
 def read_spans(spark: SparkSession, path: str, buckets: list[int] | None = None) -> DataFrame:
     """Read the corpus; ``buckets`` prunes partitions at planning time
     (shows up as PartitionFilters in the scan)."""
-    from pyspark.sql.types import IntegerType
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
-    df = spark.read.schema(DOC_SCHEMA.add("bucket", IntegerType())).parquet(path)
+    # StructType.add MUTATES in place — never call it on the shared schema
+    read_schema = StructType(
+        list(DOC_SCHEMA.fields) + [StructField("bucket", IntegerType())]
+    )
+    df = spark.read.schema(read_schema).parquet(path)
     if buckets is not None:
         df = df.filter(F.col("bucket").isin(buckets))
     return df.select("doc_id", "spans")
@@ -65,10 +70,32 @@ def read_binary_docs(spark: SparkSession, path: str, glob: str = "*.pdf") -> Dat
 
 
 def parse_binary_to_spans(binary_docs: DataFrame) -> DataFrame:
-    """STUB: batched PDF byte-stream parsing (xref/page-tree walk,
-    content-stream tokenization) would run here as an Arrow mapInPandas over
-    ``content``. No PDF toolkit ships in this environment."""
-    raise NotImplementedError(
-        "PDF byte-stream parsing requires a PDF toolkit; feed a spans table "
-        "(read_spans / fixtures.corpus_df) instead"
-    )
+    """S2-S4 for real: batched PDF byte-stream parsing as an Arrow
+    mapInPandas over ``content`` — xref walk, page-tree traversal,
+    FlateDecode, content-stream tokenization (sources/pdfparse.py, pure
+    stdlib; reference parse branches: text_pdf_processor.py:661-670,
+    pdf_text_detector.py:171-204).
+
+    One output row per input document: (doc_id, spans) in the corpus span
+    grammar, directly consumable by plans.pipeline.run_pipeline. Unparseable
+    bytes degrade to a single empty page (the reference's fallback-chain
+    behavior when every parser fails) rather than failing the partition.
+    """
+    from ..schemas import DOC_SCHEMA
+    from .pdfparse import parse_pdf_spans
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    spans = parse_pdf_spans(bytes(content), doc_id)
+                except Exception:
+                    spans = [{"kind": "page_break", "text": "=== PAGE 1 ===",
+                              "media_ref": "", "offset": 0}]
+                out.append({"doc_id": doc_id, "spans": spans})
+            yield pd.DataFrame(out)
+
+    return binary_docs.select("doc_id", "content").mapInPandas(parse, DOC_SCHEMA)

@@ -83,3 +83,37 @@ def test_config_overrides_roundtrip(tmp_path=None):
     assert O.extract_fields("generic", "Invoice Number: ABC-12345")[
         "header.invoice_number"
     ] == "ABC-12345"
+
+
+def test_overrides_reach_executors_end_to_end(spark):
+    """S8 overrides must affect the DISTRIBUTED extraction path, not only the
+    oracle: executor workers re-import config with pristine defaults, so the
+    effective banks have to travel in the UDF closure (operators/extract.py).
+
+    Override the generic invoice-number bank to capture only the digits after
+    the dash; the pipeline's emitted field span must reflect that."""
+    ov = {
+        "field_banks": {
+            "generic": {"header.invoice_number": [r"Invoice Number:\s*[A-Z]+-(\d+)"]}
+        }
+    }
+    inverse = C.apply_overrides(ov)
+    try:
+        docs = corpus_df(spark, n_docs=30, seed=42).filter(
+            F.col("doc_id").startswith("misc/")  # generic-vendor docs
+        )
+        # collect the result rows directly — layering filter/explode exprs on
+        # top of the emission mega-expression duplicates it in codegen
+        rows = run_pipeline(docs).select("out_spans").collect()
+        vals = [
+            s["text"]
+            for r in rows
+            for s in r["out_spans"]
+            if s["kind"] == "field:header.invoice_number"
+        ]
+        assert vals, "no generic invoice_number spans emitted"
+        for t in vals:
+            # overridden pattern keeps digits only — no 'ABC-' prefix survives
+            assert t.isdigit(), f"override did not reach executor: {t}"
+    finally:
+        C.restore_overrides(inverse)

@@ -10,7 +10,11 @@ import pyspark.sql.functions as F
 import pytest
 
 from pdf_extractor_scripts_spark.fixtures import corpus_df
-from pdf_extractor_scripts_spark.operators.checkpoint import with_partition_key
+from pdf_extractor_scripts_spark.operators.checkpoint import (
+    committed_metrics,
+    committed_outputs,
+    with_partition_key,
+)
 from pdf_extractor_scripts_spark.operators.skew import with_weight, salted_repartition
 from pdf_extractor_scripts_spark.plans.pipeline import run_with_checkpoint
 
@@ -37,7 +41,7 @@ def test_resume_is_idempotent_at_bucket_granularity(spark, ckpt_dir):
     n2 = run_with_checkpoint(spark, docs, ckpt_dir, run_id="r1")
     assert n1 + n2 == N_DOCS
 
-    out = spark.read.parquet(f"{ckpt_dir}/out_spans")
+    out = committed_outputs(spark, ckpt_dir)
     assert out.count() == N_DOCS
     assert out.select("doc_id").distinct().count() == N_DOCS  # no duplicates
 
@@ -47,8 +51,41 @@ def test_resume_is_idempotent_at_bucket_granularity(spark, ckpt_dir):
 
     ck = spark.read.parquet(f"{ckpt_dir}/checkpoints")
     assert ck.filter(F.col("status") != "done").count() == 0
-    mx = spark.read.parquet(f"{ckpt_dir}/metrics")
+    mx = committed_metrics(spark, ckpt_dir)
     assert mx.filter(F.col("metric") == "docs").agg(F.sum("value")).first()[0] == N_DOCS
+
+
+def test_crash_between_data_and_checkpoint_write_is_invisible(spark, ckpt_dir):
+    """Manifest-commit semantics: a run that dies AFTER appending out_spans
+    but BEFORE its checkpoint rows must leave no visible output, and the
+    retry must not double-count anything."""
+    from pdf_extractor_scripts_spark.plans.pipeline import run_pipeline
+
+    docs = corpus_df(spark, n_docs=20, seed=42)
+    keyed = with_partition_key(docs)
+    result = with_partition_key(run_pipeline(keyed.drop("partition_key")))
+    result = result.localCheckpoint(eager=True)
+
+    # simulate the crash window: data lands, checkpoint write never happens
+    result.select(
+        "partition_key", "doc_id", "vendor", "route", "out_spans",
+        "validation_failed", "ocr_used", "n_pages", "extraction_confidence",
+    ).withColumn("run_id", F.lit("r1")).withColumn(
+        "attempt_id", F.lit("dead-attempt")
+    ).write.mode("append").partitionBy("partition_key").parquet(f"{ckpt_dir}/out_spans")
+
+    # retry of the same run: resume sees no completed buckets, reprocesses all
+    n = run_with_checkpoint(spark, docs, ckpt_dir, run_id="r1")
+    assert n == 20
+
+    raw = spark.read.parquet(f"{ckpt_dir}/out_spans")
+    assert raw.count() == 40  # physical at-least-once: orphans ARE on disk
+    committed = committed_outputs(spark, ckpt_dir)
+    assert committed.count() == 20  # ...but the visible table is exactly-once
+    assert committed.select("doc_id").distinct().count() == 20
+    assert committed.filter(F.col("attempt_id") == "dead-attempt").count() == 0
+    mx = committed_metrics(spark, ckpt_dir)
+    assert mx.filter(F.col("metric") == "docs").agg(F.sum("value")).first()[0] == 20
 
 
 def test_checkpoint_key_stable_across_parallelism(spark):
