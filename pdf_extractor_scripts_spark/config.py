@@ -255,6 +255,20 @@ GENERIC_ITEM = r"^(\d+)\s+([A-Z]+-\d+)\s+(\d+)\s+(.+?)\s+([\d,]+\.\d{2})\s+([\d,
 
 PAGE_MARKER = "=== PAGE {n} ==="  # text_pdf_processor.py:668
 
+# O3/O4/O5 — dual-OCR-engine selection (image_pdf_processor.py:434-599).
+# The stub engines' deterministic confidences (real engines report their
+# own; tesseract-analog primary, paddle-analog secondary).
+OCR_ENGINE_CONF = {"primary": 80.0, "secondary": 75.0}
+# quality-score keyword bank (image_pdf_processor.py:508-512)
+OCR_QUALITY_KEYWORDS = [
+    "invoice", "total", "amount", "date", "number", "customer", "vendor",
+    "quantity", "price", "description", "line", "item", "tax", "subtotal",
+]
+# per-line merge keyword bank (image_pdf_processor.py:585-588)
+OCR_LINE_KEYWORDS = ["invoice", "total", "amount", "date", "qty", "price",
+                     "description"]
+OCR_NEAR_TIE = 10.0  # |score1 - score2| below this → line-by-line combine
+
 # A1 — overall confidence weights (text_pdf_processor.py:1146-1168: header
 # .3, line_items .3, vendor .15, customer .15, totals .1). Section score =
 # extracted keys / bank keys for that section; items = 1.0 iff any item.

@@ -328,6 +328,29 @@ def make_document(i: int, seed: int = 42) -> dict:
             doc_id = f"misc/invoice_{i:06d}.pdf"
         media_pages = set()
 
+    # O3 secondary-engine sidecar mode for media docs (image_pdf_processor
+    # dual-engine selection): 0/3 → primary only; 1 → near-tie perturbation
+    # (line merge path); 2 → sparse secondary (argmax keeps primary);
+    # 4 → longer secondary (base switches to engine 2 in the merge).
+    alt_mode = (i % 5) if media_pages else 0
+
+    def _alt_lines(lines: list[str]) -> list[str]:
+        if alt_mode == 2:
+            return [lines[0][:12]] if lines else ["~"]
+        out = []
+        for l in lines:
+            r = rng.random()
+            if r < 0.10:
+                out.append(l + f" {rng.randint(10, 99)}.00")   # alt wins line
+            elif r < 0.18:
+                out.append("".join("O" if c.isdigit() else c for c in l))  # alt loses
+            else:
+                out.append(l)
+        if alt_mode == 4:
+            out.append(f"SCAN REF {rng.randint(100, 999)}")
+            out.append(f"FEED MARK {rng.randint(10, 99)}")
+        return out
+
     spans: list[dict] = []
     off = 0
     for p, lines in enumerate(pages):
@@ -340,6 +363,10 @@ def make_document(i: int, seed: int = 42) -> dict:
             for l in lines:
                 spans.append({"kind": "media_text", "text": l, "media_ref": ref, "offset": off})
                 off += 1
+            if alt_mode in (1, 2, 4):
+                for l in _alt_lines(lines):
+                    spans.append({"kind": "media_text_alt", "text": l, "media_ref": ref, "offset": off})
+                    off += 1
         else:
             for l in lines:
                 spans.append({"kind": "text", "text": l, "media_ref": "", "offset": off})

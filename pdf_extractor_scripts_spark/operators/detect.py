@@ -16,28 +16,117 @@ from pyspark.sql import Column, DataFrame
 from .. import config as C
 
 
+def _joined_expr(kinds: list[str]) -> str:
+    cond = " or ".join(f"s.kind = '{k}'" for k in kinds)
+    return f"array_join(transform(filter(spans, s -> {cond}), s -> s.text), '\\n')"
+
+
+def _ocr_qscore_sql(t: str, conf: float) -> str:
+    """Native form of the OCR quality score (image_pdf_processor.py:482-538):
+    40% confidence, 20% length, 25% invoice keywords, 10% numeric density,
+    5% indicators — identical arithmetic to oracle.ocr_quality_score so the
+    near-tie branch decision agrees bit-for-bit."""
+    kw_arr = "array(" + ",".join(f"'{k}'" for k in C.OCR_QUALITY_KEYWORDS) + ")"
+    words = f"size(split(trim({t}), '\\\\s+'))"
+    chars = f"length(trim({t}))"
+    kws = f"size(filter({kw_arr}, kw -> contains(lower({t}), kw)))"
+    nums = f"size(regexp_extract_all({t}, '\\\\d+\\\\.?\\\\d*', 0))"
+    ind = (
+        f"(CASE WHEN {t} rlike '\\\\d{{2,}}' THEN 20 ELSE 0 END + "
+        f"CASE WHEN {t} rlike '[A-Z]{{2,}}' THEN 20 ELSE 0 END + "
+        f"CASE WHEN {t} rlike '\\\\$\\\\d+' THEN 30 ELSE 0 END + "
+        f"CASE WHEN {t} rlike "
+        f"'\\\\d{{1,2}}[/\\\\-]\\\\d{{1,2}}[/\\\\-]\\\\d{{2,4}}' THEN 30 ELSE 0 END)"
+    )
+    return (
+        f"CASE WHEN trim({t}) = '' THEN cast(0.0 as double) ELSE "
+        f"least(cast(100.0 as double), "
+        f"cast({conf!r} as double) * 0.4 + "
+        f"least(cast(100.0 as double), {words} * 5.0 + {chars} * 0.5) * 0.2 + "
+        f"least(cast(100.0 as double), {kws} * 10.0) * 0.25 + "
+        f"least(cast(100.0 as double), {nums} * 5.0) * 0.1 + "
+        f"{ind} * 0.05) END"
+    )
+
+
+def _ocr_line_score_sql(l: str) -> str:
+    """Per-line merge score (image_pdf_processor.py:574-599):
+    numbers*2 + keywords*3 + words."""
+    kw_arr = "array(" + ",".join(f"'{k}'" for k in C.OCR_LINE_KEYWORDS) + ")"
+    return (
+        f"size(regexp_extract_all({l}, '\\\\d+\\\\.?\\\\d*', 0)) * 2 + "
+        f"size(filter({kw_arr}, kw -> contains(lower({l}), kw))) * 3 + "
+        f"size(split({l}, '\\\\s+'))"
+    )
+
+
+def _ocr_combine_sql(t1: str, t2: str) -> str:
+    """Near-tie line-by-line combine (image_pdf_processor.py:540-572): the
+    longer result is the base; a base line is replaced by its aligned alt
+    line iff the alt line scores strictly higher; base's tail survives.
+    zip_with pads the shorter side with NULL — NULL base rows (alt longer
+    than base, impossible by construction) are filtered for safety."""
+    lines = lambda t: (
+        f"filter(transform(split({t}, '\\n'), x -> trim(x)), x -> x <> '')"
+    )
+    return f"""
+    array_join(
+      filter(
+        zip_with(
+          CASE WHEN size({lines(t1)}) >= size({lines(t2)})
+               THEN {lines(t1)} ELSE {lines(t2)} END,
+          CASE WHEN size({lines(t1)}) >= size({lines(t2)})
+               THEN {lines(t2)} ELSE {lines(t1)} END,
+          (b, a) -> CASE
+            WHEN b IS NULL THEN NULL
+            WHEN a IS NOT NULL AND {_ocr_line_score_sql('a')} > {_ocr_line_score_sql('b')}
+            THEN a ELSE b END),
+        x -> x IS NOT NULL),
+      '\\n')
+    """
+
+
 def with_assembled_text(df: DataFrame) -> DataFrame:
     """Assembly columns via array HOFs — no explode, no shuffle.
 
     * all_text        — every span's text (detection input)
     * text_route_text — page markers + selectable text lines
       (text_pdf_processor.py:662-670 page-marker concatenation)
-    * ocr_route_text  — page markers + stub-OCR sidecar text
-      (the O2 stub: media_text spans stand in for tesseract output)
+    * ocr_route_text  — the SELECTED dual-engine OCR output (O3/O4/O5,
+      image_pdf_processor.py:434-599): page markers + media_text sidecar
+      (primary engine) vs media_text_alt sidecar (secondary engine) — one
+      engine blank → the other; quality scores within 10 → line-by-line
+      near-tie merge preferring invoice content; else argmax (primary wins
+      ties). All native CASE/HOF expressions — zero Python.
     """
-    def joined(kinds: list[str]) -> Column:
-        cond = " or ".join(f"s.kind = '{k}'" for k in kinds)
-        return F.expr(
-            f"array_join(transform(filter(spans, s -> {cond}), s -> s.text), '\\n')"
-        )
+    e1 = _joined_expr(["page_break", "media_text"])
+    e2 = _joined_expr(["page_break", "media_text_alt"])
+
+    # CASE is lazily evaluated: docs without a secondary-engine sidecar
+    # (the overwhelming majority at scale) never compute the scores.
+    select_expr = f"""
+    CASE
+      WHEN NOT exists(spans, s -> s.kind = 'media_text_alt') THEN ocr_e1
+      WHEN NOT exists(spans, s -> s.kind = 'media_text') THEN ocr_e2
+      WHEN abs(({_ocr_qscore_sql('ocr_e1', C.OCR_ENGINE_CONF['primary'])}) -
+               ({_ocr_qscore_sql('ocr_e2', C.OCR_ENGINE_CONF['secondary'])}))
+           < {C.OCR_NEAR_TIE!r} THEN ({_ocr_combine_sql('ocr_e1', 'ocr_e2')})
+      WHEN ({_ocr_qscore_sql('ocr_e2', C.OCR_ENGINE_CONF['secondary'])}) >
+           ({_ocr_qscore_sql('ocr_e1', C.OCR_ENGINE_CONF['primary'])}) THEN ocr_e2
+      ELSE ocr_e1
+    END
+    """
 
     # detection text = the two route assemblies concatenated (one fewer full
     # pass over spans than joining everything again; detection is rlike/
     # contains — insensitive to the block ordering). oracle.py builds the
     # identical string.
     return (
-        df.withColumn("text_route_text", joined(["page_break", "text"]))
-        .withColumn("ocr_route_text", joined(["page_break", "media_text"]))
+        df.withColumn("text_route_text", F.expr(_joined_expr(["page_break", "text"])))
+        .withColumn("ocr_e1", F.expr(e1))
+        .withColumn("ocr_e2", F.expr(e2))
+        .withColumn("ocr_route_text", F.expr(select_expr))
+        .drop("ocr_e1", "ocr_e2")
         .withColumn(
             "all_text",
             F.concat_ws("\n", F.col("text_route_text"), F.col("ocr_route_text")),

@@ -109,6 +109,82 @@ def assemble(spans: list[dict], text_kind: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# O3/O4/O5 — dual-engine OCR selection with near-tie line merge
+# (image_pdf_processor.py:434-599)
+# ---------------------------------------------------------------------------
+def ocr_quality_score(text: str, confidence: float) -> float:
+    """image_pdf_processor.py:482-538 — 40% confidence, 20% length, 25%
+    invoice keywords, 10% numeric density, 5% quality indicators."""
+    if not text.strip():
+        return 0.0
+    score = confidence * 0.4
+    word_count = len(text.split())
+    char_count = len(text.strip())
+    score += min(100.0, word_count * 5.0 + char_count * 0.5) * 0.2
+    kw = sum(1 for k in C.OCR_QUALITY_KEYWORDS if k in text.lower())
+    score += min(100.0, kw * 10.0) * 0.25
+    nums = len(re.findall(r"\d+\.?\d*", text))
+    score += min(100.0, nums * 5.0) * 0.1
+    ind = 0
+    if re.search(r"\d{2,}", text):
+        ind += 20
+    if re.search(r"[A-Z]{2,}", text):
+        ind += 20
+    if re.search(r"\$\d+", text):
+        ind += 30
+    if re.search(r"\d{1,2}[/\-]\d{1,2}[/\-]\d{2,4}", text):
+        ind += 30
+    score += ind * 0.05
+    return min(100.0, score)
+
+
+def _ocr_line_score(line: str) -> int:
+    """image_pdf_processor.py:574-599 — numbers*2 + keywords*3 + words."""
+    nums = len(re.findall(r"\d+\.?\d*", line))
+    kws = sum(1 for k in C.OCR_LINE_KEYWORDS if k in line.lower())
+    return nums * 2 + kws * 3 + len(line.split())
+
+
+def combine_ocr_results(text1: str, text2: str) -> str:
+    """Near-tie line-by-line merge preferring invoice content
+    (image_pdf_processor.py:540-572): longer result is the base; each base
+    line is replaced by the aligned alt line iff the alt line scores
+    strictly higher; base's tail (beyond alt's length) is kept."""
+    lines1 = [l.strip() for l in text1.split("\n") if l.strip()]
+    lines2 = [l.strip() for l in text2.split("\n") if l.strip()]
+    base = lines1 if len(lines1) >= len(lines2) else lines2
+    alt = lines2 if len(lines1) >= len(lines2) else lines1
+    out = []
+    for i, b in enumerate(base):
+        if i < len(alt) and _ocr_line_score(alt[i]) > _ocr_line_score(b):
+            out.append(alt[i])
+        else:
+            out.append(b)
+    return "\n".join(out)
+
+
+def select_ocr_text(spans: list[dict]) -> str:
+    """Assemble both engines' sidecar outputs and select/merge
+    (image_pdf_processor.py:434-480): one engine blank → the other;
+    near-tie (|Δscore| < 10) → combine; else argmax (primary on tie)."""
+    has1 = any(s["kind"] == "media_text" for s in spans)
+    has2 = any(s["kind"] == "media_text_alt" for s in spans)
+    e1 = assemble(spans, "media_text")
+    if not has2:
+        return e1
+    e2 = assemble(spans, "media_text_alt")
+    if not has1:
+        return e2
+    s1 = ocr_quality_score(e1, C.OCR_ENGINE_CONF["primary"])
+    s2 = ocr_quality_score(e2, C.OCR_ENGINE_CONF["secondary"])
+    if abs(s1 - s2) < C.OCR_NEAR_TIE:
+        return combine_ocr_results(e1, e2)
+    if s2 > s1:
+        return e2
+    return e1
+
+
+# ---------------------------------------------------------------------------
 # Field extraction (ordered pattern banks, first match wins)
 # ---------------------------------------------------------------------------
 def extract_fields(vendor: str, text: str) -> dict[str, str]:
@@ -509,8 +585,10 @@ def score_confidence(vendor: str, fields: dict[str, str], items: list[dict]) -> 
 def extract_document(doc_id: str, spans: list[dict]) -> dict:
     """Returns {vendor, route, out_spans, validation_failed, ocr_used}."""
     # detection text = both route assemblies (matches the engine's
-    # single-pass construction; rlike/contains don't care about ordering)
-    all_text = assemble(spans, "text") + "\n" + assemble(spans, "media_text")
+    # single-pass construction; rlike/contains don't care about ordering).
+    # The OCR side is the SELECTED engine output (O4/O5).
+    ocr_text = select_ocr_text(spans)
+    all_text = assemble(spans, "text") + "\n" + ocr_text
     vendor, conf = detect_vendor(doc_id, all_text)
     route = route_document(vendor, spans)
 
@@ -523,9 +601,9 @@ def extract_document(doc_id: str, spans: list[dict]) -> dict:
         fields_t = extract_fields(vendor, text)
         items_t = extract_items(vendor, text, fields_t)
     if route in ("ocr", "hybrid"):
-        text = assemble(spans, "media_text")  # stub OCR reads the sidecar
-        fields_o = extract_fields(vendor, text)
-        items_o = extract_items(vendor, text, fields_o)
+        # O3/O4/O5: the dual-engine selection's winner (or near-tie merge)
+        fields_o = extract_fields(vendor, ocr_text)
+        items_o = extract_items(vendor, ocr_text, fields_o)
 
     if route == "text":
         fields, items = fields_t, items_t

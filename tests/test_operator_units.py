@@ -205,3 +205,56 @@ def test_schlage_waybill_across_page_marker():
     for impl in (O._schlage_items, I.schlage_items):
         items = impl(lines, {})
         assert "waybill=1Z59R8R80349403012" in items[0]["serialized"], impl
+
+
+def test_ocr_dual_engine_selection_branches(spark):
+    """O3/O4/O5 (image_pdf_processor.py:434-599): near-tie → line merge,
+    big gap → argmax, one engine blank → the other. Engine (native SQL
+    CASE/HOFs) and oracle (Python) must agree span-for-span on each path."""
+    from pdf_extractor_scripts_spark.operators.detect import with_assembled_text
+    from pdf_extractor_scripts_spark.schemas import DOC_SCHEMA
+
+    def doc(doc_id, e1_lines, e2_lines):
+        spans = [{"kind": "page_break", "text": "=== PAGE 1 ===",
+                  "media_ref": "", "offset": 0},
+                 {"kind": "media", "text": "", "media_ref": "img://x/1/0",
+                  "offset": 1}]
+        off = 2
+        for l in e1_lines:
+            spans.append({"kind": "media_text", "text": l,
+                          "media_ref": "img://x/1/0", "offset": off})
+            off += 1
+        for l in e2_lines:
+            spans.append({"kind": "media_text_alt", "text": l,
+                          "media_ref": "img://x/1/0", "offset": off})
+            off += 1
+        return {"doc_id": doc_id, "spans": spans}
+
+    body = [f"INVOICE# {100 + k} TOTAL {k}.00" for k in range(12)]
+    docs = [
+        # near-tie: same length, alt line 0 carries an extra amount → wins
+        doc("schlage/tie.pdf", body, [body[0] + " 47.50"] + body[1:]),
+        # near-tie: alt line 0 degraded (digits -> O) → base line kept
+        doc("schlage/tie2.pdf", body,
+            ["".join("O" if c.isdigit() else c for c in body[0])] + body[1:]),
+        # big gap: sparse secondary → argmax keeps primary
+        doc("schlage/gap.pdf", body, ["~"]),
+        # primary blank: secondary is used verbatim
+        doc("schlage/only2.pdf", [], body),
+        # secondary longer: base switches to engine 2
+        doc("schlage/long.pdf", body, body + ["SCAN REF 321", "FEED MARK 9"]),
+    ]
+    df = with_assembled_text(spark.createDataFrame(docs, schema=DOC_SCHEMA))
+    got = {r["doc_id"]: r["ocr_route_text"]
+           for r in df.select("doc_id", "ocr_route_text").collect()}
+    for d in docs:
+        assert got[d["doc_id"]] == O.select_ocr_text(d["spans"]), d["doc_id"]
+
+    # branch spot-checks (against hand-derived expectations)
+    assert "47.50" in got["schlage/tie.pdf"]                  # alt line won
+    assert "INVOICE# 100" in got["schlage/tie2.pdf"]          # degraded alt lost
+    assert "OOO" not in got["schlage/tie2.pdf"]
+    assert got["schlage/gap.pdf"].count("INVOICE#") == 12     # argmax kept e1
+    assert "~" not in got["schlage/gap.pdf"]
+    assert got["schlage/only2.pdf"].count("INVOICE#") == 12   # e2 verbatim
+    assert got["schlage/long.pdf"].endswith("FEED MARK 9")    # base switched
