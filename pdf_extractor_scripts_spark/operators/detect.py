@@ -135,14 +135,14 @@ def with_assembled_text(df: DataFrame) -> DataFrame:
 
 
 def _content_score(vendor: str) -> Column:
-    """+0.3 per content-pattern hit, +0.1 per keyword, cap 1.0
-    (vendor_detector.py:120-143)."""
+    """+0.3 per content-pattern hit (re.IGNORECASE), +0.1 per lowercased
+    keyword, cap 1.0 (vendor_detector.py:120-143)."""
     hits = sum(
-        F.when(F.col("all_text").rlike(p), 1).otherwise(0)
+        F.when(F.col("all_text").rlike(f"(?i){p}"), 1).otherwise(0)
         for p in C.CONTENT_PATTERNS[vendor]
     )
     kws = sum(
-        F.when(F.col("all_text").contains(k), 1).otherwise(0)
+        F.when(F.lower(F.col("all_text")).contains(k.lower()), 1).otherwise(0)
         for k in C.CONTENT_KEYWORDS[vendor]
     )
     return F.least(F.lit(0.3) * hits + F.lit(0.1) * kws, F.lit(1.0))
@@ -151,11 +151,14 @@ def _content_score(vendor: str) -> Column:
 def with_vendor(df: DataFrame) -> DataFrame:
     """P1-P3: filename rlike chain + content scoring + combine cascade
     (vendor_detector.py:88-221)."""
+    # case-insensitive like the reference (vendor_detector.py:98-104
+    # matches the lowercased filename with re.IGNORECASE); full doc_id is
+    # our filename analog (the ^vendor/ prefixes need the path)
     file_vendor = F.lit(None).cast("string")
     for vendor, pats in reversed(list(C.FILENAME_PATTERNS.items())):
         cond = F.lit(False)
         for p in pats:
-            cond = cond | F.col("doc_id").rlike(p)
+            cond = cond | F.col("doc_id").rlike(f"(?i){p}")
         file_vendor = F.when(cond, F.lit(vendor)).otherwise(file_vendor)
     df = df.withColumn("file_vendor", file_vendor).withColumn(
         "file_conf", F.when(F.col("file_vendor").isNotNull(), 0.8).otherwise(0.0)
@@ -191,7 +194,11 @@ def with_vendor(df: DataFrame) -> DataFrame:
         .when(F.col("content_conf") > 0, F.col("content_conf"))
         .otherwise(F.lit(0.0))
     )
-    conf = F.when(agree, F.least(base + 0.1, F.lit(1.0))).otherwise(base)
+    # agreement: min(filename_conf + content_conf, 1.0) — the reference's
+    # formula (vendor_detector.py:195-198), not a flat +0.1 boost
+    conf = F.when(
+        agree, F.least(F.col("file_conf") + F.col("content_conf"), F.lit(1.0))
+    ).otherwise(base)
     drop = [f"score_{v}" for v in vendors]
     return df.withColumn("vendor_conf", F.round(conf, 4)).drop(*drop)
 

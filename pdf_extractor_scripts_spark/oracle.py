@@ -53,22 +53,30 @@ class OutSpan:
 # Detection + routing
 # ---------------------------------------------------------------------------
 def detect_vendor(doc_id: str, all_text: str) -> tuple[str, float]:
+    # case-insensitive matching throughout, like the reference
+    # (vendor_detector.py:98-104 IGNORECASE filename, :121-141 IGNORECASE
+    # content patterns + lowercased keywords)
     file_vendor, file_conf = None, 0.0
     for vendor, pats in C.FILENAME_PATTERNS.items():
-        if any(re.search(p, doc_id) for p in pats):
+        if any(re.search(p, doc_id, re.IGNORECASE) for p in pats):
             file_vendor, file_conf = vendor, 0.8  # vendor_detector.py:95-105
             break
 
+    lower_text = all_text.lower()
     best_vendor, best_score = None, 0.0
     for vendor in C.CONTENT_PATTERNS:
-        hits = sum(1 for p in C.CONTENT_PATTERNS[vendor] if re.search(p, all_text))
-        kws = sum(1 for k in C.CONTENT_KEYWORDS[vendor] if k in all_text)
+        hits = sum(
+            1 for p in C.CONTENT_PATTERNS[vendor]
+            if re.search(p, all_text, re.IGNORECASE)
+        )
+        kws = sum(1 for k in C.CONTENT_KEYWORDS[vendor] if k.lower() in lower_text)
         score = min(0.3 * hits + 0.1 * kws, 1.0)  # vendor_detector.py:120-143
         if score > best_score:
             best_vendor, best_score = vendor, score
 
     # combine: content >=0.6 wins, else filename >=0.5, else low-conf content
-    # (vendor_detector.py:155-221); agreement boosts by 0.1 capped at 1.0.
+    # (vendor_detector.py:155-221); agreement → min(file + content, 1.0)
+    # (vendor_detector.py:195-198).
     if best_score >= 0.6:
         vendor, conf = best_vendor, best_score
     elif file_conf >= 0.5 and file_vendor:
@@ -78,7 +86,7 @@ def detect_vendor(doc_id: str, all_text: str) -> tuple[str, float]:
     else:
         vendor, conf = "generic", 0.0
     if file_vendor and best_vendor == file_vendor and vendor != "generic":
-        conf = min(conf + 0.1, 1.0)
+        conf = min(file_conf + best_score, 1.0)
     return vendor, round(conf, 4)
 
 

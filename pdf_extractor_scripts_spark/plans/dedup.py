@@ -31,7 +31,14 @@ from ..functions.portable import (
     shingle_hashes_sql,
 )
 
-_K = 8  # minhash signature width; 2 bands of 4 hashes
+# MinHash geometry. The ORACLE-CHECKED default stays k=8 / 2 bands (tiny
+# signatures DuckDB can re-derive cheaply at gate scale); production tuning
+# is a parameter, not a rewrite — minhash_signatures/lsh_candidate_pairs take
+# any (k, bands) with k % bands == 0 and k <= len(MINHASH_PARAMS)=16, and the
+# plan shape (map-side-combined signature agg → band-key equi-join → full-
+# signature verify) is IDENTICAL at k=128/16 bands; only column count grows.
+_K = 8
+_BANDS = 2
 
 
 def _shingle_rows(spark, sf_dir: str):
@@ -111,45 +118,43 @@ def _minhash_oracle() -> str:
     """
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=_minhash_oracle(),
-    doc="MinHash (k=8 universal hashes over 3-gram shingles) + LSH banding "
-        "(2 bands × 4 rows): explode signatures into band keys, equi-join "
-        "buckets (shuffle on band key — never the O(n²) pair space), then "
-        "verify candidates with the full signature at est-Jaccard >= 0.75. "
-        "The oracle states the same semantics as a predicate join, which "
-        "DuckDB can afford at oracle scale.",
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(spark, sf_dir: str, k: int = _K) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) — map-side-combined min-hash aggregation over
+    the shingle rows; one shuffle on doc_id, signature width is a column
+    count, not a plan change."""
+    assert k <= len(MINHASH_PARAMS), f"k={k} exceeds the hash family"
     rows = _shingle_rows(spark, sf_dir)
-    sig = rows.groupBy("doc_id").agg(
+    return rows.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD_SHINGLE)).alias(f"mh{i}")
-            for i, (a, b) in enumerate(MINHASH_PARAMS[:_K])
+            for i, (a, b) in enumerate(MINHASH_PARAMS[:k])
         ]
     )
-    sig.cache()
 
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("band_id"),
-                    F.concat_ws(",", "mh0", "mh1", "mh2", "mh3").alias("band_key"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band_id"),
-                    F.concat_ws(",", "mh4", "mh5", "mh6", "mh7").alias("band_key"),
-                ),
-            )
-        ).alias("band"),
+
+def lsh_candidate_pairs(sig: DataFrame, k: int = _K, bands: int = _BANDS) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs: docs sharing at least one LSH band.
+    Explode each signature into `bands` (band_id, band_key) rows, equi-join
+    on the band — the shuffle key is the band key, so each bucket joins
+    locally and the O(n²) pair space is never materialized."""
+    assert k % bands == 0, "k must divide evenly into bands"
+    rows_per_band = k // bands
+    band_structs = [
+        F.struct(
+            F.lit(t).alias("band_id"),
+            F.concat_ws(
+                ",", *[f"mh{t * rows_per_band + j}" for j in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for t in range(bands)
+    ]
+    bands_df = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -160,18 +165,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
-    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_K)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_K)])
+
+def minhash_lsh_pairs(
+    spark, sf_dir: str, k: int = _K, bands: int = _BANDS, threshold: float = 0.75
+) -> DataFrame:
+    """Full MinHash+LSH dedup: signatures → band candidates → full-signature
+    estimate verify. Parameterized geometry; same plan at any (k, bands)."""
+    sig = minhash_signatures(spark, sf_dir, k)
+    sig.cache()
+    pairs = lsh_candidate_pairs(sig, k, bands)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
     est = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_K)
-    ) / F.lit(8.0)
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    ) / F.lit(float(k))
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("est_jaccard", F.round(est, 4))
-        .filter(F.col("est_jaccard") >= 0.75)
+        .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc="MinHash (k=8 universal hashes over 3-gram shingles) + LSH banding "
+        "(2 bands × 4 rows): explode signatures into band keys, equi-join "
+        "buckets (shuffle on band key — never the O(n²) pair space), then "
+        "verify candidates with the full signature at est-Jaccard >= 0.75. "
+        "Geometry is parameterized (minhash_lsh_pairs takes any k/bands up "
+        "to k=16 from the hash family; k=128/16 at production is the same "
+        "plan); the oracle checks the k=8/2 default. The oracle states the "
+        "same semantics as a predicate join, which DuckDB can afford at "
+        "oracle scale.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(spark, sf_dir, k=_K, bands=_BANDS)
 
 
 # --------------------------------------------------------------------------
@@ -226,64 +257,72 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Blocked n-gram Jaccard
 # --------------------------------------------------------------------------
 def _jaccard_sql(dialect: str) -> str:
+    """Exact Jaccard VERIFY over LSH candidate pairs (docs sharing a MinHash
+    band) — never an all-pairs or coarse-block self-join: a popular (lang,
+    n_chars) block is quadratic at 100 TB, while band buckets stay small by
+    construction (same-band ⇒ near-identical signature prefix)."""
     sh = shingle_hashes_sql("text", dialect)
+    mh = minhash_sql("text", dialect, k=_K)
+    sig_cols = ", ".join(f"cast({e} as bigint) AS mh{i}" for i, e in enumerate(mh))
+    band0 = " AND ".join(f"a.mh{i} = b.mh{i}" for i in range(4))
+    band1 = " AND ".join(f"a.mh{i} = b.mh{i}" for i in range(4, 8))
     if dialect == "spark":
         distinct = f"array_distinct({sh})"
-        inter = "size(array_intersect(a.s, b.s))"
-        union = "size(array_union(a.s, b.s))"
+        inter = "size(array_intersect(sa.s, sb.s))"
+        union = "size(array_union(sa.s, sb.s))"
     else:
         distinct = f"list_distinct({sh})"
-        inter = "len(list_intersect(a.s, b.s))"
-        union = "len(list_distinct(a.s || b.s))"
+        inter = "len(list_intersect(sa.s, sb.s))"
+        union = "len(list_distinct(sa.s || sb.s))"
     return f"""
-    WITH sh AS (SELECT doc_id, lang, n_chars, {distinct} AS s FROM documents),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    WITH sig AS (SELECT doc_id, {sig_cols} FROM documents),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id AND (({band0}) OR ({band1}))
+    ),
+    sh AS (SELECT doc_id, {distinct} AS s FROM documents),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
              cast({inter} as double) / {union} AS jac
-      FROM sh a JOIN sh b
-        ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
     )
     SELECT doc_a, doc_b, round(jac, 4) AS jaccard
-    FROM pairs WHERE jac >= 0.5
+    FROM verified WHERE jac >= 0.5
     """
 
 
 @register(
     "dedup_ngram_jaccard",
     oracle=_jaccard_sql("duckdb"),
-    doc="Exact 3-gram Jaccard similarity within (lang, n_chars) blocks — "
-        "the verification stage that follows LSH candidate generation. "
-        "Blocking keys bound each join bucket so the pair space stays "
-        "linear-ish; set sizes via array_intersect/array_union (distinct "
-        "semantics on both engines).",
+    doc="Exact 3-gram Jaccard as the VERIFY stage over MinHash-LSH candidate "
+        "pairs: band-bucket equi-join generates candidates (bounded buckets "
+        "at any scale), exact set intersection/union verifies them at "
+        ">= 0.5. Replaces the earlier (lang, n_chars)-blocked self-join, "
+        "whose hot blocks were quadratic at 100 TB.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # candidates from the same LSH band join dedup_minhash_lsh uses
+    sig = minhash_signatures(spark, sf_dir, _K)
+    pairs = lsh_candidate_pairs(sig, _K, _BANDS)
     # shingle sets via explode + collect_set (codegen'd hash + hash agg)
     # instead of interpreted per-element HOFs; set order is irrelevant to
     # the intersection/union sizes the oracle checks.
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     sh = (
         _shingle_rows(spark, sf_dir)
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("s"))
-        .join(d, "doc_id")
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
-    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size(F.array_union("s_a", "s_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.n_chars") == F.col("b.n_chars"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (inter.cast("double") / union).alias("jac_raw"),
-        )
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jac_raw", inter.cast("double") / union)
         .filter(F.col("jac_raw") >= 0.5)  # filter BEFORE rounding (oracle does)
         .select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard"))
     )
@@ -319,15 +358,62 @@ def _dot(dialect: str, a: str, b: str) -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Multi-table random-hyperplane sign-LSH over embeddings (shared by the
+# embedding near-dup verify and ann_lsh_topk). Hyperplane weights are a
+# deterministic integer lattice w(t,b,i) = ((i*3 + b*5 + t*11) % 7) - 3 so
+# both engines derive bit-identical signatures (at production scale you'd
+# broadcast genuinely random Gaussian planes; the plan is unchanged).
+# --------------------------------------------------------------------------
+SIGNLSH_TABLES = 2
+SIGNLSH_BITS = 8  # per table → 2×8 = 16 signature bits total
+
+
+def _plane_dot(dialect: str, t: int, b: int) -> str:
+    w = f"(((i*3 + {b}*5 + {t}*11) % 7) - 3)"
+    if dialect == "spark":
+        return (
+            f"aggregate(transform(sequence(1, size(embedding)), "
+            f"i -> cast(element_at(embedding, i) as double) * cast({w} as double)), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_transform(generate_series(1, len(embedding)), "
+        f"i -> embedding[i]::DOUBLE * ({w})::DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def signlsh_bucket_sql(dialect: str, t: int, bits: int = SIGNLSH_BITS) -> str:
+    """Integer bucket id for table t: `bits` sign bits packed into an int."""
+    return "(" + " + ".join(
+        f"(CASE WHEN ({_plane_dot(dialect, t, b)}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    ) + ")"
+
+
 def _embcos_sql(dialect: str) -> str:
-    dot = _dot(dialect, "a", "b")
+    dot = _dot(dialect, "ea", "eb")
+    buckets = ", ".join(
+        f"{signlsh_bucket_sql(dialect, t)} AS b{t}" for t in range(SIGNLSH_TABLES)
+    )
+    cand_selects = "\n      UNION\n".join(
+        f"      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b\n"
+        f"      FROM sigd a JOIN sigd b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
+        for t in range(SIGNLSH_TABLES)
+    )
     return f"""
-    WITH {_emb_cte(dialect)}
+    WITH {_emb_cte(dialect)},
+    sigd AS (SELECT vec_id, embedding, nrm, {buckets} FROM e),
+    cand AS (
+{cand_selects}
+    )
     SELECT doc_a, doc_b, cos_sim
     FROM (
-      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-             round(({dot}) / (a.nrm * b.nrm), 6) AS cos_sim
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      SELECT c.doc_a, c.doc_b,
+             round(({dot}) / (ea.nrm * eb.nrm), 6) AS cos_sim
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.doc_a
+      JOIN e eb ON eb.vec_id = c.doc_b
     )
     WHERE cos_sim >= 0.3
     """
@@ -336,11 +422,12 @@ def _embcos_sql(dialect: str) -> str:
 @register(
     "dedup_embedding_cosine",
     oracle=_embcos_sql("duckdb"),
-    doc="Embedding-cosine near-duplicate candidates, blocked by class label "
-        "(the ANN-free verification path): sequential-fold dot product over "
-        "the float32 vectors cast to double — identical accumulation order "
-        "on both engines, rounded to 6 decimals. At scale the label block "
-        "is the shuffle key; within-block pairs are partition-local.",
+    doc="Embedding-cosine near-dup as the VERIFY stage over multi-table "
+        "sign-LSH candidates (2 tables × 8 hyperplane sign bits): candidates "
+        "= same bucket in ANY table (UNION of per-table equi-joins — each a "
+        "co-partitioned shuffle join, never an OR-join/BNLJ), then exact "
+        "cosine >= 0.3 on candidates only. Replaces the label-blocked "
+        "all-pairs self-join, quadratic within hot labels at 100 TB.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .registry import register, load_table
-from .dedup import _emb_cte, _dot
+from .dedup import _emb_cte, _dot, signlsh_bucket_sql, SIGNLSH_TABLES
 
 
 # --------------------------------------------------------------------------
@@ -57,39 +57,39 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# LSH-bucketed approximate top-k (sign-signature hyperplane buckets)
+# Multi-table sign-LSH approximate top-k (2 tables × 8 hyperplane sign bits)
 # --------------------------------------------------------------------------
 def _lsh_sql(dialect: str) -> str:
-    dot = _dot(dialect, "q", "c")
-    if dialect == "spark":
-        sig = (
-            "(CASE WHEN cast(element_at(embedding, 1) as double) > 0 THEN 4 ELSE 0 END"
-            " + CASE WHEN cast(element_at(embedding, 2) as double) > 0 THEN 2 ELSE 0 END"
-            " + CASE WHEN cast(element_at(embedding, 3) as double) > 0 THEN 1 ELSE 0 END)"
-        )
-    else:
-        sig = (
-            "(CASE WHEN embedding[1]::DOUBLE > 0 THEN 4 ELSE 0 END"
-            " + CASE WHEN embedding[2]::DOUBLE > 0 THEN 2 ELSE 0 END"
-            " + CASE WHEN embedding[3]::DOUBLE > 0 THEN 1 ELSE 0 END)"
-        )
+    dot = _dot(dialect, "ea", "eb")
+    buckets = ", ".join(
+        f"{signlsh_bucket_sql(dialect, t)} AS b{t}" for t in range(SIGNLSH_TABLES)
+    )
+    cand_selects = "\n      UNION\n".join(
+        f"      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id\n"
+        f"      FROM q JOIN sigd c ON q.b{t} = c.b{t} AND q.vec_id <> c.vec_id"
+        for t in range(SIGNLSH_TABLES)
+    )
     return f"""
     WITH {_emb_cte(dialect)},
-    sigd AS (SELECT vec_id, label, embedding, nrm, {sig} AS bucket FROM e),
+    sigd AS (SELECT vec_id, embedding, nrm, {buckets} FROM e),
     q AS (SELECT * FROM sigd WHERE vec_id < 32),
-    c AS (SELECT * FROM sigd),
+    cand AS (
+{cand_selects}
+    ),
     scored AS (
-      SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
-             round(({dot}) / (q.nrm * c.nrm), 6) AS cos_sim
-      FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      SELECT c.query_id, c.neighbor_id,
+             round(({dot}) / (ea.nrm * eb.nrm), 6) AS cos_sim
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.query_id
+      JOIN e eb ON eb.vec_id = c.neighbor_id
     ),
     ranked AS (
-      SELECT query_id, bucket, neighbor_id, cos_sim,
+      SELECT query_id, neighbor_id, cos_sim,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos_sim DESC, neighbor_id) AS rn
       FROM scored
     )
-    SELECT query_id, bucket, neighbor_id, cos_sim, cast(rn as bigint) AS rank
+    SELECT query_id, neighbor_id, cos_sim, cast(rn as bigint) AS rank
     FROM ranked WHERE rn <= 3
     """
 
@@ -97,10 +97,14 @@ def _lsh_sql(dialect: str) -> str:
 @register(
     "ann_lsh_topk",
     oracle=_lsh_sql("duckdb"),
-    doc="Approximate k-NN: random-hyperplane-style LSH (3 sign bits of the "
-        "leading dimensions → 8 buckets), probes only scan their bucket. "
-        "The bucket id is the equi-join/shuffle key — at 100 TB each bucket "
-        "is a co-partitioned join, not a cross join.",
+    doc="Approximate k-NN via MULTI-TABLE sign-LSH: 2 independent tables of "
+        "8 hyperplane sign bits each (16 signature bits total; deterministic "
+        "integer-lattice planes so both engines agree bit-for-bit). Probes "
+        "union the per-table bucket equi-joins — each a co-partitioned "
+        "shuffle join on its bucket id — then exact-score only the "
+        "candidates. At 100 TB a probe touches ~corpus/256 per table, not "
+        "corpus/8 as the old single-table 3-bit variant did; recall is "
+        "recovered by the second table, the standard LSH recall/cost knob.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")

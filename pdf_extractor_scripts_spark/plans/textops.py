@@ -146,7 +146,7 @@ def _p3_sql(dialect: str) -> str:
     SELECT decided AS vendor,
            count(*) AS n_docs,
            cast(round(avg(CASE WHEN content_class = file_class
-                          THEN least(base_conf + 0.1, 1.0)
+                          THEN least(file_conf + content_conf, 1.0)
                           ELSE base_conf END), 4) as double) AS avg_conf
     FROM combined GROUP BY decided
     """
@@ -156,9 +156,9 @@ def _p3_sql(dialect: str) -> str:
     "p3_decision_combine",
     oracle=_p3_sql("duckdb"),
     doc="Combine filename + content detectors: content wins at conf>=0.6, "
-        "else filename at >=0.5, else low-confidence content; agreement "
-        "boosts confidence by 0.1 capped at 1.0 "
-        "(vendor_detector.py:155-221). Pure when/otherwise cascade.",
+        "else filename at >=0.5, else low-confidence content; agreement → "
+        "min(filename_conf + content_conf, 1.0) "
+        "(vendor_detector.py:155-221, :195-198). Pure when/otherwise cascade.",
 )
 def p3_decision_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")

@@ -1,0 +1,135 @@
+"""Scale-path knobs: parameterized MinHash geometry (k=16/4 bands must give
+the same answers as an independent Python reference — the plan is identical
+to the k=8/2 oracle-checked default, only wider), sign-LSH multi-table
+candidate generation, and the HLL sketch's agreement with its exact twin."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+
+from pdf_extractor_scripts_spark.functions.portable import (
+    MINHASH_PARAMS,
+    MOD_SHINGLE,
+)
+from pdf_extractor_scripts_spark.plans.dedup import (
+    lsh_candidate_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+
+
+def _python_minhash_lsh(texts: dict[str, str], k: int, bands: int, thr: float):
+    """Independent reference implementation (plain Python, no Spark)."""
+    sigs = {}
+    for doc_id, text in texts.items():
+        hs = {
+            (ord(text[i]) * 961 + ord(text[i + 1]) * 31 + ord(text[i + 2]))
+            % MOD_SHINGLE
+            for i in range(len(text) - 2)
+        }
+        if not hs:
+            continue
+        sigs[doc_id] = [
+            min((a * h + b) % MOD_SHINGLE for h in hs)
+            for a, b in MINHASH_PARAMS[:k]
+        ]
+    rows = k // bands
+    buckets: dict[tuple, list[str]] = {}
+    for doc_id, sig in sigs.items():
+        for t in range(bands):
+            key = (t, tuple(sig[t * rows : (t + 1) * rows]))
+            buckets.setdefault(key, []).append(doc_id)
+    cand = set()
+    for docs in buckets.values():
+        docs = sorted(docs)
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                cand.add((docs[i], docs[j]))
+    out = set()
+    for a, b in cand:
+        est = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y) / float(k)
+        if round(est, 4) >= thr:
+            out.add((a, b, round(est, 4)))
+    return out
+
+
+def test_minhash_parameterized_k16_matches_python_reference(spark):
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    )
+    expected = _python_minhash_lsh(texts, k=16, bands=4, thr=0.75)
+    got = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in minhash_lsh_pairs(spark, SF_DIR, k=16, bands=4).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_minhash_band_join_is_equi_join_at_any_k(spark):
+    """The LSH candidate join must shuffle on the band key (SortMergeJoin /
+    ShuffledHashJoin with an equality key), never a cartesian/BNLJ — at any
+    signature width."""
+    for k, bands in ((8, 2), (16, 4)):
+        sig = minhash_signatures(spark, SF_DIR, k)
+        pairs = lsh_candidate_pairs(sig, k, bands)
+        plan = pairs._sc._jvm.PythonSQLUtils.explainString(
+            pairs._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in plan, (k, bands)
+        assert "BroadcastNestedLoopJoin" not in plan, (k, bands)
+
+
+def test_hll_sketch_within_rsd_of_exact_twin(spark):
+    """sketch_approx_distinct (HLL++, rsd=1%) must agree with the exact
+    count(DISTINCT) twin within a generous multiple of the rsd bound —
+    the sketch is no longer 'rows-only, never value-checked'."""
+    from pdf_extractor_scripts_spark.plans.scalepath import sketch_approx_distinct
+    from pdf_extractor_scripts_spark.plans.analytics import a8_event_stats
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in sketch_approx_distinct(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in a8_event_stats(spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        # rsd=0.01; allow 5 sigma plus integer slack for tiny groups
+        tol = max(5, 5 * 0.01 * n)
+        assert abs(approx[et] - n) <= tol, (et, approx[et], n)
+
+
+def test_quantile_sketch_within_rank_error_of_exact(spark):
+    """approx_percentile returns an actual order statistic (the exact twin
+    interpolates), so the right tolerance is RANK error: the sketch's value
+    must sit within a small rank band around the target quantile."""
+    from pdf_extractor_scripts_spark.plans.scalepath import sketch_approx_quantiles
+
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in sketch_approx_quantiles(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    values: dict[str, list[float]] = {}
+    for et, v in con.execute(
+        f"SELECT event_type, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall():
+        values.setdefault(et, []).append(v)
+    assert set(approx) == set(values)
+    for et, (a50, a90, a99) in approx.items():
+        vs = sorted(values[et])
+        n = len(vs)
+        for target, av in ((0.5, a50), (0.9, a90), (0.99, a99)):
+            # empirical rank of the sketch's value
+            rank = sum(1 for v in vs if v <= av) / n
+            # accuracy=10000 → rank error ~1e-4; allow discreteness slack
+            assert abs(rank - target) <= max(0.02, 1.5 / n), (et, target, av, rank)
