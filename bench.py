@@ -128,22 +128,111 @@ def main() -> None:
     ext_sec = min(ext_times)
     timings["extract_pipeline"] = round(ext_sec, 3)
     docs_per_sec = round(n_docs / ext_sec, 2)
+
+    # LSH bucket-size telemetry (no silent caps): the similarity family's
+    # scale story rests on bounded buckets — report the actual maxima.
+    bucket_stats = _bucket_stats(spark)
     spark.stop()
 
-    print(
-        json.dumps(
-            {
-                "metric": "end-to-end extraction throughput (synthetic interleaved spans corpus) + headline query suite",
-                "value": docs_per_sec,
-                "unit": "docs/sec",
-                "queries": timings,
-                "sf": sf,
-                "extract_docs": n_docs,
-                "query_suite_sec": round(sum(v for k, v in timings.items() if k != "extract_pipeline"), 3),
-                "cpus": CPUS,
-            }
+    prev = _prev_round_queries()
+    out = {
+        "metric": "end-to-end extraction throughput (synthetic interleaved spans corpus) + headline query suite",
+        "value": docs_per_sec,
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": sf,
+        "extract_docs": n_docs,
+        "query_suite_sec": round(sum(v for k, v in timings.items() if k != "extract_pipeline"), 3),
+        "cpus": CPUS,
+        "lsh_bucket_stats": bucket_stats,
+    }
+    if prev:
+        out["prev_round_queries"] = prev
+    print(json.dumps(out))
+    _append_trend_table(sf, timings, prev, docs_per_sec, bucket_stats)
+
+
+def _bucket_stats(spark) -> dict:
+    """Max/mean bucket occupancy for the MinHash band buckets and the
+    sign-LSH tables at the bench SF — the quantity that must stay bounded
+    for the candidate-join plans to survive a 100x scale-up."""
+    try:
+        import pyspark.sql.functions as F
+
+        from pdf_extractor_scripts_spark.plans.dedup import (
+            SIGNLSH_TABLES,
+            lsh_candidate_pairs,  # noqa: F401 (import proves the path)
+            minhash_signatures,
+            signlsh_bucket_sql,
         )
-    )
+        from pdf_extractor_scripts_spark.plans.registry import load_table
+
+        sig = minhash_signatures(spark, SF_DIR, 8)
+        bands = sig.select(
+            F.concat_ws(",", "mh0", "mh1", "mh2", "mh3").alias("b")
+        ).union(sig.select(F.concat_ws(",", "mh4", "mh5", "mh6", "mh7")))
+        mh = bands.groupBy("b").count().agg(
+            F.max("count").alias("mx"), F.round(F.avg("count"), 2).alias("avg")
+        ).first()
+
+        load_table(spark, SF_DIR, "embeddings").createOrReplaceTempView("embeddings")
+        stats = {}
+        for t in range(SIGNLSH_TABLES):
+            r = spark.sql(
+                f"SELECT max(c) mx, round(avg(c), 2) avg FROM ("
+                f"SELECT {signlsh_bucket_sql('spark', t)} AS b, count(*) c "
+                f"FROM embeddings GROUP BY 1)"
+            ).first()
+            stats[f"signlsh_t{t}"] = {"max": int(r["mx"]), "avg": float(r["avg"])}
+        return {
+            "minhash_band": {"max": int(mh["mx"]), "avg": float(mh["avg"])},
+            **stats,
+        }
+    except Exception as e:  # telemetry must never fail the bench
+        return {"error": str(e)[:200]}
+
+
+def _prev_round_queries() -> dict:
+    """Latest BENCH_r*.json per-query timings (driver-written), for the
+    round-over-round trend table."""
+    import glob
+    import re as _re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    best_n, prev = -1, {}
+    for fn in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", fn)
+        if not m:
+            continue
+        try:
+            parsed = json.load(open(fn)).get("parsed") or {}
+            q = parsed.get("queries") or {}
+        except Exception:
+            continue
+        # only comparable at the SAME scale factor
+        if q and parsed.get("sf") == _sf_name() and int(m.group(1)) > best_n:
+            best_n, prev = int(m.group(1)), q
+    return {"round": best_n, "queries": prev} if prev else {}
+
+
+def _append_trend_table(sf, timings, prev, docs_per_sec, bucket_stats) -> None:
+    root = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(os.path.join(root, "BENCH"), exist_ok=True)
+    with open(os.path.join(root, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(f"\n## Headline run ({sf}, {CPUS} slots): {docs_per_sec} docs/sec"
+                f" extraction\n\n")
+        if prev:
+            f.write(f"| query | r{prev['round']} sec | this run sec | ratio |\n")
+            f.write("|---|---|---|---|\n")
+            for name, t in timings.items():
+                p = prev["queries"].get(name)
+                ratio = round(t / p, 2) if p else "new"
+                f.write(f"| {name} | {p if p is not None else '—'} | {t} | {ratio} |\n")
+        else:
+            f.write("| query | sec |\n|---|---|\n")
+            for name, t in timings.items():
+                f.write(f"| {name} | {t} |\n")
+        f.write(f"\nLSH bucket occupancy: `{json.dumps(bucket_stats)}`\n")
 
 
 def _burn(iters: int) -> int:

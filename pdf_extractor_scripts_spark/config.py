@@ -81,7 +81,12 @@ FIELD_BANKS: dict[str, dict[str, list[str]]] = {
         "vendor.name": [r"(Ceco Door Products)"],
         "vendor.phone": [r"\((\d{3})\) (\d{3})-(\d{4})"],
         "totals.discount": [r"YOU MAY DEDUCT A DISCOUNT OF \$\s*([\d,]+\.\d{2})"],
-        "totals.subtotal": [r"YOU MAY DEDUCT A DISCOUNT OF \$\s*[\d,]+\.\d{2}\s+([\d,]+\.\d{2})"],
+        # combined line first (ceco_processor.py:616-621); 'TOTAL SALE:'
+        # fallback (:622-628)
+        "totals.subtotal": [
+            r"YOU MAY DEDUCT A DISCOUNT OF \$\s*[\d,]+\.\d{2}\s+([\d,]+\.\d{2})",
+            r"([\d,]+\.\d{2})\s+TOTAL SALE:",
+        ],
         "totals.freight": [r"FREIGHT CHARGE\s+([\d,]+\.\d{2})"],
         "payment.terms": [r"(\d+% \d+ DAYS, NET \d+)"],
         "shipping.tracking": [r"SHIPMENT TRACKING NUMBER\s+([A-Z0-9]+)"],
@@ -228,11 +233,15 @@ SCHLAGE_ITEM = (
     r"(\d+)\s+(\d+)\s+(\d+)\s+(\S+)\s+\|(.+?)\|\s+([A-Z]{3} \d{1,2})\s+"
     r"([\d,]+\.\d{2})\s+([\d.]+)/(\d{2})\s+([\d,]+\.\d{2})$"
 )
-SCHLAGE_WAYBILL_WINDOW = 8  # schlage_processor.py:1415
-SCHLAGE_WAYBILL_FULL = r"^(1Z[A-Z0-9]{16})$"
-SCHLAGE_WAYBILL_SPLIT_A = r"^(1Z[A-Z0-9]{5,11})$"   # OCR-split first half
-SCHLAGE_WAYBILL_SPLIT_B = r"^([A-Z0-9]{5,11})$"      # continuation line
-SCHLAGE_FREIGHT_TERMS = r"^(PREPAY & ADD|PREPAID|COLLECT)$"
+SCHLAGE_WAYBILL_WINDOW = 8  # schlage_processor.py:1415 (i+1 .. i+8, EOF-bounded only)
+SCHLAGE_WAYBILL_BASE = r"1Z[A-Z0-9]{13,16}"   # searched anywhere (:1420)
+SCHLAGE_WAYBILL_FULL = r"1Z[A-Z0-9]{16}"      # complete-form findall (:1441)
+SCHLAGE_WAYBILL_CONT = r"^(\d{2,4})"          # continuation, next 2 lines (:1427)
+SCHLAGE_WAYBILL_MIN_BASE = 15                 # base alone kept iff >= 15 chars (:1437)
+SCHLAGE_FEDEX_KEYWORDS = ["FEDEX", "FDX"]     # :1447-1452
+SCHLAGE_FEDEX_NUMBER = r"\d{12,14}"
+# freight terms: first line containing any keyword, whole line (:1455-1458)
+SCHLAGE_FREIGHT_KEYWORDS = ["PREPAY", "COLLECT", "FOB", "FREIGHT", "SHIPPING"]
 # schlage_processor.py:1908-1920 derived-totals quirk: when totals lines are
 # missing, surcharge = 2% and shipping = 3% of subtotal.
 SCHLAGE_SURCHARGE_RATIO = 0.02

@@ -98,8 +98,19 @@ def _ceco_lines(rng: random.Random, n_items: int) -> list[list[str]]:
                 f"{rng.randint(100, 999)}.{rng.randint(100, 999)} "
                 f"{rng.randint(10, 99)}.000 {_money(rng, 100, 999)} {_money(rng, 100, 999)}"
             )
-    totals = [
-        f"YOU MAY DEDUCT A DISCOUNT OF $ {_money(rng, 10, 999)} {_money(rng, 1000, 99999)}",
+    if rng.random() < 0.8:
+        # combined discount+subtotal line (ceco_processor.py:616-621)
+        totals_head = [
+            f"YOU MAY DEDUCT A DISCOUNT OF $ {_money(rng, 10, 999)} {_money(rng, 1000, 99999)}",
+        ]
+    else:
+        # fallback form: discount alone + 'TOTAL SALE:' subtotal
+        # (ceco_processor.py:622-634)
+        totals_head = [
+            f"YOU MAY DEDUCT A DISCOUNT OF $ {_money(rng, 10, 999)}",
+            f"{_money(rng, 1000, 99999)} TOTAL SALE:",
+        ]
+    totals = totals_head + [
         f"FREIGHT CHARGE {_money(rng, 10, 999)}",
         "2% 30 DAYS, NET 60",
         f"SHIPMENT TRACKING NUMBER 25UTS{rng.randint(100000, 999999)}",
@@ -219,10 +230,14 @@ def _schlage_lines(rng: random.Random, n_items: int, variant: str) -> list[list[
             f"{_money(rng, 50, 500)} {rng.randint(10, 99)}.{rng.randint(10, 99)}/00 "
             f"{_money(rng, 1000, 9999)}"
         )
-        wb = "".join(rng.choice("0123456789ABCDEFGHJKLMNPQRSTUVWXYZ") for _ in range(16))
+        # 16-char body whose tail is digits so the OCR-split form matches the
+        # reference's continuation grammar ^(\d{2,4}) (schlage_processor.py:1427)
+        wb = "".join(
+            rng.choice("0123456789ABCDEFGHJKLMNPQRSTUVWXYZ") for _ in range(13)
+        ) + f"{rng.randint(100, 999)}"
         if rng.random() < 0.4:
-            items.append(f"1Z{wb[:8]}")   # OCR-split continuation case
-            items.append(wb[8:])
+            items.append(f"1Z{wb[:13]}")  # OCR-split: base = 1Z + 13 chars
+            items.append(wb[13:])         # continuation: 3 digits
         else:
             items.append(f"1Z{wb}")
         items.append("PREPAY & ADD")

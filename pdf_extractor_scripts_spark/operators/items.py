@@ -54,10 +54,10 @@ _SC_PRICE = re.compile(C.STEELCRAFT_PRICING_DETAIL)
 _SC_DISC = re.compile(C.STEELCRAFT_DISCOUNT_LINE)
 
 _SH_ITEM = re.compile(C.SCHLAGE_ITEM)
+_SH_WB_BASE = re.compile(C.SCHLAGE_WAYBILL_BASE)
 _SH_WB_FULL = re.compile(C.SCHLAGE_WAYBILL_FULL)
-_SH_WB_A = re.compile(C.SCHLAGE_WAYBILL_SPLIT_A)
-_SH_WB_B = re.compile(C.SCHLAGE_WAYBILL_SPLIT_B)
-_SH_FT = re.compile(C.SCHLAGE_FREIGHT_TERMS)
+_SH_WB_CONT = re.compile(C.SCHLAGE_WAYBILL_CONT)
+_SH_FEDEX = re.compile(C.SCHLAGE_FEDEX_NUMBER)
 _SH_SKIP = [re.compile(p) for p in C.SCHLAGE_INFO_SKIP]
 
 _GEN_ITEM = re.compile(C.GENERIC_ITEM)
@@ -100,12 +100,16 @@ def ceco_items(lines: list[str]) -> list[dict]:
         seen.add((line_no, code))
         pairs = [("line", line_no), ("plant", plant), ("code", code),
                  ("ord", qty_ord), ("shp", qty_shp)]
+        # BO validity (text_pdf_processor.py:2405-2414): invalid third number
+        # folds into the description and bo derives from ord - shp (floor 0)
+        fold_prefix = ""
         if bo is not None and int(qty_ord) == int(qty_shp) + int(bo):
             pairs.append(("bo", bo))
         else:
-            pairs.append(("bo", ""))
+            derived = int(qty_ord) - int(qty_shp)
+            pairs.append(("bo", str(derived if derived > 0 else 0)))
             if bo is not None:
-                pairs.append(("bofold", bo))
+                fold_prefix = bo + " "
         marks, priced = [], False
         for j in range(lo, hi):
             got = cls.get(j)
@@ -114,8 +118,8 @@ def ceco_items(lines: list[str]) -> list[dict]:
             kind, mm = got
             if kind == "price" and not priced:
                 desc, lst, disc, net, ext = mm.groups()
-                pairs += [("desc", desc), ("list", lst), ("disc", disc),
-                          ("net", net), ("ext", ext)]
+                pairs += [("desc", fold_prefix + desc), ("list", lst),
+                          ("disc", disc), ("net", net), ("ext", ext)]
                 priced = True
             elif kind == "comp":
                 pairs.append(("comp", f"{mm.group(1)}:{mm.group(5)}"))
@@ -198,8 +202,32 @@ def _info_ok(line: str) -> bool:
 
 
 def schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
+    """Classify-once twin of oracle._schlage_items (semantics:
+    schlage_processor.py:1385-1553): every line is classified a single time
+    into (waybill base, complete forms, fedex numbers, freight flag,
+    continuation digits, info-ok); items then gather over their i+1..i+8
+    EOF-bounded windows — the reference does NOT stop at the next item."""
     headers = [(i, m) for i, l in enumerate(lines) if (m := _SH_ITEM.match(l))]
-    idxs = [i for i, _ in headers]
+
+    cls = []
+    for l in lines:
+        bm = _SH_WB_BASE.search(l)
+        upper = l.upper()
+        fedex = (
+            [t for t in _SH_FEDEX.findall(l) if len(t) >= 12]
+            if any(kw in upper for kw in C.SCHLAGE_FEDEX_KEYWORDS)
+            else []
+        )
+        cm = _SH_WB_CONT.match(l)
+        cls.append({
+            "base": bm.group(0) if bm else None,
+            "fulls": _SH_WB_FULL.findall(l),
+            "fedex": fedex,
+            "freight": any(kw in upper for kw in C.SCHLAGE_FREIGHT_KEYWORDS),
+            "cont": cm.group(1) if cm else None,
+            "info": _info_ok(l),
+        })
+
     items = []
     for h, (idx, m) in enumerate(headers):
         g = m.groups()
@@ -208,27 +236,40 @@ def schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
                  ("code", g[6]), ("desc", g[7]), ("ship", g[8]),
                  ("list", g[9]), ("disc", g[10]), ("dcode", g[11]),
                  ("unit", unit), ("ext", g[12])]
-        nxt = idxs[h + 1] if h + 1 < len(idxs) else len(lines)
-        hi = min(nxt, idx + 1 + C.SCHLAGE_WAYBILL_WINDOW)
+        hi = min(idx + 1 + C.SCHLAGE_WAYBILL_WINDOW, len(lines))
+        way_bills: list[str] = []
+        freight = None
         info: list[str] = []
-        j = idx + 1
-        while j < hi:
-            l = lines[j]
-            if (wm := _SH_WB_FULL.match(l)):
-                pairs.append(("waybill", wm.group(1)))
-            elif (am := _SH_WB_A.match(l)) and j + 1 < len(lines):
-                rest = am.group(1)[2:]
-                nm = _SH_WB_B.match(lines[j + 1])
-                if nm and len(rest) + len(nm.group(1)) == 16:
-                    pairs.append(("waybill", "1Z" + rest + nm.group(1)))
-                    j += 1
-                elif _info_ok(l):
-                    info.append(l)
-            elif _SH_FT.match(l):
-                pairs.append(("freight", _SH_FT.match(l).group(1)))
-            elif _info_ok(l):
-                info.append(l)
-            j += 1
+        for j in range(idx + 1, hi):
+            c = cls[j]
+            if c["base"]:
+                cont = next(
+                    (cls[k]["cont"] for k in range(j + 1, min(j + 3, len(lines)))
+                     if cls[k]["cont"]),
+                    None,
+                )
+                if cont:
+                    full = c["base"] + cont
+                    if full not in way_bills:
+                        way_bills.append(full)
+                elif (c["base"] not in way_bills
+                      and len(c["base"]) >= C.SCHLAGE_WAYBILL_MIN_BASE):
+                    way_bills.append(c["base"])
+            for t in c["fulls"]:
+                if t not in way_bills:
+                    way_bills.append(t)
+            for t in c["fedex"]:
+                if t not in way_bills:
+                    way_bills.append(t)
+            if c["freight"]:
+                if freight is None:
+                    freight = lines[j]
+            elif not c["base"] and c["info"]:
+                info.append(lines[j])
+        if freight is not None:
+            pairs.append(("freight", freight))
+        for wb in way_bills:
+            pairs.append(("waybill", wb))
         for inf in _dedupe_keep_order(info):
             pairs.append(("info", inf))
         items.append({"line": g[3], "serialized": _serialize(pairs), "marks": []})

@@ -315,16 +315,19 @@ def _ceco_items(lines: list[str]) -> list[dict]:
         if key in seen:  # dedupe (text_pdf_processor.py:1718-1735)
             continue
         seen.add(key)
-        # BO validity: qty_ord == qty_shp + bo else fold
+        # BO validity: qty_ord == qty_shp + bo; else the number is NOT a BO —
+        # fold it into the description and derive bo = ord - shp (floor 0)
         # (text_pdf_processor.py:2405-2414)
         pairs = [("line", line_no), ("plant", plant), ("code", code),
                  ("ord", qty_ord), ("shp", qty_shp)]
+        fold_prefix = ""
         if bo is not None and int(qty_ord) == int(qty_shp) + int(bo):
             pairs.append(("bo", bo))
         else:
-            pairs.append(("bo", ""))
+            derived = int(qty_ord) - int(qty_shp)
+            pairs.append(("bo", str(derived if derived > 0 else 0)))
             if bo is not None:
-                pairs.append(("bofold", bo))
+                fold_prefix = bo + " "
 
         end = headers[h + 1][0] if h + 1 < len(headers) else len(lines)
         end = min(end, idx + 1 + C.CECO_SCAN_WINDOW)
@@ -334,8 +337,8 @@ def _ceco_items(lines: list[str]) -> list[dict]:
             l = lines[j]
             if not priced and (pm := price_re.match(l)) and not comp_re.match(l):
                 desc, lst, disc, net, ext = pm.groups()
-                pairs += [("desc", desc), ("list", lst), ("disc", disc),
-                          ("net", net), ("ext", ext)]
+                pairs += [("desc", fold_prefix + desc), ("list", lst),
+                          ("disc", disc), ("net", net), ("ext", ext)]
                 priced = True
                 continue
             if (cm := comp_re.match(l)):
@@ -427,12 +430,17 @@ def _steelcraft_items(lines: list[str]) -> list[dict]:
 
 def _schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
     """schlage_processor.py:1385-1716 + surcharge synthesis :1505-1553 and
-    split-waybill rejoin :1420-1438."""
+    split-waybill rejoin :1419-1452 (faithful semantics: base pattern
+    1Z[A-Z0-9]{13,16} searched anywhere in the line, digit continuation
+    ^(\\d{2,4}) sought over the NEXT TWO lines, base kept alone iff >= 15
+    chars, plus the complete-form findall and FedEx keyword branch; the
+    scan window is i+1..i+8 bounded only by EOF — the reference does NOT
+    stop at the next item, so a waybill can attach to two items)."""
     item_re = re.compile(C.SCHLAGE_ITEM)
+    wb_base = re.compile(C.SCHLAGE_WAYBILL_BASE)
     wb_full = re.compile(C.SCHLAGE_WAYBILL_FULL)
-    wb_a = re.compile(C.SCHLAGE_WAYBILL_SPLIT_A)
-    wb_b = re.compile(C.SCHLAGE_WAYBILL_SPLIT_B)
-    ft_re = re.compile(C.SCHLAGE_FREIGHT_TERMS)
+    wb_cont = re.compile(C.SCHLAGE_WAYBILL_CONT)
+    fedex_re = re.compile(C.SCHLAGE_FEDEX_NUMBER)
     skip_res = [re.compile(p) for p in C.SCHLAGE_INFO_SKIP]
 
     hits = [(i, m) for i, l in enumerate(lines) if (m := item_re.match(l))]
@@ -449,27 +457,41 @@ def _schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
                  ("code", code), ("desc", desc), ("ship", ship_date),
                  ("list", list_price), ("disc", disc), ("dcode", disc_code),
                  ("unit", unit), ("ext", ext)]
-        end = hits[h + 1][0] if h + 1 < len(hits) else len(lines)
-        end = min(end, idx + 1 + C.SCHLAGE_WAYBILL_WINDOW)
+        end = min(idx + 1 + C.SCHLAGE_WAYBILL_WINDOW, len(lines))
+        way_bills: list[str] = []
+        freight = None
         info: list[str] = []
-        j = idx + 1
-        while j < end:
+        for j in range(idx + 1, end):
             l = lines[j]
-            if (wm := wb_full.match(l)):
-                pairs.append(("waybill", wm.group(1)))
-            elif (am := wb_a.match(l)) and j + 1 < len(lines):
-                rest = am.group(1)[2:]
-                nm = wb_b.match(lines[j + 1])
-                if nm and len(rest) + len(nm.group(1)) == 16:
-                    pairs.append(("waybill", "1Z" + rest + nm.group(1)))
-                    j += 1
+            bm = wb_base.search(l)
+            if bm:
+                base = bm.group(0)
+                for k in range(j + 1, min(j + 3, len(lines))):
+                    cm = wb_cont.match(lines[k])
+                    if cm:
+                        full = base + cm.group(1)
+                        if full not in way_bills:
+                            way_bills.append(full)
+                        break
                 else:
-                    _maybe_info(l, skip_res, info)
-            elif (fm := ft_re.match(l)):
-                pairs.append(("freight", fm.group(1)))
-            else:
+                    if base not in way_bills and len(base) >= C.SCHLAGE_WAYBILL_MIN_BASE:
+                        way_bills.append(base)
+            for t in wb_full.findall(l):
+                if t not in way_bills:
+                    way_bills.append(t)
+            if any(kw in l.upper() for kw in C.SCHLAGE_FEDEX_KEYWORDS):
+                for t in fedex_re.findall(l):
+                    if t not in way_bills and len(t) >= 12:
+                        way_bills.append(t)
+            if any(kw in l.upper() for kw in C.SCHLAGE_FREIGHT_KEYWORDS):
+                if freight is None:  # first freight line only (:1455-1458)
+                    freight = l
+            elif not bm:
                 _maybe_info(l, skip_res, info)
-            j += 1
+        if freight is not None:
+            pairs.append(("freight", freight))
+        for wb in way_bills:
+            pairs.append(("waybill", wb))
         for inf in _dedupe_keep_order(info):
             pairs.append(("info", inf))
         items.append({"line": order_line, "serialized": _serialize(pairs),

@@ -8,18 +8,27 @@ from __future__ import annotations
 import pandas as pd
 
 from pdf_extractor_scripts_spark import oracle as O
+from pdf_extractor_scripts_spark.operators import items as I
 from pdf_extractor_scripts_spark.operators.kernel import extract_fields_batch
 
 
 def test_ceco_bo_folding_valid_and_invalid():
-    # text_pdf_processor.py:2405-2414: bo valid iff qty_ord == qty_shp + bo
+    # text_pdf_processor.py:2405-2414: bo valid iff qty_ord == qty_shp + bo;
+    # an invalid third number folds into the description and qty_bo derives
+    # from ord - shp (floor 0)
     lines = [
         "001 572 FR3PC 3 2 1",   # 3 == 2+1 → bo kept
-        "002 572 FR4PC 5 2 1",   # 5 != 2+1 → bo folded
+        "002 572 FR4PC 5 2 1",   # 5 != 2+1 → folded, bo = 5-2 = 3
+        "3 PIECE FRAME 829.000 54.871 374.11 374.12",
+        "003 572 FR5PC 2 2 7",   # 2 != 2+7 → folded, bo = max(0, 2-2) = 0
     ]
-    items = O._ceco_items(lines)
-    assert "bo=1" in items[0]["serialized"]
-    assert "bo=|bofold=1" in items[1]["serialized"]
+    for impl in (O._ceco_items, I.ceco_items):
+        items = impl(lines)
+        assert "bo=1" in items[0]["serialized"], impl
+        assert "bo=3" in items[1]["serialized"], impl
+        # the invalid number is prepended to the description (ref :2412)
+        assert "desc=1 3 PIECE FRAME" in items[1]["serialized"], impl
+        assert "bo=0" in items[2]["serialized"], impl
 
 
 def test_ceco_scan_window_bounded_and_next_header():
@@ -43,16 +52,44 @@ def test_ceco_dedupe_keeps_first():
 
 
 def test_schlage_split_waybill_rejoin():
-    # schlage_processor.py:1420-1438: only rejoin when the halves complete
-    # a 16-char body
+    # schlage_processor.py:1419-1445: base = 1Z[A-Z0-9]{13,16} anywhere,
+    # digit continuation ^(\d{2,4}) within the NEXT TWO lines; base alone
+    # kept iff >= 15 chars
     item = ("SCHLAGE UPS EXP 1 111 111 X*1 |D| FEB 28 85.00 54.64/00 4,280.16")
-    good = [item, "1Z59R8R803", "49403012"]
-    items = O._schlage_items(good, {})
-    assert "waybill=1Z59R8R80349403012" in items[0]["serialized"]
+    base = "1Z59R8R803494ABC"  # 1Z + 14 chars → base form, len 16 >= 15
 
-    bad = [item, "1Z59R8R803", "494030123"]  # 8+9 = 17 ≠ 16
-    items = O._schlage_items(bad, {})
-    assert "waybill=" not in items[0]["serialized"]
+    for impl in (O._schlage_items, I.schlage_items):
+        good = [item, base, "012"]
+        items = impl(good, {})
+        assert "waybill=1Z59R8R803494ABC012" in items[0]["serialized"], impl
+
+        # continuation may be one line further (ref scans j+1..j+2)
+        skip = [item, base, "PREPAY & ADD", "012"]
+        items = impl(skip, {})
+        assert "waybill=1Z59R8R803494ABC012" in items[0]["serialized"], impl
+
+        # no continuation: base >= 15 chars is kept alone
+        alone = [item, base, "PREPAY & ADD", "HANDLE WITH CARE PLEASE"]
+        items = impl(alone, {})
+        assert "waybill=1Z59R8R803494ABC|" in items[0]["serialized"] + "|", impl
+
+        # too-short base with no continuation is dropped (1Z + 13 = 15 is
+        # the floor; this one is below the base pattern entirely)
+        short = [item, "1Z59R8R803", "NO DIGITS HERE"]
+        items = impl(short, {})
+        assert "waybill=" not in items[0]["serialized"], impl
+
+
+def test_schlage_waybill_window_crosses_next_item():
+    # the reference scan is i+1..i+8 bounded only by EOF — a waybill in the
+    # window but after the NEXT item attaches to BOTH items
+    item1 = "SCHLAGE UPS EXP 1 111 111 X*1 |D| FEB 28 85.00 54.64/00 4,280.16"
+    item2 = "LCN UPS EXP 2 111 111 Y*1 |E| FEB 28 85.00 54.64/00 1,000.00"
+    wb = "1Z59R8R80349403012"  # full form
+    for impl in (O._schlage_items, I.schlage_items):
+        items = impl([item1, item2, wb], {})
+        assert f"waybill={wb}" in items[0]["serialized"], impl
+        assert f"waybill={wb}" in items[1]["serialized"], impl
 
 
 def test_schlage_surcharge_synthesis_only_single_item():

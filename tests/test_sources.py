@@ -64,7 +64,7 @@ def test_binary_source_shape(spark, tmpdir):
 def test_pdf_roundtrip_all_fixture_docs():
     """S2-S4 parse for real: every fixture doc rendered to actual PDF bytes
     (classic xref, FlateDecode streams) parses back to the identical span
-    sequence — kinds, text, media_refs, rules, order, offsets. media_text
+    sequence — kinds, text, media_refs, rules, order, offsets. media_text/media_text_alt
     sidecars are OCR ground truth and by physical necessity absent from PDF
     bytes (the pixels hold that text, not the content stream)."""
     from pdf_extractor_scripts_spark.sources.pdfparse import (
@@ -75,7 +75,8 @@ def test_pdf_roundtrip_all_fixture_docs():
     for d in make_corpus(60, seed=42):
         pdf = spans_to_pdf(d["spans"])
         got = parse_pdf_spans(pdf, d["doc_id"])
-        exp = [s for s in d["spans"] if s["kind"] != "media_text"]
+        exp = [s for s in d["spans"]
+               if s["kind"] not in ("media_text", "media_text_alt")]
         exp = [dict(s, offset=i) for i, s in enumerate(exp)]
         key = lambda s: (s["kind"], s["text"], s["media_ref"], s["offset"])
         assert [key(s) for s in got] == [key(s) for s in exp], d["doc_id"]
@@ -112,7 +113,7 @@ def test_pdf_binary_ingestion_end_to_end_matches_spans_table(spark, tmpdir):
 
     docs = [
         d for d in make_corpus(40, seed=42)
-        if not any(s["kind"] == "media_text" for s in d["spans"])
+        if not any(s["kind"] in ("media_text", "media_text_alt") for s in d["spans"])
     ]
     assert len(docs) >= 10
     os.makedirs(f"{tmpdir}/pdfs", exist_ok=True)
