@@ -46,6 +46,34 @@ def committed_outputs(spark: SparkSession, ckpt_dir: str) -> DataFrame:
     )
 
 
+def backup_outputs(
+    spark: SparkSession, ckpt_dir: str, label: str, backup_dir: str | None = None
+) -> str:
+    """S9 backup sink (output_consolidator.py:412-430: timestamped backup
+    folder before consolidation): snapshot the COMMITTED outputs into
+    ``<ckpt_dir>/backups/<label>`` as a self-contained parquet table plus a
+    manifest of the checkpoint rows that define the snapshot. ``label``
+    plays the reference's `{pdf_name}_{timestamp}` role — the caller stamps
+    it (deterministic for tests, wall-clock in production). On Iceberg this
+    entire function is a table snapshot / time-travel tag; over parquet the
+    copy is explicit. Returns the snapshot path."""
+    backup_root = backup_dir or os.path.join(ckpt_dir, "backups")
+    dest = os.path.join(backup_root, label)
+    committed_outputs(spark, ckpt_dir).write.mode("errorifexists").partitionBy(
+        "partition_key"
+    ).parquet(os.path.join(dest, "out_spans"))
+    ck = spark.read.parquet(os.path.join(ckpt_dir, "checkpoints"))
+    ck.filter(F.col("status") == "done").write.mode("errorifexists").parquet(
+        os.path.join(dest, "manifest")
+    )
+    return dest
+
+
+def restore_backup(spark: SparkSession, backup_path: str) -> DataFrame:
+    """Read a snapshot written by backup_outputs."""
+    return spark.read.parquet(os.path.join(backup_path, "out_spans"))
+
+
 def committed_metrics(spark: SparkSession, ckpt_dir: str) -> DataFrame:
     """metrics restricted to committed attempts (same manifest semi-join as
     committed_outputs) — uncommitted attempts must not double-count."""

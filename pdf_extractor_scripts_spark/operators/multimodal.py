@@ -99,17 +99,27 @@ def _stub_decode(payload: bytes) -> list[float]:
     return [h / total for h in hist]
 
 
-def decode_media(media: DataFrame, deterministic_stub: bool = True) -> DataFrame:
+def decode_media(
+    media: DataFrame,
+    deterministic_stub: bool = True,
+    decoder=None,
+) -> DataFrame:
     """binary payload → feature vector via Arrow-batched mapInPandas.
 
-    ``deterministic_stub=False`` is the production slot for a real decoder
-    (PIL / torchaudio / pyav); it raises until one is wired in.
+    ``decoder`` is the production engine slot: any picklable callable
+    ``bytes -> list[float]`` (PIL pixel stats, torchaudio spectrogram, …) —
+    it rides into the closure exactly like the extraction banks do, so the
+    distributed plan never changes when a real engine is wired in. With no
+    decoder, ``deterministic_stub=True`` uses the seeded byte-histogram fake
+    and ``False`` raises (no image/audio libraries ship in this sandbox).
     """
-    if not deterministic_stub:
-        raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present "
-            "in this environment; wire a decoder into _stub_decode's slot"
-        )
+    if decoder is None:
+        if not deterministic_stub:
+            raise NotImplementedError(
+                "real media decoding requires image/audio libraries not "
+                "present in this environment; pass decoder= to wire one in"
+            )
+        decoder = _stub_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -118,7 +128,7 @@ def decode_media(media: DataFrame, deterministic_stub: bool = True) -> DataFrame
                     "media_ref": pdf["media_ref"],
                     "modality": [m["modality"] for m in pdf["meta"]],
                     "n_bytes": [len(p) for p in pdf["payload"]],
-                    "feature": [_stub_decode(bytes(p)) for p in pdf["payload"]],
+                    "feature": [decoder(bytes(p)) for p in pdf["payload"]],
                 }
             )
 

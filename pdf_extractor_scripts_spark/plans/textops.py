@@ -560,3 +560,134 @@ def _topterms_sql(dialect: str) -> str:
 def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_topterms_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# §2.9 TF-IDF field-context detector (schlage_processor.py:554-624)
+# --------------------------------------------------------------------------
+_TFIDF_PATTERNS = [
+    # (field_type, pid, pattern) — MLFieldDetector._build_field_patterns
+    ("invoice_number", 0, "invoice number"), ("invoice_number", 1, "invoice #"),
+    ("invoice_number", 2, "invoice no"), ("invoice_number", 3, "inv no"),
+    ("invoice_number", 4, "document number"),
+    ("invoice_date", 0, "invoice date"), ("invoice_date", 1, "date"),
+    ("invoice_date", 2, "inv date"), ("invoice_date", 3, "document date"),
+    ("invoice_date", 4, "billing date"),
+    ("customer_info", 0, "bill to"), ("customer_info", 1, "customer"),
+    ("customer_info", 2, "sold to"), ("customer_info", 3, "client"),
+    ("customer_info", 4, "buyer"),
+    ("vendor_info", 0, "seller"), ("vendor_info", 1, "vendor"),
+    ("vendor_info", 2, "from"), ("vendor_info", 3, "supplier"),
+    ("vendor_info", 4, "company"),
+    ("line_items", 0, "description"), ("line_items", 1, "item"),
+    ("line_items", 2, "product"), ("line_items", 3, "service"),
+    ("line_items", 4, "qty"), ("line_items", 5, "quantity"),
+    ("line_items", 6, "price"), ("line_items", 7, "amount"),
+    ("totals", 0, "total"), ("totals", 1, "subtotal"),
+    ("totals", 2, "amount due"), ("totals", 3, "balance"),
+    ("totals", 4, "sum"), ("totals", 5, "grand total"),
+]
+# the handful of sklearn-english stopwords that occur in the pattern bank;
+# a deterministic stand-in for TfidfVectorizer(stop_words='english')
+_TFIDF_STOP = ["to", "the", "a", "of", "and", "in", "for", "on", "by", "from"]
+_TFIDF_THRESHOLD = 0.05  # ref uses 0.3 on short invoice LINES; our gate
+# substrate is whole documents, whose long vectors dilute cosine — the
+# shape (idf over patterns+units, cosine, threshold, top-5) is identical.
+
+
+def _tfidf_sql(dialect: str) -> str:
+    stop = ", ".join(f"'{w}'" for w in _TFIDF_STOP)
+    vals = ", ".join(f"('{ft}', {pid}, '{pt}')" for ft, pid, pt in _TFIDF_PATTERNS)
+    if dialect == "spark":
+        pat = f"SELECT * FROM VALUES {vals} AS t(field_type, pid, ptext)"
+        tok = (f"filter(split(lower(utext), '[^a-z0-9]+'), "
+               f"x -> x <> '' AND NOT array_contains(array({stop}), x))")
+        toks_src = f"""
+      SELECT field_type, uid, is_doc, doc_id, token
+      FROM units LATERAL VIEW explode({tok}) t AS token
+        """
+        cast_pid = "cast(pid as string)"
+        cast_doc = "cast(d.doc_id as string)"
+    else:
+        pat = f"SELECT * FROM (VALUES {vals}) t(field_type, pid, ptext)"
+        tok = (f"list_filter(regexp_split_to_array(lower(utext), '[^a-z0-9]+'), "
+               f"x -> x <> '' AND NOT list_contains([{stop}], x))")
+        toks_src = f"""
+      SELECT field_type, uid, is_doc, doc_id, unnest({tok}) AS token
+      FROM units
+        """
+        cast_pid = "cast(pid as varchar)"
+        cast_doc = "cast(d.doc_id as varchar)"
+    return f"""
+    WITH pat AS ({pat}),
+    units AS (
+      SELECT field_type, concat('P', {cast_pid}) AS uid, ptext AS utext,
+             0 AS is_doc, cast(null as bigint) AS doc_id
+      FROM pat
+      UNION ALL
+      SELECT p.field_type, concat('D', {cast_doc}), d.text, 1, d.doc_id
+      FROM documents d CROSS JOIN (SELECT DISTINCT field_type FROM pat) p
+    ),
+    toks AS (
+      SELECT field_type, uid, is_doc, doc_id, token, count(*) AS tf
+      FROM ({toks_src})
+      GROUP BY field_type, uid, is_doc, doc_id, token
+    ),
+    nn AS (SELECT field_type, count(*) AS n FROM units GROUP BY field_type),
+    df AS (
+      SELECT field_type, token, count(*) AS df
+      FROM (SELECT DISTINCT field_type, uid, token FROM toks)
+      GROUP BY field_type, token
+    ),
+    w AS (
+      SELECT t.field_type, t.uid, t.is_doc, t.doc_id, t.token,
+             t.tf * (ln((1.0 + nn.n) / (1.0 + df.df)) + 1.0) AS w
+      FROM toks t
+      JOIN nn ON nn.field_type = t.field_type
+      JOIN df ON df.field_type = t.field_type AND df.token = t.token
+    ),
+    nrm AS (
+      SELECT field_type, uid, sqrt(sum(w * w)) AS nrm
+      FROM w GROUP BY field_type, uid
+    ),
+    sim AS (
+      SELECT p.field_type, l.doc_id,
+             sum(p.w * l.w) / (np.nrm * nl.nrm) AS cos
+      FROM w p
+      JOIN w l ON l.field_type = p.field_type AND l.token = p.token
+             AND p.is_doc = 0 AND l.is_doc = 1
+      JOIN nrm np ON np.field_type = p.field_type AND np.uid = p.uid
+      JOIN nrm nl ON nl.field_type = l.field_type AND nl.uid = l.uid
+      GROUP BY p.field_type, p.uid, l.doc_id, np.nrm, nl.nrm
+    ),
+    best AS (
+      SELECT field_type, doc_id, max(cos) AS cos
+      FROM sim GROUP BY field_type, doc_id
+    )
+    SELECT field_type, doc_id, round(cos, 4) AS sim, cast(rn as bigint) AS rank
+    FROM (
+      SELECT field_type, doc_id, cos,
+             row_number() OVER (PARTITION BY field_type
+                                ORDER BY round(cos, 4) DESC, doc_id) AS rn
+      FROM best WHERE cos > {_TFIDF_THRESHOLD}
+    )
+    WHERE rn <= 5
+    """
+
+
+@register(
+    "f16_tfidf_field_context",
+    oracle=_tfidf_sql("duckdb"),
+    doc="TF-IDF field-context detector (schlage_processor.py:554-624 "
+        "MLFieldDetector): per field type, vectorize the pattern bank + the "
+        "text units with tf * (ln((1+N)/(1+df)) + 1) and l2 norms, score "
+        "cosine(pattern, unit), keep units above threshold, top-5 by "
+        "similarity. Unit = whole document on the gate substrate (the "
+        "reference scores invoice LINES; threshold scaled accordingly, "
+        "same shape). All joins/aggs native — the idf is a broadcast-sized "
+        "dimension, the pattern-unit join is an equi-join on (field_type, "
+        "token).",
+)
+def f16_tfidf_field_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_tfidf_sql("spark"))

@@ -88,6 +88,41 @@ def test_crash_between_data_and_checkpoint_write_is_invisible(spark, ckpt_dir):
     assert mx.filter(F.col("metric") == "docs").agg(F.sum("value")).first()[0] == 20
 
 
+def test_backup_sink_snapshots_committed_outputs(spark, ckpt_dir):
+    """S9 (output_consolidator.py:412-430): the backup is a self-contained
+    snapshot of the COMMITTED outputs — orphan attempts excluded — plus the
+    manifest; restoring it reproduces the table."""
+    import pyspark.sql.functions as F2
+
+    from pdf_extractor_scripts_spark.operators.checkpoint import (
+        backup_outputs,
+        restore_backup,
+    )
+
+    docs = corpus_df(spark, n_docs=16, seed=42)
+    n = run_with_checkpoint(spark, docs, ckpt_dir, run_id="r1")
+    assert n == 16
+    # plant an orphan attempt that the snapshot must exclude
+    out = spark.read.parquet(f"{ckpt_dir}/out_spans")
+    out.withColumn("attempt_id", F2.lit("dead")).write.mode("append").partitionBy(
+        "partition_key"
+    ).parquet(f"{ckpt_dir}/out_spans")
+
+    dest = backup_outputs(spark, ckpt_dir, label="snap_0001")
+    back = restore_backup(spark, dest)
+    assert back.count() == 16
+    assert back.select("doc_id").distinct().count() == 16
+    assert back.filter(F2.col("attempt_id") == "dead").count() == 0
+    manifest = spark.read.parquet(f"{dest}/manifest")
+    assert manifest.count() > 0 and set(manifest.columns) >= {
+        "run_id", "partition_key", "attempt_id", "status"}
+    # snapshots are immutable: a second backup under the same label refuses
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        backup_outputs(spark, ckpt_dir, label="snap_0001")
+
+
 def test_checkpoint_key_stable_across_parallelism(spark):
     """Bucket ids must not depend on physical partitioning (SURVEY.md
     §7.3(4)) — same doc_id → same partition_key at any parallelism."""

@@ -113,6 +113,17 @@ def test_multimodal_plumbing(spark):
     with pytest.raises(NotImplementedError):
         decode_media(media, deterministic_stub=False)
 
+    # ...but the engine slot itself is exercised by a fake engine object:
+    # a custom decoder callable rides the closure to executors and its
+    # output shape flows through the same distributed plan
+    def fake_engine(payload: bytes) -> list[float]:
+        return [float(len(payload)), float(payload[0]) if payload else 0.0]
+
+    feats3 = {r["media_ref"]: r["feature"]
+              for r in decode_media(media, decoder=fake_engine).collect()}
+    for ref, feat in feats3.items():
+        assert len(feat) == 2 and feat[0] == float(len(ref))  # payload = ref bytes
+
 
 def test_frame_sampling_plan(spark):
     docs = corpus_df(spark, n_docs=20, seed=42)
@@ -175,6 +186,7 @@ def test_stateful_session_operator(spark, tmpdir):
     per_user = {}
     for r in ev.collect():
         per_user.setdefault(r["user_id"], []).append(r["es"])
+    max_ts = max(es for ts in per_user.values() for es in ts)
     exp = set()
     for uid, ts_list in per_user.items():
         ts_list.sort()
@@ -188,6 +200,10 @@ def test_stateful_session_operator(spark, tmpdir):
             else:
                 last = es
                 n += 1
-        # final session stays open in the stream → excluded
+        # final session: flushed by the EVENT-TIME TIMEOUT iff the stream's
+        # final watermark (max event time - GAP) passed its last + GAP;
+        # otherwise it stays open in state
+        if max_ts - 1800 > last + 1800:
+            sessions.append((uid, start, last, n))
         exp.update(sessions)
     assert got == exp
