@@ -117,12 +117,24 @@ def main() -> None:
     ext_times = [run_extraction(spark, n_docs)]
 
     timings: dict[str, float] = {}
+    suite_t0 = time.time()
     for i, name in enumerate(HEADLINE):
         t0 = time.time()
         _force(qspecs[name].spark(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
         if i == len(HEADLINE) // 2:
             ext_times.append(run_extraction(spark, n_docs, warmup=False))
+
+    # this VM's noise comes in multi-minute windows with 3-4x swings; if the
+    # first pass was quick enough, run a second pass and keep per-query
+    # minima so the trend table compares capability, not weather
+    if time.time() - suite_t0 < 240:
+        spark.catalog.clearCache()  # drop query-internal caches: each pass
+        # must measure the full cold plan, not pass-1's cached signatures
+        for name in HEADLINE:
+            t0 = time.time()
+            _force(qspecs[name].spark(spark, SF_DIR))
+            timings[name] = min(timings[name], round(time.time() - t0, 3))
 
     ext_times.append(run_extraction(spark, n_docs, warmup=False))
     ext_sec = min(ext_times)

@@ -62,3 +62,25 @@ def test_scan_stages_are_codegen(spark):
         assert "*(1)" in simple  # whole-stage codegen span over the scan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark):
+    """Scale audit across EVERY registered query: a Window with no
+    PARTITION BY moves the entire input into one task to rank — the q3
+    round-1 regression. Global top-k must compile to TakeOrderedAndProject
+    (orderBy + limit), and every remaining window must carry partition
+    columns. windowspecdefinition(...) lists partition cols BEFORE the
+    ordering spec, so a spec whose first argument already carries ASC/DESC
+    has an empty partitioning."""
+    import re
+
+    bad = {}
+    for name, spec in all_queries().items():
+        df = spec.spark(spark, SF_DIR)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", logical):
+            first_arg = m.group(1).split(",")[0].strip()
+            if re.search(r"\b(ASC|DESC)\b", first_arg):
+                bad[name] = m.group(0)[:120]
+                break
+    assert not bad, f"unpartitioned windows: {bad}"
