@@ -241,13 +241,16 @@ class PdfDocument:
         if sx < 0:
             raise ValueError("no startxref — not a PDF or truncated")
         start = int(data[sx + len(b"startxref"):].split()[0])
-        offsets: dict[int, int] = {}
+        offsets: dict[int, object] = {}
         trailer: dict = {}
         seen = set()
         pos = start
         while pos is not None and pos not in seen:
             seen.add(pos)
-            section_offsets, section_trailer = self._read_xref_section(pos)
+            if re.compile(rb"xref\s").match(data, pos):
+                section_offsets, section_trailer = self._read_xref_section(pos)
+            else:
+                section_offsets, section_trailer = self._read_xref_stream(pos)
             for num, off in section_offsets.items():
                 offsets.setdefault(num, off)  # newest (first-seen) wins
             for k, v in section_trailer.items():
@@ -256,12 +259,60 @@ class PdfDocument:
             pos = int(prev) if prev is not None else None
         return offsets, trailer
 
+    def _read_xref_stream(self, pos: int):
+        """PDF 1.5+ cross-reference STREAM (/Type /XRef): binary entries of
+        /W-specified field widths over the /Index subsections. Type 1 =
+        direct offset; type 2 = (object-stream number, index within it)."""
+        data = self.data
+        m = re.compile(rb"(\d+)\s+(\d+)\s+obj\s*").match(data, pos)
+        if not m:
+            raise ValueError(f"no xref table or xref stream at offset {pos}")
+        lx = _Lexer(data, m.end())
+        attrs = _parse_value(lx)
+        if attrs.get("Type") != "XRef":
+            raise ValueError("object at startxref is not an /XRef stream")
+        lx._skip_ws()
+        if data[lx.pos : lx.pos + 6] != b"stream":
+            raise ValueError("XRef object has no stream payload")
+        p = lx.pos + 6
+        if data[p : p + 2] == b"\r\n":
+            p += 2
+        elif data[p : p + 1] == b"\n":
+            p += 1
+        length = int(attrs["Length"]) if not isinstance(attrs["Length"], Ref) else 0
+        payload = _decode_stream(_Stream(attrs, data[p : p + length]))
+        w = [int(x) for x in attrs["W"]]
+        index = attrs.get("Index") or [0, int(attrs["Size"])]
+        row = sum(w)
+        offsets: dict[int, object] = {}
+        pos_in = 0
+
+        def field(buf, start, width, default):
+            if width == 0:
+                return default
+            return int.from_bytes(buf[start : start + width], "big")
+
+        for s in range(0, len(index), 2):
+            first, count = int(index[s]), int(index[s + 1])
+            for k in range(count):
+                buf = payload[pos_in : pos_in + row]
+                pos_in += row
+                typ = field(buf, 0, w[0], 1)
+                f2 = field(buf, w[0], w[1], 0)
+                f3 = field(buf, w[0] + w[1], w[2], 0)
+                num = first + k
+                if typ == 1:
+                    offsets[num] = f2
+                elif typ == 2:
+                    offsets[num] = ("objstm", f2, f3)
+                # typ 0: free — skip
+        return offsets, attrs
+
     def _read_xref_section(self, pos: int):
         data = self.data
         m = re.compile(rb"xref\s+").match(data, pos)
         if not m:
-            raise ValueError(f"expected classic xref table at {pos} "
-                             "(xref streams not supported)")
+            raise ValueError(f"expected classic xref table at {pos}")
         i = m.end()
         offsets: dict[int, int] = {}
         sub_re = re.compile(rb"(\d+)\s+(\d+)\s*")
@@ -293,6 +344,10 @@ class PdfDocument:
         if obj.num in self._cache:
             return self._cache[obj.num]
         off = self.offsets[obj.num]
+        if isinstance(off, tuple):  # ("objstm", container_num, index)
+            val = self._get_from_objstm(off[1], off[2])
+            self._cache[obj.num] = val
+            return val
         m = re.compile(rb"(\d+)\s+(\d+)\s+obj\s*").match(self.data, off)
         if not m:
             raise ValueError(f"no object header at offset {off}")
@@ -311,6 +366,21 @@ class PdfDocument:
             val = _Stream(val, raw)
         self._cache[obj.num] = val
         return val
+
+    def _get_from_objstm(self, container_num: int, idx: int):
+        """Fetch object ``idx`` from an object stream (/Type /ObjStm): the
+        decompressed payload starts with N (objnum, offset) pairs; objects
+        begin at /First + offset."""
+        stm = self.get(Ref(container_num))
+        if not isinstance(stm, _Stream) or stm.attrs.get("Type") != "ObjStm":
+            raise ValueError(f"object {container_num} is not an /ObjStm")
+        payload = _decode_stream(stm)
+        n = int(self.get(stm.attrs["N"]))
+        first = int(self.get(stm.attrs["First"]))
+        header = payload[:first].split()
+        pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
+        _, rel = pairs[idx]
+        return _parse_value(_Lexer(payload, first + rel))
 
     # -- pages --------------------------------------------------------------
     def pages(self) -> list[dict]:
@@ -492,12 +562,19 @@ def _esc(s: str) -> bytes:
     return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
-def build_pdf(pages: list[list[tuple]], compress: bool = True) -> bytes:
-    """Build a classic-xref PDF 1.4 file from ordered paint events.
+def build_pdf(
+    pages: list[list[tuple]], compress: bool = True, xref_stream: bool = False
+) -> bytes:
+    """Build a PDF file from ordered paint events.
 
     pages: one list of events per page — ("text", line) | ("image",) |
     ("rule", "x,y,w,h") — painted in order (text as Tj lines, images as 1×1
     gray XObjects via Do, rules as filled `re` rectangles).
+
+    ``xref_stream=False`` emits a classic-xref PDF 1.4; ``True`` emits a
+    PDF 1.5 file whose cross-reference is a binary /XRef STREAM and whose
+    catalog/pages/font dictionaries live inside an /ObjStm object stream —
+    the layout virtually every modern PDF writer produces.
     """
     objects: dict[int, bytes] = {}
     next_num = 1
@@ -586,25 +663,77 @@ def build_pdf(pages: list[list[tuple]], compress: bool = True) -> bytes:
                           % (kids, len(kid_nums)))
     objects[catalog_num] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets: dict[int, int] = {}
+    if not xref_stream:
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets: dict[int, int] = {}
+        for num in sorted(objects):
+            offsets[num] = len(out)
+            out += b"%d 0 obj\n" % num
+            out += objects[num]
+            out += b"\nendobj\n"
+        xref_pos = len(out)
+        n_objs = max(objects) + 1
+        out += b"xref\n0 %d\n" % n_objs
+        out += b"0000000000 65535 f \n"
+        for num in range(1, n_objs):
+            out += b"%010d 00000 n \n" % offsets[num]
+        out += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+                % (n_objs, catalog_num, xref_pos))
+        return bytes(out)
+
+    # --- PDF 1.5: pack the document dicts into an /ObjStm, emit an /XRef
+    # stream instead of a classic table ---
+    packed = [catalog_num, pages_num, font_num]
+    bodies = [objects.pop(n) for n in packed]
+    offs, cur = [], 0
+    for b in bodies:
+        offs.append(cur)
+        cur += len(b) + 1
+    header = " ".join(f"{n} {o}" for n, o in zip(packed, offs)).encode("ascii")
+    first = len(header) + 1
+    payload = zlib.compress(header + b"\n" + b"\n".join(bodies))
+    objstm_num = alloc()
+    objects[objstm_num] = (
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>"
+        b"\nstream\n%s\nendstream" % (len(packed), first, len(payload), payload)
+    )
+    xref_num = alloc()
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
     for num in sorted(objects):
         offsets[num] = len(out)
         out += b"%d 0 obj\n" % num
         out += objects[num]
         out += b"\nendobj\n"
     xref_pos = len(out)
-    n_objs = max(objects) + 1
-    out += b"xref\n0 %d\n" % n_objs
-    out += b"0000000000 65535 f \n"
+    n_objs = xref_num + 1
+
+    def entry(typ: int, f2: int, f3: int) -> bytes:
+        return bytes([typ]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+
+    rows = [entry(0, 0, 0xFFFF)]  # object 0: free
     for num in range(1, n_objs):
-        out += b"%010d 00000 n \n" % offsets[num]
-    out += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (n_objs, catalog_num, xref_pos))
+        if num in packed:
+            rows.append(entry(2, objstm_num, packed.index(num)))
+        elif num == xref_num:
+            rows.append(entry(1, xref_pos, 0))
+        else:
+            rows.append(entry(1, offsets[num], 0))
+    xref_payload = zlib.compress(b"".join(rows))
+    out += b"%d 0 obj\n" % xref_num
+    out += (
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d] /Root %d 0 R "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (n_objs, n_objs, catalog_num, len(xref_payload), xref_payload)
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)
 
 
-def spans_to_pdf(spans: list[dict], compress: bool = True) -> bytes:
+def spans_to_pdf(
+    spans: list[dict], compress: bool = True, xref_stream: bool = False
+) -> bytes:
     """Render a fixture span sequence (FIXTURES.md grammar) as real PDF
     bytes, for round-trip tests: build → parse_pdf_spans → the original
     spans back (minus media_text sidecars, which are OCR ground truth, not
@@ -621,4 +750,4 @@ def spans_to_pdf(spans: list[dict], compress: bool = True) -> bytes:
         elif s["kind"] == "rule":
             pages[-1].append(("rule", s["text"]))
         # media_text: dropped — not representable in PDF bytes
-    return build_pdf(pages, compress=compress)
+    return build_pdf(pages, compress=compress, xref_stream=xref_stream)

@@ -147,3 +147,23 @@ def test_pdf_binary_ingestion_end_to_end_matches_spans_table(spark, tmpdir):
         kb = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in b["out_spans"]]
         assert ka == kb, doc_id
         assert (a["vendor"], a["route"]) == (b["vendor"], b["route"]), doc_id
+
+
+def test_pdf15_xref_stream_and_objstm_roundtrip():
+    """PDF 1.5 layout (binary /XRef cross-reference stream + document dicts
+    packed in an /ObjStm object stream — the modern-writer layout): every
+    fixture doc round-trips byte-exactly through it too."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        parse_pdf_spans,
+        spans_to_pdf,
+    )
+
+    for d in make_corpus(30, seed=42):
+        pdf = spans_to_pdf(d["spans"], xref_stream=True)
+        assert pdf.startswith(b"%PDF-1.5") and b"/XRef" in pdf and b"/ObjStm" in pdf
+        got = parse_pdf_spans(pdf, d["doc_id"])
+        exp = [s for s in d["spans"]
+               if s["kind"] not in ("media_text", "media_text_alt")]
+        exp = [dict(s, offset=i) for i, s in enumerate(exp)]
+        key = lambda s: (s["kind"], s["text"], s["media_ref"], s["offset"])
+        assert [key(s) for s in got] == [key(s) for s in exp], d["doc_id"]
