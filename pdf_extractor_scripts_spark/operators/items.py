@@ -25,13 +25,15 @@ def _dedupe_keep_order(vals: list[str]) -> list[str]:
 
 
 def _filtered_lines(text: str) -> list[str]:
-    return [
-        l for l in text.split("\n")
-        if not any(r.match(l) for r in _HEADER_FILTER_RES)
-    ]
+    # one combined alternation instead of N sequential match() calls per
+    # line — each bank pattern carries its own ^...$ anchors
+    m = _HEADER_FILTER_COMBINED.match
+    return [l for l in text.split("\n") if not m(l)]
 
 
-_HEADER_FILTER_RES = [re.compile(p) for p in C.PAGE_HEADER_FILTERS]
+_HEADER_FILTER_COMBINED = re.compile(
+    "|".join(f"(?:{p})" for p in C.PAGE_HEADER_FILTERS)
+)
 
 # ---------------------------------------------------------------------------
 # precompiled classification tables

@@ -77,11 +77,20 @@ def extract_fields_batch(
                 # which trips pandas' object-downcasting deprecation)
                 value.loc[todo] = got
             per_key[key] = value
-        for idx in sub.index:
-            d = {k: s[idx] for k, s in per_key.items() if pd.notna(s[idx])}
+        # positional numpy access: per-cell Series.__getitem__ dominated the
+        # kernel profile (~40% of field time) before this
+        keys = list(per_key)
+        cols = [per_key[k].to_numpy() for k in keys]
+        texts = sub.to_numpy()
+        for row_i, idx in enumerate(sub.index):
+            d = {}
+            for k, col in zip(keys, cols):
+                val = col[row_i]
+                if val is not None and val == val:  # not-NaN without pandas
+                    d[k] = val
             # F5 address blocks are a line-scanning state machine
             # (inherently sequential); schlage adds the derived-totals quirk.
-            O._address_blocks(v, sub[idx], d)
+            O._address_blocks(v, texts[row_i], d)
             if v == "schlage":
                 O._schlage_derived_totals(d)
             results[pos[idx]] = d
@@ -99,6 +108,8 @@ def extract_batch(
     fields: list[{key, value}] in bank order; items: list[{line, serialized,
     marks}] in document order (sorting happens natively downstream).
     """
+    from .items import extract_items
+
     order = C.FIELD_ORDER if field_order is None else field_order
     fields_dicts = extract_fields_batch(vendor, text, field_banks)
     fields_col, items_col = [], []
@@ -111,8 +122,6 @@ def extract_batch(
         v = vendor[idx]
         bank_order = order.get(v, [])
         fields_col.append([{"key": k, "value": d[k]} for k in bank_order if k in d])
-        from .items import extract_items
-
         items = extract_items(v, text[idx], d)
         items_col.append(
             [{"line": it["line"], "serialized": it["serialized"], "marks": it["marks"]}
