@@ -70,3 +70,47 @@ def test_cli_modes(spark, tmpdir):
     assert "processed 24 documents" in r.stdout
     got = spark.read.parquet(os.path.join(out, "out_spans"))
     assert got.count() == 24
+
+
+def test_spark_submit_pyfiles_ship(tmpdir):
+    """North-rule ship form: `spark-submit --py-files engine.zip job.py`
+    from a cwd with NO repo checkout — the engine must come entirely from
+    the shipped zip (driver + executors)."""
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+
+    zip_path = os.path.join(str(tmpdir), "engine.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "make_pyfiles_zip.py"), zip_path],
+        check=True, capture_output=True,
+    )
+    job = os.path.join(str(tmpdir), "job.py")
+    with open(job, "w") as f:
+        f.write(
+            "import sys\n"
+            "from pyspark.sql import SparkSession\n"
+            "spark = (SparkSession.builder.appName('pyfiles-smoke')"
+            ".config('spark.sql.shuffle.partitions','4').getOrCreate())\n"
+            "from pdf_extractor_scripts_spark.fixtures import corpus_df\n"
+            "from pdf_extractor_scripts_spark.plans.pipeline import run_with_checkpoint\n"
+            "docs = corpus_df(spark, n_docs=16, seed=42)\n"
+            "n = run_with_checkpoint(spark, docs, sys.argv[1], run_id='submit')\n"
+            "print(f'SUBMIT_OK processed={n}')\n"
+            "spark.stop()\n"
+        )
+    out_dir = os.path.join(str(tmpdir), "out")
+    r = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zip_path, job, out_dir],
+        capture_output=True, text=True, timeout=420,
+        cwd=str(tmpdir),  # no repo on sys.path here
+        env={**os.environ, "PYTHONPATH": ""},
+    )
+    assert "SUBMIT_OK processed=16" in r.stdout, r.stderr[-2000:]
