@@ -138,11 +138,23 @@ def minhash_signatures(spark, sf_dir: str, k: int = _K) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, k: int = _K, bands: int = _BANDS) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, k: int = _K, bands: int = _BANDS, max_bucket: int | None = None
+) -> DataFrame:
     """(doc_a, doc_b) candidate pairs: docs sharing at least one LSH band.
     Explode each signature into `bands` (band_id, band_key) rows, equi-join
     on the band — the shuffle key is the band key, so each bucket joins
-    locally and the O(n²) pair space is never materialized."""
+    locally and the O(n²) pair space is never materialized.
+
+    ``max_bucket`` is the hot-bucket guard (round-2 telemetry: the largest
+    band bucket at sf0.1 holds 742 docs → 275k pairs from one bucket; a
+    boilerplate-heavy real corpus is far worse). Buckets above the bound
+    switch from all-pairs to STAR pairing — every member pairs with the
+    bucket's min doc_id — which keeps the bucket connected for
+    cluster-based dedup (union-find over pairs reaches every member) while
+    linearizing its pair count. Same-band docs are near-identical by
+    construction, so the representative transitively stands for the bucket.
+    The oracle-checked default keeps all-pairs (max_bucket=None)."""
     assert k % bands == 0, "k must divide evenly into bands"
     rows_per_band = k // bands
     band_structs = [
@@ -157,6 +169,26 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = _K, bands: int = _BANDS) -> Dat
     bands_df = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
+
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        sized = bands_df.withColumn("bsz", F.count(F.lit(1)).over(w)).withColumn(
+            "rep", F.min("doc_id").over(w)
+        )
+        small = sized.filter(F.col("bsz") <= max_bucket).drop("bsz", "rep")
+        a = small.alias("a")
+        b = small.alias("b")
+        small_pairs = a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        star_pairs = (
+            sized.filter((F.col("bsz") > max_bucket) & (F.col("doc_id") != F.col("rep")))
+            .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+        return small_pairs.union(star_pairs).dropDuplicates(["doc_a", "doc_b"])
 
     a = bands_df.alias("a")
     b = bands_df.alias("b")

@@ -133,3 +133,31 @@ def test_quantile_sketch_within_rank_error_of_exact(spark):
             rank = sum(1 for v in vs if v <= av) / n
             # accuracy=10000 → rank error ~1e-4; allow discreteness slack
             assert abs(rank - target) <= max(0.02, 1.5 / n), (et, target, av, rank)
+
+
+def test_lsh_hot_bucket_guard(spark):
+    """max_bucket linearizes oversized band buckets via star pairing while
+    keeping every bucket member reachable (connectivity for cluster dedup),
+    and never invents pairs outside the unbounded candidate set."""
+    import pyspark.sql.functions as F
+
+    sig = minhash_signatures(spark, SF_DIR, 8)
+    sig.cache()
+    unbounded = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sig, 8, 2).collect()
+    }
+    capped_df = lsh_candidate_pairs(sig, 8, 2, max_bucket=10)
+    capped = {(r["doc_a"], r["doc_b"]) for r in capped_df.collect()}
+
+    assert capped <= unbounded          # star pairs share a band by construction
+    assert len(capped) < len(unbounded)  # the hot buckets actually shrank
+
+    # connectivity: every doc that had any unbounded candidate still has one
+    docs_unbounded = {d for p in unbounded for d in p}
+    docs_capped = {d for p in capped for d in p}
+    assert docs_capped == docs_unbounded
+
+    # pair count is linear-ish in docs, not quadratic in bucket size
+    assert len(capped) <= 12 * len(docs_capped)
+    sig.unpersist()
