@@ -1,0 +1,139 @@
+"""Property-based fuzzing (hypothesis) over the pure-Python kernels:
+
+* the PDF writer/parser round-trips ARBITRARY event sequences, both layouts;
+* the two independent line-item implementations (oracle.py nested scans vs
+  operators/items.py classify-once) agree on arbitrary line soup;
+* the OCR quality score and dual-engine selection hold their invariants on
+  arbitrary text.
+
+These run no Spark — pure CPU — so hypothesis can afford real example
+counts.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_extractor_scripts_spark import oracle as O
+from pdf_extractor_scripts_spark.operators import items as I
+from pdf_extractor_scripts_spark.sources.pdfparse import (
+    build_pdf,
+    parse_pdf_spans,
+)
+
+# printable latin-1 text without the \n the line model forbids; the parser
+# trims line edges (PDF writers position whitespace, they don't encode it)
+_line = st.text(
+    st.characters(min_codepoint=32, max_codepoint=255, exclude_characters="\n\r\x7f"),
+    min_size=1,
+    max_size=80,
+).map(str.strip).filter(bool)
+
+_event = st.one_of(
+    st.tuples(st.just("text"), _line),
+    st.tuples(st.just("image")),
+    st.tuples(
+        st.just("rule"),
+        st.tuples(
+            st.integers(0, 999), st.integers(0, 999),
+            st.integers(1, 999), st.integers(1, 99),
+        ).map(lambda t: ",".join(map(str, t))),
+    ),
+)
+_pages = st.lists(st.lists(_event, max_size=12), min_size=1, max_size=5)
+
+
+@settings(max_examples=120, deadline=None)
+@given(pages=_pages, compress=st.booleans(), xref_stream=st.booleans())
+def test_pdf_roundtrip_arbitrary_events(pages, compress, xref_stream):
+    pdf = build_pdf(pages, compress=compress, xref_stream=xref_stream)
+    spans = parse_pdf_spans(pdf, "fuzz/doc.pdf")
+    got_pages: list[list[tuple]] = []
+    img_i = 0
+    for s in spans:
+        if s["kind"] == "page_break":
+            got_pages.append([])
+        elif s["kind"] == "text":
+            got_pages[-1].append(("text", s["text"]))
+        elif s["kind"] == "media":
+            got_pages[-1].append(("image",))
+        else:
+            got_pages[-1].append(("rule", s["text"]))
+    exp_pages = [[e if e[0] != "image" else ("image",) for e in p] for p in pages]
+    assert got_pages == exp_pages
+    # offsets are dense and ordered
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+
+# line soup: grammar-ish fragments + arbitrary noise, to drive both item
+# implementations down the same branchy paths
+_money = st.integers(1, 99999).map(lambda v: f"{v / 100:,.2f}")
+_ceco_header = st.tuples(
+    st.integers(1, 999), st.integers(1, 9), st.integers(0, 9), st.integers(0, 9)
+).map(lambda t: f"{t[0]:03d} 572 FR{t[1]}PC {t[2]} {t[3]} 0")
+_ceco_price = _money.map(lambda m: f"3 PIECE FRAME 829.000 54.871 {m} {m}")
+_mark = st.integers(1, 99).map(lambda v: f"HAP{v}({v})")
+_noise = _line
+_ceco_soup = st.lists(
+    st.one_of(_ceco_header, _ceco_price, _mark.map(lambda m: f"MARK NO: {m}"), _noise),
+    max_size=25,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(lines=_ceco_soup)
+def test_ceco_item_impls_agree_on_arbitrary_soup(lines):
+    a = O._ceco_items(lines)
+    b = I.ceco_items(lines)
+    assert [(x["line"], x["serialized"], x["marks"]) for x in a] == [
+        (x["line"], x["serialized"], x["marks"]) for x in b
+    ]
+
+
+_sch_item = st.tuples(st.integers(1, 9), _money, _money).map(
+    lambda t: f"SCHLAGE UPS EXP {t[0]} 111 111 X*{t[0]} |D| FEB 28 {t[1]} 54.64/00 {t[2]}"
+)
+_wb16 = st.text(st.sampled_from("0123456789ABCDEFGHJKLMNPQRSTUVWXYZ"),
+                min_size=13, max_size=16).map(lambda b: "1Z" + b)
+_cont = st.integers(10, 9999).map(str)
+_sch_soup = st.lists(
+    st.one_of(_sch_item, _wb16, _cont, st.just("PREPAY & ADD"), _noise),
+    max_size=25,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(lines=_sch_soup)
+def test_schlage_item_impls_agree_on_arbitrary_soup(lines):
+    a = O._schlage_items(lines, {})
+    b = I.schlage_items(lines, {})
+    assert [(x["line"], x["serialized"]) for x in a] == [
+        (x["line"], x["serialized"]) for x in b
+    ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=st.text(max_size=400), conf=st.floats(0, 100))
+def test_ocr_quality_score_bounds(text, conf):
+    s = O.ocr_quality_score(text, conf)
+    assert 0.0 <= s <= 100.0
+    if not text.strip():
+        assert s == 0.0
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    l1=st.lists(_line, max_size=10),
+    l2=st.lists(_line, max_size=10),
+)
+def test_ocr_combine_uses_only_input_lines(l1, l2):
+    out = O.combine_ocr_results("\n".join(l1), "\n".join(l2))
+    pool = {x.strip() for x in l1 + l2}
+    for line in out.split("\n"):
+        if line:
+            assert line in pool
+    # base length preserved: merged line count == longer side's count
+    n1 = len([x for x in l1 if x.strip()])
+    n2 = len([x for x in l2 if x.strip()])
+    n_out = len([x for x in out.split("\n") if x])
+    assert n_out == max(n1, n2)
