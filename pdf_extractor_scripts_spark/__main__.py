@@ -12,6 +12,11 @@ processors — SURVEY.md §3) collapse into one job:
     --mode batch       full pipeline + checkpoint/lineage/metrics + resume
     --mode single-doc  one document's extracted spans to stdout (--doc-id)
     --mode synthetic   run over the deterministic fixture corpus (--n-docs)
+
+    --input-format spans   (default) bucketed spans parquet table
+    --input-format pdf     a directory of *.pdf files: binaryFile scan →
+                           byte-stream parse (sources/pdfparse.py) → spans;
+                           doc_id = path relative to --input
 """
 
 from __future__ import annotations
@@ -37,7 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pdf_extractor_scripts_spark")
     p.add_argument("--mode", choices=["batch", "analyze", "single-doc", "synthetic"],
                    default="batch")
-    p.add_argument("--input", help="spans table path (parquet/Iceberg)")
+    p.add_argument("--input", help="spans table path (parquet/Iceberg) or, "
+                   "with --input-format pdf, a directory of PDF files")
+    p.add_argument("--input-format", choices=["spans", "pdf"], default="spans")
     p.add_argument("--output", help="output/checkpoint directory")
     p.add_argument("--run-id", default="run0")
     p.add_argument("--doc-id", help="single-doc mode: which document")
@@ -58,9 +65,25 @@ def main(argv: list[str] | None = None) -> int:
     else:
         if not args.input:
             p.error("--input required")
-        from .sources.spans import read_spans
+        if args.input_format == "pdf":
+            import pyspark.sql.functions as F
 
-        docs = read_spans(spark, args.input)
+            from .sources.spans import read_binary_docs, parse_binary_to_spans
+
+            binary = read_binary_docs(spark, args.input)
+            parsed = parse_binary_to_spans(binary)
+            # logical doc_id = path relative to --input (P1 filename
+            # detection runs on it, so vendor path prefixes survive);
+            # binaryFile reports URIs, so decode %20-style escapes first
+            base = args.input.rstrip("/")
+            docs = parsed.withColumn(
+                "doc_id",
+                F.regexp_replace(F.url_decode("doc_id"), f"^file:{base}/", ""),
+            )
+        else:
+            from .sources.spans import read_spans
+
+            docs = read_spans(spark, args.input)
 
     if args.mode == "analyze":
         out = with_route(with_vendor(with_assembled_text(docs))).select(

@@ -110,8 +110,14 @@ def _ceco_lines(rng: random.Random, n_items: int) -> list[list[str]]:
             f"YOU MAY DEDUCT A DISCOUNT OF $ {_money(rng, 10, 999)}",
             f"{_money(rng, 1000, 99999)} TOTAL SALE:",
         ]
+    freight_line = (
+        f"FREIGHT CHARGE {_money(rng, 10, 999)}"
+        if rng.random() < 0.85
+        # no-freight variant: defaults to 0.00 (ceco_processor.py:648-650)
+        else "NO CASH DISCOUNT ON FREIGHT"
+    )
     totals = totals_head + [
-        f"FREIGHT CHARGE {_money(rng, 10, 999)}",
+        freight_line,
         "2% 30 DAYS, NET 60",
         f"SHIPMENT TRACKING NUMBER 25UTS{rng.randint(100000, 999999)}",
         "ORDER SHIPPED FROM 572 - MILAN MANUFACTURING",

@@ -93,6 +93,9 @@ def extract_fields_batch(
             O._address_blocks(v, texts[row_i], d)
             if v == "schlage":
                 O._schlage_derived_totals(d)
+            if v == "ceco":
+                # ceco_processor.py:648-650 no-freight default
+                O._ceco_freight_default(d, texts[row_i])
             results[pos[idx]] = d
     return results
 

@@ -211,6 +211,8 @@ def extract_fields(vendor: str, text: str) -> dict[str, str]:
     _address_blocks(vendor, text, out)
     if vendor == "schlage":
         _schlage_derived_totals(out)
+    if vendor == "ceco":
+        _ceco_freight_default(out, text)
     return out
 
 
@@ -255,6 +257,13 @@ def _money(s: str) -> float:
         return float(s.replace(",", "").replace("$", ""))
     except ValueError:
         return 0.0  # text_pdf_processor.py:2566-2572 default-0 semantics
+
+
+def _ceco_freight_default(fields: dict[str, str], text: str) -> None:
+    """ceco_processor.py:648-650: when no FREIGHT CHARGE line matched but the
+    invoice says 'NO CASH DISCOUNT ON FREIGHT', freight defaults to 0.00."""
+    if "totals.freight" not in fields and "NO CASH DISCOUNT ON FREIGHT" in text:
+        fields["totals.freight"] = "0.00"
 
 
 def _schlage_derived_totals(fields: dict[str, str]) -> None:

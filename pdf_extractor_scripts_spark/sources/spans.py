@@ -53,12 +53,15 @@ def read_spans(spark: SparkSession, path: str, buckets: list[int] | None = None)
     return df.select("doc_id", "spans")
 
 
-def read_binary_docs(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
-    """S2-S5 ingestion shape: binaryFile source → (doc_id, content, length).
-    The content→spans parse is the pluggable step (PDF libs absent here)."""
+def read_binary_docs(
+    spark: SparkSession, path: str, glob: str = "*.pdf", recursive: bool = True
+) -> DataFrame:
+    """S2-S5 ingestion shape: binaryFile source → (doc_id, content, length);
+    recurses into vendor subdirectories by default."""
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true" if recursive else "false")
         .load(path)
         .select(
             F.col("path").alias("doc_id"),

@@ -114,3 +114,35 @@ def test_spark_submit_pyfiles_ship(tmpdir):
         env={**os.environ, "PYTHONPATH": ""},
     )
     assert "SUBMIT_OK processed=16" in r.stdout, r.stderr[-2000:]
+
+
+def test_cli_pdf_ingestion_end_to_end(spark, tmpdir):
+    """--input-format pdf: a directory tree of REAL PDF files (both the 1.4
+    and 1.5 layouts, vendor subdirs, spaces in names) is byte-parsed,
+    vendor-detected on the relative path, and batch-extracted with
+    checkpointing — the complete raw-file story through the CLI surface."""
+    from pdf_extractor_scripts_spark.fixtures import make_corpus
+    from pdf_extractor_scripts_spark.sources.pdfparse import spans_to_pdf
+
+    src = os.path.join(tmpdir, "pdfs")
+    docs = [
+        d for d in make_corpus(24, seed=42)
+        if not any(s["kind"] in ("media_text", "media_text_alt") for s in d["spans"])
+    ]
+    for i, d in enumerate(docs):
+        path = os.path.join(src, d["doc_id"])
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(spans_to_pdf(d["spans"], xref_stream=(i % 2 == 0)))
+
+    out = os.path.join(tmpdir, "pdf_out")
+    r = _run_cli(["--mode", "batch", "--input", src, "--input-format", "pdf",
+                  "--output", out, "--run-id", "pdfcli"])
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert f"processed {len(docs)} documents" in r.stdout
+
+    got = spark.read.parquet(os.path.join(out, "out_spans"))
+    ids = {row["doc_id"] for row in got.select("doc_id").collect()}
+    assert ids == {d["doc_id"] for d in docs}  # relative paths, decoded
+    # extraction really happened: every text-route doc carries output spans
+    assert got.filter("route = 'text' and size(out_spans) > 0").count() > 0
