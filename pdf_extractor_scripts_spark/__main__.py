@@ -71,14 +71,34 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.spans import read_binary_docs, parse_binary_to_spans
 
             binary = read_binary_docs(spark, args.input)
-            parsed = parse_binary_to_spans(binary)
+            parse_fallbacks = spark.sparkContext.accumulator(0)
+            parsed = parse_binary_to_spans(binary, fallback_acc=parse_fallbacks)
             # logical doc_id = path relative to --input (P1 filename
-            # detection runs on it, so vendor path prefixes survive);
-            # binaryFile reports URIs, so decode %20-style escapes first
+            # detection runs on it, so vendor path prefixes survive).
+            # binaryFile reports URIs (file:/..., hdfs://nn/..., s3a://...)
+            # with %20-style escapes; decode, drop the scheme from BOTH the
+            # reported path and the resolved base, then strip the base
+            # prefix with length arithmetic — no user path ever enters a
+            # regex, so metacharacters in --input can't mis-match or throw.
+            import os
+            import re as _re
+
+            _scheme = r"^[A-Za-z][A-Za-z0-9+.\-]*:(//)?"
             base = args.input.rstrip("/")
+            if not _re.match(_scheme, base):
+                base = os.path.abspath(base)  # relative local path → file URI path
+            prefix = _re.sub(_scheme, "", base) + "/"
+            # url_decode is form-decoding (`+` → space); URIs from binaryFile
+            # percent-escape everything else, so protect literal `+` first to
+            # get pure percent-decoding
+            decoded = F.url_decode(F.regexp_replace("doc_id", r"\+", "%2B"))
+            path = F.regexp_replace(decoded, _scheme, "")
             docs = parsed.withColumn(
                 "doc_id",
-                F.regexp_replace(F.url_decode("doc_id"), f"^file:{base}/", ""),
+                F.when(
+                    F.startswith(path, F.lit(prefix)),
+                    F.substring(path, len(prefix) + 1, 2**31 - 1),
+                ).otherwise(path),
             )
         else:
             from .sources.spans import read_spans
@@ -105,6 +125,8 @@ def main(argv: list[str] | None = None) -> int:
             res = run_pipeline(docs, salt=args.salt)
             res.write.format("noop").mode("overwrite").save()
             print("pipeline completed (no --output: dry run)")
+    if args.mode in ("batch", "analyze") and args.input_format == "pdf":
+        print(f"PDF parse fallbacks (degraded to empty page): {parse_fallbacks.value}")
     spark.stop()
     return 0
 

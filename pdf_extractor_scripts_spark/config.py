@@ -87,7 +87,12 @@ FIELD_BANKS: dict[str, dict[str, list[str]]] = {
             r"YOU MAY DEDUCT A DISCOUNT OF \$\s*[\d,]+\.\d{2}\s+([\d,]+\.\d{2})",
             r"([\d,]+\.\d{2})\s+TOTAL SALE:",
         ],
-        "totals.freight": [r"FREIGHT CHARGE\s+([\d,]+\.\d{2})"],
+        # ceco_processor.py:636-647 tries both freight forms in order
+        # (first match wins) before the no-freight default.
+        "totals.freight": [
+            r"FREIGHT CHARGE\s*([\d,]+\.?\d*)",
+            r"FREIGHT:\s*([\d,]+\.?\d*)",
+        ],
         "payment.terms": [r"(\d+% \d+ DAYS, NET \d+)"],
         "shipping.tracking": [r"SHIPMENT TRACKING NUMBER\s+([A-Z0-9]+)"],
         "shipping.origin": [r"ORDER SHIPPED FROM (\d+ - [A-Z ]+)"],
@@ -233,7 +238,7 @@ SCHLAGE_ITEM = (
     r"(\d+)\s+(\d+)\s+(\d+)\s+(\S+)\s+\|(.+?)\|\s+([A-Z]{3} \d{1,2})\s+"
     r"([\d,]+\.\d{2})\s+([\d.]+)/(\d{2})\s+([\d,]+\.\d{2})$"
 )
-SCHLAGE_WAYBILL_WINDOW = 8  # schlage_processor.py:1415 (i+1 .. i+8, EOF-bounded only)
+SCHLAGE_WAYBILL_WINDOW = 7  # schlage_processor.py:1415 range(i+1, min(i+8, len(lines))) scans i+1..i+7 (7 lines, EOF-bounded only)
 SCHLAGE_WAYBILL_BASE = r"1Z[A-Z0-9]{13,16}"   # searched anywhere (:1420)
 SCHLAGE_WAYBILL_FULL = r"1Z[A-Z0-9]{16}"      # complete-form findall (:1441)
 SCHLAGE_WAYBILL_CONT = r"^(\d{2,4})"          # continuation, next 2 lines (:1427)

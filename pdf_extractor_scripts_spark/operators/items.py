@@ -207,8 +207,11 @@ def schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
     """Classify-once twin of oracle._schlage_items (semantics:
     schlage_processor.py:1385-1553): every line is classified a single time
     into (waybill base, complete forms, fedex numbers, freight flag,
-    continuation digits, info-ok); items then gather over their i+1..i+8
-    EOF-bounded windows — the reference does NOT stop at the next item."""
+    continuation digits, info-ok); items then gather over their i+1..i+7
+    EOF-bounded windows — the reference does NOT stop at the next item.
+    Lines are stripped first, as the reference does at its loop top
+    (schlage_processor.py:1400, :1416, :1427)."""
+    lines = [l.strip() for l in lines]
     headers = [(i, m) for i, l in enumerate(lines) if (m := _SH_ITEM.match(l))]
 
     cls = []

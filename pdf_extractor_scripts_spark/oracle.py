@@ -443,8 +443,11 @@ def _schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
     1Z[A-Z0-9]{13,16} searched anywhere in the line, digit continuation
     ^(\\d{2,4}) sought over the NEXT TWO lines, base kept alone iff >= 15
     chars, plus the complete-form findall and FedEx keyword branch; the
-    scan window is i+1..i+8 bounded only by EOF — the reference does NOT
-    stop at the next item, so a waybill can attach to two items)."""
+    scan window is range(i+1, min(i+8, len(lines))) = i+1..i+7 bounded only
+    by EOF — the reference does NOT stop at the next item, so a waybill can
+    attach to two items. Every line is stripped first, mirroring the
+    reference's strip at loop top :1400 / :1416 / :1427)."""
+    lines = [l.strip() for l in lines]
     item_re = re.compile(C.SCHLAGE_ITEM)
     wb_base = re.compile(C.SCHLAGE_WAYBILL_BASE)
     wb_full = re.compile(C.SCHLAGE_WAYBILL_FULL)

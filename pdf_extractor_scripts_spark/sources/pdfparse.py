@@ -279,7 +279,18 @@ class PdfDocument:
             p += 2
         elif data[p : p + 1] == b"\n":
             p += 1
-        length = int(attrs["Length"]) if not isinstance(attrs["Length"], Ref) else 0
+        if isinstance(attrs["Length"], Ref):
+            # /Length as an indirect ref on the XRef stream itself is a
+            # chicken-and-egg (the xref needed to resolve it is this very
+            # stream) — recover by scanning for the closing `endstream`
+            # keyword instead of silently parsing an empty payload.
+            end = data.find(b"endstream", p)
+            if end < 0:
+                raise ValueError("XRef stream with indirect /Length and no endstream")
+            raw = data[p:end].rstrip(b"\r\n")
+            length = len(raw)
+        else:
+            length = int(attrs["Length"])
         payload = _decode_stream(_Stream(attrs, data[p : p + length]))
         w = [int(x) for x in attrs["W"]]
         index = attrs.get("Index") or [0, int(attrs["Size"])]

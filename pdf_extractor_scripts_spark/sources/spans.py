@@ -72,20 +72,36 @@ def read_binary_docs(
     )
 
 
-def parse_binary_to_spans(binary_docs: DataFrame) -> DataFrame:
+def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None) -> DataFrame:
     """S2-S4 for real: batched PDF byte-stream parsing as an Arrow
     mapInPandas over ``content`` — xref walk, page-tree traversal,
     FlateDecode, content-stream tokenization (sources/pdfparse.py, pure
     stdlib; reference parse branches: text_pdf_processor.py:661-670,
     pdf_text_detector.py:171-204).
 
-    One output row per input document: (doc_id, spans) in the corpus span
-    grammar, directly consumable by plans.pipeline.run_pipeline. Unparseable
-    bytes degrade to a single empty page (the reference's fallback-chain
-    behavior when every parser fails) rather than failing the partition.
+    One output row per input document: (doc_id, spans, parse_ok,
+    parse_error) in the corpus span grammar, directly consumable by
+    plans.pipeline.run_pipeline (extra columns are pruned by the pipeline's
+    own projection). Unparseable bytes degrade to a single empty page (the
+    reference's fallback-chain behavior when every parser fails) rather
+    than failing the partition — but the fallback is SIGNALLED:
+    ``parse_ok=false`` with the exception text in ``parse_error``, so batch
+    metrics can count parse fallbacks instead of losing documents silently.
+
+    ``fallback_acc``: optional Spark accumulator incremented once per
+    fallback document — lets a driver report the fallback count without a
+    second pass over the (potentially 100 TB) binary input.
     """
+    from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+
     from ..schemas import DOC_SCHEMA
     from .pdfparse import parse_pdf_spans
+
+    out_schema = StructType(
+        list(DOC_SCHEMA.fields)
+        + [StructField("parse_ok", BooleanType()),
+           StructField("parse_error", StringType())]
+    )
 
     def parse(batches):
         import pandas as pd
@@ -93,12 +109,17 @@ def parse_binary_to_spans(binary_docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                err = None
                 try:
                     spans = parse_pdf_spans(bytes(content), doc_id)
-                except Exception:
+                except Exception as e:  # fallback-chain terminal: empty page
+                    err = f"{type(e).__name__}: {e}"
                     spans = [{"kind": "page_break", "text": "=== PAGE 1 ===",
                               "media_ref": "", "offset": 0}]
-                out.append({"doc_id": doc_id, "spans": spans})
+                    if fallback_acc is not None:
+                        fallback_acc.add(1)
+                out.append({"doc_id": doc_id, "spans": spans,
+                            "parse_ok": err is None, "parse_error": err})
             yield pd.DataFrame(out)
 
-    return binary_docs.select("doc_id", "content").mapInPandas(parse, DOC_SCHEMA)
+    return binary_docs.select("doc_id", "content").mapInPandas(parse, out_schema)

@@ -124,7 +124,10 @@ def test_cli_pdf_ingestion_end_to_end(spark, tmpdir):
     from pdf_extractor_scripts_spark.fixtures import make_corpus
     from pdf_extractor_scripts_spark.sources.pdfparse import spans_to_pdf
 
-    src = os.path.join(tmpdir, "pdfs")
+    # regex metacharacters + literal '+' in --input must not break the
+    # doc_id prefix strip (ADVICE r2: the old regexp-based strip threw or
+    # mis-matched, and url_decode's form semantics ate literal '+')
+    src = os.path.join(tmpdir, "pdf+s (in)")
     docs = [
         d for d in make_corpus(24, seed=42)
         if not any(s["kind"] in ("media_text", "media_text_alt") for s in d["spans"])

@@ -81,7 +81,7 @@ def test_schlage_split_waybill_rejoin():
 
 
 def test_schlage_waybill_window_crosses_next_item():
-    # the reference scan is i+1..i+8 bounded only by EOF — a waybill in the
+    # the reference scan is i+1..i+7 bounded only by EOF — a waybill in the
     # window but after the NEXT item attaches to BOTH items
     item1 = "SCHLAGE UPS EXP 1 111 111 X*1 |D| FEB 28 85.00 54.64/00 4,280.16"
     item2 = "LCN UPS EXP 2 111 111 Y*1 |E| FEB 28 85.00 54.64/00 1,000.00"
@@ -90,6 +90,56 @@ def test_schlage_waybill_window_crosses_next_item():
         items = impl([item1, item2, wb], {})
         assert f"waybill={wb}" in items[0]["serialized"], impl
         assert f"waybill={wb}" in items[1]["serialized"], impl
+
+
+def test_schlage_waybill_window_is_seven_lines():
+    # schlage_processor.py:1415: range(i+1, min(i+8, len(lines))) scans
+    # i+1..i+7 — SEVEN lines. A waybill exactly 8 lines below the item is
+    # outside the window (ADVICE r2: off-by-one vs the exclusive bound).
+    item = "SCHLAGE UPS EXP 1 111 111 X*1 |D| FEB 28 85.00 54.64/00 4,280.16"
+    pad = ["X"] * 6  # padding that matches nothing
+    wb = "1Z59R8R80349403012"  # full form
+    for impl in (O._schlage_items, I.schlage_items):
+        inside = impl([item] + pad + [wb], {})  # wb at i+7: in window
+        assert f"waybill={wb}" in inside[0]["serialized"], impl
+        outside = impl([item] + pad + ["X", wb], {})  # wb at i+8: out
+        assert "waybill=" not in outside[0]["serialized"], impl
+
+
+def test_schlage_lines_stripped_before_classification():
+    # schlage_processor.py:1400/:1416/:1427 strip every line before
+    # matching; leading whitespace must not break the item header, the
+    # continuation anchor ^(\d{2,4}), or freight keyword lines (ADVICE r2).
+    item = "  SCHLAGE UPS EXP 1 111 111 X*1 |D| FEB 28 85.00 54.64/00 4,280.16"
+    base = "\t1Z59R8R803494ABC"
+    cont = "   012"
+    freight = "  PREPAY & ADD"
+    for impl in (O._schlage_items, I.schlage_items):
+        items = impl([item, base, cont, freight], {})
+        assert len(items) == 1, impl
+        s = items[0]["serialized"]
+        assert "waybill=1Z59R8R803494ABC012" in s, impl
+        # freight stores the stripped line, as the reference's line_text
+        assert "freight=PREPAY & ADD" in s, impl
+
+
+def test_ceco_freight_colon_fallback_pattern():
+    # ceco_processor.py:636-647: FREIGHT CHARGE first, then FREIGHT: —
+    # first match wins; the no-freight default only fires when neither hits
+    text_colon = "INVOICE\nFREIGHT: 316.50\nTOTAL SALE: 1.00"
+    text_charge = "INVOICE\nFREIGHT CHARGE 99.10\nFREIGHT: 316.50"
+    text_default = "INVOICE\nNO CASH DISCOUNT ON FREIGHT\nTOTAL SALE: 1.00"
+    assert O.extract_fields("ceco", text_colon)["totals.freight"] == "316.50"
+    assert O.extract_fields("ceco", text_charge)["totals.freight"] == "99.10"
+    assert O.extract_fields("ceco", text_default)["totals.freight"] == "0.00"
+    # colon form present → the default must NOT override the printed value
+    both = "NO CASH DISCOUNT ON FREIGHT\nFREIGHT: 316.50"
+    assert O.extract_fields("ceco", both)["totals.freight"] == "316.50"
+    # kernel (vectorized twin) agrees
+    got = extract_fields_batch(
+        pd.Series(["ceco"] * 3), pd.Series([text_colon, text_charge, both])
+    )
+    assert [d["totals.freight"] for d in got] == ["316.50", "99.10", "316.50"]
 
 
 def test_schlage_surcharge_synthesis_only_single_item():

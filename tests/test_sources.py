@@ -55,10 +55,15 @@ def test_binary_source_shape(spark, tmpdir):
     rows = df.collect()
     assert len(rows) == 1  # glob filtered
     assert rows[0]["doc_id"].endswith("a.pdf") and rows[0]["length"] == 13
-    # truncated/fake bytes degrade to a single empty page, not a task failure
-    parsed = parse_binary_to_spans(df).collect()
+    # truncated/fake bytes degrade to a single empty page, not a task
+    # failure — and the fallback is SIGNALLED, not silent (ADVICE r2)
+    acc = spark.sparkContext.accumulator(0)
+    parsed = parse_binary_to_spans(df, fallback_acc=acc).collect()
     assert len(parsed) == 1
     assert [s["kind"] for s in parsed[0]["spans"]] == ["page_break"]
+    assert parsed[0]["parse_ok"] is False
+    assert parsed[0]["parse_error"]  # exception text preserved
+    assert acc.value == 1
 
 
 def test_pdf_roundtrip_all_fixture_docs():
@@ -167,3 +172,28 @@ def test_pdf15_xref_stream_and_objstm_roundtrip():
         exp = [dict(s, offset=i) for i, s in enumerate(exp)]
         key = lambda s: (s["kind"], s["text"], s["media_ref"], s["offset"])
         assert [key(s) for s in got] == [key(s) for s in exp], d["doc_id"]
+
+
+def test_xref_stream_indirect_length_recovers():
+    """An /XRef stream whose /Length is an indirect reference is a
+    chicken-and-egg (the xref needed to resolve the ref is that stream);
+    the parser must recover via endstream scan instead of silently parsing
+    an empty xref payload (ADVICE r2)."""
+    import re
+
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        parse_pdf_spans,
+    )
+
+    pdf = build_pdf([[("text", "INVOICE 123"), ("text", "TOTAL 9.99")]],
+                    xref_stream=True)
+    i = pdf.rfind(b"/Type /XRef")
+    assert i > 0
+    head, tail = pdf[:i], pdf[i:]
+    tail2 = re.sub(rb"/Length \d+", b"/Length 999 0 R", tail, count=1)
+    assert tail2 != tail
+    got = parse_pdf_spans(head + tail2, "misc/x.pdf")
+    exp = parse_pdf_spans(pdf, "misc/x.pdf")
+    assert [s["text"] for s in got] == [s["text"] for s in exp]
+    assert any(s["text"] == "INVOICE 123" for s in got)
