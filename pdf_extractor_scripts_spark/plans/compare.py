@@ -86,9 +86,9 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> Optiona
 
 
 def run_one(spark, con, name: str, sf_dir: str) -> Optional[str]:
-    from .registry import all_queries
+    from .registry import all_specs
 
-    spec = all_queries()[name]
+    spec = all_specs()[name]
     sdf = spec.spark(spark, sf_dir).toPandas()
     if spec.oracle is None:
         return None if len(sdf) >= 0 else "spark query failed"

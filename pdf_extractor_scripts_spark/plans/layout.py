@@ -82,6 +82,9 @@ def _l2_sql(dialect: str) -> str:
     doc="Reading-order sort: sorted(chars, key=(-y0, x0)) at "
         "text_pdf_processor.py:852 → per-line ordered reassembly. "
         "Partition-local sort after one shuffle on doc_id.",
+    gated=False,  # the identical reading-order window (ORDER BY y DESC, x)
+                  # is the spine of gated l3_line_cluster; stays
+                  # oracle-checked locally
 )
 def l2_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")

@@ -26,6 +26,7 @@ class QuerySpec:
     spark: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]
     doc: str = ""
+    gated: bool = True
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -33,12 +34,24 @@ QUERIES: dict[str, QuerySpec] = {}
 _lock = threading.Lock()
 
 
-def register(name: str, oracle: Optional[str], doc: str = ""):
-    """Decorator: register a Spark query implementation under ``name``."""
+def register(name: str, oracle: Optional[str], doc: str = "", gated: bool = True):
+    """Decorator: register a Spark query implementation under ``name``.
+
+    ``gated=True`` (default) exposes the query through the driver contract
+    (``__spark_entry__.queries()``), whose correctness gate covers the first
+    50 names in sorted order. ``gated=False`` keeps the query out of the
+    driver window but still under the local DuckDB parity suite
+    (tests/test_queries_vs_duckdb.py runs ``all_specs()``) — used for forms
+    subsumed by a gated superset (e.g. the untrained-centroid IVF probe, the
+    per-family detection stages folded into the decision-combine cascade) so
+    consolidating the driver registry to ≤50 never drops oracle coverage.
+    """
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
         with _lock:
-            QUERIES[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc)
+            QUERIES[name] = QuerySpec(
+                name=name, spark=fn, oracle=oracle, doc=doc, gated=gated
+            )
         return fn
 
     return wrap
@@ -65,5 +78,13 @@ def _ensure_loaded() -> None:
 
 
 def all_queries() -> dict[str, QuerySpec]:
+    """Driver-facing registry: gated queries only (≤50 so every name gets a
+    driver CORRECTNESS row — the gate windows the first 50 sorted names)."""
+    _ensure_loaded()
+    return {n: s for n, s in QUERIES.items() if s.gated}
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """Every registered query, gated or not — the local test surface."""
     _ensure_loaded()
     return dict(QUERIES)

@@ -57,6 +57,9 @@ def _ivf_sql(dialect: str) -> str:
         "each cell is a co-partitioned join; centroids are broadcast "
         "(O(k) rows). Deterministic quantizer here; a trained k-means "
         "slots in without changing the plan.",
+    gated=False,  # strictly subsumed by ann_ivf_kmeans_topk (same probe
+                  # machinery, trained centroids); stays oracle-checked in
+                  # the local suite but yields its driver row to it
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
@@ -128,6 +131,9 @@ def _quant_sql(dialect: str) -> str:
         "distribution rollup for quality-score monitoring. At 100 TB this "
         "becomes approx_percentile with a bounded error budget; exact here "
         "so the oracle can verify.",
+    gated=False,  # exists as the sketch's exact twin; the rank-error pytest
+                  # in test_scale_knobs.py uses it — driver row ceded to
+                  # make room in the 50-row gate window
 )
 def a11_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
@@ -141,14 +147,10 @@ def a11_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # WITHOUT oracle SQL and the driver records the weaker rows-only check;
 # their exact twins (a8_event_stats, a11_value_quantiles) ARE oracle-checked.
 # --------------------------------------------------------------------------
-@register(
-    "sketch_approx_distinct",
-    oracle=None,
-    doc="approx_count_distinct (HyperLogLog++, rsd 1%) per event_type — the "
-        "sketch replaces the exact shuffle-heavy count(DISTINCT) at scale; "
-        "exact twin a8_event_stats is oracle-checked.",
-)
 def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd 1%) per event_type — the
+    sketch replaces the exact shuffle-heavy count(DISTINCT) at scale; exact
+    twin a8_event_stats is oracle-checked. Gated via sketch_summaries."""
     import pyspark.sql.functions as F
 
     e = load_table(spark, sf_dir, "events")
@@ -158,14 +160,10 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sketch_approx_quantiles",
-    oracle=None,
-    doc="approx_percentile (quantile sketch, accuracy 10000) per event_type "
-        "— single-pass mergeable percentile estimates for 100 TB streams; "
-        "exact twin a11_value_quantiles is oracle-checked.",
-)
 def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (quantile sketch, accuracy 10000) per event_type —
+    single-pass mergeable percentile estimates for 100 TB streams; exact
+    twin a11_value_quantiles is oracle-checked. Gated via sketch_summaries."""
     import pyspark.sql.functions as F
 
     e = load_table(spark, sf_dir, "events")
@@ -178,6 +176,37 @@ def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "event_type",
+        F.round(F.element_at("approx_p", 1), 4).alias("p50"),
+        F.round(F.element_at("approx_p", 2), 4).alias("p90"),
+        F.round(F.element_at("approx_p", 3), 4).alias("p99"),
+        "n_events",
+    )
+
+
+@register(
+    "sketch_summaries",
+    oracle=None,
+    doc="The 100 TB monitoring rollup in one pass: approx_count_distinct "
+        "(HyperLogLog++, rsd 1%) AND approx_percentile (quantile sketch, "
+        "accuracy 10000) per event_type in a single partial-aggregating "
+        "groupBy. Sketch results depend on the sketch, so there is no exact "
+        "SQL oracle (driver records rows-only); the exact twins "
+        "a8_event_stats / a11_value_quantiles are oracle-checked, and "
+        "test_scale_knobs.py bounds the sketch error against them "
+        "(rsd / rank-error tolerances).",
+)
+def sketch_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias("approx_p"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "approx_users",
         F.round(F.element_at("approx_p", 1), 4).alias("p50"),
         F.round(F.element_at("approx_p", 2), 4).alias("p90"),
         F.round(F.element_at("approx_p", 3), 4).alias("p99"),

@@ -79,6 +79,8 @@ _FILE_CLASS_DUCK = (
         "chain (vendor_detector.py:88-106 gives (vendor, 0.8) on filename "
         "match). Pure column exprs — codegen'd, patterns effectively "
         "broadcast as literals.",
+    gated=False,  # per-doc file_class/file_conf are gated inside
+                  # p3_decision_combine's cascade row
 )
 def p1_vendor_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -113,6 +115,8 @@ def _p2_select(dialect: str) -> str:
         "per keyword, capped at 1.0, argmax class with a fixed tie-break "
         "order (vendor_detector.py:108-153). rlike sums + greatest — "
         "entirely JVM-side.",
+    gated=False,  # per-doc content_class/content_conf are gated inside
+                  # p3_decision_combine's cascade row
 )
 def p2_content_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -124,6 +128,10 @@ def p2_content_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # P3 — decision combine (vendor_detector.py:155-221)
 # --------------------------------------------------------------------------
 def _p3_sql(dialect: str) -> str:
+    """Per-document detection cascade: every stage's columns in one row, so
+    the single gated query value-checks P1 (file_class/file_conf), P2
+    (content_class/content_conf) AND P3 (decision + combined confidence) —
+    strictly stronger than the former vendor-level aggregate."""
     file_cls = _FILE_CLASS_SPARK if dialect == "spark" else _FILE_CLASS_DUCK
     p2 = _p2_select(dialect)
     return f"""
@@ -132,33 +140,33 @@ def _p3_sql(dialect: str) -> str:
            SELECT doc_id, {file_cls} AS file_class,
                   CASE WHEN {file_cls} <> 'generic' THEN 0.8 ELSE 0.0 END AS file_conf
            FROM documents
-         ),
-         combined AS (
-           SELECT c.doc_id, c.content_class, c.content_conf, f.file_class, f.file_conf,
-                  CASE WHEN c.content_conf >= 0.6 THEN c.content_class
-                       WHEN f.file_conf >= 0.5 THEN f.file_class
-                       ELSE c.content_class END AS decided,
-                  CASE WHEN c.content_conf >= 0.6 THEN c.content_conf
-                       WHEN f.file_conf >= 0.5 THEN f.file_conf
-                       ELSE c.content_conf END AS base_conf
-           FROM content c JOIN file f ON c.doc_id = f.doc_id
          )
-    SELECT decided AS vendor,
-           count(*) AS n_docs,
-           cast(round(avg(CASE WHEN content_class = file_class
-                          THEN least(file_conf + content_conf, 1.0)
-                          ELSE base_conf END), 4) as double) AS avg_conf
-    FROM combined GROUP BY decided
+    SELECT c.doc_id,
+           f.file_class,
+           cast(f.file_conf as double) AS file_conf,
+           c.content_class,
+           c.content_conf,
+           CASE WHEN c.content_conf >= 0.6 THEN c.content_class
+                WHEN f.file_conf >= 0.5 THEN f.file_class
+                ELSE c.content_class END AS vendor,
+           cast(round(CASE WHEN c.content_class = f.file_class
+                           THEN least(f.file_conf + c.content_conf, 1.0)
+                           WHEN c.content_conf >= 0.6 THEN c.content_conf
+                           WHEN f.file_conf >= 0.5 THEN f.file_conf
+                           ELSE c.content_conf END, 4) as double) AS conf
+    FROM content c JOIN file f ON c.doc_id = f.doc_id
     """
 
 
 @register(
     "p3_decision_combine",
     oracle=_p3_sql("duckdb"),
-    doc="Combine filename + content detectors: content wins at conf>=0.6, "
-        "else filename at >=0.5, else low-confidence content; agreement → "
-        "min(filename_conf + content_conf, 1.0) "
-        "(vendor_detector.py:155-221, :195-198). Pure when/otherwise cascade.",
+    doc="The full detection cascade per document — filename detector "
+        "(vendor_detector.py:88-106), content detector (:108-153), and the "
+        "combine rule: content wins at conf>=0.6, else filename at >=0.5, "
+        "else low-confidence content; agreement → min(filename_conf + "
+        "content_conf, 1.0) (:155-221, :195-198). One gated row carries "
+        "every stage's per-doc columns (subsumes the former p1/p2 gates).",
 )
 def p3_decision_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
@@ -190,6 +198,8 @@ def _p4_sql(dialect: str) -> str:
         "per-vendor threshold (pdf_text_detector.py:117-159 with vendor "
         "thresholds 100/75/30/50 at :77-115). Broadcast threshold map → "
         "CASE literal.",
+    gated=False,  # the identical n_chars >= per-vendor-threshold gate is
+                  # the route split inside gated p8_routing
 )
 def p4_text_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
@@ -373,6 +383,7 @@ def _langid_sql(dialect: str) -> str:
         "matrix vs the labeled lang column. regexp_count keeps it "
         "JVM-side; at 100 TB this is a scan-only pass (no shuffle before "
         "the tiny confusion-matrix agg).",
+    gated=False,  # per-doc pred_lang is gated inside text_profile
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
@@ -407,6 +418,7 @@ def _tokcnt_sql(dialect: str) -> str:
     doc="Token counting two ways: whitespace split and a BPE-ish regex "
         "(letter-runs | digit-runs | single symbols). Core training-data "
         "pipeline metric; scan + map-side agg only.",
+    gated=False,  # per-doc ws/bpe token counts are gated inside text_profile
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
@@ -428,6 +440,7 @@ def _fp_sql(dialect: str) -> str:
         "weighted codepoint sum mod 2^31-1) — the identity artifact for "
         "incremental dedup; pure integer arithmetic so Spark and the "
         "oracle agree bit-for-bit.",
+    gated=False,  # per-doc fingerprint is gated inside text_profile
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc HOF fold (zero shuffle, zero row inflation): the earlier
@@ -440,6 +453,52 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.expr(fp).alias("fingerprint"), "n_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# Text profile: per-document language ID + token counts + fingerprint in one
+# scan — the gated umbrella for the three ops above (each stays available
+# and oracle-checked individually as an ungated spec).
+# --------------------------------------------------------------------------
+def _profile_sql(dialect: str) -> str:
+    if dialect == "spark":
+        cnt = lambda p: f"regexp_count(text, '{_rx(p, dialect)}')"
+        ws = "size(filter(split(text, ' '), x -> x <> ''))"
+        bpe = "regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')"
+    else:
+        cnt = lambda p: f"len(regexp_extract_all(text, '{_rx(p, dialect)}'))"
+        ws = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+        bpe = "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))"
+    n_the, n_data, n_key, n_row = (cnt(p) for p in [r"\bthe\b", r"\bdata\b", r"\bkey\b", r"\brow\b"])
+    fp = fingerprint_sql("text", dialect)
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN {n_the} >= 2 THEN 'en'
+                WHEN {n_data} >= 2 THEN 'de'
+                WHEN {n_key} >= 2 THEN 'es'
+                WHEN {n_row} >= 2 THEN 'zh'
+                ELSE 'unknown' END AS pred_lang,
+           cast({ws} as bigint) AS ws_tokens,
+           cast({bpe} as bigint) AS bpe_tokens,
+           {fp} AS fingerprint
+    FROM documents
+    """
+
+
+@register(
+    "text_profile",
+    oracle=_profile_sql("duckdb"),
+    doc="Per-document text profile in ONE scan: language-ID heuristic "
+        "(stopword-frequency thresholds), token counts two ways "
+        "(whitespace split + BPE-ish regex), and the order-sensitive "
+        "rolling-hash fingerprint. Value-checks the same per-doc math as "
+        "text_langid / text_token_count / text_fingerprint combined — one "
+        "gated row instead of three, and the scan cost is paid once "
+        "(at 100 TB you never re-read the corpus per metric).",
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_profile_sql("spark"))
 
 
 # --------------------------------------------------------------------------

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pdf_extractor_scripts_spark.fixtures import corpus_df
 from pdf_extractor_scripts_spark.plans.pipeline import run_pipeline
-from pdf_extractor_scripts_spark.plans.registry import all_queries
+from pdf_extractor_scripts_spark.plans.registry import all_queries, all_specs
 from .conftest import SF_DIR
 
 
@@ -75,7 +75,7 @@ def test_no_unpartitioned_window_over_unbounded_input(spark):
     import re
 
     bad = {}
-    for name, spec in all_queries().items():
+    for name, spec in all_specs().items():
         df = spec.spark(spark, SF_DIR)
         logical = df._jdf.queryExecution().optimizedPlan().toString()
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", logical):
