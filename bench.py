@@ -42,8 +42,7 @@ HEADLINE = [
     "l4_spacing_reconstruct",
     "l8_page_concat",
     "f14_totals_roundtrip",
-    "text_token_count",
-    "text_fingerprint",
+    "text_profile",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -179,10 +178,17 @@ def _bucket_stats(spark) -> dict:
         )
         from pdf_extractor_scripts_spark.plans.registry import load_table
 
-        sig = minhash_signatures(spark, SF_DIR, 8)
-        bands = sig.select(
-            F.concat_ws(",", "mh0", "mh1", "mh2", "mh3").alias("b")
-        ).union(sig.select(F.concat_ws(",", "mh4", "mh5", "mh6", "mh7")))
+        # gated geometry: k=16 / 4 bands (4 rows per band). Buckets above
+        # the default guard (64) are star-paired in the pipeline path; the
+        # raw occupancy here shows what the guard is defusing.
+        sig = minhash_signatures(spark, SF_DIR, 16)
+        band_cols = [
+            F.concat_ws(",", *[f"mh{4 * t + j}" for j in range(4)]).alias("b")
+            for t in range(4)
+        ]
+        bands = sig.select(band_cols[0])
+        for c in band_cols[1:]:
+            bands = bands.union(sig.select(c))
         mh = bands.groupBy("b").count().agg(
             F.max("count").alias("mx"), F.round(F.avg("count"), 2).alias("avg")
         ).first()

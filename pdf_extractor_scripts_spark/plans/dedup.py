@@ -63,14 +63,22 @@ def _shingle_rows(spark, sf_dir: str):
     return pos.select("doc_id", h.cast("bigint").alias("h"))
 
 
-# MinHash geometry. The ORACLE-CHECKED default stays k=8 / 2 bands (tiny
-# signatures DuckDB can re-derive cheaply at gate scale); production tuning
-# is a parameter, not a rewrite — minhash_signatures/lsh_candidate_pairs take
-# any (k, bands) with k % bands == 0 and k <= len(MINHASH_PARAMS)=16, and the
-# plan shape (map-side-combined signature agg → band-key equi-join → full-
-# signature verify) is IDENTICAL at k=128/16 bands; only column count grows.
-_K = 8
-_BANDS = 2
+# MinHash geometry. The ORACLE-CHECKED default is k=16 / 4 bands — the full
+# width of the portable hash family, geometry-matched to the production
+# k=128/16 claim (4 rows per band both here and there); round 2 gated the
+# narrower k=8/2. Production tuning beyond that is a parameter, not a
+# rewrite — minhash_signatures/lsh_candidate_pairs take any (k, bands) with
+# k % bands == 0 and k <= len(MINHASH_PARAMS)=16, and the plan shape
+# (map-side-combined signature agg → band-key equi-join → full-signature
+# verify) is IDENTICAL at k=128/16 bands; only column count grows.
+_K = 16
+_BANDS = 4
+# Hot-bucket guard: DEFAULT-ON in every pipeline-facing candidate path (and
+# oracle-checked — the star pairing is deterministic, so DuckDB replays it).
+# Round-2 telemetry: one 742-doc band bucket at sf0.1 = 275k pairs from a
+# single key; boilerplate-heavy real corpora are far worse. Pass
+# max_bucket=None to opt out (research/audit runs only).
+_MAX_BUCKET = 64
 
 
 # --------------------------------------------------------------------------
@@ -104,22 +112,59 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # MinHash + LSH banding
 # --------------------------------------------------------------------------
-def _minhash_oracle() -> str:
+def _sig_cte() -> str:
     mh = minhash_sql("text", "duckdb", k=_K)
     sig_cols = ", ".join(f"cast({e} as bigint) AS mh{i}" for i, e in enumerate(mh))
-    matches = " + ".join(f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(_K))
-    band0 = " AND ".join(f"a.mh{i} = b.mh{i}" for i in range(4))
-    band1 = " AND ".join(f"a.mh{i} = b.mh{i}" for i in range(4, 8))
-    return f"""
-    WITH sig AS (SELECT doc_id, {sig_cols} FROM documents WHERE length(text) >= 3),
-    cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             ({matches}) / 8.0 AS est
-      FROM sig a JOIN sig b
-        ON a.doc_id < b.doc_id AND (({band0}) OR ({band1}))
+    return f"sig AS (SELECT doc_id, {sig_cols} FROM documents WHERE length(text) >= 3)"
+
+
+def _cand_cte(k: int = _K, bands: int = _BANDS, max_bucket: int = _MAX_BUCKET) -> str:
+    """DuckDB CTEs reproducing lsh_candidate_pairs' guarded semantics over a
+    preceding ``sig`` CTE: explode signatures into (band_id, band_key) rows,
+    all-pairs inside buckets of size <= max_bucket, deterministic STAR
+    pairing (min doc_id as representative) above it."""
+    rpb = k // bands
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {t} AS band_id, concat_ws(',', "
+        + ", ".join(f"mh{t * rpb + j}" for j in range(rpb))
+        + ") AS band_key FROM sig"
+        for t in range(bands)
     )
-    SELECT doc_a, doc_b, round(est, 4) AS est_jaccard
-    FROM cand WHERE est >= 0.75
+    return f"""
+    bands AS (
+{band_selects}
+    ),
+    sized AS (
+      SELECT doc_id, band_id, band_key,
+             count(*) OVER (PARTITION BY band_id, band_key) AS bsz,
+             min(doc_id) OVER (PARTITION BY band_id, band_key) AS rep
+      FROM bands
+    ),
+    cand AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sized a JOIN sized b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id AND a.bsz <= {max_bucket}
+        UNION ALL
+        SELECT rep AS doc_a, doc_id AS doc_b
+        FROM sized WHERE bsz > {max_bucket} AND doc_id <> rep
+      ) u
+    )"""
+
+
+def _minhash_oracle() -> str:
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(_K)
+    )
+    return f"""
+    WITH {_sig_cte()},
+    {_cand_cte()}
+    SELECT c.doc_a, c.doc_b, round(({matches}) / {_K}.0, 4) AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    WHERE ({matches}) / {_K}.0 >= 0.75
     """
 
 
@@ -139,7 +184,8 @@ def minhash_signatures(spark, sf_dir: str, k: int = _K) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, k: int = _K, bands: int = _BANDS, max_bucket: int | None = None
+    sig: DataFrame, k: int = _K, bands: int = _BANDS,
+    max_bucket: int | None = _MAX_BUCKET,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs: docs sharing at least one LSH band.
     Explode each signature into `bands` (band_id, band_key) rows, equi-join
@@ -154,7 +200,9 @@ def lsh_candidate_pairs(
     cluster-based dedup (union-find over pairs reaches every member) while
     linearizing its pair count. Same-band docs are near-identical by
     construction, so the representative transitively stands for the bucket.
-    The oracle-checked default keeps all-pairs (max_bucket=None)."""
+    DEFAULT-ON (r3): the guard is the pipeline default AND what the driver
+    gate oracle-checks (_cand_cte replays the deterministic star pairing in
+    DuckDB); max_bucket=None opts out for research runs."""
     assert k % bands == 0, "k must divide evenly into bands"
     rows_per_band = k // bands
     band_structs = [
@@ -205,13 +253,15 @@ def lsh_candidate_pairs(
 
 
 def minhash_lsh_pairs(
-    spark, sf_dir: str, k: int = _K, bands: int = _BANDS, threshold: float = 0.75
+    spark, sf_dir: str, k: int = _K, bands: int = _BANDS, threshold: float = 0.75,
+    max_bucket: int | None = _MAX_BUCKET,
 ) -> DataFrame:
-    """Full MinHash+LSH dedup: signatures → band candidates → full-signature
-    estimate verify. Parameterized geometry; same plan at any (k, bands)."""
+    """Full MinHash+LSH dedup: signatures → band candidates (hot-bucket
+    guard on by default) → full-signature estimate verify. Parameterized
+    geometry; same plan at any (k, bands)."""
     sig = minhash_signatures(spark, sf_dir, k)
     sig.cache()
-    pairs = lsh_candidate_pairs(sig, k, bands)
+    pairs = lsh_candidate_pairs(sig, k, bands, max_bucket)
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
     sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
     est = sum(
@@ -229,18 +279,19 @@ def minhash_lsh_pairs(
 @register(
     "dedup_minhash_lsh",
     oracle=_minhash_oracle(),
-    doc="MinHash (k=8 universal hashes over 3-gram shingles) + LSH banding "
-        "(2 bands × 4 rows): explode signatures into band keys, equi-join "
-        "buckets (shuffle on band key — never the O(n²) pair space), then "
-        "verify candidates with the full signature at est-Jaccard >= 0.75. "
-        "Geometry is parameterized (minhash_lsh_pairs takes any k/bands up "
-        "to k=16 from the hash family; k=128/16 at production is the same "
-        "plan); the oracle checks the k=8/2 default. The oracle states the "
-        "same semantics as a predicate join, which DuckDB can afford at "
-        "oracle scale.",
+    doc="MinHash (k=16 universal hashes over 3-gram shingles) + LSH banding "
+        "(4 bands × 4 rows — production geometry: same rows-per-band as "
+        "k=128/16) with the hot-bucket guard ON: explode signatures into "
+        "band keys, equi-join buckets (shuffle on band key — never the "
+        "O(n²) pair space), STAR-pair buckets above 64 members "
+        "(deterministic min-doc_id representative keeps them union-find-"
+        "connected while linearizing the pair count), then verify "
+        "candidates with the full signature at est-Jaccard >= 0.75. The "
+        "DuckDB oracle replays both the banding and the star pairing.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(spark, sf_dir, k=_K, bands=_BANDS)
+    return minhash_lsh_pairs(spark, sf_dir, k=_K, bands=_BANDS,
+                             max_bucket=_MAX_BUCKET)
 
 
 # --------------------------------------------------------------------------
@@ -298,15 +349,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Blocked n-gram Jaccard
 # --------------------------------------------------------------------------
 def _jaccard_sql(dialect: str) -> str:
-    """Exact Jaccard VERIFY over LSH candidate pairs (docs sharing a MinHash
-    band) — never an all-pairs or coarse-block self-join: a popular (lang,
-    n_chars) block is quadratic at 100 TB, while band buckets stay small by
-    construction (same-band ⇒ near-identical signature prefix)."""
+    """Exact Jaccard VERIFY over the guarded LSH candidate pairs (docs
+    sharing a MinHash band, hot buckets star-paired) — never an all-pairs
+    or coarse-block self-join: a popular (lang, n_chars) block is quadratic
+    at 100 TB, while band buckets are bounded by the guard."""
     sh = shingle_hashes_sql("text", dialect)
-    mh = minhash_sql("text", dialect, k=_K)
-    sig_cols = ", ".join(f"cast({e} as bigint) AS mh{i}" for i, e in enumerate(mh))
-    band0 = " AND ".join(f"a.mh{i} = b.mh{i}" for i in range(4))
-    band1 = " AND ".join(f"a.mh{i} = b.mh{i}" for i in range(4, 8))
     if dialect == "spark":
         distinct = f"array_distinct({sh})"
         inter = "size(array_intersect(sa.s, sb.s))"
@@ -316,12 +363,8 @@ def _jaccard_sql(dialect: str) -> str:
         inter = "len(list_intersect(sa.s, sb.s))"
         union = "len(list_distinct(sa.s || sb.s))"
     return f"""
-    WITH sig AS (SELECT doc_id, {sig_cols} FROM documents WHERE length(text) >= 3),
-    cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.doc_id < b.doc_id AND (({band0}) OR ({band1}))
-    ),
+    WITH {_sig_cte()},
+    {_cand_cte()},
     sh AS (SELECT doc_id, {distinct} AS s FROM documents),
     verified AS (
       SELECT c.doc_a, c.doc_b,
@@ -338,16 +381,17 @@ def _jaccard_sql(dialect: str) -> str:
 @register(
     "dedup_ngram_jaccard",
     oracle=_jaccard_sql("duckdb"),
-    doc="Exact 3-gram Jaccard as the VERIFY stage over MinHash-LSH candidate "
-        "pairs: band-bucket equi-join generates candidates (bounded buckets "
-        "at any scale), exact set intersection/union verifies them at "
-        ">= 0.5. Replaces the earlier (lang, n_chars)-blocked self-join, "
-        "whose hot blocks were quadratic at 100 TB.",
+    doc="Exact 3-gram Jaccard as the VERIFY stage over the guarded "
+        "MinHash-LSH candidate pairs: band-bucket equi-join generates "
+        "candidates (hot buckets star-paired — bounded at any scale), exact "
+        "set intersection/union verifies them at >= 0.5. Replaces the "
+        "earlier (lang, n_chars)-blocked self-join, whose hot blocks were "
+        "quadratic at 100 TB.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # candidates from the same LSH band join dedup_minhash_lsh uses
+    # candidates from the same guarded LSH band join dedup_minhash_lsh uses
     sig = minhash_signatures(spark, sf_dir, _K)
-    pairs = lsh_candidate_pairs(sig, _K, _BANDS)
+    pairs = lsh_candidate_pairs(sig, _K, _BANDS, _MAX_BUCKET)
     # shingle sets via explode + collect_set (codegen'd hash + hash agg —
     # measured equal to the per-doc array_distinct HOF at sf0.1, 5.2 vs
     # 5.5s); set order is irrelevant to the intersection/union sizes the

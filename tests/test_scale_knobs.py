@@ -21,8 +21,12 @@ from pdf_extractor_scripts_spark.plans.dedup import (
 )
 
 
-def _python_minhash_lsh(texts: dict[str, str], k: int, bands: int, thr: float):
-    """Independent reference implementation (plain Python, no Spark)."""
+def _python_minhash_lsh(
+    texts: dict[str, str], k: int, bands: int, thr: float,
+    max_bucket: int | None = None,
+):
+    """Independent reference implementation (plain Python, no Spark),
+    including the hot-bucket star-pairing guard when max_bucket is set."""
     sigs = {}
     for doc_id, text in texts.items():
         hs = {
@@ -45,6 +49,10 @@ def _python_minhash_lsh(texts: dict[str, str], k: int, bands: int, thr: float):
     cand = set()
     for docs in buckets.values():
         docs = sorted(docs)
+        if max_bucket is not None and len(docs) > max_bucket:
+            rep = min(docs)
+            cand.update((rep, d) for d in docs if d != rep)
+            continue
         for i in range(len(docs)):
             for j in range(i + 1, len(docs)):
                 cand.add((docs[i], docs[j]))
@@ -56,17 +64,22 @@ def _python_minhash_lsh(texts: dict[str, str], k: int, bands: int, thr: float):
     return out
 
 
-def test_minhash_parameterized_k16_matches_python_reference(spark):
+@pytest.mark.parametrize("max_bucket", [None, 64, 10])
+def test_minhash_k16_matches_python_reference(spark, max_bucket):
+    """The gated default (k=16/4 bands, guard at 64) and its unguarded /
+    tighter-guard variants all match an independent Python reference."""
     con = duckdb.connect()
     texts = dict(
         con.execute(
             f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
         ).fetchall()
     )
-    expected = _python_minhash_lsh(texts, k=16, bands=4, thr=0.75)
+    expected = _python_minhash_lsh(texts, k=16, bands=4, thr=0.75,
+                                   max_bucket=max_bucket)
     got = {
         (r["doc_a"], r["doc_b"], r["est_jaccard"])
-        for r in minhash_lsh_pairs(spark, SF_DIR, k=16, bands=4).collect()
+        for r in minhash_lsh_pairs(spark, SF_DIR, k=16, bands=4,
+                                   max_bucket=max_bucket).collect()
     }
     assert got == expected
     assert len(got) > 0
@@ -145,7 +158,7 @@ def test_lsh_hot_bucket_guard(spark):
     sig.cache()
     unbounded = {
         (r["doc_a"], r["doc_b"])
-        for r in lsh_candidate_pairs(sig, 8, 2).collect()
+        for r in lsh_candidate_pairs(sig, 8, 2, max_bucket=None).collect()
     }
     capped_df = lsh_candidate_pairs(sig, 8, 2, max_bucket=10)
     capped = {(r["doc_a"], r["doc_b"]) for r in capped_df.collect()}
