@@ -206,10 +206,28 @@ CECO_ITEM_HEADER = r"^(\d{3})\s+(\d{3})\s+([A-Z0-9]+)\s+(\d+)\s+(\d+)(?:\s+(\d+)
 # ceco_processor.py:507-510 — pricing line inside the forward scan window:
 CECO_PRICING = r"^([A-Z0-9 /-]+?)\s+([\d,]+\.\d{3})\s+([\d,]+\.\d{3})\s+([\d,]+\.\d{2})\s+([\d,]+\.\d{2})$"
 CECO_SCAN_WINDOW = 50  # ceco_processor.py:482 forward-scan bound
-# mark formats (ceco_processor.py:522-544):
-CECO_MARK_LABELED = r"^MARK NO:\s*(.+)$"
-CECO_MARK_STANDALONE = r"^(\d{7,8}\(\d{1,3}\))$"
-CECO_MARK_DECIMAL = r"^(\d{1,4}\.\d)$"
+# mark formats (text_pdf_processor.py:2895-2979; audit §6):
+# labeled: reference findall pattern (:2899) — charset-restricted capture,
+# whitespace REQUIRED after the colon, case-insensitive; each comma part is
+# then validated against the format gates below (:2919-2948).
+CECO_MARK_LABELED = r"MARK\s*NO\s*:\s+([A-Za-z0-9.,()]+)"
+# standalone pattern-extraction forms (:2958-2969): 4-8 digit parenthesized
+# and 2-3 digit decimals with 1-2 decimal places; anchored to the whole line
+# = the reference's highest-confidence "appears standalone" case, which its
+# scoring gate (+4/+5 format, +3 standalone) always accepts.
+CECO_MARK_STANDALONE = r"^(\d{4,8}\(\d{1,3}\))$"
+CECO_MARK_DECIMAL = r"^(\d{2,3}\.\d{1,2})$"
+# labeled-mark validation gates (_is_valid_mark_number_format, :2919-2948):
+# price-like forms are rejected FIRST, then any accept pattern passes
+# (IGNORECASE).
+CECO_MARK_PRICE_REJECT = r"^\d+\.\d{2}$"
+CECO_MARK_VALID = [
+    r"^\d+\.\d{1}$",          # decimal marks: 101.2, 103.1
+    r"^[A-Z]+\d+\(\d+\)$",    # HAP1(56), D001(56)
+    r"^[A-Z]+\d+$",           # HAP2, D001
+    r"^\d{4,}\(\d+\)$",       # 8241799(40), 12345(20)
+    r"^\d{6,}$",              # bare long numbers: 8241799
+]
 # component lines (text_pdf_processor.py:2646-2652):
 CECO_COMPONENT = r"^(MATERIAL|WELD|LABOR|FREIGHT|TAX) AMOUNT\s+([\d,]+\.\d{3})\s+([\d,]+\.\d{3})\s+([\d,]+\.\d{2})\s+([\d,]+\.\d{2})$"
 
@@ -286,13 +304,21 @@ OCR_NEAR_TIE = 10.0  # |score1 - score2| below this → line-by-line combine
 # A1 — overall confidence weights (text_pdf_processor.py:1146-1168: header
 # .3, line_items .3, vendor .15, customer .15, totals .1). Section score =
 # extracted keys / bank keys for that section; items = 1.0 iff any item.
+# A1 weights (text_pdf_processor.py:1146-1168; audit §10): the reference
+# populates a confidence score for ALL SEVEN sections on every document
+# (failures score 0.0, :1015-1127), so payment_terms/shipping_info ride at
+# the default 0.05 weight and the weighted sum is normalized by the total
+# weight 1.10 — NOT left as a raw weighted sum.
 CONF_WEIGHTS = {
     "header": 0.3,
     "items": 0.3,
     "vendor": 0.15,
     "customer": 0.15,
     "totals": 0.1,
+    "payment": 0.05,   # default weight (weights.get(section, 0.05))
+    "shipping": 0.05,  # default weight
 }
+CONF_TOTAL_WEIGHT = round(sum(CONF_WEIGHTS.values()), 6)  # 1.10
 
 # per-vendor section sizes (how many keys FIELD_ORDER has per section) —
 # computed once so the oracle and the engine's CASE literals agree.

@@ -77,16 +77,29 @@ def _ceco_lines(rng: random.Random, n_items: int) -> list[list[str]]:
             f"{rng.randint(100, 999)}.000 {rng.randint(10, 99)}.{rng.randint(100, 999)} "
             f"{_money(rng, 100, 999)} {_money(rng, 100, 999)}"
         )
-        fmt = rng.randint(0, 2)
+        fmt = rng.randint(0, 3)
         if fmt == 0:
-            item_lines.append(
-                f"MARK NO: HAP{rng.randint(1, 99)}({rng.randint(1, 99)}),"
+            label = rng.choice(["MARK NO: ", "mark no: ", "MARK  NO:  "])
+            parts = (
+                f"HAP{rng.randint(1, 99)}({rng.randint(1, 99)}),"
                 f"HAP{rng.randint(1, 99)}({rng.randint(1, 99)})"
             )
+            if rng.random() < 0.4:
+                # price-like part — the §6 format gate must REJECT it
+                # (text_pdf_processor.py:2925-2928)
+                parts += f",{rng.randint(100, 999)}.{rng.randint(10, 99)}"
+            item_lines.append(label + parts)
         elif fmt == 1:
-            item_lines.append(f"{rng.randint(1_000_000, 99_999_999)}({rng.randint(1, 999)})")
+            # 4-8 digit parenthesized standalone (:2958-2969)
+            item_lines.append(f"{rng.randint(1_000, 99_999_999)}({rng.randint(1, 999)})")
+        elif fmt == 2:
+            # 2-3 digit decimal standalone, 1-2 decimal places
+            item_lines.append(
+                f"{rng.randint(10, 999)}.{rng.choice([rng.randint(0, 9), rng.randint(10, 99)])}"
+            )
         else:
-            item_lines.append(f"{rng.randint(1, 999)}.{rng.randint(0, 9)}")
+            # bare long number via the labeled path (gate pattern ^\d{6,}$)
+            item_lines.append(f"MARK NO: {rng.randint(100_000, 99_999_999)}")
         if rng.random() < 0.15:
             # duplicate item header (same line_no + code, different qtys) —
             # exercises the T4 dedupe-keep-first path
@@ -110,12 +123,15 @@ def _ceco_lines(rng: random.Random, n_items: int) -> list[list[str]]:
             f"YOU MAY DEDUCT A DISCOUNT OF $ {_money(rng, 10, 999)}",
             f"{_money(rng, 1000, 99999)} TOTAL SALE:",
         ]
-    freight_line = (
-        f"FREIGHT CHARGE {_money(rng, 10, 999)}"
-        if rng.random() < 0.85
+    r = rng.random()
+    if r < 0.6:
+        freight_line = f"FREIGHT CHARGE {_money(rng, 10, 999)}"
+    elif r < 0.85:
+        # second reference freight form (ceco_processor.py:636-647)
+        freight_line = f"FREIGHT: {_money(rng, 10, 999)}"
+    else:
         # no-freight variant: defaults to 0.00 (ceco_processor.py:648-650)
-        else "NO CASH DISCOUNT ON FREIGHT"
-    )
+        freight_line = "NO CASH DISCOUNT ON FREIGHT"
     totals = totals_head + [
         freight_line,
         "2% 30 DAYS, NET 60",
@@ -352,10 +368,15 @@ def make_document(i: int, seed: int = 42) -> dict:
     # O3 secondary-engine sidecar mode for media docs (image_pdf_processor
     # dual-engine selection): 0/3 → primary only; 1 → near-tie perturbation
     # (line merge path); 2 → sparse secondary (argmax keeps primary);
-    # 4 → longer secondary (base switches to engine 2 in the merge).
+    # 4 → longer secondary (base switches to engine 2 in the merge);
+    # 3 → whitespace-only secondary (the §7 strip-blank check: the
+    #     reference treats it as "engine returned nothing" and the primary
+    #     wins OUTRIGHT, no quality scoring — image_pdf_processor.py:457-462).
     alt_mode = (i % 5) if media_pages else 0
 
     def _alt_lines(lines: list[str]) -> list[str]:
+        if alt_mode == 3:
+            return ["   ", "\t"]
         if alt_mode == 2:
             return [lines[0][:12]] if lines else ["~"]
         out = []
@@ -384,7 +405,7 @@ def make_document(i: int, seed: int = 42) -> dict:
             for l in lines:
                 spans.append({"kind": "media_text", "text": l, "media_ref": ref, "offset": off})
                 off += 1
-            if alt_mode in (1, 2, 4):
+            if alt_mode in (1, 2, 3, 4):
                 for l in _alt_lines(lines):
                     spans.append({"kind": "media_text_alt", "text": l, "media_ref": ref, "offset": off})
                     off += 1

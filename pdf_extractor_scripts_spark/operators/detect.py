@@ -104,10 +104,16 @@ def with_assembled_text(df: DataFrame) -> DataFrame:
 
     # CASE is lazily evaluated: docs without a secondary-engine sidecar
     # (the overwhelming majority at scale) never compute the scores.
+    # An engine is "blank" when it has no sidecar span with NON-BLANK text —
+    # the reference checks text.strip() of the engine output, not mere
+    # result presence (image_pdf_processor.py:457-462; audit §7), so an
+    # engine that returned only whitespace must lose outright, not be
+    # quality-scored against the other.
+    has = lambda kind: f"exists(spans, s -> s.kind = '{kind}' and trim(s.text) <> '')"
     select_expr = f"""
     CASE
-      WHEN NOT exists(spans, s -> s.kind = 'media_text_alt') THEN ocr_e1
-      WHEN NOT exists(spans, s -> s.kind = 'media_text') THEN ocr_e2
+      WHEN NOT {has("media_text_alt")} THEN ocr_e1
+      WHEN NOT {has("media_text")} THEN ocr_e2
       WHEN abs(({_ocr_qscore_sql('ocr_e1', C.OCR_ENGINE_CONF['primary'])}) -
                ({_ocr_qscore_sql('ocr_e2', C.OCR_ENGINE_CONF['secondary'])}))
            < {C.OCR_NEAR_TIE!r} THEN ({_ocr_combine_sql('ocr_e1', 'ocr_e2')})

@@ -42,10 +42,19 @@ _CECO_HDR = re.compile(C.CECO_ITEM_HEADER)
 _CECO_PRICE = re.compile(C.CECO_PRICING)
 _CECO_COMP = re.compile(C.CECO_COMPONENT)
 _CECO_MARKS = [
-    ("labeled", re.compile(C.CECO_MARK_LABELED)),
+    ("labeled", re.compile(C.CECO_MARK_LABELED, re.IGNORECASE)),
     ("standalone", re.compile(C.CECO_MARK_STANDALONE)),
     ("decimal", re.compile(C.CECO_MARK_DECIMAL)),
 ]
+_CECO_MARK_PRICE_REJ = re.compile(C.CECO_MARK_PRICE_REJECT)
+_CECO_MARK_VALID = [re.compile(p, re.IGNORECASE) for p in C.CECO_MARK_VALID]
+
+
+def _valid_mark(p: str) -> bool:
+    """Labeled-mark format gate (text_pdf_processor.py:2919-2948): reject
+    price-like forms, accept the five mark shapes."""
+    return (not _CECO_MARK_PRICE_REJ.match(p)
+            and any(r.match(p) for r in _CECO_MARK_VALID))
 
 _SC_F164 = re.compile(C.STEELCRAFT_ITEM_F164)
 _SC_ANCH = re.compile(C.STEELCRAFT_ITEM_ANCHOR)
@@ -89,7 +98,9 @@ def ceco_items(lines: list[str]) -> list[dict]:
             cls[i] = ("comp", m)
         else:
             for kind, rx in _CECO_MARKS:
-                if (m := rx.match(l)):
+                # labeled is unanchored (reference findall, :2899); the
+                # standalone/decimal forms carry their own ^...$ anchors
+                if (m := rx.search(l)):
                     cls[i] = (kind, m)
                     break
 
@@ -126,7 +137,8 @@ def ceco_items(lines: list[str]) -> list[dict]:
             elif kind == "comp":
                 pairs.append(("comp", f"{mm.group(1)}:{mm.group(5)}"))
             elif kind == "labeled":
-                marks += [p.strip() for p in mm.group(1).split(",") if p.strip()]
+                marks += [p.strip() for p in mm.group(1).split(",")
+                          if p.strip() and _valid_mark(p.strip())]
             elif kind in ("standalone", "decimal"):
                 marks.append(mm.group(1))
         items.append({"line": line_no, "serialized": _serialize(pairs),

@@ -98,8 +98,9 @@ transform(
 
 def _confidence_expr() -> str:
     """A1 overall confidence, natively: weighted section extraction ratios
-    (weights + per-vendor bank sizes from config — same spec the oracle's
-    score_confidence implements in Python)."""
+    normalized by the constant total weight 1.10 (the reference scores all
+    seven sections on every document, failures 0.0 — audit §10,
+    text_pdf_processor.py:1146-1168); same spec as oracle.score_confidence."""
     def sec_count(sec: str) -> str:
         return f"size(filter(merged_fields, f -> substring_index(f.key, '.', 1) = '{sec}'))"
 
@@ -111,7 +112,11 @@ def _confidence_expr() -> str:
                 terms.append(f"{w} * (CASE WHEN size(merged_items) > 0 THEN 1.0 ELSE 0.0 END)")
             elif sizes.get(sec):
                 terms.append(f"{w} * (cast({sec_count(sec)} as double) / {sizes[sec]})")
-        branches.append(f"WHEN vendor = '{vendor}' THEN " + " + ".join(terms))
+        branches.append(
+            f"WHEN vendor = '{vendor}' THEN ("
+            + " + ".join(terms)
+            + f") / {C.CONF_TOTAL_WEIGHT}"
+        )
     return "cast(round(CASE " + " ".join(branches) + " ELSE 0.0 END, 4) as double)"
 
 

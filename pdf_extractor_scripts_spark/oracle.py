@@ -174,9 +174,12 @@ def combine_ocr_results(text1: str, text2: str) -> str:
 def select_ocr_text(spans: list[dict]) -> str:
     """Assemble both engines' sidecar outputs and select/merge
     (image_pdf_processor.py:434-480): one engine blank → the other;
-    near-tie (|Δscore| < 10) → combine; else argmax (primary on tie)."""
-    has1 = any(s["kind"] == "media_text" for s in spans)
-    has2 = any(s["kind"] == "media_text_alt" for s in spans)
+    near-tie (|Δscore| < 10) → combine; else argmax (primary on tie).
+    "Blank" = no sidecar span with non-blank text — the reference's
+    text.strip() check (:457-462; audit §7), so a whitespace-only engine
+    loses outright instead of being quality-scored."""
+    has1 = any(s["kind"] == "media_text" and s["text"].strip() for s in spans)
+    has2 = any(s["kind"] == "media_text_alt" and s["text"].strip() for s in spans)
     e1 = assemble(spans, "media_text")
     if not has2:
         return e1
@@ -311,9 +314,11 @@ def _ceco_items(lines: list[str]) -> list[dict]:
     hdr_re = re.compile(C.CECO_ITEM_HEADER)
     price_re = re.compile(C.CECO_PRICING)
     comp_re = re.compile(C.CECO_COMPONENT)
-    labeled_re = re.compile(C.CECO_MARK_LABELED)
+    labeled_re = re.compile(C.CECO_MARK_LABELED, re.IGNORECASE)
     standalone_re = re.compile(C.CECO_MARK_STANDALONE)
     decimal_re = re.compile(C.CECO_MARK_DECIMAL)
+    price_rej = re.compile(C.CECO_MARK_PRICE_REJECT)
+    valid_res = [re.compile(p, re.IGNORECASE) for p in C.CECO_MARK_VALID]
 
     headers = [(i, m) for i, l in enumerate(lines) if (m := hdr_re.match(l))]
     items: list[dict] = []
@@ -353,8 +358,15 @@ def _ceco_items(lines: list[str]) -> list[dict]:
             if (cm := comp_re.match(l)):
                 pairs.append(("comp", f"{cm.group(1)}:{cm.group(5)}"))
                 continue
-            if (lm := labeled_re.match(l)):
-                marks += [p.strip() for p in lm.group(1).split(",") if p.strip()]
+            if (lm := labeled_re.search(l)):
+                # each comma part passes the format gates: price-like forms
+                # rejected, then any accept pattern (audit §6,
+                # text_pdf_processor.py:2905-2948)
+                marks += [
+                    p.strip() for p in lm.group(1).split(",")
+                    if p.strip() and not price_rej.match(p.strip())
+                    and any(r.match(p.strip()) for r in valid_res)
+                ]
                 continue
             if (sm := standalone_re.match(l)):
                 marks.append(sm.group(1))
@@ -605,8 +617,12 @@ def emit_spans(vendor: str, fields: dict[str, str], items: list[dict],
 
 
 def score_confidence(vendor: str, fields: dict[str, str], items: list[dict]) -> float:
-    """A1 (text_pdf_processor.py:1146-1168): weighted mean of section
-    extraction ratios; items contribute 1.0 iff any item extracted."""
+    """A1 (text_pdf_processor.py:1146-1168; audit §10): weighted mean of
+    section extraction ratios NORMALIZED by the total weight — the reference
+    scores all seven sections on every document (failures = 0.0), so the
+    denominator is the constant 1.10 and sections outside the vendor's bank
+    contribute 0.0 exactly like a reference section that extracted nothing.
+    Items contribute 1.0 iff any item extracted."""
     sizes = C.SECTION_SIZES[vendor]
     got: dict[str, int] = {}
     for k in fields:
@@ -618,7 +634,7 @@ def score_confidence(vendor: str, fields: dict[str, str], items: list[dict]) -> 
             score += w * (1.0 if items else 0.0)
         elif sizes.get(sec):
             score += w * (got.get(sec, 0) / sizes[sec])
-    return round(score, 4)
+    return round(score / C.CONF_TOTAL_WEIGHT, 4)
 
 
 # ---------------------------------------------------------------------------

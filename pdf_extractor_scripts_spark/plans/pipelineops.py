@@ -99,32 +99,65 @@ def j2_fallback_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J3 — consolidation group-merge (output_consolidator.py:148-341)
 # --------------------------------------------------------------------------
 def _j3_sql(dialect: str) -> str:
-    return """
+    val = ("concat('val', cast(variant as string))" if dialect == "spark"
+           else "'val' || variant::VARCHAR")
+    return f"""
     WITH candidates AS (
       SELECT doc_id, v AS variant,
              round((cast((doc_id * 7 + v * 13) % 100 as double) / 100) * 0.5
                    + (cast((doc_id + v) % 10 as double) / 10) * 0.3
-                   + (cast(v as double) / 4) * 0.2, 4) AS quality
+                   + (cast(v as double) / 4) * 0.2, 4) AS quality,
+             cast((doc_id * 3 + v * 17) % 101 as double) AS completeness,
+             CASE WHEN (doc_id + v) % 4 = 0 THEN ''
+                  ELSE {val.replace('variant', 'v')} END AS field_val,
+             cast((doc_id * (v + 2)) % 7 as int) AS list_len
       FROM documents
       CROSS JOIN (SELECT 1 AS v UNION ALL SELECT 2 UNION ALL SELECT 3) variants
+    ),
+    best AS (
+      SELECT doc_id, variant AS best_variant, quality AS best_quality,
+             completeness AS best_completeness, field_val AS best_field,
+             list_len AS best_len
+      FROM (SELECT c.*, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY quality DESC, variant) AS rn
+            FROM candidates c) r
+      WHERE rn = 1
+    ),
+    flags AS (
+      SELECT c.doc_id,
+             max(CASE WHEN c.variant <> b.best_variant
+                       AND c.quality >= 0.7 * b.best_quality
+                       AND abs(c.completeness - b.best_completeness) > 10
+                  THEN 1 ELSE 0 END) AS merge_needed,
+             max(c.list_len) AS max_len,
+             min(CASE WHEN c.variant <> b.best_variant AND c.field_val <> ''
+                  THEN c.variant END) AS first_nonempty_other
+      FROM candidates c JOIN best b ON c.doc_id = b.doc_id
+      GROUP BY c.doc_id
     )
-    SELECT doc_id, variant AS best_variant, quality AS best_quality
-    FROM (SELECT doc_id, variant, quality,
-                 row_number() OVER (PARTITION BY doc_id
-                                    ORDER BY quality DESC, variant) AS rn
-          FROM candidates)
-    WHERE rn = 1
+    SELECT b.doc_id, b.best_variant, b.best_quality,
+           cast(f.merge_needed as int) AS merge_needed,
+           cast(CASE WHEN f.merge_needed = 1 THEN f.max_len
+                     ELSE b.best_len END as int) AS merged_len,
+           CASE WHEN b.best_field <> '' THEN b.best_field
+                WHEN f.merge_needed = 1 AND f.first_nonempty_other IS NOT NULL
+                THEN {val.replace('variant', 'f.first_nonempty_other')}
+                ELSE b.best_field END AS merged_field
+    FROM best b JOIN flags f ON b.doc_id = f.doc_id
     """
 
 
 @register(
     "j3_consolidation_pick",
     oracle=_j3_sql("duckdb"),
-    doc="Consolidation: multiple candidate outputs per document, quality = "
-        "0.5*accuracy + 0.3*completeness + 0.2*confidence, keep the best "
-        "with a deterministic tie-break (output_consolidator.py:308-341). "
-        "groupBy doc_id + max_by in the engine; rank window here for "
-        "cross-engine tie determinism.",
+    doc="Consolidation per document, the FULL reference flow (audit §8): "
+        "quality = 0.5*accuracy + 0.3*completeness + 0.2*confidence picks "
+        "the best candidate (output_consolidator.py:308-341); merging is "
+        "triggered iff another candidate has >= 70% of the best quality AND "
+        "a completeness gap > 10 (:320-336); the deep-merge then fills "
+        "empty base scalars from the first non-empty other (in file order) "
+        "and lets a strictly LONGER list win (:381-410). merged_len / "
+        "merged_field columns value-check both merge rules.",
 )
 def j3_consolidation_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     _doc_view(spark, sf_dir)
@@ -150,8 +183,9 @@ def _a1_sql(dialect: str) -> str:
     )
     SELECT lang, count(*) AS n_docs,
            round(avg(greatest(
-             0.3 * header_conf + 0.3 * items_conf + 0.15 * vendor_conf
-             + 0.25 * 0.5
+             (0.3 * header_conf + 0.3 * items_conf + 0.15 * vendor_conf
+              + 0.15 * 0.5 + 0.1 * 0.5
+              + 0.05 * vendor_conf + 0.05 * header_conf) / 1.10
              - least(0.1 * n_errors, 0.3), 0.0)), 4) AS avg_overall_conf
     FROM sect GROUP BY lang
     """
@@ -160,10 +194,13 @@ def _a1_sql(dialect: str) -> str:
 @register(
     "a1_weighted_confidence",
     oracle=_a1_sql("duckdb"),
-    doc="Overall confidence = weighted mean of section confidences (header "
-        ".3, line_items .3, vendor .15, rest .25) minus 0.1/error capped at "
-        "0.3 (text_pdf_processor.py:1146-1168, 1133-1142). Pure per-row "
-        "column arithmetic — no shuffle until the tiny rollup.",
+    doc="Overall confidence = weighted mean of ALL SEVEN section "
+        "confidences (header/items .3, vendor/customer .15, totals .1, "
+        "payment/shipping at the DEFAULT .05) normalized by the total "
+        "weight 1.10, minus 0.1/error capped at 0.3 then floored at 0 "
+        "(text_pdf_processor.py:1015-1168 — every section gets a score, "
+        "failures 0.0, so the denominator is constant; audit §10). Pure "
+        "per-row column arithmetic — no shuffle until the tiny rollup.",
 )
 def a1_weighted_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     _doc_view(spark, sf_dir)

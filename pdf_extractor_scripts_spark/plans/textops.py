@@ -207,38 +207,117 @@ def p4_text_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# P6 — text-quality validation (pdf_text_detector.py:215-328)
+# P6 — text-quality validation: the FULL reference formula (audit §9,
+# pdf_text_detector.py:215-328): four quality indicators (char distribution,
+# word structure, invoice patterns, repetitive-char OCR artifacts) averaged,
+# thresholded to HIGH/MEDIUM/LOW/CORRUPTED, with the <10-stripped-chars
+# short-circuit. All native column arithmetic on both engines.
 # --------------------------------------------------------------------------
+_P6_PATTERNS = [
+    r"\b(?:invoice|bill|receipt)\b",
+    r"\b(?:total|amount|price|cost)\b",
+    r"\b(?:date|qty|quantity)\b",
+    r"\$\d+\.?\d*",
+    r"\b\d{1,3}(?:,\d{3})*(?:\.\d{2})?\b",
+]
+
+
 def _p6_sql(dialect: str) -> str:
     alpha = char_ratio("text", "a-zA-Z", dialect)
-    space = char_ratio("text", " ", dialect)
-    digit = char_ratio("text", "0-9", dialect)
+    if dialect == "spark":
+        rx_strip = _rx(r"^\s+|\s+$", "spark")
+        rx_ws = _rx(r"\s+", "spark")
+        rx_run = _rx(r"(.)\1{4,}", "spark")
+        stripped = f"length(regexp_replace(text, '{rx_strip}', ''))"
+        words = f"filter(split(text, '{rx_ws}'), w -> w <> '')"
+        wsum = "aggregate(words, 0, (a, w) -> a + length(w))"
+        nw = "size(words)"
+        nvalid = ("size(filter(words, w -> length(w) >= 2 and length(w) <= 20 "
+                  "and w rlike '^[a-zA-Z0-9]+$'))")
+        hit = lambda p, r=None: f"(CASE WHEN text rlike '(?i){_rx(p, 'spark')}' THEN 1 ELSE 0 END)"
+        reps = f"regexp_count(text, '{rx_run}')"
+    else:
+        stripped = r"length(regexp_replace(text, '^\s+|\s+$', '', 'g'))"
+        words = r"list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')"
+        wsum = "coalesce(list_sum(list_transform(words, w -> length(w))), 0)"
+        nw = "len(words)"
+        nvalid = ("len(list_filter(words, w -> length(w) >= 2 and length(w) <= 20 "
+                  "and regexp_matches(w, '^[a-zA-Z0-9]+$')))")
+        hit = lambda p: f"(CASE WHEN regexp_matches(text, '{p}', 'i') THEN 1 ELSE 0 END)"
+        # RE2 has no backreferences: count maximal runs of >= 5 identical
+        # non-newline chars positionally (same integer the Java regex
+        # (.)\1{4,} yields via findall — one match per maximal run)
+        reps = (
+            "len(list_filter(generate_series(1, greatest(length(text) - 4, 0)), "
+            "i -> text[i] <> chr(10) AND text[i] = text[i+1] AND "
+            "text[i] = text[i+2] AND text[i] = text[i+3] AND "
+            "text[i] = text[i+4] AND (i = 1 OR text[i-1] <> text[i])))"
+        )
+    hits = " + ".join(hit(p) for p in _P6_PATTERNS)
     return f"""
-    WITH q AS (
-      SELECT lang,
+    WITH w AS (
+      SELECT doc_id, lang, text, {words} AS words FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             {stripped} AS n_stripped,
              {alpha} AS alpha_ratio,
-             {space} AS space_ratio,
-             {digit} AS digit_ratio,
-             CASE WHEN {alpha} < 0.1 THEN 'CORRUPTED'
-                  WHEN {alpha} >= 0.7 THEN 'HIGH'
-                  WHEN {alpha} >= 0.4 THEN 'MEDIUM'
-                  ELSE 'LOW' END AS quality
-      FROM documents
+             cast({wsum} as double) AS wlen_sum,
+             {nw} AS n_words,
+             {nvalid} AS n_valid,
+             cast(({hits}) as double) / 5.0 AS pattern_score,
+             cast({reps} as double) / cast(greatest(length(text), 1) as double)
+               AS rep_ratio
+      FROM w
+    ),
+    ind AS (
+      SELECT doc_id, lang, n_stripped, alpha_ratio, n_words, pattern_score,
+             CASE WHEN alpha_ratio >= 0.3 AND alpha_ratio <= 0.8 THEN 0.8
+                  WHEN (alpha_ratio >= 0.1 AND alpha_ratio < 0.3)
+                       OR (alpha_ratio > 0.8 AND alpha_ratio <= 0.95) THEN 0.5
+                  ELSE 0.1 END AS i1,
+             CASE WHEN n_words = 0 THEN 0.1
+                  WHEN (wlen_sum / n_words) >= 3 AND (wlen_sum / n_words) <= 8
+                       AND (cast(n_valid as double) / n_words) >= 0.6 THEN 0.9
+                  WHEN (wlen_sum / n_words) >= 2 AND (wlen_sum / n_words) <= 12
+                       AND (cast(n_valid as double) / n_words) >= 0.4 THEN 0.6
+                  ELSE 0.3 END AS i2,
+             pattern_score AS i3,
+             CASE WHEN rep_ratio < 0.05 THEN 0.8
+                  WHEN rep_ratio < 0.15 THEN 0.5
+                  ELSE 0.2 END AS i4
+      FROM m
+    ),
+    scored AS (
+      SELECT doc_id, lang, alpha_ratio, n_words,
+             CASE WHEN n_stripped < 10 THEN 0.0
+                  ELSE (i1 + i2 + i3 + i4) / 4 END AS score,
+             CASE WHEN n_stripped < 10 THEN 'CORRUPTED'
+                  WHEN (i1 + i2 + i3 + i4) / 4 >= 0.7 THEN 'HIGH'
+                  WHEN (i1 + i2 + i3 + i4) / 4 >= 0.5 THEN 'MEDIUM'
+                  WHEN (i1 + i2 + i3 + i4) / 4 >= 0.3 THEN 'LOW'
+                  ELSE 'CORRUPTED' END AS quality
+      FROM ind
     )
-    SELECT lang, quality, count(*) AS n_docs,
-           round(avg(alpha_ratio), 4) AS avg_alpha,
-           round(avg(space_ratio), 4) AS avg_space,
-           round(avg(digit_ratio), 4) AS avg_digit
-    FROM q GROUP BY lang, quality
+    SELECT doc_id, lang, quality,
+           round(score, 4) AS qscore,
+           round(alpha_ratio, 4) AS alpha_ratio,
+           cast(n_words as bigint) AS n_words
+    FROM scored
     """
 
 
 @register(
     "p6_text_quality",
     oracle=_p6_sql("duckdb"),
-    doc="Char-class distribution quality scoring → {HIGH, MEDIUM, LOW, "
-        "CORRUPTED} (pdf_text_detector.py:215-328): alpha/space/digit "
-        "ratios via length(regexp_replace(...)) arithmetic, no UDF.",
+    doc="Per-document text-quality validation — the reference's complete "
+        "four-indicator formula (pdf_text_detector.py:215-328): character "
+        "distribution (alpha-ratio bands), word structure (avg word length "
+        "+ isalnum validity ratio), invoice-pattern score (5 regexes / 5), "
+        "repetitive-char OCR-artifact ratio (maximal runs >= 5); indicator "
+        "mean thresholded at 0.7/0.5/0.3 → HIGH/MEDIUM/LOW/CORRUPTED, with "
+        "the <10-stripped-chars CORRUPTED short-circuit. No UDF; the DuckDB "
+        "twin replays the run count positionally (RE2 lacks backrefs).",
 )
 def p6_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")

@@ -162,6 +162,86 @@ def test_schlage_derived_totals_ratios():
     assert g["totals.surcharges"] == "99.99"  # printed value wins
 
 
+def test_ceco_labeled_marks_validated_by_format_gates():
+    # audit §6 (text_pdf_processor.py:2905-2948): each comma part of a
+    # labeled mark passes the format gates — price-like ^\d+\.\d{2}$ is
+    # REJECTED first; HAPn(m), bare >=6-digit, and single-decimal forms pass;
+    # the label itself is case-insensitive and needs whitespace after ':'
+    lines = [
+        "001 572 FR3PC 1 1 0",
+        "MARK NO: HAP1(56),316.50,101.2,8241799",
+    ]
+    for impl in (O._ceco_items, I.ceco_items):
+        items = impl(lines)
+        assert items[0]["marks"] == ["HAP1(56)", "101.2", "8241799"], impl
+        # lowercase label matches (reference findall is IGNORECASE)
+        low = impl(["001 572 FR3PC 1 1 0", "mark no: HAP2"])
+        assert low[0]["marks"] == ["HAP2"], impl
+        # no whitespace after the colon → reference pattern does NOT match
+        tight = impl(["001 572 FR3PC 1 1 0", "MARK NO:HAP2"])
+        assert tight[0]["marks"] == [], impl
+
+
+def test_ceco_standalone_mark_forms():
+    # audit §6: standalone 4-8-digit parenthesized and 2-3-digit decimal
+    # (1-2 places) lines are high-confidence marks (:2958-2979) — including
+    # the price-looking standalone decimal, which the reference's
+    # pattern-path gate accepts (the price reject only guards the labeled
+    # path); 1-digit decimals and 3-digit parens are not mark shapes
+    lines = [
+        "001 572 FR3PC 1 1 0",
+        "12345(20)",
+        "101.25",
+        "7.3",        # 1 digit before '.' → not a reference decimal mark
+        "316(2)",     # 3 digits + parens → below the 4-digit floor
+    ]
+    for impl in (O._ceco_items, I.ceco_items):
+        items = impl(lines)
+        assert items[0]["marks"] == ["12345(20)", "101.25"], impl
+
+
+def test_a1_confidence_normalized_by_total_weight():
+    # audit §10 (text_pdf_processor.py:1015-1168): all seven sections are
+    # scored on every document (payment/shipping at the default 0.05), so
+    # the weighted sum divides by the constant total weight 1.10
+    import pdf_extractor_scripts_spark.config as C
+
+    assert abs(C.CONF_TOTAL_WEIGHT - 1.10) < 1e-9
+    vendor = "ceco"
+    sizes = C.SECTION_SIZES[vendor]
+    # one field from every section the vendor banks + one item
+    fields = {}
+    for sec in sizes:
+        key = next(k for k in C.FIELD_ORDER[vendor] if k.split(".", 1)[0] == sec)
+        fields[key] = "x"
+    got = O.score_confidence(vendor, fields, [{"line": "001"}])
+    expected = round(
+        sum(w * (1.0 / sizes[sec] if sec != "items" else 1.0)
+            for sec, w in C.CONF_WEIGHTS.items()
+            if sec == "items" or sizes.get(sec)) / C.CONF_TOTAL_WEIGHT,
+        4,
+    )
+    assert got == expected
+    # fully-extracted doc can never exceed 1.0 and a full bank maxes at
+    # total-present-weight / 1.10
+    assert got <= 1.0
+
+
+def test_ocr_blank_alt_engine_loses_outright():
+    # audit §7 (image_pdf_processor.py:457-462): an engine whose output is
+    # whitespace-only is BLANK — the other engine wins without any quality
+    # scoring or near-tie merging
+    spans = [
+        {"kind": "page_break", "text": "=== PAGE 1 ===", "media_ref": "", "offset": 0},
+        {"kind": "media_text", "text": "INVOICE 123 TOTAL 5.00", "media_ref": "m", "offset": 1},
+        {"kind": "media_text_alt", "text": "   ", "media_ref": "m", "offset": 2},
+        {"kind": "media_text_alt", "text": "\t", "media_ref": "m", "offset": 3},
+    ]
+    got = O.select_ocr_text(spans)
+    assert "INVOICE 123 TOTAL 5.00" in got
+    assert "\t" not in got and "   " not in got
+
+
 def test_order_preserving_dedup():
     assert O._dedupe_keep_order(["b", "a", "b", "c", "a"]) == ["b", "a", "c"]
 
