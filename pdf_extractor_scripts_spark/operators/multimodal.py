@@ -135,6 +135,92 @@ def decode_media(
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+OCR_TEXT_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("text", StringType(), False),
+    ]
+)
+
+
+def _stub_ocr(payload: bytes) -> str:
+    """Deterministic fake OCR: stable pseudo-text from the payload hash."""
+    return "OCR STUB " + hashlib.sha256(payload).hexdigest()[:12]
+
+
+def ocr_media(
+    media: DataFrame,
+    engine=None,
+    deterministic_stub: bool = True,
+) -> DataFrame:
+    """O2/O3 OCR engine slot: binary payload → text sidecar rows through the
+    SAME Arrow ``mapInPandas`` seam as ``decode_media``.
+
+    ``engine`` is the production slot: any picklable ``bytes -> str``
+    callable (a pytesseract/paddle wrapper at deployment — reference engine
+    dispatch image_pdf_processor.py:337-433). It rides the closure to
+    executors; wiring a real engine changes zero plan shape. With no engine,
+    ``deterministic_stub=True`` emits stable hash-derived pseudo-text and
+    ``False`` raises (config error: no OCR toolkit ships in this sandbox).
+    """
+    if engine is None:
+        if not deterministic_stub:
+            raise NotImplementedError(
+                "real OCR requires an engine not present in this "
+                "environment; pass engine= to wire one in"
+            )
+        engine = _stub_ocr
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "text": [engine(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=OCR_TEXT_SCHEMA)
+
+
+def attach_ocr_sidecars(
+    docs: DataFrame, ocr: DataFrame, kind: str = "media_text"
+) -> DataFrame:
+    """Insert engine OCR text back into the span stream as sidecar spans —
+    the production O2/O3 join: sidecars come from ``ocr_media`` output, not
+    from corpus ground truth. Each text lands right after its media span
+    (so it sits inside the correct page segment) and the array re-offsets
+    densely. One doc_id equi-join (AQE broadcasts the OCR side when small);
+    call twice with kind='media_text' / 'media_text_alt' for dual engines.
+    """
+    doc_of = F.regexp_extract("media_ref", r"^img://(.+)/\d+/\d+$", 1)
+    grouped = (
+        ocr.withColumn("doc_id", doc_of)
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("media_ref", "text"))
+            ).alias("_ocr")
+        )
+    )
+    ins = (
+        "CASE WHEN s.kind = 'media' AND _ocr IS NOT NULL "
+        "AND try_element_at(_ocr, s.media_ref) IS NOT NULL "
+        f"THEN array(s, named_struct('kind', '{kind}', "
+        "'text', element_at(_ocr, s.media_ref), "
+        "'media_ref', s.media_ref, 'offset', 0)) "
+        "ELSE array(s) END"
+    )
+    re_off = (
+        f"transform(flatten(transform(spans, s -> {ins})), (s, i) -> "
+        "named_struct('kind', s.kind, 'text', s.text, "
+        "'media_ref', s.media_ref, 'offset', cast(i as int)))"
+    )
+    return docs.join(grouped, "doc_id", "left").withColumn(
+        "spans", F.expr(re_off)
+    ).drop("_ocr")
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: passes payloads through the mapInPandas slot and
     rewrites metadata dims. The pixel transform itself is the stubbed step
