@@ -105,7 +105,7 @@ def make_session(cores: int):
         # task (a single 10k batch serializes them back-to-back)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "32g")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .getOrCreate()
     )
 

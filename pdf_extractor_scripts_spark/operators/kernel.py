@@ -59,20 +59,26 @@ def extract_fields_batch(
                 if ext.shape[1] == 1:
                     got = ext.iloc[:, 0]
                 elif key.endswith(".phone") and ext.shape[1] == 3:
-                    # phone reformat op (ceco_processor.py:706-719)
-                    got = ext.apply(
-                        lambda r: f"({r.iloc[0]}) {r.iloc[1]}-{r.iloc[2]}"
-                        if r.notna().all()
-                        else None,
-                        axis=1,
+                    # phone reformat op (ceco_processor.py:706-719) —
+                    # vectorized str.cat; rows with any missing group → None
+                    got = (
+                        "(" + ext.iloc[:, 0]
+                    ).str.cat(ext.iloc[:, 1], sep=") ").str.cat(
+                        ext.iloc[:, 2], sep="-"
                     )
+                    got = got.where(ext.notna().all(axis=1), None)
                 else:
-                    got = ext.apply(
-                        lambda row: "|".join(x for x in row if pd.notna(x))
-                        if row.notna().any()
-                        else None,
-                        axis=1,
+                    # join non-null groups with '|' — vectorized: str.cat
+                    # with na_rep then strip the placeholder separators
+                    joined = ext.iloc[:, 0].fillna("\x00")
+                    for ci in range(1, ext.shape[1]):
+                        joined = joined.str.cat(ext.iloc[:, ci], sep="|", na_rep="\x00")
+                    got = (
+                        joined.str.replace(r"(\|?\x00\|?)+", "|", regex=True)
+                        .str.strip("|")
+                        .replace("", None)
                     )
+                    got = got.where(ext.notna().any(axis=1), None)
                 # rows in `todo` are all-None: direct assignment (no fillna,
                 # which trips pandas' object-downcasting deprecation)
                 value.loc[todo] = got
