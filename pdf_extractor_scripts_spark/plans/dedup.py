@@ -415,6 +415,185 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cluster dedup: connected components over verified near-dup pairs +
+# survivor selection — pairs alone don't deduplicate a corpus; the curation
+# step needs one canonical document per duplicate CLUSTER.
+# --------------------------------------------------------------------------
+def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """(node, cluster) via deterministic min-label propagation over an edge
+    list: label(x) starts at x; each iteration every node takes the min of
+    its own and its neighbors' labels; fixpoint = min node id reachable.
+
+    Scale shape: per iteration ONE groupBy(node) shuffle over the edge list
+    (edges are symmetrized once); iterations needed = cluster diameter,
+    which the star-pairing hot-bucket guard keeps tiny (stars have diameter
+    2). The driver-side convergence check is one small count() per
+    iteration — bounded metadata work, not data movement. DuckDB replays
+    the same fixpoint as a recursive reachability CTE."""
+    # localCheckpoint (NOT cache) at every step: iterative self-referencing
+    # plans otherwise nest the whole upstream pipeline once per iteration —
+    # plan depth (and codegen size) grows without bound and the JVM OOMs.
+    # The materialized state is only the edge list + one label per node.
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("cluster"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "cluster")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster", "old"), "node")
+            .filter(F.col("cluster") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def _clusters_sql() -> str:
+    """Recursive reachability over the verified pair set: cluster(x) = min
+    node reachable from x (the min-label-propagation fixpoint). The edge
+    chain is MATERIALIZED — DuckDB inlines plain CTEs per reference, which
+    would re-derive the 16-hash signature scan on every recursion step."""
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(_K)
+    )
+    sig_body = _sig_cte().split(" AS ", 1)[1]
+    return f"""
+    WITH RECURSIVE sig AS MATERIALIZED {sig_body},
+    {_cand_cte()},
+    verified AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+      WHERE ({matches}) / {_K}.0 >= 0.75
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           cast(coalesce(c.cluster, d.doc_id) as bigint) AS cluster,
+           cast(CASE WHEN coalesce(c.cluster, d.doc_id) = d.doc_id
+                THEN 1 ELSE 0 END as int) AS is_survivor
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """
+
+
+@register(
+    "dedup_clusters",
+    oracle=_clusters_sql(),
+    doc="Corpus-curation dedup: connected components (deterministic "
+        "min-label propagation; one groupBy shuffle per iteration, "
+        "diameter-bounded thanks to the star-pairing guard) over the "
+        "guarded+verified MinHash pair set, then survivor selection — the "
+        "cluster's min doc_id is canonical, everything else is a duplicate "
+        "to drop. One row per corpus document (singletons survive as their "
+        "own cluster). DuckDB replays the fixpoint as a recursive "
+        "reachability CTE.",
+    gated=False,  # registry holds the 50-row gate window; locally
+                  # oracle-checked like every other spec
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    comp = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id",
+        F.coalesce("cluster", F.col("doc_id")).cast("bigint").alias("cluster"),
+        (F.coalesce("cluster", F.col("doc_id")) == F.col("doc_id"))
+        .cast("int")
+        .alias("is_survivor"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus curation: the end-to-end training-data filter — near-dup survivor
+# selection composed with the quality gate, per-source accounting.
+# --------------------------------------------------------------------------
+def _curation_sql(dialect: str) -> str:
+    from .textops import _p6_sql
+
+    recursive = "RECURSIVE " if dialect == "duckdb" else ""
+    clusters = _clusters_sql() if dialect == "duckdb" else None
+    if dialect == "spark":
+        raise AssertionError("spark side is composed from DataFrames")
+    return f"""
+    WITH {recursive}surv AS ({clusters.strip()}),
+    q AS ({_p6_sql("duckdb")})
+    SELECT d.source,
+           count(*) AS n_docs,
+           sum(CASE WHEN s.is_survivor = 0 THEN 1 ELSE 0 END)::BIGINT AS n_dropped_dup,
+           sum(CASE WHEN s.is_survivor = 1
+                     AND q.quality IN ('CORRUPTED', 'LOW')
+                THEN 1 ELSE 0 END)::BIGINT AS n_dropped_quality,
+           sum(CASE WHEN s.is_survivor = 1
+                     AND q.quality NOT IN ('CORRUPTED', 'LOW')
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM documents d
+    JOIN surv s ON s.doc_id = d.doc_id
+    JOIN q ON q.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@register(
+    "corpus_curation",
+    oracle=_curation_sql("duckdb"),
+    doc="The full curation funnel a training-data pipeline runs before "
+        "tokenization: near-dup clusters → keep one survivor per cluster → "
+        "drop LOW/CORRUPTED quality → per-source kept/dropped accounting. "
+        "Pure composition of dedup_clusters and the P6 quality formula — "
+        "one extra doc_id join each, then a tiny rollup; at 100 TB the "
+        "joins are co-partitioned on doc_id.",
+    gated=False,  # composition of gated/checked parts; local oracle check
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import p6_text_quality
+
+    surv = dedup_clusters(spark, sf_dir).select("doc_id", "is_survivor")
+    q = p6_text_quality(spark, sf_dir).select("doc_id", "quality")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = d.join(surv, "doc_id").join(q, "doc_id")
+    dropped_dup = F.when(F.col("is_survivor") == 0, 1).otherwise(0)
+    low = F.col("quality").isin("CORRUPTED", "LOW")
+    dropped_q = F.when((F.col("is_survivor") == 1) & low, 1).otherwise(0)
+    kept = F.when((F.col("is_survivor") == 1) & ~low, 1).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(dropped_dup).cast("bigint").alias("n_dropped_dup"),
+        F.sum(dropped_q).cast("bigint").alias("n_dropped_quality"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup (label-blocked)
 # --------------------------------------------------------------------------
 def _emb_cte(dialect: str) -> str:

@@ -174,3 +174,19 @@ def test_lsh_hot_bucket_guard(spark):
     # pair count is linear-ish in docs, not quadratic in bucket size
     assert len(capped) <= 12 * len(docs_capped)
     sig.unpersist()
+
+
+def test_connected_components_fixpoint(spark):
+    """Min-label propagation must reach the true component fixpoint on a
+    topology with a chain (diameter > 1), a star, and singleton isolation."""
+    from pdf_extractor_scripts_spark.plans.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, star 10-(11,12,13), pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
