@@ -223,6 +223,10 @@ def lsh_candidate_pairs(
         sized = bands_df.withColumn("bsz", F.count(F.lit(1)).over(w)).withColumn(
             "rep", F.min("doc_id").over(w)
         )
+        # three consumers below (self-join a/b + star) would otherwise each
+        # re-evaluate the signature pipeline and the sizing window; the
+        # cached state is one row per (doc, band) — tiny relative to corpus
+        sized.cache()
         small = sized.filter(F.col("bsz") <= max_bucket).drop("bsz", "rep")
         a = small.alias("a")
         b = small.alias("b")
@@ -389,18 +393,25 @@ def _jaccard_sql(dialect: str) -> str:
         "quadratic at 100 TB.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # candidates from the same guarded LSH band join dedup_minhash_lsh uses
-    sig = minhash_signatures(spark, sf_dir, _K)
+    # ONE shingle scan feeds both the signature aggregation (candidate
+    # generation) and the set aggregation (verify) — cached rows cut the
+    # duplicate explode (measured ~15% at sf0.1; at 100 TB swap the cache
+    # for a disk-tier persist or accept two scans — the plan is unchanged)
+    rows = _shingle_rows(spark, sf_dir)
+    rows.cache()
+    sig = rows.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD_SHINGLE)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS[:_K])
+        ]
+    )
+    sig.cache()
     pairs = lsh_candidate_pairs(sig, _K, _BANDS, _MAX_BUCKET)
     # shingle sets via explode + collect_set (codegen'd hash + hash agg —
     # measured equal to the per-doc array_distinct HOF at sf0.1, 5.2 vs
     # 5.5s); set order is irrelevant to the intersection/union sizes the
     # oracle checks.
-    sh = (
-        _shingle_rows(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.collect_set("h").alias("s"))
-    )
+    sh = rows.groupBy("doc_id").agg(F.collect_set("h").alias("s"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect("s_a", "s_b"))
