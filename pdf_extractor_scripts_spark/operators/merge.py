@@ -1,10 +1,13 @@
 """Hybrid route merge (J1) + deterministic span emission — all native
 Catalyst higher-order functions, no Python.
 
-Merge semantics (fallback_processor.py:518-620): header/vendor sections and
-line items prefer the text route; totals/payment/shipping prefer OCR; each
-falls back to the other side when missing. For single-route documents one of
-res_t/res_o is null and the coalesce degenerates to pass-through.
+Merge semantics (fallback_processor.py:518-620; audit §11): SECTION-level
+pick — the priority side (text for header/vendor/customer/items/payment,
+OCR for totals/shipping, :536-544) wins the WHOLE section whenever it has
+any data; only an empty primary section falls back to the other side, and
+a key missing from the winning side is NOT back-filled from the loser. For
+single-route documents one side's map is empty and every section falls
+through to the populated side.
 
 Emission (the span-equality contract): fields in canonical bank order, then
 items sorted by numeric line number with a stable original-index tie-break
@@ -19,30 +22,42 @@ from pyspark.sql import DataFrame
 
 from .. import config as C
 
-_OCR_FIRST = ("totals", "payment", "shipping")
+_OCR_FIRST = ("totals", "shipping")  # fallback_processor.py:536-544
 
 
-def _field_order_arr(vendor: str) -> str:
-    keys = ", ".join(f"'{k}'" for k in C.FIELD_ORDER[vendor])
-    return f"array({keys})"
+def _sec_has(m: str, keys: list[str]) -> str:
+    return "(" + " OR ".join(
+        f"try_element_at({m}, '{k}') IS NOT NULL" for k in keys
+    ) + ")"
 
 
 def _merged_fields_expr() -> str:
-    """CASE over vendors → ordered per-key coalesce between the two routes."""
-    ocr_first = ", ".join(f"'{s}'" for s in _OCR_FIRST)
-    pick = (
-        "CASE WHEN substring_index(k, '.', 1) IN ({of}) "
-        "THEN coalesce(try_element_at(mo, k), try_element_at(mt, k)) "
-        "ELSE coalesce(try_element_at(mt, k), try_element_at(mo, k)) END"
-    ).format(of=ocr_first)
-    branches = " ".join(
-        f"WHEN vendor = '{v}' THEN "
-        f"filter(transform({_field_order_arr(v)}, "
-        f"k -> named_struct('key', k, 'value', {pick})), s -> s.value IS NOT NULL)"
-        for v in C.FIELD_ORDER
-    )
+    """CASE over vendors → ordered SECTION-level pick between the routes:
+    per key, take the priority side's value iff that side's SECTION has any
+    key at all, else the other side's (no cross-side back-fill within a
+    section — audit §11)."""
+    branches = []
+    for v, order in C.FIELD_ORDER.items():
+        sections: dict[str, list[str]] = {}
+        for k in order:
+            sections.setdefault(k.split(".", 1)[0], []).append(k)
+        parts = []
+        for k in order:
+            sec = k.split(".", 1)[0]
+            mp, ms = ("mo", "mt") if sec in _OCR_FIRST else ("mt", "mo")
+            pick = (
+                f"CASE WHEN {_sec_has(mp, sections[sec])} "
+                f"THEN try_element_at({mp}, '{k}') "
+                f"WHEN {_sec_has(ms, sections[sec])} "
+                f"THEN try_element_at({ms}, '{k}') END"
+            )
+            parts.append(f"named_struct('key', '{k}', 'value', {pick})")
+        branches.append(
+            f"WHEN vendor = '{v}' THEN "
+            f"filter(array({', '.join(parts)}), s -> s.value IS NOT NULL)"
+        )
     return (
-        "CASE " + branches + " ELSE cast(array() as "
+        "CASE " + " ".join(branches) + " ELSE cast(array() as "
         "array<struct<key:string, value:string>>) END"
     )
 

@@ -33,7 +33,9 @@ from dataclasses import dataclass
 from . import config as C
 
 SECTION_TEXT_FIRST = ("header", "vendor")  # fallback_processor.py:560-575
-SECTION_OCR_FIRST = ("totals", "payment", "shipping")
+# fallback_processor.py:536-544 — OCR wins only totals and shipping_info;
+# payment_terms is TEXT-first (audit §11 corrected the r1/r2 reading)
+SECTION_OCR_FIRST = ("totals", "shipping")
 
 _HEADER_FILTER_RES = [re.compile(p) for p in C.PAGE_HEADER_FILTERS]
 
@@ -568,18 +570,31 @@ def merge_routes(
     fields_t: dict[str, str], items_t: list[dict],
     fields_o: dict[str, str], items_o: list[dict],
 ) -> tuple[dict[str, str], list[dict]]:
-    """fallback_processor.py:518-620: per-section source priority —
-    header/vendor (and line items) from the text route, totals/payment/
-    shipping from OCR — falling back to the other side when missing."""
+    """fallback_processor.py:518-620 — SECTION-level pick (audit §11): the
+    priority side (text for header/vendor/customer/items/payment, OCR for
+    totals/shipping, :536-544) wins the WHOLE section whenever it has any
+    meaningful data (:549-557); only when it is empty does the other side's
+    section apply. A key missing from the winning side is NOT back-filled
+    from the loser — the reference copies the primary section object
+    wholesale. (Its final per-key merge branch, :560, runs only when
+    NEITHER side has data — vacuously empty in our non-empty-dict model.)"""
     merged: dict[str, str] = {}
+    sections: dict[str, list[str]] = {}
     for key in C.FIELD_ORDER[vendor]:
-        section = key.split(".", 1)[0]
-        if section in SECTION_OCR_FIRST:
-            v = fields_o.get(key, fields_t.get(key))
+        sections.setdefault(key.split(".", 1)[0], []).append(key)
+    for sec, keys in sections.items():
+        prim, snd = (
+            (fields_o, fields_t) if sec in SECTION_OCR_FIRST else (fields_t, fields_o)
+        )
+        if any(k in prim for k in keys):
+            src = prim
+        elif any(k in snd for k in keys):
+            src = snd
         else:
-            v = fields_t.get(key, fields_o.get(key))
-        if v is not None:
-            merged[key] = v
+            continue
+        for k in keys:
+            if k in src:
+                merged[k] = src[k]
     items = items_t if items_t else items_o
     return merged, items
 

@@ -425,3 +425,34 @@ def test_ocr_dual_engine_selection_branches(spark):
     assert "~" not in got["schlage/gap.pdf"]
     assert got["schlage/only2.pdf"].count("INVOICE#") == 12   # e2 verbatim
     assert got["schlage/long.pdf"].endswith("FEED MARK 9")    # base switched
+
+
+def test_j1_merge_is_section_level_pick():
+    # audit §11 (fallback_processor.py:536-560): the priority side wins the
+    # WHOLE section when it has any data — a key missing from the winning
+    # side is NOT back-filled from the loser; payment is TEXT-first; totals
+    # and shipping are OCR-first
+    import pdf_extractor_scripts_spark.config as C
+
+    vendor = "ceco"
+    keys = C.FIELD_ORDER[vendor]
+    hdr = [k for k in keys if k.startswith("header.")]
+    tot = [k for k in keys if k.startswith("totals.")]
+    assert len(hdr) >= 2 and len(tot) >= 2
+    fields_t = {hdr[0]: "T_HDR0", tot[0]: "T_TOT0", tot[1]: "T_TOT1"}
+    fields_o = {hdr[0]: "O_HDR0", hdr[1]: "O_HDR1", tot[0]: "O_TOT0"}
+    merged, items = O.merge_routes(vendor, fields_t, [], fields_o,
+                                   [{"line": "001", "serialized": "s", "marks": []}])
+    # header: text section non-empty → text wins wholesale; the OCR-only
+    # hdr[1] must NOT leak in
+    assert merged[hdr[0]] == "T_HDR0"
+    assert hdr[1] not in merged
+    # totals: OCR-first and OCR section non-empty → OCR wins wholesale;
+    # text-only tot[1] must NOT leak in
+    assert merged[tot[0]] == "O_TOT0"
+    assert tot[1] not in merged
+    # empty primary section falls back to the other side
+    merged2, _ = O.merge_routes(vendor, {}, [], {hdr[0]: "O_HDR0"}, [])
+    assert merged2[hdr[0]] == "O_HDR0"
+    # items: text route empty → OCR items
+    assert items and items[0]["line"] == "001"
