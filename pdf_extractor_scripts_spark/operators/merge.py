@@ -83,7 +83,7 @@ def with_merge(df: DataFrame) -> DataFrame:
 _ITEMS_SORTED = """
 array_sort(
   transform(merged_items, (it, i) -> named_struct(
-    'ln', coalesce(try_cast(regexp_replace(it.line, '[^0-9]', '') as int), 999999999),
+    'ln', coalesce(try_cast(regexp_replace(it.line, '[^0-9]', '') as bigint), 0L),
     'idx', i,
     'serialized', it.serialized,
     'marks', it.marks)),

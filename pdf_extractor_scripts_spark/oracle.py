@@ -600,8 +600,11 @@ def merge_routes(
 
 
 def _item_sort_key(it: dict, idx: int) -> tuple[int, int]:
+    """T1 (text_pdf_processor.py:2600-2613; audit §13): digits-only int,
+    EMPTY DIGITS → 0 (non-numeric lines sort FIRST, not last); list.sort
+    stability = the idx tie-break."""
     digits = re.sub(r"\D", "", it["line"])
-    return (int(digits) if digits else 10**9, idx)  # T1 numeric sort, stable
+    return (int(digits) if digits else 0, idx)
 
 
 def emit_spans(vendor: str, fields: dict[str, str], items: list[dict],

@@ -211,17 +211,29 @@ def a1_weighted_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A2 — completeness score (data_validator.py:159-207)
 # --------------------------------------------------------------------------
 def _a2_sql(dialect: str) -> str:
+    """The exact reference completeness structure (data_validator.py:
+    159-207; audit §12): header = 15 (invoice_number) + 10 (invoice_date);
+    vendor = 10 (company) + 5 (address); customer = 10 + 5; line items =
+    20 base + 15 * complete-item ratio (UNROUNDED float); totals = 10 if
+    any populated; min(total, 100). Field presences derive
+    deterministically from the documents table on both engines."""
     if dialect == "spark":
         ntok = "size(filter(split(text, ' '), x -> x <> ''))"
     else:
         ntok = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
-    has = lambda w: f"CASE WHEN text LIKE '%{w}%' THEN 1 ELSE 0 END"
+    has = lambda w: f"(CASE WHEN text LIKE '%{w}%' THEN 1 ELSE 0 END)"
     return f"""
     WITH scored AS (
       SELECT doc_id,
-             cast(25 * {has("join")} + 15 * {has("filter")} + 15 * {has("group")}
-             + cast(round(35 * least(cast({ntok} as double) / 100, 1.0), 0) as int)
-             + 10 * (CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) as int) AS completeness
+             least(
+               15 * {has("join")} + 10 * {has("filter")}
+               + 10 * {has("group")} + 5 * {has("table")}
+               + 10 * {has("row")} + 5 * {has("column")}
+               + (CASE WHEN {ntok} > 20
+                  THEN 20 + 15 * least(cast({ntok} as double) / 100, 1.0)
+                  ELSE 0 END)
+               + 10 * (CASE WHEN n_chars > 200 THEN 1 ELSE 0 END),
+               cast(100.0 as double)) AS completeness
       FROM documents
     )
     SELECT cast(floor(completeness / 20) as int) AS completeness_bucket,
@@ -234,9 +246,10 @@ def _a2_sql(dialect: str) -> str:
 @register(
     "a2_completeness_score",
     oracle=_a2_sql("duckdb"),
-    doc="Completeness scoring: 25 header + 15 vendor + 15 customer + 35 * "
-        "line-item quality ratio + 10 totals (data_validator.py:159-207), "
-        "bucketed distribution.",
+    doc="Completeness scoring with the reference's exact point structure "
+        "(data_validator.py:159-207): header 15+10, vendor 10+5, customer "
+        "10+5, line items 20 + 15*complete-ratio (float, unrounded), "
+        "totals 10, capped at 100 — bucketed distribution.",
 )
 def a2_completeness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     _doc_view(spark, sf_dir)

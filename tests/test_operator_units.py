@@ -456,3 +456,18 @@ def test_j1_merge_is_section_level_pick():
     assert merged2[hdr[0]] == "O_HDR0"
     # items: text route empty → OCR items
     assert items and items[0]["line"] == "001"
+
+
+def test_t1_item_sort_nonnumeric_first_and_stable():
+    # audit §13 (text_pdf_processor.py:2600-2613): digits-only key with
+    # EMPTY → 0, so non-numeric line numbers sort FIRST; equal keys keep
+    # input order (list.sort stability)
+    items = [
+        {"line": "002", "serialized": "b", "marks": []},
+        {"line": "ABC", "serialized": "x", "marks": []},   # no digits → 0
+        {"line": "001", "serialized": "a", "marks": []},
+        {"line": "1", "serialized": "a2", "marks": []},    # ties 001, later
+    ]
+    ordered = [it["serialized"] for _, it in
+               sorted(enumerate(items), key=lambda p: O._item_sort_key(p[1], p[0]))]
+    assert ordered == ["x", "a", "a2", "b"]
