@@ -205,7 +205,10 @@ for _v in ADDRESS_CONFIG:
 CECO_ITEM_HEADER = r"^(\d{3})\s+(\d{3})\s+([A-Z0-9]+)\s+(\d+)\s+(\d+)(?:\s+(\d+))?$"
 # ceco_processor.py:507-510 — pricing line inside the forward scan window:
 CECO_PRICING = r"^([A-Z0-9 /-]+?)\s+([\d,]+\.\d{3})\s+([\d,]+\.\d{3})\s+([\d,]+\.\d{2})\s+([\d,]+\.\d{2})$"
-CECO_SCAN_WINDOW = 50  # ceco_processor.py:482 forward-scan bound
+# ceco_processor.py:482-491: search_end = min(len, header+50) EXCLUSIVE →
+# the scan covers header+1..header+49 = 49 lines (audit §14 fixed the
+# round-1/2 off-by-one that scanned 50)
+CECO_SCAN_WINDOW = 49
 # mark formats (text_pdf_processor.py:2895-2979; audit §6):
 # labeled: reference findall pattern (:2899) — charset-restricted capture,
 # whitespace REQUIRED after the colon, case-insensitive; each comma part is
@@ -241,8 +244,17 @@ STEELCRAFT_SPECS = [
     ("opening_height", r"^OPENING HEIGHT (.+)$"),
     ("hand_of_frame", r"^HAND OF FRAME (.+)$"),
 ]
-STEELCRAFT_MARKS_HEADER = r"^MARK NUMBERS:$"
-STEELCRAFT_MARKS_LINE = r"^(\d{3} \(\d+\)(?:, \d{3} \(\d+\))*)$"
+# steelcraft_processor.py:627-655 (audit §14): marks live in their OWN
+# 30-line window (range(start+1, min(start+31, len)) — NOT the 20-line spec
+# window), bounded early by the first item-like line; the header test is a
+# SUBSTRING containment; the first MARK NUMBERS header wins and its value
+# comes from the first non-empty line within the next 3 that has matches,
+# each rendered as 'NNN (q)'.
+STEELCRAFT_MARKS_WINDOW = 30
+STEELCRAFT_MARKS_HEADER = "MARK NUMBERS:"          # substring test (:640)
+STEELCRAFT_MARK_MATCH = r"(\d{3})\s*\((\d+)\)"     # findall form (:646)
+STEELCRAFT_ITEM_LIKE = r"^\d{3}\s+\d+\.\d+\s+\d+\.\d+"  # break pattern (:636)
+STEELCRAFT_MARKS_INNER = 3                          # range(i+1, min(i+4, len))
 # steelcraft_processor.py:588-609 pricing-detail forward scan (<=30 lines)
 # and :708 discount line (<=10 lines)
 STEELCRAFT_PRICING_WINDOW = 30

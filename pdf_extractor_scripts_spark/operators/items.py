@@ -59,8 +59,8 @@ def _valid_mark(p: str) -> bool:
 _SC_F164 = re.compile(C.STEELCRAFT_ITEM_F164)
 _SC_ANCH = re.compile(C.STEELCRAFT_ITEM_ANCHOR)
 _SC_SPECS = [(lbl, re.compile(p)) for lbl, p in C.STEELCRAFT_SPECS]
-_SC_MHDR = re.compile(C.STEELCRAFT_MARKS_HEADER)
-_SC_MLINE = re.compile(C.STEELCRAFT_MARKS_LINE)
+_SC_ITEM_LIKE = re.compile(C.STEELCRAFT_ITEM_LIKE)
+_SC_MARK = re.compile(C.STEELCRAFT_MARK_MATCH)
 _SC_PRICE = re.compile(C.STEELCRAFT_PRICING_DETAIL)
 _SC_DISC = re.compile(C.STEELCRAFT_DISCOUNT_LINE)
 
@@ -165,6 +165,39 @@ def steelcraft_items(lines: list[str]) -> list[dict]:
                      ("b", g[7]), ("ext", g[8])]
             headers.append((i, g[0], g[3], pairs))
 
+    # classify every line ONCE for the marks grammar (audit §14): stripped
+    # form, item-like flag, marks-header flag, and the rendered mark matches
+    cls = []
+    for l in lines:
+        s = l.strip()
+        cls.append((
+            bool(_SC_ITEM_LIKE.match(s)),
+            C.STEELCRAFT_MARKS_HEADER in s,
+            s != "",
+            [f"{n} ({q})" for n, q in _SC_MARK.findall(s)],
+        ))
+
+    def marks_for(idx: int) -> list[str]:
+        """Reference grammar via the classification table: first header in
+        the 30-line window (early item-like break) → first non-empty line
+        of the next 3 with matches."""
+        for i in range(idx + 1, min(idx + 1 + C.STEELCRAFT_MARKS_WINDOW, len(lines))):
+            is_item, is_hdr, _, _ = cls[i]
+            if is_item:
+                return []
+            if not is_hdr:
+                continue
+            for j in range(i + 1, min(i + 1 + C.STEELCRAFT_MARKS_INNER, len(lines))):
+                is_item_j, _, non_empty, mm = cls[j]
+                if not non_empty:
+                    continue
+                if mm:
+                    return list(mm)
+                if is_item_j:
+                    break
+            return []
+        return []
+
     idxs = [i for i, *_ in headers]
     items, seen = [], set()
     for h, (idx, line_no, code, pairs) in enumerate(headers):
@@ -172,17 +205,14 @@ def steelcraft_items(lines: list[str]) -> list[dict]:
             continue
         seen.add((line_no, code))
         nxt = idxs[h + 1] if h + 1 < len(idxs) else len(lines)
-        marks: list[str] = []
-        # spec + marks window
+        marks = marks_for(idx)
+        # spec window
         for j in range(idx + 1, min(nxt, idx + 1 + C.STEELCRAFT_SPEC_WINDOW)):
             l = lines[j]
             for lbl, rx in _SC_SPECS:
                 if (sm := rx.match(l)):
                     pairs.append(("spec_" + lbl, sm.group(1)))
                     break
-            if _SC_MHDR.match(l) and j + 1 < min(nxt, idx + 1 + C.STEELCRAFT_SPEC_WINDOW):
-                if (ml := _SC_MLINE.match(lines[j + 1])):
-                    marks += [p.strip() for p in ml.group(1).split(",")]
         # pricing-detail window (<=30)
         for j in range(idx + 1, min(nxt, idx + 1 + C.STEELCRAFT_PRICING_WINDOW)):
             if (pm := _SC_PRICE.match(lines[j])):

@@ -392,14 +392,41 @@ def _dedupe_keep_order(vals: list[str]) -> list[str]:
     return out
 
 
+def _steelcraft_marks(lines: list[str], idx: int) -> list[str]:
+    """steelcraft_processor.py:627-655 (audit §14): scan start+1..start+30,
+    break at the first item-like line; at the FIRST 'MARK NUMBERS:' header
+    (substring test), look over the next 3 lines — skip empties, take every
+    '(\\d{3})\\s*\\((\\d+)\\)' match from the first non-empty line that has
+    any (rendered 'NNN (q)'), break on an item-like line — then stop the
+    whole scan (the outer loop breaks after its first header)."""
+    item_like = re.compile(C.STEELCRAFT_ITEM_LIKE)
+    mark_re = re.compile(C.STEELCRAFT_MARK_MATCH)
+    marks: list[str] = []
+    for i in range(idx + 1, min(idx + 1 + C.STEELCRAFT_MARKS_WINDOW, len(lines))):
+        line = lines[i].strip()
+        if item_like.match(line):
+            break
+        if C.STEELCRAFT_MARKS_HEADER in line:
+            for j in range(i + 1, min(i + 1 + C.STEELCRAFT_MARKS_INNER, len(lines))):
+                nl = lines[j].strip()
+                if not nl:
+                    continue
+                mm = mark_re.findall(nl)
+                if mm:
+                    marks.extend(f"{n} ({q})" for n, q in mm)
+                    break
+                if item_like.match(nl):
+                    break
+            break
+    return marks
+
+
 def _steelcraft_items(lines: list[str]) -> list[dict]:
     """steelcraft_processor.py:447-712: two item grammars + bounded spec and
     mark scans."""
     f164_re = re.compile(C.STEELCRAFT_ITEM_F164)
     anch_re = re.compile(C.STEELCRAFT_ITEM_ANCHOR)
     spec_res = [(label, re.compile(p)) for label, p in C.STEELCRAFT_SPECS]
-    marks_hdr_re = re.compile(C.STEELCRAFT_MARKS_HEADER)
-    marks_line_re = re.compile(C.STEELCRAFT_MARKS_LINE)
     pricing_re = re.compile(C.STEELCRAFT_PRICING_DETAIL)
     discount_re = re.compile(C.STEELCRAFT_DISCOUNT_LINE)
 
@@ -426,16 +453,18 @@ def _steelcraft_items(lines: list[str]) -> list[dict]:
         seen.add((line_no, code))
         nxt = hits[h + 1][0] if h + 1 < len(hits) else len(lines)
         end = min(nxt, idx + 1 + C.STEELCRAFT_SPEC_WINDOW)
-        marks: list[str] = []
         for j in range(idx + 1, end):
             l = lines[j]
             for label, sr in spec_res:
                 if (sm := sr.match(l)):
                     pairs.append(("spec_" + label, sm.group(1)))
                     break
-            if marks_hdr_re.match(l) and j + 1 < end:
-                if (ml := marks_line_re.match(lines[j + 1])):
-                    marks += [p.strip() for p in ml.group(1).split(",")]
+        # marks: their OWN 30-line window with the reference's grammar
+        # (steelcraft_processor.py:627-655; audit §14) — early break at the
+        # first item-like line, substring header test, first header wins,
+        # value from the first non-empty matching line within 3, rendered
+        # 'NNN (q)'
+        marks = _steelcraft_marks(lines, idx)
         # pricing-detail scan (<=30 lines, steelcraft_processor.py:588-609)
         for j in range(idx + 1, min(nxt, idx + 1 + C.STEELCRAFT_PRICING_WINDOW)):
             if (pm := pricing_re.match(lines[j])):

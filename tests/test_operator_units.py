@@ -471,3 +471,38 @@ def test_t1_item_sort_nonnumeric_first_and_stable():
     ordered = [it["serialized"] for _, it in
                sorted(enumerate(items), key=lambda p: O._item_sort_key(p[1], p[0]))]
     assert ordered == ["x", "a", "a2", "b"]
+
+
+def test_steelcraft_marks_reference_grammar():
+    # audit §14 (steelcraft_processor.py:627-655): marks live in their own
+    # 30-line window; FIRST header wins; value = first non-empty line of
+    # the next 3 with matches, rendered 'NNN (q)'; item-like lines break
+    item = "001 2.0 2.0 F 164 HM DOOR 1,000 .10 5 2 900.00"
+    for impl in (O._steelcraft_items, I.steelcraft_items):
+        # marks two lines below the header (empty line skipped), compact
+        # input '005(1)' renders as '005 (1)'
+        got = impl([item, "MARK NUMBERS:", "", "005(1), 068 (2)"])
+        assert got[0]["marks"] == ["005 (1)", "068 (2)"], impl
+        # only the FIRST header is processed
+        got = impl([item, "MARK NUMBERS:", "005 (1)",
+                    "MARK NUMBERS:", "099 (9)"])
+        assert got[0]["marks"] == ["005 (1)"], impl
+        # an item-like line before any header stops the scan
+        got = impl([item, "002 3.0 3.0 something", "MARK NUMBERS:", "005 (1)"])
+        assert got[0]["marks"] == [], impl
+        # header whose next 3 lines are empty yields nothing
+        got = impl([item, "MARK NUMBERS:", "", "", ""])
+        assert got[0]["marks"] == [], impl
+
+
+def test_ceco_scan_window_is_49_lines():
+    # audit §14 (ceco_processor.py:482): search_end = header+50 EXCLUSIVE →
+    # 49 lines after the header; a mark on line header+49 is captured, one
+    # on header+50 is not
+    hdr = "001 572 FR3PC 1 1 0"
+    pad = ["filler"] * 48
+    inside = [hdr] + pad + ["8241799(40)"]          # at header+49
+    outside = [hdr] + pad + ["filler", "8241800(41)"]  # at header+50
+    for impl in (O._ceco_items, I.ceco_items):
+        assert impl(inside)[0]["marks"] == ["8241799(40)"], impl
+        assert impl(outside)[0]["marks"] == [], impl
