@@ -16,6 +16,7 @@ spec.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 
@@ -65,9 +66,19 @@ PAGE_HEADER_FILTERS: list[str] = [
 ]
 
 # ---------------------------------------------------------------------------
-# Field banks. Each field: ordered list of regexes (first match wins, group 1
-# unless noted) — DynamicPatternExtractor semantics
-# (text_pdf_processor.py:439-537: ordered list, confidence decays by index).
+# Field banks. Each field: ordered list of regexes, group 1 unless noted.
+# Selection semantics differ per vendor, mirroring the reference call sites
+# (audit §15):
+#   * ceco / steelcraft / schlage: first-match-wins re.search loops in the
+#     vendor processors (ceco_processor.py:362-374; steelcraft_processor.py
+#     :342-390/:662-688; schlage_processor.py:992-1058/:1943-1958).
+#   * generic: DynamicPatternExtractor (text_pdf_processor.py:439-537) —
+#     findall over ALL patterns, confidence = weight * (1 - 0.1*index) *
+#     match quality (len<2 → 0.3, len>50 → 0.7, pure-digit len<3 → ×0.5;
+#     :495-512), argmax with ties keeping enumeration order; the per-pattern
+#     weights live in GENERIC_WEIGHTS below.
+# Regex flags and value post-processing are per call site too — see
+# field_flags / field_strip / field_comma_strip below.
 # ---------------------------------------------------------------------------
 FIELD_BANKS: dict[str, dict[str, list[str]]] = {
     "ceco": {
@@ -135,11 +146,75 @@ FIELD_BANKS: dict[str, dict[str, list[str]]] = {
         "header.invoice_date": [r"Invoice Date:\s*(\d{1,2}/\d{1,2}/\d{2})"],
         "vendor.email": [r"([a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,})"],
         "vendor.phone": [r"(\(\d{3}\) \d{3}-\d{4})"],
-        "totals.subtotal": [r"Subtotal:\s*\$([\d,]+\.\d{2})"],
+        # total_sale family (text_pdf_processor.py:296-300): the first form's
+        # loose amount tail ([\d,]+\.?\d*) can capture degenerate short
+        # values, which the DynamicPatternExtractor quality score then
+        # demotes below the later Subtotal form — the argmax-vs-first-match
+        # distinction this bank exists to exercise.
+        "totals.subtotal": [
+            r"Total Sale:\s*\$?\s*([\d,]+\.?\d*)",
+            r"Subtotal:\s*\$([\d,]+\.\d{2})",
+        ],
         "totals.tax": [r"Tax:\s*\$([\d,]+\.\d{2})"],
         "totals.total": [r"Invoice Total:\s*\$([\d,]+\.\d{2})"],
     },
 }
+
+# Per-pattern confidence weights for the generic (DynamicPatternExtractor)
+# bank, mirroring the reference's FieldPattern weights
+# (text_pdf_processor.py:258-348: invoice_number 0.7/0.6, total_sale
+# 0.8/subtotal 0.7, email 0.9, phone 0.8, tax 0.8, invoice_total 0.9,
+# dates 0.7). Unlisted keys default to 1.0 per pattern.
+GENERIC_WEIGHTS: dict[str, list[float]] = {
+    "header.invoice_number": [0.7, 0.6],
+    "header.invoice_date": [0.7],
+    "vendor.email": [0.9],
+    "vendor.phone": [0.8],
+    "totals.subtotal": [0.8, 0.7],
+    "totals.tax": [0.8],
+    "totals.total": [0.9],
+}
+
+
+def field_flags(vendor: str, key: str) -> int:
+    """Regex flags per reference call site (audit §15).
+
+    ceco: non-totals fields go through _extract_field_with_patterns
+    (ceco_processor.py:364 — re.IGNORECASE | re.MULTILINE); totals through
+    _extract_totals (:617-642 — no flags). schlage: header/vendor/payment
+    searches pass re.IGNORECASE (schlage_processor.py:1004-1054, :1173-1193,
+    :1946); the totals amount patterns are per-line searches with no flags
+    (:3007-3037). steelcraft: no flags at any call site (:342-390, :662-688,
+    :717-734) — our ^-anchored generalizations of its sample-literal
+    patterns keep re.M so the anchor means line start (documented
+    deviation). generic: DynamicPatternExtractor findall runs
+    re.IGNORECASE | re.MULTILINE (text_pdf_processor.py:449).
+    """
+    totals = key.startswith("totals.")
+    if vendor == "ceco":
+        return 0 if totals else re.IGNORECASE | re.MULTILINE
+    if vendor == "schlage":
+        return 0 if totals else re.IGNORECASE
+    if vendor == "steelcraft":
+        return re.MULTILINE
+    return re.IGNORECASE | re.MULTILINE
+
+
+def field_strip(vendor: str, key: str) -> bool:
+    """Whether the reference .strip()s the captured value: ceco non-totals
+    (ceco_processor.py:366), schlage payment terms (:1948) and sales-rep
+    style fields, and every generic value (text_pdf_processor.py:457)."""
+    if vendor == "ceco":
+        return not key.startswith("totals.")
+    if vendor == "schlage":
+        return key == "payment.terms"
+    return vendor == "generic"
+
+
+def field_comma_strip(vendor: str, key: str) -> bool:
+    """ceco totals values are stored comma-stripped — .replace(',', '') at
+    ceco_processor.py:620-647; other vendors keep the raw match."""
+    return vendor == "ceco" and key.startswith("totals.")
 
 # F5 — address-block extraction: scan lines after a section header until a
 # terminator; classify each line as company/street/city-state. Per-vendor

@@ -41,8 +41,16 @@ def _ceco_lines(rng: random.Random, n_items: int) -> list[list[str]]:
     """Pages of lines for one CECO doc."""
     inv = rng.randint(10_000_000, 99_999_999)
     # ~20% of docs use the alternative label → exercises the bank's
-    # fallback-pattern priority (F1 ordered lists)
-    inv_line = f"Invoice Number: {inv}" if rng.random() < 0.8 else f"INV NO: {inv}"
+    # fallback-pattern priority (F1 ordered lists); ~15% render the primary
+    # label uppercase → exercises the IGNORECASE flag of the ceco
+    # _extract_field_with_patterns call site (audit §15)
+    r = rng.random()
+    if r < 0.65:
+        inv_line = f"Invoice Number: {inv}"
+    elif r < 0.8:
+        inv_line = f"INVOICE NUMBER: {inv}"
+    else:
+        inv_line = f"INV NO: {inv}"
     header = [
         f"Page: 1 of {1 + (n_items + 2) // 3}",
         inv_line,
@@ -136,7 +144,10 @@ def _ceco_lines(rng: random.Random, n_items: int) -> list[list[str]]:
         freight_line,
         "2% 30 DAYS, NET 60",
         f"SHIPMENT TRACKING NUMBER 25UTS{rng.randint(100000, 999999)}",
-        "ORDER SHIPPED FROM 572 - MILAN MANUFACTURING",
+        # ~25% trailing whitespace: the [A-Z ]+ capture grabs it and the
+        # reference's .strip() (ceco_processor.py:366) must remove it
+        "ORDER SHIPPED FROM 572 - MILAN MANUFACTURING"
+        + ("  " if rng.random() < 0.25 else ""),
         "PREPAID 3RD PARTY",
     ]
     # paginate: 3 items' worth of lines per page; headers repeat per page —
@@ -221,7 +232,9 @@ def _schlage_lines(rng: random.Random, n_items: int, variant: str) -> list[list[
     sur = round(sub * 0.02, 2)
     shp = round(sub * 0.03, 2)
     head = [
-        f"INVOICE# {rng.randint(1_000_000, 9_999_999)}",
+        # ~15% mixed-case label: the schlage header searches pass
+        # re.IGNORECASE (schlage_processor.py:1004-1014, audit §15)
+        f"{'Invoice#' if rng.random() < 0.15 else 'INVOICE#'} {rng.randint(1_000_000, 9_999_999)}",
         f"INVOICE DATE {rng.randint(10, 28)}-{rng.choice(['JAN', 'FEB', 'MAR', 'APR'])}-25",
         f"ORDER# {rng.randint(10_000_000, 99_999_999)}",
         f"CUSTOMER PO# {rng.randint(100000, 999999)}-0{rng.randint(10, 99)}",
@@ -294,10 +307,17 @@ def _generic_lines(rng: random.Random, n_items: int, corrupted: bool) -> list[li
     else:
         # second-bank-pattern variant (Invoice #:)
         inv_line = f"Invoice #: {rng.choice(['ABC', 'XYZ'])}-{rng.randint(10000, 99999)}"
+    # ~10% uppercase email — matched via the DynamicPatternExtractor's
+    # IGNORECASE findall (text_pdf_processor.py:449, audit §15)
+    email = (
+        f"BILLING{rng.randint(1, 99)}@ACME.COM"
+        if rng.random() < 0.10
+        else f"billing{rng.randint(1, 99)}@acme.com"
+    )
     lines = [
         inv_line,
         f"Invoice Date: {_date(rng)}",
-        f"billing{rng.randint(1, 99)}@acme.com",
+        email,
         f"({rng.randint(200, 999)}) {rng.randint(100, 999)}-{rng.randint(1000, 9999)}",
     ]
     for i in range(1, n_items + 1):
@@ -306,11 +326,22 @@ def _generic_lines(rng: random.Random, n_items: int, corrupted: bool) -> list[li
             f"{rng.choice(['blue widget large', 'red gadget', 'green gizmo'])} "
             f"{_money(rng, 1, 99)} {_money(rng, 10, 999)}"
         )
-    lines += [
+    totals_lines = []
+    r = rng.random()
+    if r < 0.07:
+        # degenerate short-digit Total Sale capture: quality 0.3*0.5 demotes
+        # the higher-priority pattern below the Subtotal form — the
+        # argmax-vs-first-match case (text_pdf_processor.py:495-512)
+        totals_lines.append(f"Total Sale: $ {rng.randint(1, 9)}")
+    elif r < 0.17:
+        # real Total Sale amount: the higher-weight pattern wins outright
+        totals_lines.append(f"Total Sale: $ {_money(rng, 100, 9999)}")
+    totals_lines += [
         f"Subtotal: ${_money(rng, 100, 9999)}",
         "Tax: $0.00",
         f"Invoice Total: ${_money(rng, 100, 9999)}",
     ]
+    lines += totals_lines
     return [lines]
 
 

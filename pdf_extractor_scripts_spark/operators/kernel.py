@@ -17,10 +17,62 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 
 from .. import config as C
 from .. import oracle as O
+
+
+def _argmax_extract(sub: pd.Series, key: str, patterns: list[str]) -> pd.Series:
+    """All-matches argmax for one generic field over an Arrow batch.
+
+    DynamicPatternExtractor (text_pdf_processor.py:439-537): every match of
+    every pattern (IGNORECASE|MULTILINE findall) scores
+    weight * (1 - 0.1*pattern_index) * quality, where quality penalizes
+    len<2 (0.3), len>50 (0.7) and pure-digit len<3 (×0.5) on the RAW value
+    (:495-512); the best-confidence match wins, ties keep the first in
+    (pattern, match) enumeration order; the output value is stripped (:457).
+    """
+    weights = C.GENERIC_WEIGHTS.get(key, [1.0] * len(patterns))
+    cands: list[pd.DataFrame] = []
+    for i, pat in enumerate(patterns):
+        # findall yields group 1 when the pattern has groups, else the whole
+        # match — normalize groupless patterns so extractall has a capture
+        cp = pat if re.compile(pat).groups else f"({pat})"
+        ex = sub.str.extractall(cp, flags=re.IGNORECASE | re.MULTILINE)
+        if ex.empty:
+            continue
+        raw = ex.iloc[:, 0]
+        raw = raw[raw.notna() & (raw.str.strip() != "")]
+        if raw.empty:
+            continue
+        n = raw.str.len().to_numpy()
+        length_score = np.where(n < 2, 0.3, np.where(n > 50, 0.7, 1.0))
+        content = np.where(
+            raw.str.fullmatch(r"\d+").to_numpy(dtype=bool) & (n < 3), 0.5, 1.0
+        )
+        w = weights[i] if i < len(weights) else 1.0
+        cands.append(
+            pd.DataFrame(
+                {
+                    "row": raw.index.get_level_values(0),
+                    "mi": raw.index.get_level_values("match"),
+                    "pi": i,
+                    "val": raw.str.strip().to_numpy(),
+                    "conf": w * (1.0 - i * 0.1) * length_score * content,
+                }
+            )
+        )
+    value = pd.Series([None] * len(sub), index=sub.index, dtype=object)
+    if cands:
+        allc = pd.concat(cands, ignore_index=True)
+        allc = allc.sort_values(
+            ["row", "conf", "pi", "mi"], ascending=[True, False, True, True]
+        )
+        best = allc.groupby("row", sort=False).first()["val"]
+        value.loc[best.index] = best.to_numpy()
+    return value
 
 
 def extract_fields_batch(
@@ -49,13 +101,23 @@ def extract_fields_batch(
             continue
         sub = text[mask]
         per_key: dict[str, pd.Series] = {}
-        for key, patterns in bank.items():
+        if v == "generic":
+            # DynamicPatternExtractor semantics (audit §15): ALL matches of
+            # ALL patterns scored weight * (1 - 0.1*index) * quality, argmax
+            # per row with ties keeping (pattern, match) enumeration order
+            # (text_pdf_processor.py:439-537) — extractall + a stable sort
+            # instead of the oracle's finditer loop.
+            for key, patterns in bank.items():
+                per_key[key] = _argmax_extract(sub, key, patterns)
+        vendor_bank = bank if v != "generic" else {}
+        for key, patterns in vendor_bank.items():
+            flags = C.field_flags(v, key)
             value = pd.Series([None] * len(sub), index=sub.index, dtype=object)
             for pat in patterns:
                 todo = value.isna()
                 if not todo.any():
                     break
-                ext = sub[todo].str.extract(pat, flags=re.M)
+                ext = sub[todo].str.extract(pat, flags=flags)
                 if ext.shape[1] == 1:
                     got = ext.iloc[:, 0]
                 elif key.endswith(".phone") and ext.shape[1] == 3:
@@ -82,6 +144,13 @@ def extract_fields_batch(
                 # rows in `todo` are all-None: direct assignment (no fillna,
                 # which trips pandas' object-downcasting deprecation)
                 value.loc[todo] = got
+            # reference value post-processing (audit §15): .strip() at the
+            # ceco/schlage call sites that strip; ceco totals stored
+            # comma-stripped (ceco_processor.py:620-647)
+            if C.field_strip(v, key):
+                value = value.str.strip()
+            if C.field_comma_strip(v, key):
+                value = value.str.replace(",", "", regex=False)
             per_key[key] = value
         # positional numpy access: per-cell Series.__getitem__ dominated the
         # kernel profile (~40% of field time) before this

@@ -198,20 +198,73 @@ def select_ocr_text(spans: list[dict]) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Field extraction (ordered pattern banks, first match wins)
+# Field extraction. Vendor banks: first-match-wins re.search loops with the
+# reference call sites' flags / strip / comma-strip (audit §15 —
+# ceco_processor.py:362-374/:617-647, schlage_processor.py:992-1058/:1946,
+# steelcraft_processor.py:342-390/:662-688). Generic bank: the
+# DynamicPatternExtractor all-matches argmax (text_pdf_processor.py:439-537).
 # ---------------------------------------------------------------------------
-def extract_fields(vendor: str, text: str) -> dict[str, str]:
+def _match_quality(value: str) -> float:
+    """_assess_match_quality (text_pdf_processor.py:495-512): length<2 →
+    0.3, length>50 → 0.7, pure-digit length<3 → ×0.5; scored on the RAW
+    (unstripped) captured value."""
+    length = 1.0
+    if len(value) < 2:
+        length = 0.3
+    elif len(value) > 50:
+        length = 0.7
+    content = 0.5 if value.isdigit() and len(value) < 3 else 1.0
+    return length * content
+
+
+def _extract_fields_argmax(text: str) -> dict[str, str]:
+    """DynamicPatternExtractor.extract_field_with_confidence
+    (text_pdf_processor.py:439-476): findall every pattern with
+    IGNORECASE|MULTILINE, score every non-blank match as
+    weight * (1 - 0.1*pattern_index) * quality, return the argmax —
+    max() keeps the FIRST result in (pattern, match) enumeration order
+    among equals. Values are stripped on output (:457)."""
     out: dict[str, str] = {}
+    for key, patterns in C.FIELD_BANKS["generic"].items():
+        weights = C.GENERIC_WEIGHTS.get(key, [1.0] * len(patterns))
+        best: tuple[float, str] | None = None
+        for i, pat in enumerate(patterns):
+            for m in re.finditer(pat, text, re.IGNORECASE | re.MULTILINE):
+                # findall semantics: group 1 when groups exist (first tuple
+                # element for multi-group), whole match otherwise (:451)
+                value = m.group(1) if m.groups() else m.group(0)
+                if not value or not value.strip():
+                    continue
+                conf = weights[i] * (1.0 - i * 0.1) * _match_quality(value)
+                if best is None or conf > best[0]:
+                    best = (conf, value.strip())
+        if best is not None:
+            out[key] = best[1]
+    return out
+
+
+def extract_fields(vendor: str, text: str) -> dict[str, str]:
+    if vendor == "generic":
+        out = _extract_fields_argmax(text)
+        _address_blocks(vendor, text, out)
+        return out
+    out = {}
     for key, patterns in C.FIELD_BANKS[vendor].items():
+        flags = C.field_flags(vendor, key)
         for pat in patterns:
-            m = re.search(pat, text, re.M)
+            m = re.search(pat, text, flags)
             if m:
                 groups = [g for g in m.groups() if g is not None]
                 if key.endswith(".phone") and len(groups) == 3:
                     # phone reformat op (ceco_processor.py:706-719)
-                    out[key] = f"({groups[0]}) {groups[1]}-{groups[2]}"
+                    val = f"({groups[0]}) {groups[1]}-{groups[2]}"
                 else:
-                    out[key] = groups[0] if len(groups) == 1 else "|".join(groups)
+                    val = groups[0] if len(groups) == 1 else "|".join(groups)
+                if C.field_strip(vendor, key):
+                    val = val.strip()
+                if C.field_comma_strip(vendor, key):
+                    val = val.replace(",", "")
+                out[key] = val
                 break
     _address_blocks(vendor, text, out)
     if vendor == "schlage":

@@ -506,3 +506,64 @@ def test_ceco_scan_window_is_49_lines():
     for impl in (O._ceco_items, I.ceco_items):
         assert impl(inside)[0]["marks"] == ["8241799(40)"], impl
         assert impl(outside)[0]["marks"] == [], impl
+
+
+def _fields_both(vendor: str, text: str) -> list[dict]:
+    """Run both field-extraction implementations on one document."""
+    eng = extract_fields_batch(pd.Series([vendor]), pd.Series([text]))[0]
+    return [O.extract_fields(vendor, text), eng]
+
+
+def test_f1_ceco_ignorecase_and_strip():
+    # audit §15: ceco non-totals fields go through
+    # _extract_field_with_patterns (ceco_processor.py:364-366) —
+    # IGNORECASE|MULTILINE search and a stripped group(1)
+    text = "INVOICE NUMBER: 12345678\nORDER SHIPPED FROM 572 - MILAN MANUFACTURING   "
+    for got in _fields_both("ceco", text):
+        assert got["header.invoice_number"] == "12345678", got
+        assert got["shipping.origin"] == "572 - MILAN MANUFACTURING", got
+
+
+def test_f1_ceco_totals_comma_stripped_case_sensitive():
+    # ceco totals go through _extract_totals (ceco_processor.py:617-647):
+    # case-SENSITIVE patterns, values stored .replace(',', '')
+    text = (
+        "YOU MAY DEDUCT A DISCOUNT OF $ 1,290.52 14,526.12\n"
+        "FREIGHT CHARGE 1,316.50"
+    )
+    for got in _fields_both("ceco", text):
+        assert got["totals.discount"] == "1290.52", got
+        assert got["totals.subtotal"] == "14526.12", got
+        assert got["totals.freight"] == "1316.50", got
+    # lowercase label must NOT match (no IGNORECASE at that call site)
+    for got in _fields_both("ceco", "freight charge 316.50"):
+        assert "totals.freight" not in got or got.get("totals.freight") != "316.50"
+
+
+def test_f1_schlage_ignorecase_header_steelcraft_case_sensitive():
+    # schlage header searches pass re.IGNORECASE
+    # (schlage_processor.py:1004-1054); steelcraft call sites pass no flags
+    # (steelcraft_processor.py:662-688)
+    for got in _fields_both("schlage", "Invoice# 3456789"):
+        assert got["header.invoice_number"] == "3456789", got
+    for got in _fields_both("steelcraft", "net sales: 1,234.56"):
+        assert "totals.net_sales" not in got, got
+    for got in _fields_both("steelcraft", "NET SALES: 1,234.56"):
+        assert got["totals.net_sales"] == "1,234.56", got  # no comma-strip
+
+
+def test_f1_generic_argmax_demotes_low_quality_match():
+    # DynamicPatternExtractor (text_pdf_processor.py:439-537): all matches
+    # of all patterns scored weight*(1-0.1*i)*quality; the degenerate
+    # single-digit Total Sale capture (quality 0.3*0.5) loses to the later
+    # Subtotal pattern's full amount — first-match-wins would return '5'
+    text = "Total Sale: $ 5\nSubtotal: $431.90"
+    for got in _fields_both("generic", text):
+        assert got["totals.subtotal"] == "431.90", got
+    # with a real amount the higher-weight Total Sale pattern wins outright
+    text = "Total Sale: $ 2,200.10\nSubtotal: $431.90"
+    for got in _fields_both("generic", text):
+        assert got["totals.subtotal"] == "2,200.10", got
+    # IGNORECASE findall: uppercase email is captured by the lowercase class
+    for got in _fields_both("generic", "BILLING7@ACME.COM"):
+        assert got["vendor.email"] == "BILLING7@ACME.COM", got
