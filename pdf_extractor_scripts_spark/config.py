@@ -216,19 +216,30 @@ def field_comma_strip(vendor: str, key: str) -> bool:
     ceco_processor.py:620-647; other vendors keep the raw match."""
     return vendor == "ceco" and key.startswith("totals.")
 
-# F5 — address-block extraction: scan lines after a section header until a
-# terminator; classify each line as company/street/city-state. Per-vendor
-# configs (Schlage BILL TO/SHIP TO: schlage_processor.py:1244-1383; CECO
-# sold/ship/remit variants: text_pdf_processor.py:1925-2032).
+# F5 — address-block extraction (audit §16). Schlage BILL TO/SHIP TO is a
+# line state machine (schlage_processor.py:1244-1352): section start/stop by
+# SUBSTRING containment on the UPPERCASED stripped line (same-line content
+# after the header is DISCARDED — :1260-1262), collection unbounded until a
+# terminator, a len>2 meaningful-line gate, then per-line classification
+# with unanchored IGNORECASE searches: company = first line matching
+# neither street nor city, street = LAST matching line (no first-wins
+# guard), city = LAST match's captured group stripped. BILL TO splits
+# company before 'CUSTOMER PO#' and city before 'ORDER DATE'; SHIP TO skips
+# 'NET DUE DATE'/'SALES REP' lines (company from before SALES REP), skips
+# standalone 7-8 digit customer numbers, and truncates street at
+# 'JOB NAME'. CECO sold/ship/remit variants stay pattern-based
+# (text_pdf_processor.py:1925-2032).
+SCHLAGE_ADDR_SECTIONS: list[tuple[str, str]] = [
+    ("customer.bill_to", "BILL TO"),
+    ("customer.ship_to", "SHIP TO"),
+]
+# schlage_processor.py:1266 — next-major-section keywords
+SCHLAGE_ADDR_TERMINATORS = ("BRAND CARRIER", "QUOTE NUMBER", "PAYMENT TERMS")
+# :1301/:1306 street and :1302/:1310 city classifiers (searched, IGNORECASE)
+SCHLAGE_ADDR_STREET = r"\d+\s+[A-Z\s]+(ST|STREET|DRIVE|DR|AVENUE|AVE|BLVD)"
+SCHLAGE_ADDR_CITY = r"[A-Z\s]+,?\s*[A-Z]{2}\s*\d{5}"
+
 ADDRESS_CONFIG: dict[str, dict] = {
-    "schlage": {
-        "sections": [("customer.bill_to", "BILL TO:"), ("customer.ship_to", "SHIP TO:")],
-        "terminators": ("BRAND CARRIER", "QUOTE NUMBER", "PAYMENT TERMS",
-                        "BILL TO:", "SHIP TO:"),
-        "street": r"^\d+\s+[A-Z0-9 ]+\s(ST|DR|AVE|BLVD|STREET|WAY|RD)$",
-        "city": r"^[A-Z ]+,\s*[A-Z]{2}\s+\d{5}(-\d{4})?$",
-        "max_lines": 5,  # schlage_processor.py:1259-1276 bounded scan
-    },
     "ceco": {
         "sections": [("customer.sold_to", "SOLD TO:"),
                      ("vendor.remit", "Please Remit to:")],
@@ -240,21 +251,17 @@ ADDRESS_CONFIG: dict[str, dict] = {
     },
 }
 
-# legacy aliases (kept for the schlage-specific tests/docs)
-ADDRESS_SECTIONS = ADDRESS_CONFIG["schlage"]["sections"]
-ADDRESS_TERMINATORS = ADDRESS_CONFIG["schlage"]["terminators"]
-ADDRESS_STREET = ADDRESS_CONFIG["schlage"]["street"]
-ADDRESS_CITY = ADDRESS_CONFIG["schlage"]["city"]
-ADDRESS_MAX_LINES = ADDRESS_CONFIG["schlage"]["max_lines"]
-
-
 def _address_keys(vendor: str) -> list[str]:
-    cfg = ADDRESS_CONFIG.get(vendor)
-    if not cfg:
-        return []
+    if vendor == "schlage":
+        sections = SCHLAGE_ADDR_SECTIONS
+    else:
+        cfg = ADDRESS_CONFIG.get(vendor)
+        if not cfg:
+            return []
+        sections = cfg["sections"]
     return [
         f"{sec}_{part}"
-        for sec, _ in cfg["sections"]
+        for sec, _ in sections
         for part in ("company", "street", "citystate")
     ]
 
@@ -265,7 +272,7 @@ FIELD_ORDER: dict[str, list[str]] = {
 }
 # address-block fields (computed by the F5 state machine, not the regex
 # bank) emit after the header section for vendors with an address config:
-for _v in ADDRESS_CONFIG:
+for _v in (*ADDRESS_CONFIG, "schlage"):
     _keys = FIELD_ORDER[_v]
     FIELD_ORDER[_v] = (
         [k for k in _keys if k.startswith("header.")]

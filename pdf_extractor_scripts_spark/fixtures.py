@@ -245,15 +245,56 @@ def _schlage_lines(rng: random.Random, n_items: int, variant: str) -> list[list[
         "11819 NORTH PENNSYLVANIA STREET",
         "CARMEL, IN 46032",
         "RES_CONTACT_CENTER@ALLEGION.COM",
-        f"BILL TO: {rng.choice(['ACME DOORS LLC', 'COOK & BOARDMAN LLC'])}",
-        f"{rng.randint(10, 9999)} {rng.choice(['OAK', 'ELM', 'MASON'])} {rng.choice(['ST', 'DR', 'BLVD'])}",
-        f"{rng.choice(['CARY', 'RALEIGH', 'DURHAM'])}, NC {rng.randint(27000, 27999)}",
-        "SHIP TO:",
-        f"{rng.choice(['ACME WAREHOUSE', 'ENCOMPASS HEALTH'])}",
-        f"{rng.randint(10, 9999)} {rng.choice(['PINE', 'LAKE'])} {rng.choice(['AVE', 'RD', 'WAY'])}",
-        f"{rng.choice(['APEX', 'GARNER'])}, NC {rng.randint(27000, 27999)}",
-        "BRAND CARRIER",
     ]
+    # F5 address sections (audit §16 — schlage_processor.py:1244-1352).
+    bill_co = rng.choice(["ACME DOORS LLC", "COOK & BOARDMAN LLC"])
+    rb = rng.random()
+    if rb < 0.7:
+        bill_block = ["BILL TO:", bill_co]
+    elif rb < 0.85:
+        # same-line company: the reference DISCARDS content after the
+        # header (:1260-1262) — no company field for these docs
+        bill_block = [f"BILL TO: {bill_co}"]
+    else:
+        # order-info suffix: company split before the literal CUSTOMER PO#
+        bill_block = ["BILL TO:", f"{bill_co} CUSTOMER PO# {rng.randint(100000, 999999)}"]
+    # RD is NOT in the reference's street-suffix alternation (:1301) —
+    # those lines fall through unclassified
+    bill_block.append(
+        f"{rng.randint(10, 9999)} {rng.choice(['OAK', 'ELM', 'MASON'])} "
+        f"{rng.choice(['ST', 'DR', 'BLVD', 'AVE', 'RD'])}"
+    )
+    bill_city = f"{rng.choice(['CARY', 'RALEIGH', 'DURHAM'])}, NC {rng.randint(27000, 27999)}"
+    if rng.random() < 0.12:
+        # city line with trailing order info: split before ORDER DATE (:1292)
+        bill_city += f" ORDER DATE {rng.randint(10, 28)}-JAN-25"
+    bill_block.append(bill_city)
+
+    ship_co = rng.choice(["ACME WAREHOUSE", "ENCOMPASS HEALTH"])
+    ship_block = ["SHIP TO:"]
+    if rng.random() < 0.12:
+        # standalone 7-8 digit customer number is skipped (:1330)
+        ship_block.append(str(rng.randint(1_000_000, 99_999_999)))
+    if rng.random() < 0.12:
+        # SALES REP suffix: company split before the literal (:1323-1327)
+        ship_block.append(f"{ship_co} SALES REP {rng.choice(['JB', 'KT'])}")
+    else:
+        ship_block.append(ship_co)
+    if rng.random() < 0.15:
+        # JOB NAME suffix truncated from the street (:1341-1344)
+        ship_street = (
+            f"{rng.randint(10, 9999)} {rng.choice(['PINE', 'LAKE'])} "
+            f"{rng.choice(['AVE', 'DR', 'BLVD'])} JOB NAME LIBRARY WING"
+        )
+    else:
+        # WAY is outside the reference suffix set → street dropped
+        ship_street = (
+            f"{rng.randint(10, 9999)} {rng.choice(['PINE', 'LAKE'])} "
+            f"{rng.choice(['AVE', 'DR', 'BLVD', 'WAY'])}"
+        )
+    ship_block.append(ship_street)
+    ship_block.append(f"{rng.choice(['APEX', 'GARNER'])}, NC {rng.randint(27000, 27999)}")
+    head += bill_block + ship_block + ["BRAND CARRIER"]
     items: list[str] = []
     for i in range(1, n_items + 1):
         brand = rng.choice(["SCHLAGE", "VON DUPRIN", "LCN"])

@@ -275,10 +275,17 @@ def extract_fields(vendor: str, text: str) -> dict[str, str]:
 
 
 def _address_blocks(vendor: str, text: str, fields: dict[str, str]) -> None:
-    """F5: scan lines after the vendor's section headers ('BILL TO:' etc.)
-    until a terminator, classifying each line as company / street /
-    city-state-zip; bounded scan (schlage_processor.py:1244-1383; CECO
-    sold/ship/remit variants text_pdf_processor.py:1925-2032)."""
+    """F5: address-block extraction. Schlage BILL TO/SHIP TO is the
+    reference line state machine adopted bug-for-bug in audit §16
+    (schlage_processor.py:1244-1352); CECO sold/remit keeps the bounded
+    line scan (text_pdf_processor.py:1925-2032 variants)."""
+    if vendor == "schlage":
+        lines = text.split("\n")
+        for prefix, name in C.SCHLAGE_ADDR_SECTIONS:
+            got = _schlage_section(lines, name)
+            for part, val in got.items():
+                fields[f"{prefix}_{part}"] = val
+        return
     cfg = C.ADDRESS_CONFIG.get(vendor)
     if not cfg:
         return
@@ -303,6 +310,87 @@ def _address_blocks(vendor: str, text: str, fields: dict[str, str]) -> None:
                 elif f"{prefix}_company" not in fields:
                     fields[f"{prefix}_company"] = nxt
             break
+
+
+def _schlage_section(lines: list[str], name: str) -> dict[str, str]:
+    """_extract_address_section (schlage_processor.py:1244-1352), adopted
+    bug-for-bug (audit §16):
+
+    * section start/stop by SUBSTRING containment on the UPPERCASED
+      stripped line; content after the header on the SAME line is
+      discarded (:1260-1262);
+    * collection is unbounded until a terminator keyword or the other
+      section's header, with a `len(line) > 2` meaningful-line gate;
+    * company = FIRST collected line matching neither the street nor the
+      city classifier; street/city have no such guard — the LAST matching
+      line wins; the city value is the captured group, stripped;
+    * BILL TO: company split before the literal 'CUSTOMER PO#', city
+      split before the literal 'ORDER DATE' (guards are case-insensitive
+      but the splits are case-sensitive — reproduced as-is);
+    * SHIP TO: 'NET DUE DATE'/'SALES REP' lines are skipped (company
+      taken from before the literal 'SALES REP'), standalone 7-8 digit
+      customer numbers are skipped, and the street is truncated at the
+      literal 'JOB NAME'.
+    """
+    started = False
+    collected: list[str] = []
+    other = "SHIP TO:" if name == "BILL TO" else "BILL TO:"
+    for raw in lines:
+        line = raw.strip()
+        if not started:
+            if f"{name}:" in line.upper():
+                started = True
+            continue
+        u = line.upper()
+        if any(k in u for k in C.SCHLAGE_ADDR_TERMINATORS):
+            break
+        if other in u:
+            break
+        if line and len(line) > 2:
+            collected.append(line)
+    street_re = re.compile(C.SCHLAGE_ADDR_STREET, re.IGNORECASE)
+    city_re = re.compile(C.SCHLAGE_ADDR_CITY, re.IGNORECASE)
+    city_cap = re.compile(f"({C.SCHLAGE_ADDR_CITY})", re.IGNORECASE)
+    out: dict[str, str] = {}
+    for line in collected:
+        u = line.upper()
+        if name == "BILL TO":
+            if "CUSTOMER PO#" in u:
+                part = line.split("CUSTOMER PO#")[0].strip()
+                if part and "company" not in out:
+                    out["company"] = part
+                continue
+            if "ORDER DATE" in u:
+                part = line.split("ORDER DATE")[0].strip()
+                m = city_cap.search(part)
+                if m and "citystate" not in out:
+                    out["citystate"] = m.group(1).strip()
+                continue
+        else:  # SHIP TO
+            if "NET DUE DATE" in u or "SALES REP" in u:
+                if "SALES REP" in u:
+                    part = line.split("SALES REP")[0].strip()
+                    if part and "company" not in out:
+                        out["company"] = part
+                continue
+            if re.match(r"^\d{7,8}$", line):
+                continue
+        if (
+            "company" not in out
+            and not street_re.search(line)
+            and not city_re.search(line)
+        ):
+            out["company"] = line
+        elif street_re.search(line):
+            addr = line
+            if name == "SHIP TO" and "JOB NAME" in addr.upper():
+                addr = addr.split("JOB NAME")[0].strip()
+            out["street"] = addr
+        elif city_re.search(line):
+            m = city_cap.search(line)
+            if m:
+                out["citystate"] = m.group(1).strip()
+    return out
 
 
 # backwards-compat alias used by the Arrow kernel before generalization

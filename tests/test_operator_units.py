@@ -567,3 +567,58 @@ def test_f1_generic_argmax_demotes_low_quality_match():
     # IGNORECASE findall: uppercase email is captured by the lowercase class
     for got in _fields_both("generic", "BILLING7@ACME.COM"):
         assert got["vendor.email"] == "BILLING7@ACME.COM", got
+
+
+def _schlage_addr(lines: list[str]) -> dict:
+    out: dict = {}
+    O._address_blocks("schlage", "\n".join(lines), out)
+    return out
+
+
+def test_f5_schlage_same_line_company_discarded_and_unbounded():
+    # audit §16 (schlage_processor.py:1260-1262): content after the header
+    # on the SAME line is discarded; collection is unbounded (no 5-line cap)
+    got = _schlage_addr(["BILL TO: ACME DOORS LLC", "x", "y", "z",
+                         "filler line one", "filler line two",
+                         "1200 OAK ST", "CARY, NC 27513", "BRAND CARRIER"])
+    # company: the first meaningful non-street/non-city line (len>2 gate
+    # drops x/y/z) — NOT the same-line 'ACME DOORS LLC'
+    assert got["customer.bill_to_company"] == "filler line one"
+    # street found 6 lines below the header — the old max_lines=5 missed it
+    assert got["customer.bill_to_street"] == "1200 OAK ST"
+    assert got["customer.bill_to_citystate"] == "CARY, NC 27513"
+
+
+def test_f5_schlage_street_suffixes_and_last_wins():
+    # street/city have no first-wins guard (:1306-1315) and RD/WAY are not
+    # in the suffix alternation (:1301)
+    got = _schlage_addr(["BILL TO:", "ACME DOORS LLC", "10 ELM RD",
+                         "1200 OAK ST", "77 MASON BLVD",
+                         "CARY, NC 27513", "SHIP TO:"])
+    assert got["customer.bill_to_street"] == "77 MASON BLVD"  # last match
+    got = _schlage_addr(["BILL TO:", "ACME DOORS LLC", "10 ELM WAY",
+                         "CARY, NC 27513", "SHIP TO:"])
+    assert "customer.bill_to_street" not in got  # WAY unrecognized
+
+
+def test_f5_schlage_bill_to_splits():
+    # company split before the literal CUSTOMER PO# (:1284-1289); city
+    # split before ORDER DATE with the captured group stripped (:1291-1297)
+    got = _schlage_addr(["BILL TO:", "ACME DOORS LLC CUSTOMER PO# 123456",
+                         "1200 OAK ST", "CARY, NC 27513 ORDER DATE 14-JAN-25",
+                         "BRAND CARRIER"])
+    assert got["customer.bill_to_company"] == "ACME DOORS LLC"
+    assert got["customer.bill_to_citystate"] == "CARY, NC 27513"
+
+
+def test_f5_schlage_ship_to_skips_and_job_name():
+    # standalone 7-8 digit customer numbers skipped (:1330); SALES REP
+    # lines skipped with the company taken from before the literal
+    # (:1323-1327); street truncated at JOB NAME (:1341-1344)
+    got = _schlage_addr(["SHIP TO:", "34567890",
+                         "ACME WAREHOUSE SALES REP JB",
+                         "99 PINE AVE JOB NAME LIBRARY WING",
+                         "APEX, NC 27539", "BRAND CARRIER"])
+    assert got["customer.ship_to_company"] == "ACME WAREHOUSE"
+    assert got["customer.ship_to_street"] == "99 PINE AVE"
+    assert got["customer.ship_to_citystate"] == "APEX, NC 27539"
