@@ -239,40 +239,92 @@ SCHLAGE_ADDR_TERMINATORS = ("BRAND CARRIER", "QUOTE NUMBER", "PAYMENT TERMS")
 SCHLAGE_ADDR_STREET = r"\d+\s+[A-Z\s]+(ST|STREET|DRIVE|DR|AVENUE|AVE|BLVD)"
 SCHLAGE_ADDR_CITY = r"[A-Z\s]+,?\s*[A-Z]{2}\s*\d{5}"
 
-ADDRESS_CONFIG: dict[str, dict] = {
-    "ceco": {
-        "sections": [("customer.sold_to", "SOLD TO:"),
-                     ("vendor.remit", "Please Remit to:")],
-        "terminators": ("SOLD TO:", "SHIP TO:", "Please Remit to:",
-                        "Line Plant", "Ord Shp", "TOTAL DUE"),
-        "street": r"^\d+\s+[A-Za-z0-9 .]+$",
-        "city": r"^[A-Za-z ]+,?\s+[A-Za-z]+\s+\d{5}(-\d{4})?$",
-        "max_lines": 4,
-    },
+# audit §17 — CECO customer/remit are PATTERN-based over the whole text
+# (ceco_processor.py:720-800 via _extract_field_with_patterns:
+# first-match-wins per ordered list, IGNORECASE|MULTILINE, stripped
+# group(1)), NOT a line machine. Character classes containing \s cross
+# newlines, so some captures are multi-line by design. Pattern lists are
+# the reference's verbatim (:146-176 customer_info; :783-802 remit).
+CECO_CUSTOMER_PATTERNS: dict[str, list[str]] = {
+    # sold_to_id (:147-151): the bare (\d{8}) fallback makes the id the
+    # FIRST 8-digit number in the text — usually the invoice number
+    "id": [
+        r"S\s*o\s*ld\s*to\s*:\s*(\d+)",
+        r"Sold to:\s*(\d+)",
+        r"(\d{8})",
+    ],
+    "company": [
+        r"(COOK & BOARDMAN INC)",
+        r"(COOK & BOARDMAN JACKSONVILLE)",
+        r"(COOK AND BOARDMAN [A-Z]+)",
+        r"(COOK & BOARDMAN [A-Z]*)",
+        r"([A-Z][A-Z\s&]+INC\.?)",
+        r"([A-Z][A-Z\s&]+LLC)",
+    ],
+    "address": [
+        r"(\d{3}\s+MASON\s+RD)",
+        r"(\d{4}\s+IMESON\s+PARK\s+BLVD)",
+        r"(STE\s+\d+)",
+        r"(\d+\s+[A-Z\s]+(?:RD|ROAD|DR|DRIVE|ST|STREET|AVE|AVENUE|BLVD|BOULEVARD)\.?)",
+    ],
+    # suite / line-2 (:750-752)
+    "suite": [r"(STE\s+\d+)", r"(SUITE\s+\d+)", r"(APT\s+\d+)"],
+    "city": [
+        r"(LA VERGNE\s+TN\s+\d{5})",
+        r"(JACKSONVILLE\s+FL\s+\d{5})",
+        r"([A-Z\s]+\s+[A-Z]{2}\s+\d{5})",
+    ],
 }
+CECO_REMIT_PATTERNS: dict[str, list[str]] = {
+    "company": [
+        r"Please Remit to:\s*([A-Z][A-Za-z\s&]+)",
+        r"Remit to:\s*([A-Z][A-Za-z\s&]+)",
+    ],
+    "address": [
+        # the reference's first pattern contains literal backslash-n text
+        # (raw-string [^\\n] escaping bug) and can never match real text —
+        # kept verbatim so the list behaves identically (:791)
+        r"Please Remit to:[^\\n]*\\n([^\\n]+)",
+        r"(\d{3,5}\s+[A-Za-z\s]+Center)",
+        r"(\d{3,5}\s+[A-Za-z\s]+)",
+    ],
+    "city": [
+        r"([A-Z][a-z]+,?\s+[A-Z][a-z]+\s+\d{5}(?:-\d{4})?)",
+        r"([A-Z][A-Za-z\s]+\s+\d{5}(?:-\d{4})?)",
+    ],
+}
+# span keys emitted by the CECO customer/remit extractor, in order
+CECO_ADDR_KEYS: list[str] = [
+    "customer.sold_to_id",
+    "customer.sold_to_company",
+    "customer.sold_to_street",
+    "customer.sold_to_citystate",
+    "vendor.remit_company",
+    "vendor.remit_street",
+    "vendor.remit_citystate",
+]
+
+ADDRESS_CONFIG: dict[str, dict] = {}
 
 def _address_keys(vendor: str) -> list[str]:
     if vendor == "schlage":
-        sections = SCHLAGE_ADDR_SECTIONS
-    else:
-        cfg = ADDRESS_CONFIG.get(vendor)
-        if not cfg:
-            return []
-        sections = cfg["sections"]
-    return [
-        f"{sec}_{part}"
-        for sec, _ in sections
-        for part in ("company", "street", "citystate")
-    ]
+        return [
+            f"{sec}_{part}"
+            for sec, _ in SCHLAGE_ADDR_SECTIONS
+            for part in ("company", "street", "citystate")
+        ]
+    if vendor == "ceco":
+        return list(CECO_ADDR_KEYS)
+    return []
 
 # Canonical field emission order per vendor (drives output-span `order`) —
 # deterministic total ordering is contract-critical (SURVEY.md §7.3(1)).
 FIELD_ORDER: dict[str, list[str]] = {
     v: list(bank.keys()) for v, bank in FIELD_BANKS.items()
 }
-# address-block fields (computed by the F5 state machine, not the regex
+# address-block fields (computed by the F5 extractors, not the regex
 # bank) emit after the header section for vendors with an address config:
-for _v in (*ADDRESS_CONFIG, "schlage"):
+for _v in ("ceco", "schlage"):
     _keys = FIELD_ORDER[_v]
     FIELD_ORDER[_v] = (
         [k for k in _keys if k.startswith("header.")]

@@ -62,11 +62,22 @@ def _ceco_lines(rng: random.Random, n_items: int) -> list[list[str]]:
         "9159 TELECOM DR.",
         "MILAN, TN 38358",
         "(888) 264-7474",
-        "Please Remit to:",
+        # ~30% same-line remit company (ceco_processor.py:783-785 capture)
+        "Please Remit to: Ceco Door Products" if rng.random() < 0.3
+        else "Please Remit to:",
         f"{rng.randint(1000, 9999)} Solutions Center",
         "Chicago Illinois 60677-1008",
         f"SOLD TO: COOK & BOARDMAN {rng.choice(['LLC', 'GROUP'])}",
-        f"{rng.randint(100, 9999)} IMESON PARK BLVD",
+        # ~1/3 three-digit street numbers: the \d{4} IMESON pattern misses
+        # and the generic street pattern's leftmost match is the date-year +
+        # 'Order No:' line pair across the newline ('26\nOrd' — the RD
+        # alternative matches inside 'Ord') — reproduced bug-for-bug
+        # (audit §17, ceco_processor.py:737-746)
+        f"{rng.randint(100, 2999)} IMESON PARK BLVD",
+    ] + (
+        # ~15% suite line: joins the address with an embedded newline
+        [f"STE {rng.randint(100, 999)}"] if rng.random() < 0.15 else []
+    ) + [
         f"{rng.choice(['JACKSONVILLE', 'ORLANDO'])} FL {rng.randint(32000, 32999)}",
         "Line Plant Item Number",
         "Ord Shp BO",

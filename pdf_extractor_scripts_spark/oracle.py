@@ -277,39 +277,76 @@ def extract_fields(vendor: str, text: str) -> dict[str, str]:
 def _address_blocks(vendor: str, text: str, fields: dict[str, str]) -> None:
     """F5: address-block extraction. Schlage BILL TO/SHIP TO is the
     reference line state machine adopted bug-for-bug in audit §16
-    (schlage_processor.py:1244-1352); CECO sold/remit keeps the bounded
-    line scan (text_pdf_processor.py:1925-2032 variants)."""
+    (schlage_processor.py:1244-1352); CECO customer/remit is the
+    pattern-based extractor adopted bug-for-bug in audit §17
+    (ceco_processor.py:720-800)."""
     if vendor == "schlage":
         lines = text.split("\n")
         for prefix, name in C.SCHLAGE_ADDR_SECTIONS:
             got = _schlage_section(lines, name)
             for part, val in got.items():
                 fields[f"{prefix}_{part}"] = val
-        return
-    cfg = C.ADDRESS_CONFIG.get(vendor)
-    if not cfg:
-        return
-    street_re = re.compile(cfg["street"])
-    city_re = re.compile(cfg["city"])
-    lines = text.split("\n")
-    for prefix, header in cfg["sections"]:
-        for i, l in enumerate(lines):
-            if not l.startswith(header):
-                continue
-            rest = l[len(header):].strip()
-            if rest:
-                fields[f"{prefix}_company"] = rest
-            for j in range(i + 1, min(i + 1 + cfg["max_lines"], len(lines))):
-                nxt = lines[j]
-                if any(nxt.startswith(t) for t in cfg["terminators"]):
-                    break
-                if street_re.match(nxt):
-                    fields.setdefault(f"{prefix}_street", nxt)
-                elif city_re.match(nxt):
-                    fields.setdefault(f"{prefix}_citystate", nxt)
-                elif f"{prefix}_company" not in fields:
-                    fields[f"{prefix}_company"] = nxt
-            break
+    elif vendor == "ceco":
+        _ceco_customer_remit(text, fields)
+
+
+def _ceco_customer_remit(text: str, fields: dict[str, str]) -> None:
+    """ceco_processor.py:720-800, adopted bug-for-bug (audit §17): every
+    field is `_extract_field_with_patterns` over the WHOLE text
+    (first-match-wins per ordered list, IGNORECASE|MULTILINE, stripped
+    group(1)). Quirks reproduced exactly:
+
+    * the bare `(\\d{8})` id fallback makes sold_to_id the first 8-digit
+      number anywhere in the text (:147-151);
+    * a matched customer address containing 'TELECOM' is RESET to None —
+      the generic street pattern finds the vendor's address first when the
+      specific forms miss (:745-746);
+    * address defaults to the literal 'Address not found'; a suite line
+      joins the address with an embedded newline (:754-759);
+    * `[A-Z\\s]`-style classes cross newlines, so the generic city capture
+      can span the street line and the city line (multi-line value);
+    * remit city's `[A-Z][a-z]+` pattern runs under IGNORECASE, so the
+      leftmost 'City, ST 12345'-shaped text wins — on typical documents
+      that is the VENDOR's own city line (:797-802).
+    """
+
+    def first(pats: list[str]) -> str | None:
+        for p in pats:
+            m = re.search(p, text, re.IGNORECASE | re.MULTILINE)
+            if m:
+                return m.group(1).strip()
+        return None
+
+    cust = C.CECO_CUSTOMER_PATTERNS
+    cid = first(cust["id"])
+    if cid is not None:
+        fields["customer.sold_to_id"] = cid
+    comp = first(cust["company"])
+    if comp is not None:
+        fields["customer.sold_to_company"] = comp
+    addr = first(cust["address"])
+    if addr is not None and "TELECOM" in addr:
+        addr = None  # :745-746 — vendor-address reset
+    suite = first(cust["suite"])
+    if addr and suite:
+        fields["customer.sold_to_street"] = f"{addr}\n{suite}"
+    elif addr:
+        fields["customer.sold_to_street"] = addr
+    else:
+        fields["customer.sold_to_street"] = "Address not found"  # :759
+    city = first(cust["city"])
+    if city is not None:
+        fields["customer.sold_to_citystate"] = city
+    remit = C.CECO_REMIT_PATTERNS
+    rcomp = first(remit["company"])
+    if rcomp is not None:
+        fields["vendor.remit_company"] = rcomp
+    raddr = first(remit["address"])
+    if raddr is not None:
+        fields["vendor.remit_street"] = raddr
+    rcity = first(remit["city"])
+    if rcity is not None:
+        fields["vendor.remit_citystate"] = rcity
 
 
 def _schlage_section(lines: list[str], name: str) -> dict[str, str]:

@@ -622,3 +622,49 @@ def test_f5_schlage_ship_to_skips_and_job_name():
     assert got["customer.ship_to_company"] == "ACME WAREHOUSE"
     assert got["customer.ship_to_street"] == "99 PINE AVE"
     assert got["customer.ship_to_citystate"] == "APEX, NC 27539"
+
+
+def test_f17_ceco_customer_remit_patterns():
+    # audit §17 (ceco_processor.py:720-800): whole-text pattern extraction
+    # with the reference's quirks
+    base = (
+        "Invoice Number: 12345678\n"
+        "Ceco Door Products\n9159 TELECOM DR.\nMILAN, TN 38358\n"
+        "Please Remit to: Ceco Door Products\n"
+        "2718 Solutions Center\nChicago Illinois 60677-1008\n"
+        "SOLD TO: COOK & BOARDMAN LLC\n"
+    )
+    # TELECOM reset: with no specific address form, the generic street
+    # pattern finds the vendor's TELECOM line → reset → 'Address not found'
+    f: dict = {}
+    O._ceco_customer_remit(base, f)
+    assert f["customer.sold_to_street"] == "Address not found"
+    assert f["customer.sold_to_id"] == "12345678"  # bare (\d{8}) fallback
+    assert f["customer.sold_to_company"] == "COOK & BOARDMAN LLC"
+    assert f["vendor.remit_company"] == "Ceco Door Products"
+    assert f["vendor.remit_street"] == "2718 Solutions Center"
+    # remit city pattern runs under IGNORECASE → the VENDOR's city wins
+    assert f["vendor.remit_citystate"] == "MILAN, TN 38358"
+
+    # 4-digit IMESON + suite: address joined with an embedded newline
+    f = {}
+    O._ceco_customer_remit(
+        base + "3483 IMESON PARK BLVD\nSTE 419\nORLANDO FL 32068\n", f
+    )
+    assert f["customer.sold_to_street"] == "3483 IMESON PARK BLVD\nSTE 419"
+    assert f["customer.sold_to_citystate"] == "ORLANDO FL 32068"
+
+    # the generic city capture crosses the street line's newline when no
+    # literal city form matches and no digits intervene
+    f = {}
+    O._ceco_customer_remit(
+        base + "3483 IMESON PARK BLVD\nORLANDO FL 32068\n", f
+    )
+    assert f["customer.sold_to_citystate"] == "IMESON PARK BLVD\nORLANDO FL 32068"
+
+    # date-year + 'Order No:' cross-line generic street capture ('26\nOrd')
+    f = {}
+    O._ceco_customer_remit(
+        "Invoice Date: 10/27/26\nOrder No: F3GU7A-01\n" + base, f
+    )
+    assert f["customer.sold_to_street"] == "26\nOrd"
