@@ -416,17 +416,66 @@ SCHLAGE_FREIGHT_KEYWORDS = ["PREPAY", "COLLECT", "FOB", "FREIGHT", "SHIPPING"]
 SCHLAGE_SURCHARGE_RATIO = 0.02
 SCHLAGE_SHIPPING_RATIO = 0.03
 
-# F13 — additional-info harvester (schlage_processor.py:1980-2081): lines in
-# the item window that are none of the known shapes, pass length/word gates,
-# and don't match the skip bank become additional_info (order-preserving
-# dedupe).
-SCHLAGE_INFO_SKIP = [
-    r"^SUBTOTAL:", r"^SURCHARGES:", r"^USD TOTAL:", r"^RESTOCK FEE",
-    r"^ADDITIONAL CHARGES:", r"^PAGE ", r"^=== PAGE", r"^\d+$",
+# F13 — additional-info harvester (schlage_processor.py:1980-2081; audit
+# §18): a DOCUMENT-level two-phase harvest (not per-item). Phase 1:
+# labeled useful patterns, findall IGNORECASE over the whole text, each
+# match stripped and gated on 3 < len < 100 with a seen-set. Phase 2: per
+# stripped line — skip empty/len<8 and the 35-pattern skip bank (searched
+# IGNORECASE), then gate on 8 <= len <= 80, not startswith 'Page '
+# (case-sensitive), no 'www.', not symbols-only, a 3+-letter run, and a
+# 2..15 word count; order-preserving seen-set dedupe against phase 1.
+SCHLAGE_INFO_USEFUL = [
+    r"SPECIAL\s*INSTRUCTIONS[:\s]*([^\n\r]+)",
+    r"NOTES?[:\s]*([^\n\r]+)",
+    r"COMMENTS?[:\s]*([^\n\r]+)",
+    r"REFERENCE[:\s]*([^\n\r]+)",
+    r"PROJECT\s*#[:\s]*([^\n\r]+)",
+    r"CONTRACT\s*#[:\s]*([^\n\r]+)",
+    r"PURCHASE\s*ORDER[:\s]*([^\n\r]+)",
 ]
+SCHLAGE_INFO_SKIP = [
+    r"INVOICE\s*(NUMBER|DATE|#)",
+    r"CUSTOMER\s*(PO|#|NUMBER)",
+    r"ORDER\s*(NUMBER|DATE|#)",
+    r"BILL\s*TO",
+    r"SHIP\s*TO",
+    r"SCHLAGE\s*LOCK",
+    r"ALLEGION",
+    r"UPS\s*EXP",
+    r"^\d+\s*$",
+    r"^\$[\d,]+\.?\d*$",
+    r"^\d{1,2}-[A-Z]{3}-\d{2}$",
+    r"QTY\s*(ORD|SHIP)",
+    r"LIST\s*PRICE",
+    r"UNIT\s*PRICE",
+    r"AMOUNT",
+    r"SUBTOTAL",
+    r"TOTAL",
+    r"SURCHARGE",
+    r"SHIPPING",
+    r"HANDLING",
+    r"TAX",
+    r"PAYMENT\s*TERMS",
+    r"DISCOUNT\s*DATE",
+    r"NET\s*DUE",
+    r"SALES\s*REP",
+    r"QUOTE\s*NUMBER",
+    r"CARMEL,?\s*IN",
+    r"CARY,?\s*NC",
+    r"^\d+\s+\d+\s+\d+",
+    r"WAY\s*BILL",
+    r"FREIGHT\s*TERMS",
+    r"PREPAY\s*&\s*ADD",
+    r"1Z[A-Z0-9]+",
+    r"NORTH\s*PENNSYLVANIA",
+    r"E\s*CHATHAM\s*ST",
+]
+SCHLAGE_INFO_USEFUL_MIN = 3    # exclusive (:2004-2006)
+SCHLAGE_INFO_USEFUL_MAX = 100  # exclusive
 SCHLAGE_INFO_MIN_LEN = 8
-SCHLAGE_INFO_MAX_LEN = 60
+SCHLAGE_INFO_MAX_LEN = 80
 SCHLAGE_INFO_MIN_WORDS = 2
+SCHLAGE_INFO_MAX_WORDS = 15
 
 # text_pdf_processor.py:1523-1526 generic item line:
 GENERIC_ITEM = r"^(\d+)\s+([A-Z]+-\d+)\s+(\d+)\s+(.+?)\s+([\d,]+\.\d{2})\s+([\d,]+\.\d{2})$"

@@ -329,10 +329,18 @@ def _schlage_lines(rng: random.Random, n_items: int, variant: str) -> list[list[
             items.append(f"1Z{wb}")
         items.append("PREPAY & ADD")
         if rng.random() < 0.5:
-            # additional-info line (F13 harvest) + a skip-bank decoy
+            # F13 phase-2 candidates: two harvest cleanly, one is killed by
+            # the HANDLING skip pattern, one by the 1Z skip (audit §18)
             items.append(rng.choice(
                 ["HANDLING INSTRUCTIONS FRAGILE", "SHIP COMPLETE ONLY",
                  "KEYED ALIKE GROUP A", "CONTACT DOCK B ON ARRIVAL"]))
+        if rng.random() < 0.12:
+            # F13 phase-1 labeled patterns: the capture AND the full line
+            # both survive (separate strings, shared seen-set — audit §18)
+            items.append(rng.choice(
+                [f"NOTES: SHIP VIA DOCK {rng.randint(1, 9)}",
+                 "SPECIAL INSTRUCTIONS: CALL BEFORE DELIVERY",
+                 f"PROJECT #: EAST TOWER PHASE {rng.randint(1, 4)}"]))
         if rng.random() < 0.3:
             items.append(str(rng.randint(10000, 99999)))  # fails word gate
     if variant == "surcharge_item":

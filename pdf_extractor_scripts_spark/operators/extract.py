@@ -47,6 +47,8 @@ EXTRACT_RESULT = StructType(
                 )
             ),
         ),
+        # F13 document-level additional-info harvest (audit §18)
+        StructField("info", ArrayType(StringType())),
     ]
 )
 
@@ -79,12 +81,12 @@ def _make_extract_udf(field_banks: dict, field_order: dict):
         return pd.DataFrame(
             {
                 "t": [
-                    None if f is None else {"fields": f, "items": i}
-                    for f, i in zip(rt["fields"], rt["items"])
+                    None if f is None else {"fields": f, "items": i, "info": n}
+                    for f, i, n in zip(rt["fields"], rt["items"], rt["info"])
                 ],
                 "o": [
-                    None if f is None else {"fields": f, "items": i}
-                    for f, i in zip(ro["fields"], ro["items"])
+                    None if f is None else {"fields": f, "items": i, "info": n}
+                    for f, i, n in zip(ro["fields"], ro["items"], ro["info"])
                 ],
             },
             index=vendor.index,

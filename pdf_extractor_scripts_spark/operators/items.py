@@ -69,7 +69,6 @@ _SH_WB_BASE = re.compile(C.SCHLAGE_WAYBILL_BASE)
 _SH_WB_FULL = re.compile(C.SCHLAGE_WAYBILL_FULL)
 _SH_WB_CONT = re.compile(C.SCHLAGE_WAYBILL_CONT)
 _SH_FEDEX = re.compile(C.SCHLAGE_FEDEX_NUMBER)
-_SH_SKIP = [re.compile(p) for p in C.SCHLAGE_INFO_SKIP]
 
 _GEN_ITEM = re.compile(C.GENERIC_ITEM)
 
@@ -237,22 +236,16 @@ def _money(s: str) -> float:
         return 0.0
 
 
-def _info_ok(line: str) -> bool:
-    return (
-        C.SCHLAGE_INFO_MIN_LEN <= len(line) <= C.SCHLAGE_INFO_MAX_LEN
-        and len(line.split()) >= C.SCHLAGE_INFO_MIN_WORDS
-        and not any(r.search(line) for r in _SH_SKIP)
-    )
-
-
 def schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
     """Classify-once twin of oracle._schlage_items (semantics:
     schlage_processor.py:1385-1553): every line is classified a single time
     into (waybill base, complete forms, fedex numbers, freight flag,
-    continuation digits, info-ok); items then gather over their i+1..i+7
+    continuation digits); items then gather over their i+1..i+7
     EOF-bounded windows — the reference does NOT stop at the next item.
     Lines are stripped first, as the reference does at its loop top
-    (schlage_processor.py:1400, :1416, :1427)."""
+    (schlage_processor.py:1400, :1416, :1427). F13 additional-info is a
+    DOCUMENT-level harvest, not an item attribute (audit §18) — see
+    kernel.extract_batch."""
     lines = [l.strip() for l in lines]
     headers = [(i, m) for i, l in enumerate(lines) if (m := _SH_ITEM.match(l))]
 
@@ -272,7 +265,6 @@ def schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
             "fedex": fedex,
             "freight": any(kw in upper for kw in C.SCHLAGE_FREIGHT_KEYWORDS),
             "cont": cm.group(1) if cm else None,
-            "info": _info_ok(l),
         })
 
     items = []
@@ -286,7 +278,6 @@ def schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
         hi = min(idx + 1 + C.SCHLAGE_WAYBILL_WINDOW, len(lines))
         way_bills: list[str] = []
         freight = None
-        info: list[str] = []
         for j in range(idx + 1, hi):
             c = cls[j]
             if c["base"]:
@@ -311,14 +302,10 @@ def schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
             if c["freight"]:
                 if freight is None:
                     freight = lines[j]
-            elif not c["base"] and c["info"]:
-                info.append(lines[j])
         if freight is not None:
             pairs.append(("freight", freight))
         for wb in way_bills:
             pairs.append(("waybill", wb))
-        for inf in _dedupe_keep_order(info):
-            pairs.append(("info", inf))
         items.append({"line": g[3], "serialized": _serialize(pairs), "marks": []})
 
     sur = fields.get("totals.surcharges")

@@ -181,21 +181,24 @@ def extract_batch(
     field_banks: dict | None = None,
     field_order: dict | None = None,
 ) -> pd.DataFrame:
-    """Full extraction for one Arrow batch → DataFrame(fields, items).
+    """Full extraction for one Arrow batch → DataFrame(fields, items, info).
 
     fields: list[{key, value}] in bank order; items: list[{line, serialized,
-    marks}] in document order (sorting happens natively downstream).
+    marks}] in document order (sorting happens natively downstream); info:
+    the F13 document-level additional-info harvest (schlage only — audit
+    §18; sequential two-phase line walk shared with the oracle, like F5).
     """
     from .items import extract_items
 
     order = C.FIELD_ORDER if field_order is None else field_order
     fields_dicts = extract_fields_batch(vendor, text, field_banks)
-    fields_col, items_col = [], []
+    fields_col, items_col, info_col = [], [], []
     for i, idx in enumerate(text.index):
         d = fields_dicts[i]
         if d is None:
             fields_col.append(None)
             items_col.append(None)
+            info_col.append(None)
             continue
         v = vendor[idx]
         bank_order = order.get(v, [])
@@ -205,4 +208,10 @@ def extract_batch(
             [{"line": it["line"], "serialized": it["serialized"], "marks": it["marks"]}
              for it in items]
         )
-    return pd.DataFrame({"fields": fields_col, "items": items_col}, index=text.index)
+        info_col.append(
+            O._schlage_additional_info(text[idx]) if v == "schlage" else []
+        )
+    return pd.DataFrame(
+        {"fields": fields_col, "items": items_col, "info": info_col},
+        index=text.index,
+    )

@@ -11,7 +11,8 @@ through to the populated side.
 
 Emission (the span-equality contract): fields in canonical bank order, then
 items sorted by numeric line number with a stable original-index tie-break
-(T1, text_pdf_processor.py:2600-2613), each followed by its marks, then media
+(T1, text_pdf_processor.py:2600-2613), each followed by its marks, then the
+F13 document-level additional-info lines (audit §18), then media
 pass-through refs in reading order; `order` is the dense 0-based index.
 """
 
@@ -77,6 +78,18 @@ def with_merge(df: DataFrame) -> DataFrame:
             "marks:array<string>>>) END"
         ),
     )
+    # F13 additional_info (audit §18): document-level, schlage-only; the
+    # hybrid J1 combiner iterates only its seven priority sections, so
+    # additional_info is DROPPED on that route (fallback_processor.py:536-568)
+    df = df.withColumn(
+        "merged_info",
+        F.expr(
+            "CASE WHEN route = 'hybrid' THEN cast(array() as array<string>) "
+            "WHEN res_t.info IS NOT NULL THEN res_t.info "
+            "WHEN res_o.info IS NOT NULL THEN res_o.info "
+            "ELSE cast(array() as array<string>) END"
+        ),
+    )
     return df.drop("mt", "mo")
 
 
@@ -101,6 +114,8 @@ transform(
       array(named_struct('kind', 'item', 'text', it.serialized, 'media_ref', '')),
       transform(it.marks, m -> named_struct(
         'kind', 'mark', 'text', m, 'media_ref', ''))))),
+    transform(merged_info, t -> named_struct(
+      'kind', 'info', 'text', t, 'media_ref', '')),
     transform(filter(spans, s -> s.kind = 'media'), s -> named_struct(
       'kind', 'media', 'text', '', 'media_ref', s.media_ref)),
     transform(filter(spans, s -> s.kind = 'rule'), s -> named_struct(

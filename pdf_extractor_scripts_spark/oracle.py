@@ -674,7 +674,6 @@ def _schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
     wb_full = re.compile(C.SCHLAGE_WAYBILL_FULL)
     wb_cont = re.compile(C.SCHLAGE_WAYBILL_CONT)
     fedex_re = re.compile(C.SCHLAGE_FEDEX_NUMBER)
-    skip_res = [re.compile(p) for p in C.SCHLAGE_INFO_SKIP]
 
     hits = [(i, m) for i, l in enumerate(lines) if (m := item_re.match(l))]
     items: list[dict] = []
@@ -693,7 +692,6 @@ def _schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
         end = min(idx + 1 + C.SCHLAGE_WAYBILL_WINDOW, len(lines))
         way_bills: list[str] = []
         freight = None
-        info: list[str] = []
         for j in range(idx + 1, end):
             l = lines[j]
             bm = wb_base.search(l)
@@ -719,14 +717,10 @@ def _schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
             if any(kw in l.upper() for kw in C.SCHLAGE_FREIGHT_KEYWORDS):
                 if freight is None:  # first freight line only (:1455-1458)
                     freight = l
-            elif not bm:
-                _maybe_info(l, skip_res, info)
         if freight is not None:
             pairs.append(("freight", freight))
         for wb in way_bills:
             pairs.append(("waybill", wb))
-        for inf in _dedupe_keep_order(info):
-            pairs.append(("info", inf))
         items.append({"line": order_line, "serialized": _serialize(pairs),
                       "marks": []})
 
@@ -741,16 +735,49 @@ def _schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
     return items
 
 
-def _maybe_info(line: str, skip_res, info: list[str]) -> None:
-    """F13 gates (schlage_processor.py:1980-2081): length bounds, word
-    count, skip bank."""
-    if not (C.SCHLAGE_INFO_MIN_LEN <= len(line) <= C.SCHLAGE_INFO_MAX_LEN):
-        return
-    if len(line.split()) < C.SCHLAGE_INFO_MIN_WORDS:
-        return
-    if any(r.search(line) for r in skip_res):
-        return
-    info.append(line)
+def _schlage_additional_info(text: str) -> list[str]:
+    """F13 document-level harvest (schlage_processor.py:1980-2081, adopted
+    bug-for-bug in audit §18). Phase 1: the labeled useful patterns run
+    findall/IGNORECASE over the WHOLE text; each match is stripped and kept
+    when non-blank, unseen, and 3 < len < 100. Phase 2: each stripped line
+    is skipped when empty, len < 8, or matching any of the 35 skip
+    patterns (searched IGNORECASE); survivors are kept when unseen,
+    8 <= len <= 80, not startswith 'Page ' (case-sensitive), no 'www.'
+    (lowercased containment), not only digits/whitespace/symbols, contain
+    a 3+-letter run, and have 2..15 words. The seen-set spans both phases,
+    so a phase-1 CAPTURE does not suppress the phase-2 FULL line."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for pat in C.SCHLAGE_INFO_USEFUL:
+        for match in re.findall(pat, text, re.IGNORECASE):
+            clean = match.strip()
+            if (
+                clean
+                and clean not in seen
+                and C.SCHLAGE_INFO_USEFUL_MIN < len(clean) < C.SCHLAGE_INFO_USEFUL_MAX
+            ):
+                seen.add(clean)
+                out.append(clean)
+    skip_res = [re.compile(p, re.IGNORECASE) for p in C.SCHLAGE_INFO_SKIP]
+    for raw in text.split("\n"):
+        line = raw.strip()
+        if not line or len(line) < C.SCHLAGE_INFO_MIN_LEN:
+            continue
+        if any(r.search(line) for r in skip_res):
+            continue
+        if (
+            line not in seen
+            and C.SCHLAGE_INFO_MIN_LEN <= len(line) <= C.SCHLAGE_INFO_MAX_LEN
+            and not line.startswith("Page ")
+            and "www." not in line.lower()
+            and not re.match(r"^[\d\s\.,\-\$]+$", line)
+            and re.search(r"[A-Za-z]{3,}", line)
+        ):
+            words = len(line.split())
+            if C.SCHLAGE_INFO_MIN_WORDS <= words <= C.SCHLAGE_INFO_MAX_WORDS:
+                seen.add(line)
+                out.append(line)
+    return out
 
 
 def _generic_items(lines: list[str]) -> list[dict]:
@@ -815,7 +842,7 @@ def _item_sort_key(it: dict, idx: int) -> tuple[int, int]:
 
 
 def emit_spans(vendor: str, fields: dict[str, str], items: list[dict],
-               spans: list[dict]) -> list[OutSpan]:
+               spans: list[dict], info: list[str] | None = None) -> list[OutSpan]:
     out: list[OutSpan] = []
     o = 0
     for key in C.FIELD_ORDER[vendor]:
@@ -828,6 +855,11 @@ def emit_spans(vendor: str, fields: dict[str, str], items: list[dict],
         for mk in it["marks"]:
             out.append(OutSpan("mark", mk, "", o))
             o += 1
+    # F13 additional_info: document-level section after the items (audit
+    # §18; schlage_processor.py:849, :878)
+    for inf in info or []:
+        out.append(OutSpan("info", inf, "", o))
+        o += 1
     for s in spans:
         if s["kind"] == "media":
             out.append(OutSpan("media", "", s["media_ref"], o))
@@ -890,12 +922,23 @@ def extract_document(doc_id: str, spans: list[dict]) -> dict:
 
     if route == "text":
         fields, items = fields_t, items_t
+        src_text = assemble(spans, "text")
     elif route == "ocr":
         fields, items = fields_o, items_o
+        src_text = ocr_text
     else:
         fields, items = merge_routes(vendor, fields_t, items_t, fields_o, items_o)
+        src_text = None
 
-    out = emit_spans(vendor, fields, items, spans)
+    # F13 additional_info is schlage-only and DOCUMENT-level; the hybrid
+    # J1 combiner iterates only its seven priority sections, so
+    # additional_info is dropped on that route (fallback_processor.py:
+    # 536-568; audit §18)
+    info: list[str] = []
+    if vendor == "schlage" and src_text is not None:
+        info = _schlage_additional_info(src_text)
+
+    out = emit_spans(vendor, fields, items, spans, info)
     return {
         "vendor": vendor,
         "confidence": conf,

@@ -668,3 +668,35 @@ def test_f17_ceco_customer_remit_patterns():
         "Invoice Date: 10/27/26\nOrder No: F3GU7A-01\n" + base, f
     )
     assert f["customer.sold_to_street"] == "26\nOrd"
+
+
+def test_f13_additional_info_two_phase_harvest():
+    # audit §18 (schlage_processor.py:1980-2081): document-level two-phase
+    # harvest — NOT a per-item attribute
+    text = "\n".join([
+        "NOTES: SHIP VIA DOCK 4",            # phase 1 captures 'SHIP VIA DOCK 4'
+        "HANDLING INSTRUCTIONS FRAGILE",      # killed by the HANDLING skip
+        "KEYED ALIKE GROUP A",                # phase-2 harvest
+        "1Z59R8R803494ABC012X",               # killed by the 1Z skip
+        "Page 2 of 9 continued",              # killed by startswith('Page ')
+        "see www.example.com for terms",      # killed by the www gate
+        "12,345.00 - 99.00",                  # symbols-only gate
+        "AB",                                 # below min length
+        "ONE TWO THREE FOUR FIVE SIX SEVEN EIGHT NINE TEN "
+        "ELEVEN TWELVE THIRTEEN FOURTEEN FIFTEEN SIXTEEN",  # >15 words
+    ])
+    got = O._schlage_additional_info(text)
+    # phase 1 first (the stripped capture), then phase-2 full lines in
+    # line order; the NOTES line itself also survives phase 2 (different
+    # string from its capture — shared seen-set does not collapse them)
+    assert got == [
+        "SHIP VIA DOCK 4",
+        "NOTES: SHIP VIA DOCK 4",
+        "KEYED ALIKE GROUP A",
+    ], got
+    # phase-1 gate: captures of length <= 3 are dropped — but phase 2
+    # still harvests the full labeled line (no NOTES skip pattern exists)
+    assert O._schlage_additional_info("NOTES: ABC") == ["NOTES: ABC"]
+    # duplicate lines collapse via the seen-set, first occurrence kept
+    dup = "KEYED ALIKE GROUP A\nKEYED ALIKE GROUP A"
+    assert O._schlage_additional_info(dup) == ["KEYED ALIKE GROUP A"]
