@@ -416,6 +416,23 @@ SCHLAGE_FREIGHT_KEYWORDS = ["PREPAY", "COLLECT", "FOB", "FREIGHT", "SHIPPING"]
 SCHLAGE_SURCHARGE_RATIO = 0.02
 SCHLAGE_SHIPPING_RATIO = 0.03
 
+# A7/J5 — cross-validation gap-fill (schlage_processor.py:944-971; audit
+# §19): AFTER the totals parse and the derivation, surcharges/shipping
+# still missing are filled from the raw text via these looser findall/
+# IGNORECASE pattern lists (first match of the first matching pattern).
+# The per-item surcharge association at :2810-2888 is DEAD CODE (its only
+# caller :2769 is itself uncalled) and is deliberately not modeled.
+SCHLAGE_XVAL_SURCHARGE = [
+    r"SURCHARGES?:?\s*\$?(\d{1,3}(?:,\d{3})*\.\d{2})",
+    r"FUEL\s+SURCHARGE:?\s*\$?(\d{1,3}(?:,\d{3})*\.\d{2})",
+    r"ADDITIONAL\s+CHARGES?:?\s*\$?(\d{1,3}(?:,\d{3})*\.\d{2})",
+]
+SCHLAGE_XVAL_SHIPPING = [
+    r"RESTOCK\s+FEE[/\s]*SHIPPING\s+(?:and\s+)?HANDLING:?\s*\$?(\d{1,3}(?:,\d{3})*\.\d{2})",
+    r"SHIPPING\s+(?:and\s+)?HANDLING:?\s*\$?(\d{1,3}(?:,\d{3})*\.\d{2})",
+    r"HANDLING:?\s*\$?(\d{1,3}(?:,\d{3})*\.\d{2})",
+]
+
 # F13 — additional-info harvester (schlage_processor.py:1980-2081; audit
 # §18): a DOCUMENT-level two-phase harvest (not per-item). Phase 1:
 # labeled useful patterns, findall IGNORECASE over the whole text, each

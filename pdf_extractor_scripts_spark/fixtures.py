@@ -238,7 +238,7 @@ def _steelcraft_lines(rng: random.Random, n_items: int) -> list[list[str]]:
 
 
 def _schlage_lines(rng: random.Random, n_items: int, variant: str) -> list[list[str]]:
-    """variant ∈ {'surcharge_item','synthesis','derived'}"""
+    """variant ∈ {'surcharge_item','synthesis','derived','xval'}"""
     sub = round(rng.uniform(1000, 9999), 2)
     sur = round(sub * 0.02, 2)
     shp = round(sub * 0.03, 2)
@@ -348,14 +348,24 @@ def _schlage_lines(rng: random.Random, n_items: int, variant: str) -> list[list[
             f"AGN_SURCHARGE FREIGHT 1 111 111 SURCHG*1 |FUEL SURCHARGE| FEB 28 "
             f"{sur:,.2f} 0.00/00 {sur:,.2f}"
         )
-    totals = [f"SUBTOTAL: {sub:,.2f}"]
-    if variant != "derived":
-        totals += [
-            "ADDITIONAL CHARGES:",
-            f"SURCHARGES: {sur:,.2f}",
-            f"RESTOCK FEE/SHIPPING and HANDLING: {shp:,.2f}",
-            f"USD TOTAL: {sub + sur + shp:,.2f}",
+    if variant == "xval":
+        # no subtotal and no strict printed forms: the bank misses, the
+        # 2%/3% derivation cannot run, and the cross-validation gap-fill
+        # (schlage_processor.py:944-971; audit §19) fills both totals from
+        # these looser IGNORECASE forms
+        totals = [
+            f"Fuel Surcharge: ${sur:.2f}",
+            f"Shipping and Handling: ${shp:.2f}",
         ]
+    else:
+        totals = [f"SUBTOTAL: {sub:,.2f}"]
+        if variant != "derived":
+            totals += [
+                "ADDITIONAL CHARGES:",
+                f"SURCHARGES: {sur:,.2f}",
+                f"RESTOCK FEE/SHIPPING and HANDLING: {shp:,.2f}",
+                f"USD TOTAL: {sub + sur + shp:,.2f}",
+            ]
     return [head, items + totals]
 
 
@@ -423,7 +433,7 @@ def make_document(i: int, seed: int = 42) -> dict:
         doc_id = f"steelcraft/Allegion - Steelcraft {rng.randint(1, 9999):04d}.pdf"
         media_pages = set()
     elif vclass == 2:
-        variant = ["surcharge_item", "synthesis", "derived"][i % 3]
+        variant = ["surcharge_item", "synthesis", "derived", "xval"][i % 4]
         pages = _schlage_lines(rng, rng.randint(1, 3), variant)
         doc_id = f"schlage/{rng.randint(100000, 999999)}-0{rng.randint(10, 99)} Schlage {rng.randint(1, 999):03d}.pdf"
         # media-heavy by default (pdf_text_detector.py:100-104 expects a low

@@ -168,6 +168,7 @@ def extract_fields_batch(
             O._address_blocks(v, texts[row_i], d)
             if v == "schlage":
                 O._schlage_derived_totals(d)
+                O._schlage_crossval_totals(d, texts[row_i])
             if v == "ceco":
                 # ceco_processor.py:648-650 no-freight default
                 O._ceco_freight_default(d, texts[row_i])

@@ -269,6 +269,7 @@ def extract_fields(vendor: str, text: str) -> dict[str, str]:
     _address_blocks(vendor, text, out)
     if vendor == "schlage":
         _schlage_derived_totals(out)
+        _schlage_crossval_totals(out, text)
     if vendor == "ceco":
         _ceco_freight_default(out, text)
     return out
@@ -460,6 +461,27 @@ def _schlage_derived_totals(fields: dict[str, str]) -> None:
         fields["totals.surcharges"] = f"{round(subv * C.SCHLAGE_SURCHARGE_RATIO, 2):.2f}"
     if "totals.shipping" not in fields:
         fields["totals.shipping"] = f"{round(subv * C.SCHLAGE_SHIPPING_RATIO, 2):.2f}"
+
+
+def _schlage_crossval_totals(fields: dict[str, str], text: str) -> None:
+    """Cross-validation gap-fill (schlage_processor.py:944-971; audit §19):
+    runs AFTER the totals parse and the derivation — surcharges/shipping
+    still missing are filled from the raw text with looser
+    findall/IGNORECASE forms (first match of the first matching pattern).
+    With a subtotal present the derivation has already filled both, so
+    this fires only on subtotal-less documents."""
+    if "totals.surcharges" not in fields:
+        for pat in C.SCHLAGE_XVAL_SURCHARGE:
+            got = re.findall(pat, text, re.IGNORECASE)
+            if got:
+                fields["totals.surcharges"] = got[0]
+                break
+    if "totals.shipping" not in fields:
+        for pat in C.SCHLAGE_XVAL_SHIPPING:
+            got = re.findall(pat, text, re.IGNORECASE)
+            if got:
+                fields["totals.shipping"] = got[0]
+                break
 
 
 # ---------------------------------------------------------------------------

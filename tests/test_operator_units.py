@@ -700,3 +700,18 @@ def test_f13_additional_info_two_phase_harvest():
     # duplicate lines collapse via the seen-set, first occurrence kept
     dup = "KEYED ALIKE GROUP A\nKEYED ALIKE GROUP A"
     assert O._schlage_additional_info(dup) == ["KEYED ALIKE GROUP A"]
+
+
+def test_j5_crossval_totals_gap_fill():
+    # audit §19 (schlage_processor.py:944-971): after the totals parse and
+    # the 2%/3% derivation, still-missing surcharges/shipping are filled
+    # from looser IGNORECASE forms; with a subtotal present the derivation
+    # fills both first, so the gap-fill only fires on subtotal-less docs
+    text = "Fuel Surcharge: $12.50\nShipping and Handling: $30.00"
+    for got in _fields_both("schlage", "INVOICE# 1234567\n" + text):
+        assert got["totals.surcharges"] == "12.50", got
+        assert got["totals.shipping"] == "30.00", got
+    # subtotal present → derivation wins; the looser lines are ignored
+    for got in _fields_both("schlage", "SUBTOTAL: 1,000.00\n" + text):
+        assert got["totals.surcharges"] == "20.00", got
+        assert got["totals.shipping"] == "30.00", got  # 3% of 1000
