@@ -49,6 +49,26 @@ TEXT_THRESHOLDS: dict[str, int] = {
     "schlage": 30,
     "generic": 50,
 }
+# pdf_text_detector.py:85-110 per-vendor quality thresholds (audit §20).
+# The P8 cascade routes 'text' only when the P6 quality score of the
+# detection sample clears this bound; since every threshold is >= 0.5, the
+# cascade's separate "tier >= MEDIUM" condition (tier MEDIUM starts at
+# score 0.5, :318-322) is subsumed by the score comparison.
+QUALITY_THRESHOLDS: dict[str, float] = {
+    "ceco": 0.7,
+    "steelcraft": 0.6,
+    "schlage": 0.5,
+    "generic": 0.6,
+}
+# P6 invoice-pattern bank used by the quality score (:283-289)
+P6_INVOICE_PATTERNS = [
+    r"\b(?:invoice|bill|receipt)\b",
+    r"\b(?:total|amount|price|cost)\b",
+    r"\b(?:date|qty|quantity)\b",
+    r"\$\d+\.?\d*",
+    r"\b\d{1,3}(?:,\d{3})*(?:\.\d{2})?\b",
+]
+
 MIN_TEXT_RATIO: dict[str, float] = {
     "ceco": 0.8,
     "steelcraft": 0.6,

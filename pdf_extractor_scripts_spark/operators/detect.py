@@ -253,9 +253,128 @@ def with_route(df: DataFrame) -> DataFrame:
     thr = _vendor_map(C.TEXT_THRESHOLDS)
     mr = _vendor_map(C.MIN_TEXT_RATIO)
     ratio = F.col("n_text_pages") / F.col("n_pages")
-    route = (
+    # Specialized vendors keep the chars/ratio gates — the reference
+    # dispatches them to their vendor processors BEFORE the recommended
+    # method is consulted (fallback_processor.py:196-209), so the P8
+    # cascade is advisory there; our split models the specialized
+    # processors' own behavior.
+    spec_route = (
         F.when((F.col("n_text_chars") >= thr) & (ratio >= mr), "text")
         .when(F.col("n_text_chars") >= thr, "hybrid")
         .otherwise("ocr")
     )
-    return df.withColumn("route", route)
+    route = F.when(F.col("vendor") != "generic", spec_route).otherwise(
+        _generic_route()
+    )
+    df = df.withColumn(
+        "g_det",
+        F.expr(
+            # one fold over spans builds the pdfplumber-style detection
+            # triple for the generic cascade (audit §20,
+            # pdf_text_detector.py:345-371): per page, lines join with
+            # '\n' and the page text is whitespace-stripped; total_text
+            # concatenates stripped page texts with NO separator; tp
+            # counts pages whose stripped text is STRICTLY longer than
+            # the vendor threshold; sample = total_text[:200].
+            f"""CASE WHEN vendor = 'generic' THEN aggregate(
+              spans,
+              named_struct('cur', '', 'tot', '', 'tp', 0),
+              (acc, s) -> CASE
+                WHEN s.kind = 'page_break' THEN named_struct(
+                  'cur', '',
+                  'tot', concat(acc.tot, regexp_replace(acc.cur, '^\\\\s+|\\\\s+$', '')),
+                  'tp', acc.tp + CASE WHEN length(regexp_replace(acc.cur, '^\\\\s+|\\\\s+$', ''))
+                                       > {C.TEXT_THRESHOLDS['generic']} THEN 1 ELSE 0 END)
+                WHEN s.kind = 'text' THEN named_struct(
+                  'cur', CASE WHEN acc.cur = '' THEN s.text
+                              ELSE concat(acc.cur, '\\n', s.text) END,
+                  'tot', acc.tot, 'tp', acc.tp)
+                ELSE acc END,
+              acc -> named_struct(
+                'chars', length(concat(acc.tot, regexp_replace(acc.cur, '^\\\\s+|\\\\s+$', ''))),
+                'sample', substring(concat(acc.tot, regexp_replace(acc.cur, '^\\\\s+|\\\\s+$', '')), 1, 200),
+                'tp', acc.tp + CASE WHEN length(regexp_replace(acc.cur, '^\\\\s+|\\\\s+$', ''))
+                                     > {C.TEXT_THRESHOLDS['generic']} THEN 1 ELSE 0 END))
+            END"""
+        ),
+    ).withColumn(
+        "n_image_pages",
+        F.expr(
+            "aggregate(spans, named_struct('pg', 0, 'last', -1, 'cnt', 0), "
+            "(acc, s) -> CASE WHEN s.kind = 'page_break' "
+            "  THEN named_struct('pg', acc.pg + 1, 'last', acc.last, 'cnt', acc.cnt) "
+            "WHEN s.kind = 'media' AND acc.last <> acc.pg "
+            "  THEN named_struct('pg', acc.pg, 'last', acc.pg, 'cnt', acc.cnt + 1) "
+            "ELSE acc END, acc -> acc.cnt)"
+        ),
+    )
+    return df.withColumn("route", route).drop("g_det", "n_image_pages")
+
+
+def _generic_route():
+    """The LIVE P8 cascade for generic documents (audit §20,
+    pdf_text_detector.py:633-688), natively: has_selectable_text = STRICT
+    chars > threshold AND per-page-thresholded ratio >= min_ratio
+    (:365-371); the text route additionally needs the P6 quality score of
+    the 200-char detection sample to clear the vendor quality threshold
+    (tier >= MEDIUM is subsumed — config.QUALITY_THRESHOLDS are all >=
+    0.5); an image-page majority in mixed content forces the fallback
+    route. The quality arithmetic mirrors oracle._quality_score exactly
+    (left-associated (i1+i2+i3+i4)/4)."""
+    sample = F.col("g_det.sample")
+    slen = F.length(sample)
+    stripped = F.length(F.regexp_replace(sample, r"^\s+|\s+$", ""))
+    ar = (slen - F.length(F.regexp_replace(sample, "[A-Za-z]", ""))).cast(
+        "double"
+    ) / slen
+    i1 = (
+        F.when((ar >= 0.3) & (ar <= 0.8), 0.8)
+        .when(((ar >= 0.1) & (ar < 0.3)) | ((ar > 0.8) & (ar <= 0.95)), 0.5)
+        .otherwise(0.1)
+    )
+    words = F.filter(F.split(sample, r"\s+"), lambda w: w != "")
+    nw = F.size(words)
+    awl = F.aggregate(
+        words, F.lit(0), lambda a, w: a + F.length(w)
+    ).cast("double") / nw
+    vr = F.size(
+        F.filter(
+            words,
+            lambda w: (F.length(w) >= 2)
+            & (F.length(w) <= 20)
+            & w.rlike("^[a-zA-Z0-9]+$"),
+        )
+    ).cast("double") / nw
+    i2 = (
+        F.when(nw == 0, 0.1)
+        .when((awl >= 3) & (awl <= 8) & (vr >= 0.6), 0.9)
+        .when((awl >= 2) & (awl <= 12) & (vr >= 0.4), 0.6)
+        .otherwise(0.3)
+    )
+    hits = None
+    for p in C.P6_INVOICE_PATTERNS:
+        h = F.when(sample.rlike("(?i)" + p), 1).otherwise(0)
+        hits = h if hits is None else hits + h
+    i3 = F.least(hits.cast("double") / len(C.P6_INVOICE_PATTERNS), F.lit(1.0))
+    rr = F.regexp_count(sample, F.lit(r"(.)\1{4,}")).cast("double") / slen
+    i4 = F.when(rr < 0.05, 0.8).when(rr < 0.15, 0.5).otherwise(0.2)
+    score = F.when(sample.isNull() | (stripped < 10), 0.0).otherwise(
+        (((i1 + i2) + i3) + i4) / 4
+    )
+    gthr = C.TEXT_THRESHOLDS["generic"]
+    has_text = (F.col("g_det.chars") > gthr) & (
+        F.col("g_det.tp") / F.col("n_pages") >= C.MIN_TEXT_RATIO["generic"]
+    )
+    tp = F.col("g_det.tp")
+    imgp = F.col("n_image_pages")
+    mixed = (tp > 0) & (imgp > 0)
+    return (
+        F.when(
+            has_text
+            & (score >= C.QUALITY_THRESHOLDS["generic"])
+            & ~(mixed & (imgp > tp)),
+            "text",
+        )
+        .when(has_text, "hybrid")
+        .otherwise("ocr")
+    )

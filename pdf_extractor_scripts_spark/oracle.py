@@ -92,22 +92,107 @@ def detect_vendor(doc_id: str, all_text: str) -> tuple[str, float]:
     return vendor, round(conf, 4)
 
 
+def _quality_score(text: str) -> float:
+    """P6 quality score (_validate_text_quality, pdf_text_detector.py:
+    215-328): mean of four indicators — character distribution, word
+    structure, invoice patterns, repetitive-char OCR artifacts — with the
+    <10-stripped-chars short-circuit. The sum is left-associated (i1+i2+
+    i3+i4)/4 in BOTH our implementations so engine and oracle share the
+    exact float trajectory (the reference's statistics.mean differs by at
+    most an ulp, which no threshold here can observe)."""
+    if not text or len(text.strip()) < 10:
+        return 0.0
+    total = len(text)
+    alpha = sum(1 for c in text if c.isalpha())
+    ar = alpha / total
+    if 0.3 <= ar <= 0.8:
+        i1 = 0.8
+    elif 0.1 <= ar < 0.3 or 0.8 < ar <= 0.95:
+        i1 = 0.5
+    else:
+        i1 = 0.1
+    words = text.split()
+    if words:
+        awl = sum(len(w) for w in words) / len(words)
+        vr = sum(1 for w in words if 2 <= len(w) <= 20 and w.isalnum()) / len(words)
+        if 3 <= awl <= 8 and vr >= 0.6:
+            i2 = 0.9
+        elif 2 <= awl <= 12 and vr >= 0.4:
+            i2 = 0.6
+        else:
+            i2 = 0.3
+    else:
+        i2 = 0.1
+    hits = sum(
+        1 for p in C.P6_INVOICE_PATTERNS if re.search(p, text, re.IGNORECASE)
+    )
+    i3 = min(hits / len(C.P6_INVOICE_PATTERNS), 1.0)
+    reps = len(re.findall(r"(.)\1{4,}", text))
+    rr = reps / total
+    if rr < 0.05:
+        i4 = 0.8
+    elif rr < 0.15:
+        i4 = 0.5
+    else:
+        i4 = 0.2
+    return (i1 + i2 + i3 + i4) / 4
+
+
 def route_document(vendor: str, spans: list[dict]) -> str:
-    n_text_chars = sum(len(s["text"]) for s in spans if s["kind"] == "text")
+    """P4/P5/P8 routing. Specialized vendors (ceco/steelcraft/schlage)
+    keep the chars/ratio gates: the reference dispatches them to their
+    vendor processors BEFORE the recommended method is consulted
+    (fallback_processor.py:196-209), so the P8 cascade is advisory there
+    and our text/hybrid/ocr split models the specialized processors' own
+    behavior. Generic docs take the LIVE cascade (audit §20,
+    pdf_text_detector.py:633-688): has_selectable_text uses the STRICT >
+    char bound and the per-page character threshold (:352-371), the text
+    route additionally requires the P6 quality score of the first-200-char
+    detection sample to clear the vendor quality threshold, and a
+    mixed-content majority of image pages forces the fallback route."""
+    thr = C.TEXT_THRESHOLDS[vendor]
     n_pages = max(1, sum(1 for s in spans if s["kind"] == "page_break"))
-    pages_with_text: set[int] = set()
-    page = 0
+    if vendor != "generic":
+        n_text_chars = sum(len(s["text"]) for s in spans if s["kind"] == "text")
+        pages_with_text: set[int] = set()
+        page = 0
+        for s in spans:
+            if s["kind"] == "page_break":
+                page += 1
+            elif s["kind"] == "text":
+                pages_with_text.add(page)
+        ratio = len(pages_with_text) / n_pages
+        if n_text_chars >= thr and ratio >= C.MIN_TEXT_RATIO[vendor]:
+            return "text"
+        if n_text_chars >= thr:
+            return "hybrid"
+        return "ocr"
+    # generic: the live P8 cascade
+    page_lines: list[list[str]] = [[]]
+    image_pages: set[int] = set()
+    pg = 0
     for s in spans:
         if s["kind"] == "page_break":
-            page += 1
+            pg += 1
+            page_lines.append([])
         elif s["kind"] == "text":
-            pages_with_text.add(page)
-    ratio = len(pages_with_text) / n_pages
-    thr = C.TEXT_THRESHOLDS[vendor]
-    if n_text_chars >= thr and ratio >= C.MIN_TEXT_RATIO[vendor]:
-        return "text"
-    if n_text_chars >= thr:
-        return "hybrid"
+            page_lines[pg].append(s["text"])
+        elif s["kind"] == "media":
+            image_pages.add(pg)
+    page_texts = ["\n".join(ls).strip() for ls in page_lines if ls]
+    total_text = "".join(page_texts)
+    tp = sum(1 for p in page_texts if len(p) > thr)  # strict > (:352-355)
+    ratio = tp / n_pages
+    has_text = len(total_text) > thr and ratio >= C.MIN_TEXT_RATIO[vendor]
+    score = _quality_score(total_text[:200])  # sample_text (:372)
+    imgp = len(image_pages)
+    mixed = tp > 0 and imgp > 0
+    if has_text and score >= C.QUALITY_THRESHOLDS[vendor]:
+        if mixed and imgp > tp:
+            return "hybrid"  # text_with_ocr_fallback (:663-664)
+        return "text"  # tier >= MEDIUM is subsumed by score >= threshold
+    if has_text:
+        return "hybrid"  # ocr_with_text_fallback (:672-674)
     return "ocr"
 
 

@@ -715,3 +715,52 @@ def test_j5_crossval_totals_gap_fill():
     for got in _fields_both("schlage", "SUBTOTAL: 1,000.00\n" + text):
         assert got["totals.surcharges"] == "20.00", got
         assert got["totals.shipping"] == "30.00", got  # 3% of 1000
+
+
+def test_p8_generic_quality_cascade():
+    # audit §20 (pdf_text_detector.py:633-688): generic routing requires
+    # the P6 quality score of the 200-char sample to clear 0.6; corrupted
+    # text with selectable chars routes to the fallback (hybrid), and the
+    # char bound is the reference's STRICT > (:365-369)
+    def doc(lines, n_breaks=1):
+        spans = []
+        off = 0
+        for b in range(n_breaks):
+            spans.append({"kind": "page_break", "text": f"=== PAGE {b+1} ===",
+                          "media_ref": "", "offset": off}); off += 1
+            for l in lines:
+                spans.append({"kind": "text", "text": l, "media_ref": "", "offset": off})
+                off += 1
+        return spans
+
+    good = ["Invoice Number: ABC-12345", "Invoice Date: 1/2/25",
+            "Subtotal: $431.90", "Invoice Total: $431.90"]
+    assert O.route_document("generic", doc(good)) == "text"
+    # garbage: enough chars, but the quality score fails the 0.6 bar
+    bad = ["x" * 60, "####" * 8]
+    assert O.route_document("generic", doc(bad)) == "hybrid"
+    # exactly at the char threshold: reference uses len(total) > 50 STRICT
+    at_thr = ["A b " * 10]  # 40 chars < threshold either way
+    assert O.route_document("generic", doc(at_thr)) == "ocr"
+    exactly_50 = ["I" * 25 + " " + "n" * 24]  # stripped page text = 50 chars
+    assert O.route_document("generic", doc(exactly_50)) == "ocr"  # 50 > 50 is False
+    just_over = ["Invoice bill total date " + "quantity price amount x"]  # 47+ chars?
+    # use a clearly-over case instead
+    over = ["Invoice Number ABC-12345 total amount date $12.00 quantity 5 ok"]
+    assert len("\n".join(over)) > 50
+    assert O.route_document("generic", doc(over)) == "text"
+
+
+def test_p6_quality_score_indicators():
+    # hand-computed against _validate_text_quality (pdf_text_detector.py:
+    # 215-328): "Invoice total $12.00 date 1/2/25 qty 4 items shipped"
+    t = "Invoice total $12.00 date 1/2/25 qty 4 items shipped"
+    # i1: alpha ratio 33/52 ≈ 0.63 → 0.8; i2: 9 words, awl 44/9 ≈ 4.9,
+    # valid 6/9 ≈ 0.67 → 0.9; i3: all 5 pattern families hit → 1.0;
+    # i4: no 5-char runs → 0.8 → score (0.8+0.9+1.0+0.8)/4 = 0.875
+    s = O._quality_score(t)
+    assert abs(s - 0.875) < 1e-12, s
+    # short-circuit: under 10 stripped chars
+    assert O._quality_score("  abc  ") == 0.0
+    # repetitive OCR artifacts demote i4
+    assert O._quality_score("aaaaaaa " * 3 + "invoice") < 0.6
