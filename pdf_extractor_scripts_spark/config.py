@@ -436,6 +436,53 @@ SCHLAGE_FREIGHT_KEYWORDS = ["PREPAY", "COLLECT", "FOB", "FREIGHT", "SHIPPING"]
 SCHLAGE_SURCHARGE_RATIO = 0.02
 SCHLAGE_SHIPPING_RATIO = 0.03
 
+# O6 — schlage comprehensive text selection (audit §21,
+# schlage_processor.py:168-228): three doc-level candidates — selectable
+# text (stripped len > 100), pdfplumber text (> 50; the same string in our
+# single-parser model), multi-OCR (> 50) — picked by max confidence with
+# ties keeping the first. Text candidates score _calculate_text_quality
+# (:395-427, a 0-100 scale); the OCR candidate's confidence is the
+# per-page engine confidence, which BOTH engine paths return on a 0-1
+# scale (tesseract conf/100 at :490, easyocr readtext confidences at
+# :505-521) — so any text candidate past its length gate beats OCR, and
+# OCR wins only when the selectable text is <= 50 stripped chars.
+SCHLAGE_O6_SELECTABLE_MIN = 100   # exclusive (:182)
+SCHLAGE_O6_TEXT_MIN = 50          # exclusive (:196, :211)
+SCHLAGE_O6_QUALITY_KEYWORDS = [
+    "invoice", "schlage", "allegion", "total", "amount", "qty", "price",
+    "customer", "order", "date", "bill", "ship", "payment",
+]
+
+# P10/A3/validator — the generic *_fallback adequacy chain (audit §21,
+# fallback_processor.py:218-235, :392-422, :424-496; data_validator.py:
+# 36-128). Field-name maps from the reference's section.field space to our
+# span keys; customer company is per-vendor (ceco sold_to, schlage
+# bill_to; steelcraft/generic extract none).
+MIN_CONFIDENCE_THRESHOLD = 70.0   # robust_pdf_processor.py:265 default
+VALIDATOR_REQUIRED = {
+    "header": ["header.invoice_number", "header.invoice_date"],
+    "vendor": ["vendor.name"],
+    "customer": {"ceco": ["customer.sold_to_company"],
+                 "schlage": ["customer.bill_to_company"],
+                 "steelcraft": ["customer.company"],
+                 "generic": ["customer.company"]},
+    # line-item fields in our serialized-key space, per vendor
+    "items": {"ceco": ["line", "desc", "ord", "net"],
+              "steelcraft": ["line", "desc", "ord", "list"],
+              "schlage": ["line", "desc", "ord", "unit"],
+              "generic": ["line", "desc", "qty", "unit"]},
+}
+# substrings that make a missing field "critical" (fallback :414-416)
+P10_CRITICAL = ("invoice_number", "line_items", "company_name")
+# A3's numeric item fields (['quantity_ordered','unit_price',
+# 'extended_amount'], fallback :485-487) in our serialized-key space
+A3_NUMERIC_KEYS = {
+    "ceco": ("ord", "net", "ext"),
+    "steelcraft": ("ord", "list", "ext"),
+    "schlage": ("list", "unit", "ext"),
+    "generic": ("qty", "unit", "ext"),
+}
+
 # A7/J5 — cross-validation gap-fill (schlage_processor.py:944-971; audit
 # §19): AFTER the totals parse and the derivation, surcharges/shipping
 # still missing are filled from the raw text via these looser findall/

@@ -263,9 +263,6 @@ def with_route(df: DataFrame) -> DataFrame:
         .when(F.col("n_text_chars") >= thr, "hybrid")
         .otherwise("ocr")
     )
-    route = F.when(F.col("vendor") != "generic", spec_route).otherwise(
-        _generic_route()
-    )
     df = df.withColumn(
         "g_det",
         F.expr(
@@ -308,19 +305,38 @@ def with_route(df: DataFrame) -> DataFrame:
             "ELSE acc END, acc -> acc.cnt)"
         ),
     )
-    return df.withColumn("route", route).drop("g_det", "n_image_pages")
+    df = df.withColumn(
+        "g_qscore",
+        F.when(F.col("vendor") == "generic", _generic_quality_score()),
+    )
+    route = F.when(F.col("vendor") != "generic", spec_route).otherwise(
+        _generic_route(F.col("g_qscore"))
+    )
+    df = df.withColumn("route", route)
+    # which side a generic hybrid tries FIRST (audit §21): text for the
+    # mixed-majority branch, OCR for the low-quality branch
+    fbp = F.when(
+        (F.col("vendor") == "generic") & (F.col("route") == "hybrid"),
+        F.when(
+            F.col("g_qscore") >= C.QUALITY_THRESHOLDS["generic"], "text"
+        ).otherwise("ocr"),
+    )
+    return df.withColumn("fb_primary", fbp).drop(
+        "g_det", "n_image_pages", "g_qscore"
+    )
 
 
-def _generic_route():
-    """The LIVE P8 cascade for generic documents (audit §20,
-    pdf_text_detector.py:633-688), natively: has_selectable_text = STRICT
-    chars > threshold AND per-page-thresholded ratio >= min_ratio
-    (:365-371); the text route additionally needs the P6 quality score of
-    the 200-char detection sample to clear the vendor quality threshold
+def _generic_quality_score():
+    """The LIVE P8 cascade's P6 quality score for generic documents
+    (audit §20, pdf_text_detector.py:633-688), natively over the 200-char
+    detection sample; the arithmetic mirrors oracle._quality_score
+    exactly (left-associated (i1+i2+i3+i4)/4). _generic_route below
+    applies it: has_selectable_text = STRICT chars > threshold AND
+    per-page-thresholded ratio >= min_ratio (:365-371); the text route
+    additionally needs the score to clear the vendor quality threshold
     (tier >= MEDIUM is subsumed — config.QUALITY_THRESHOLDS are all >=
     0.5); an image-page majority in mixed content forces the fallback
-    route. The quality arithmetic mirrors oracle._quality_score exactly
-    (left-associated (i1+i2+i3+i4)/4)."""
+    route."""
     sample = F.col("g_det.sample")
     slen = F.length(sample)
     stripped = F.length(F.regexp_replace(sample, r"^\s+|\s+$", ""))
@@ -358,9 +374,12 @@ def _generic_route():
     i3 = F.least(hits.cast("double") / len(C.P6_INVOICE_PATTERNS), F.lit(1.0))
     rr = F.regexp_count(sample, F.lit(r"(.)\1{4,}")).cast("double") / slen
     i4 = F.when(rr < 0.05, 0.8).when(rr < 0.15, 0.5).otherwise(0.2)
-    score = F.when(sample.isNull() | (stripped < 10), 0.0).otherwise(
+    return F.when(sample.isNull() | (stripped < 10), 0.0).otherwise(
         (((i1 + i2) + i3) + i4) / 4
     )
+
+
+def _generic_route(score):
     gthr = C.TEXT_THRESHOLDS["generic"]
     has_text = (F.col("g_det.chars") > gthr) & (
         F.col("g_det.tp") / F.col("n_pages") >= C.MIN_TEXT_RATIO["generic"]

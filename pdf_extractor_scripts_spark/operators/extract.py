@@ -70,27 +70,26 @@ def _make_extract_udf(field_banks: dict, field_order: dict):
 
     @F.pandas_udf(BOTH_RESULT)
     def _extract_both_udf(
-        vendor: pd.Series, text: pd.Series, ocr: pd.Series
+        vendor: pd.Series,
+        route: pd.Series,
+        fb_primary: pd.Series,
+        has1: pd.Series,
+        has2: pd.Series,
+        text: pd.Series,
+        ocr: pd.Series,
+        e1f: pd.Series,
+        e2f: pd.Series,
     ) -> pd.DataFrame:
-        # Both routes in ONE Arrow round-trip — halves the JVM↔Python
-        # transfer and per-batch overhead vs two separate UDF invocations.
-        from .kernel import extract_batch
+        # One Arrow round-trip resolves the route to a single extraction
+        # per document (audit §21): hybrids pick their input (O6 winner /
+        # P10 adequacy chain) instead of extracting both sides and merging.
+        from .kernel import extract_routed
 
-        rt = extract_batch(vendor, text, field_banks, field_order)
-        ro = extract_batch(vendor, ocr, field_banks, field_order)
-        return pd.DataFrame(
-            {
-                "t": [
-                    None if f is None else {"fields": f, "items": i, "info": n}
-                    for f, i, n in zip(rt["fields"], rt["items"], rt["info"])
-                ],
-                "o": [
-                    None if f is None else {"fields": f, "items": i, "info": n}
-                    for f, i, n in zip(ro["fields"], ro["items"], ro["info"])
-                ],
-            },
-            index=vendor.index,
+        t, o = extract_routed(
+            vendor, route, fb_primary, has1, has2, text, ocr, e1f, e2f,
+            field_banks, field_order,
         )
+        return pd.DataFrame({"t": t, "o": o}, index=vendor.index)
 
     return _extract_both_udf
 
@@ -98,8 +97,12 @@ def _make_extract_udf(field_banks: dict, field_order: dict):
 def with_extraction(df: DataFrame) -> DataFrame:
     """Adds res_t / res_o struct columns. Input text columns are nulled out
     for routes that don't need them so the kernel skips those rows
-    (expensive-path gating as column masking)."""
+    (expensive-path gating as column masking). Hybrid schlage rows get the
+    all-pages stub-OCR assembly as their OCR candidate (the reference's
+    multi-OCR renders every page — audit §21) plus the engine-confidence
+    scalar the O6 pick compares on the reference's 0-1 scale."""
     from .. import config as C
+    from .detect import _joined_expr
 
     banks = {v: {k: list(p) for k, p in bank.items()} for v, bank in C.FIELD_BANKS.items()}
     order = {v: list(ks) for v, ks in C.FIELD_ORDER.items()}
@@ -110,8 +113,30 @@ def with_extraction(df: DataFrame) -> DataFrame:
     ocr_in = F.when(
         F.col("route").isin("ocr", "hybrid"), F.col("ocr_route_text")
     ).otherwise(F.lit(None))
+    # schlage-hybrid O6 candidates: the all-pages stub-OCR assemblies per
+    # engine as PLAIN columns (simple array_join transforms keep the UDF's
+    # argument projection codegen-able); the dual-engine selection itself
+    # runs in the kernel via the shared oracle logic
+    sch_hybrid = (F.col("route") == "hybrid") & (F.col("vendor") == "schlage")
+    e1f = F.when(
+        sch_hybrid, F.expr(_joined_expr(["page_break", "text", "media_text"]))
+    ).otherwise(F.lit(None))
+    e2f = F.when(
+        sch_hybrid,
+        F.expr(_joined_expr(["page_break", "text", "media_text_alt"])),
+    ).otherwise(F.lit(None))
+    has = lambda kind: F.expr(
+        f"exists(spans, s -> s.kind = '{kind}' and trim(s.text) <> '')"
+    )
     return (
-        df.withColumn("res_both", extract_udf(F.col("vendor"), text_in, ocr_in))
+        df.withColumn(
+            "res_both",
+            extract_udf(
+                F.col("vendor"), F.col("route"), F.col("fb_primary"),
+                has("media_text"), has("media_text_alt"),
+                text_in, ocr_in, e1f, e2f,
+            ),
+        )
         .withColumn("res_t", F.col("res_both.t"))
         .withColumn("res_o", F.col("res_both.o"))
         .drop("res_both")

@@ -216,3 +216,113 @@ def extract_batch(
         {"fields": fields_col, "items": items_col, "info": info_col},
         index=text.index,
     )
+
+
+def extract_routed(
+    vendor: pd.Series,
+    route: pd.Series,
+    fb_primary: pd.Series,
+    has1: pd.Series,
+    has2: pd.Series,
+    text: pd.Series,
+    ocr: pd.Series,
+    e1f: pd.Series,
+    e2f: pd.Series,
+    field_banks: dict | None = None,
+    field_order: dict | None = None,
+) -> tuple[pd.Series, pd.Series]:
+    """Route-aware extraction for one Arrow batch (audit §21 — the J1
+    combiner is dead code in the reference; hybrids resolve to ONE
+    extraction input):
+
+    * route 'text'/'ocr': extract that side (result in the matching slot);
+    * hybrid schlage: O6 comprehensive pick between the selectable text
+      and the all-pages stub-OCR candidate (dual-engine selection over
+      the e1f/e2f assemblies via the shared oracle logic), then one
+      extraction;
+    * hybrid generic: extract the fb_primary side, check P10 adequacy
+      (A3 confidence for text, the stub A4 for OCR), else extract the
+      secondary side wholesale — the second pass only touches the
+      inadequate subset;
+    * hybrid ceco/steelcraft: the specialized processors are text-only.
+
+    Hybrid results ride the 't' slot; the 'o' slot is None for them.
+    """
+    n = len(vendor)
+    final = pd.Series([None] * n, index=vendor.index, dtype=object)
+    t_slot = pd.Series([True] * n, index=vendor.index)
+    generic_hybrid = []
+    for idx in vendor.index:
+        r = route[idx]
+        if r == "text":
+            final[idx] = text[idx]
+        elif r == "ocr":
+            final[idx] = ocr[idx]
+            t_slot[idx] = False
+        else:
+            v = vendor[idx]
+            if v == "schlage":
+                h1, h2 = bool(has1[idx]), bool(has2[idx])
+                full = O.select_engine_text(
+                    e1f[idx] or "", e2f[idx] or "", h1, h2
+                )
+                conf01 = (
+                    C.OCR_ENGINE_CONF["primary"] / 100.0
+                    if h1
+                    else (C.OCR_ENGINE_CONF["secondary"] / 100.0 if h2 else 0.0)
+                )
+                final[idx] = O.schlage_pick_text(text[idx] or "", full, conf01)
+            elif v == "generic":
+                prim = fb_primary[idx]
+                final[idx] = ocr[idx] if prim == "ocr" else text[idx]
+                generic_hybrid.append(idx)
+            else:
+                final[idx] = text[idx]
+
+    res = extract_batch(vendor, final, field_banks, field_order)
+
+    # P10 adequacy second pass for generic hybrids (small subset)
+    redo = []
+    for idx in generic_hybrid:
+        row = res.loc[idx]
+        fields = {kv["key"]: kv["value"] for kv in (row["fields"] or [])}
+        items = row["items"] or []
+        prim = fb_primary[idx]
+        conf = (
+            O.a3_text_confidence("generic", fields, items)
+            if prim == "text"
+            else O.a4_ocr_confidence(final[idx] or "")
+        )
+        if not O.p10_adequate("generic", fields, items, conf):
+            redo.append(idx)
+    if redo:
+        sec_text = pd.Series(
+            [
+                text[idx] if fb_primary[idx] == "ocr" else ocr[idx]
+                for idx in redo
+            ],
+            index=pd.Index(redo),
+            dtype=object,
+        )
+        res2 = extract_batch(vendor[redo], sec_text, field_banks, field_order)
+        for idx in redo:
+            res.loc[idx] = res2.loc[idx]
+
+    t_col, o_col = [], []
+    for idx in vendor.index:
+        row = res.loc[idx]
+        cell = (
+            None
+            if row["fields"] is None
+            else {"fields": row["fields"], "items": row["items"], "info": row["info"]}
+        )
+        if t_slot[idx]:
+            t_col.append(cell)
+            o_col.append(None)
+        else:
+            t_col.append(None)
+            o_col.append(cell)
+    return (
+        pd.Series(t_col, index=vendor.index, dtype=object),
+        pd.Series(o_col, index=vendor.index, dtype=object),
+    )

@@ -1,13 +1,14 @@
-"""Hybrid route merge (J1) + deterministic span emission — all native
+"""Route-result resolution + deterministic span emission — all native
 Catalyst higher-order functions, no Python.
 
-Merge semantics (fallback_processor.py:518-620; audit §11): SECTION-level
-pick — the priority side (text for header/vendor/customer/items/payment,
-OCR for totals/shipping, :536-544) wins the WHOLE section whenever it has
-any data; only an empty primary section falls back to the other side, and
-a key missing from the winning side is NOT back-filled from the loser. For
-single-route documents one side's map is empty and every section falls
-through to the populated side.
+AUDIT §21: the reference's J1 combiner (fallback_processor.py:518-620;
+audit §11 semantics) is DEAD CODE — its only caller sits behind an
+unreachable elif (:238). Hybrids now resolve to ONE extraction inside the
+kernel (O6 winner pick for schlage, the P10 adequacy chain for generic),
+so exactly one of res_t/res_o is populated per row and the section-level
+expressions below degenerate to a wholesale pass-through of that side.
+The J1 operator itself remains implemented (oracle.merge_routes) and
+gated as j1_hybrid_merge.
 
 Emission (the span-equality contract): fields in canonical bank order, then
 items sorted by numeric line number with a stable original-index tie-break
@@ -78,14 +79,14 @@ def with_merge(df: DataFrame) -> DataFrame:
             "marks:array<string>>>) END"
         ),
     )
-    # F13 additional_info (audit §18): document-level, schlage-only; the
-    # hybrid J1 combiner iterates only its seven priority sections, so
-    # additional_info is DROPPED on that route (fallback_processor.py:536-568)
+    # F13 additional_info (audit §18/§21): document-level, schlage-only,
+    # harvested from the text the extraction settled on — hybrids resolve
+    # to ONE extraction upstream (the kernel's O6/P10 chain), so the
+    # result rides whichever slot is populated
     df = df.withColumn(
         "merged_info",
         F.expr(
-            "CASE WHEN route = 'hybrid' THEN cast(array() as array<string>) "
-            "WHEN res_t.info IS NOT NULL THEN res_t.info "
+            "CASE WHEN res_t.info IS NOT NULL THEN res_t.info "
             "WHEN res_o.info IS NOT NULL THEN res_o.info "
             "ELSE cast(array() as array<string>) END"
         ),

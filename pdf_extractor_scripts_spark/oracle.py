@@ -168,6 +168,24 @@ def route_document(vendor: str, spans: list[dict]) -> str:
             return "hybrid"
         return "ocr"
     # generic: the live P8 cascade
+    has_text, score, tp, imgp = _generic_detection(spans)
+    mixed = tp > 0 and imgp > 0
+    if has_text and score >= C.QUALITY_THRESHOLDS[vendor]:
+        if mixed and imgp > tp:
+            return "hybrid"  # text_with_ocr_fallback (:663-664)
+        return "text"  # tier >= MEDIUM is subsumed by score >= threshold
+    if has_text:
+        return "hybrid"  # ocr_with_text_fallback (:672-674)
+    return "ocr"
+
+
+def _generic_detection(spans: list[dict]) -> tuple[bool, float, int, int]:
+    """The pdfplumber-style detection triple for the generic cascade
+    (pdf_text_detector.py:345-371): (has_selectable_text, quality score of
+    the 200-char sample, per-page-thresholded text-page count, image-page
+    count)."""
+    thr = C.TEXT_THRESHOLDS["generic"]
+    n_pages = max(1, sum(1 for s in spans if s["kind"] == "page_break"))
     page_lines: list[list[str]] = [[]]
     image_pages: set[int] = set()
     pg = 0
@@ -183,17 +201,41 @@ def route_document(vendor: str, spans: list[dict]) -> str:
     total_text = "".join(page_texts)
     tp = sum(1 for p in page_texts if len(p) > thr)  # strict > (:352-355)
     ratio = tp / n_pages
-    has_text = len(total_text) > thr and ratio >= C.MIN_TEXT_RATIO[vendor]
+    has_text = len(total_text) > thr and ratio >= C.MIN_TEXT_RATIO["generic"]
     score = _quality_score(total_text[:200])  # sample_text (:372)
-    imgp = len(image_pages)
-    mixed = tp > 0 and imgp > 0
-    if has_text and score >= C.QUALITY_THRESHOLDS[vendor]:
-        if mixed and imgp > tp:
-            return "hybrid"  # text_with_ocr_fallback (:663-664)
-        return "text"  # tier >= MEDIUM is subsumed by score >= threshold
-    if has_text:
-        return "hybrid"  # ocr_with_text_fallback (:672-674)
-    return "ocr"
+    return has_text, score, tp, len(image_pages)
+
+
+def generic_fb_primary(spans: list[dict]) -> str:
+    """Which side a generic hybrid tries FIRST (audit §21): the
+    mixed-majority branch is text_with_ocr_fallback (text first,
+    pdf_text_detector.py:663-664); the low-quality branch is
+    ocr_with_text_fallback (OCR first, :672-674)."""
+    _, score, _, _ = _generic_detection(spans)
+    return "text" if score >= C.QUALITY_THRESHOLDS["generic"] else "ocr"
+
+
+def ocr_engine_conf01(spans: list[dict]) -> float:
+    """The stub multi-OCR document confidence on the reference's 0-1
+    scale (audit §21): the winning engine's constant / 100 when that
+    engine produced any non-blank sidecar text, else 0."""
+    if any(s["kind"] == "media_text" and s["text"].strip() for s in spans):
+        return C.OCR_ENGINE_CONF["primary"] / 100.0
+    if any(s["kind"] == "media_text_alt" and s["text"].strip() for s in spans):
+        return C.OCR_ENGINE_CONF["secondary"] / 100.0
+    return 0.0
+
+
+def a4_ocr_confidence(ocr_text: str) -> float:
+    """Stub A4 (fallback_processor.py:498-516): the mean page engine
+    confidence — with the deterministic stub engines this is the primary
+    engine's constant whenever any OCR content (a non-blank, non-marker
+    line) exists, else 0.0 (no pages → no confidence)."""
+    has = any(
+        l.strip() and not re.match(r"^=== PAGE \d+ ===$", l)
+        for l in ocr_text.split("\n")
+    )
+    return C.OCR_ENGINE_CONF["primary"] if has else 0.0
 
 
 def assemble(spans: list[dict], text_kind: str) -> str:
@@ -256,6 +298,94 @@ def combine_ocr_results(text1: str, text2: str) -> str:
         else:
             out.append(b)
     return "\n".join(out)
+
+
+def select_engine_text(e1: str, e2: str, has1: bool, has2: bool) -> str:
+    """Dual-engine selection over two assembled strings
+    (image_pdf_processor.py:434-480): one engine blank → the other;
+    near-tie (|Δscore| < 10) → line-by-line combine; else argmax (primary
+    on tie). Shared by select_ocr_text, ocr_full_text, and the Arrow
+    kernel's schlage O6 candidate (audit §21)."""
+    if not has2:
+        return e1
+    if not has1:
+        return e2
+    s1 = ocr_quality_score(e1, C.OCR_ENGINE_CONF["primary"])
+    s2 = ocr_quality_score(e2, C.OCR_ENGINE_CONF["secondary"])
+    if abs(s1 - s2) < C.OCR_NEAR_TIE:
+        return combine_ocr_results(e1, e2)
+    if s2 > s1:
+        return e2
+    return e1
+
+
+def ocr_full_text(spans: list[dict]) -> str:
+    """All-pages stub-OCR assembly (audit §21): the reference's OCR
+    candidates render EVERY page to an image (convert_from_path,
+    image_pdf_processor.py:132-149; schlage_processor.py:434), so its OCR
+    text contains the selectable pages' content too. With the
+    deterministic stub engine, a text page's OCR is its text — so this is
+    the dual-engine selection of select_ocr_text with the text spans
+    passed through both engine assemblies."""
+    has1 = any(s["kind"] == "media_text" and s["text"].strip() for s in spans)
+    has2 = any(s["kind"] == "media_text_alt" and s["text"].strip() for s in spans)
+    e1 = "\n".join(
+        s["text"] for s in spans if s["kind"] in ("page_break", "text", "media_text")
+    )
+    e2 = "" if not has2 else "\n".join(
+        s["text"] for s in spans
+        if s["kind"] in ("page_break", "text", "media_text_alt")
+    )
+    return select_engine_text(e1, e2, has1, has2)
+
+
+def _schlage_text_quality(text: str) -> float:
+    """_calculate_text_quality (schlage_processor.py:395-427): char-class
+    ratios + a 13-keyword score, weighted 0.3/0.2/0.2/0.3, scaled to
+    0-100; under 10 stripped chars scores 0."""
+    if not text or len(text.strip()) < 10:
+        return 0.0
+    total = len(text)
+    alpha = sum(1 for c in text if c.isalpha())
+    digit = sum(1 for c in text if c.isdigit())
+    space = sum(1 for c in text if c.isspace())
+    kw = sum(1 for k in C.SCHLAGE_O6_QUALITY_KEYWORDS if k in text.lower())
+    kw_score = min(kw / len(C.SCHLAGE_O6_QUALITY_KEYWORDS), 1.0)
+    score = (
+        alpha / total * 0.3
+        + digit / total * 0.2
+        + (1 - space / total) * 0.2
+        + kw_score * 0.3
+    ) * 100
+    return min(score, 100.0)
+
+
+def schlage_pick_text(text: str, ocr_full: str, ocr_conf01: float) -> str:
+    """O6 comprehensive selection (audit §21, schlage_processor.py:
+    168-228): doc-level candidates — selectable text (stripped > 100),
+    pdfplumber text (> 50; the SAME string in our single-parser model, so
+    it only adds a candidate when the stripped length is in (50, 100]),
+    and multi-OCR (> 50) — picked by max confidence with ties keeping the
+    first. Text candidates score 0-100 (_calculate_text_quality); the OCR
+    confidence arrives on a 0-1 scale from BOTH engine paths (tesseract
+    conf/100 at :490, easyocr readtext at :505-521), so any qualifying
+    text candidate beats OCR and OCR only wins when the selectable text
+    has <= 50 stripped chars."""
+    cands: list[tuple[str, float]] = []
+    stripped = len(text.strip())
+    # selectable (> 100) and pdfplumber (> 50) carry the same string and
+    # confidence in our single-parser model → one candidate, > 50 gate
+    if stripped > C.SCHLAGE_O6_TEXT_MIN:
+        cands.append((text, _schlage_text_quality(text)))
+    if len(ocr_full.strip()) > C.SCHLAGE_O6_TEXT_MIN:
+        cands.append((ocr_full, ocr_conf01))
+    if not cands:
+        return text
+    best = cands[0]
+    for c in cands[1:]:
+        if c[1] > best[1]:
+            best = c
+    return best[0]
 
 
 def select_ocr_text(spans: list[dict]) -> str:
@@ -906,6 +1036,157 @@ def _generic_items(lines: list[str]) -> list[dict]:
 # ---------------------------------------------------------------------------
 # Hybrid merge (J1) + emission
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# P10 adequacy + A3 confidence + validator (audit §21 — the generic
+# *_fallback in-method chain, fallback_processor.py:218-235/:392-422/
+# :424-496; data_validator.py:36-207)
+# ---------------------------------------------------------------------------
+def _item_field(serialized: str, key: str) -> str:
+    """Read one key from an item's serialized form. Values containing '|'
+    truncate at the separator — a shared convention with the engine twin,
+    applied identically on both sides."""
+    m = re.search(rf"(?:^|\|){re.escape(key)}=([^|]*)", serialized)
+    return m.group(1) if m else ""
+
+
+def a3_text_confidence(vendor: str, fields: dict[str, str], items: list[dict]) -> float:
+    """_calculate_text_confidence (fallback_processor.py:424-478): field
+    presence points (15/10/10/10), items 30 + 2 per complete item (bonus
+    cap 25) with a -10 penalty when under 70% complete, then 8/5/5 for
+    any totals/payment/shipping value; capped at 100. A complete item has
+    line+description text and at least 2 of the vendor's numeric fields
+    parsing > 0 (:480-496)."""
+    conf = 0.0
+    if fields.get("header.invoice_number", "").strip():
+        conf += 15
+    if fields.get("header.invoice_date", "").strip():
+        conf += 10
+    if fields.get("vendor.name", "").strip():
+        conf += 10
+    cust = C.VALIDATOR_REQUIRED["customer"][vendor][0]
+    if fields.get(cust, "").strip():
+        conf += 10
+    if items:
+        numeric = C.A3_NUMERIC_KEYS[vendor]
+        valid = 0
+        for it in items:
+            s = it["serialized"]
+            if not _item_field(s, "line").strip() or not _item_field(s, "desc").strip():
+                continue
+            n_ok = sum(1 for k in numeric if _money(_item_field(s, k)) > 0)
+            if n_ok >= 2:
+                valid += 1
+        conf += 30 + min(valid * 2, 25)
+        if valid < len(items) * 0.7:
+            conf -= 10
+    if any(v.strip() for k, v in fields.items() if k.startswith("totals.")):
+        conf += 8
+    if any(v.strip() for k, v in fields.items() if k.startswith("payment.")):
+        conf += 5
+    if any(v.strip() for k, v in fields.items() if k.startswith("shipping.")):
+        conf += 5
+    return min(conf, 100.0)
+
+
+def a2_completeness(vendor: str, fields: dict[str, str], items: list[dict]) -> float:
+    """_calculate_completeness_score (data_validator.py:159-207, audit
+    §12 structure): header 15+10, vendor 10+5, customer 10+5, items 20 +
+    15 * complete-ratio, totals 10; capped at 100."""
+    score = 0.0
+    if fields.get("header.invoice_number", "").strip():
+        score += 15
+    if fields.get("header.invoice_date", "").strip():
+        score += 10
+    if fields.get("vendor.name", "").strip():
+        score += 10
+    if any(
+        v.strip() for k, v in fields.items()
+        if k.startswith("vendor.") and k.endswith("_street")
+    ):
+        score += 5
+    cust = C.VALIDATOR_REQUIRED["customer"][vendor][0]
+    if fields.get(cust, "").strip():
+        score += 10
+    if any(
+        v.strip() for k, v in fields.items()
+        if k.startswith("customer.") and k.endswith("_street")
+    ):
+        score += 5
+    if items:
+        score += 20
+        req = C.VALIDATOR_REQUIRED["items"][vendor]
+        complete = sum(
+            1 for it in items
+            if all(_item_field(it["serialized"], k).strip() for k in req)
+        )
+        score += 15 * (complete / len(items))
+    if any(v.strip() for k, v in fields.items() if k.startswith("totals.")):
+        score += 10
+    return min(score, 100.0)
+
+
+def validate_fields(vendor: str, fields: dict[str, str], items: list[dict]):
+    """validate_extracted_data (data_validator.py:58-128) over our span
+    keys: missing required fields (a section with no keys at all yields
+    one 'Section … is missing' entry), empty-valued fields, per-item
+    required-field emptiness, the completeness score, and
+    is_valid = no missing AND <= 2 empty AND completeness >= 60.
+    Metadata requirements are always satisfied in our model (the engine
+    stamps them unconditionally, as the reference does). Returns
+    (is_valid, completeness, missing, empty)."""
+    missing: list[str] = []
+    empty: list[str] = []
+    sections = {
+        "invoice_header": C.VALIDATOR_REQUIRED["header"],
+        "vendor_info": C.VALIDATOR_REQUIRED["vendor"],
+        "customer_info": C.VALIDATOR_REQUIRED["customer"][vendor],
+    }
+    for sec, req in sections.items():
+        prefix = {"invoice_header": "header.", "vendor_info": "vendor.",
+                  "customer_info": "customer."}[sec]
+        if not any(k.startswith(prefix) for k in fields):
+            missing.append(f"Section '{sec}' is missing")
+            continue
+        for key in req:
+            ref_name = f"{sec}.{key.split('.', 1)[1] if '.' in key else key}"
+            # reference field names drive the critical-substring check —
+            # company keys (incl. vendor.name) surface as
+            # '<section>.company_name' in the reference's required map
+            if (key.endswith("_company") or key.endswith(".company")
+                    or key == "vendor.name"):
+                ref_name = f"{sec}.company_name"
+            if key not in fields:
+                missing.append(ref_name)
+            elif not fields[key].strip():
+                empty.append(ref_name)
+    if not items:
+        missing.append("No line items found")  # :84 — note: NOT critical
+    else:
+        for k in C.VALIDATOR_REQUIRED["items"][vendor]:
+            for i, it in enumerate(items):
+                if not _item_field(it["serialized"], k).strip():
+                    empty.append(f"line_items[{i}].{k}")
+    completeness = a2_completeness(vendor, fields, items)
+    is_valid = len(missing) == 0 and len(empty) <= 2 and completeness >= 60.0
+    return is_valid, completeness, missing, empty
+
+
+def p10_adequate(
+    vendor: str, fields: dict[str, str], items: list[dict], confidence: float
+) -> bool:
+    """_is_result_adequate (fallback_processor.py:392-422): confidence
+    below the 70 threshold → inadequate; empty data → inadequate; else
+    validation passes OR (completeness >= 70 with at most one missing
+    field whose reference name contains a critical substring)."""
+    if confidence < C.MIN_CONFIDENCE_THRESHOLD:
+        return False
+    if not fields and not items:
+        return False
+    is_valid, completeness, missing, _ = validate_fields(vendor, fields, items)
+    crit = [f for f in missing if any(c in f for c in C.P10_CRITICAL)]
+    return is_valid or (completeness >= 70.0 and len(crit) <= 1)
+
+
 def merge_routes(
     vendor: str,
     fields_t: dict[str, str], items_t: list[dict],
@@ -918,7 +1199,13 @@ def merge_routes(
     section apply. A key missing from the winning side is NOT back-filled
     from the loser — the reference copies the primary section object
     wholesale. (Its final per-key merge branch, :560, runs only when
-    NEITHER side has data — vacuously empty in our non-empty-dict model.)"""
+    NEITHER side has data — vacuously empty in our non-empty-dict model.)
+
+    AUDIT §21: this combiner is DEAD CODE in the reference — its only
+    caller is the unreachable hybrid elif (fallback_processor.py:238; the
+    recommended method is always one of the four strings). It no longer
+    runs in the live pipeline; it remains implemented (and gated as
+    j1_hybrid_merge) as the documented J1 operator."""
     merged: dict[str, str] = {}
     sections: dict[str, list[str]] = {}
     for key in C.FIELD_ORDER[vendor]:
@@ -1014,35 +1301,45 @@ def extract_document(doc_id: str, spans: list[dict]) -> dict:
     vendor, conf = detect_vendor(doc_id, all_text)
     route = route_document(vendor, spans)
 
-    fields_t: dict[str, str] = {}
-    items_t: list[dict] = []
-    fields_o: dict[str, str] = {}
-    items_o: list[dict] = []
-    if route in ("text", "hybrid"):
-        text = assemble(spans, "text")
-        fields_t = extract_fields(vendor, text)
-        items_t = extract_items(vendor, text, fields_t)
-    if route in ("ocr", "hybrid"):
-        # O3/O4/O5: the dual-engine selection's winner (or near-tie merge)
-        fields_o = extract_fields(vendor, ocr_text)
-        items_o = extract_items(vendor, ocr_text, fields_o)
-
+    text = assemble(spans, "text")
     if route == "text":
-        fields, items = fields_t, items_t
-        src_text = assemble(spans, "text")
+        src_text = text
     elif route == "ocr":
-        fields, items = fields_o, items_o
+        # O3/O4/O5: the dual-engine selection's winner (or near-tie merge)
         src_text = ocr_text
+    elif vendor == "schlage":
+        # hybrid, specialized: O6 comprehensive pick — ONE extraction of
+        # the winning candidate (audit §21; the J1 combiner is dead code
+        # in the reference, fallback_processor.py:238 is unreachable)
+        src_text = schlage_pick_text(
+            text, ocr_full_text(spans), ocr_engine_conf01(spans)
+        )
+    elif vendor == "generic":
+        # hybrid, live *_fallback chain: extract the primary side, check
+        # P10 adequacy, else the secondary side WHOLESALE (fallback
+        # :218-235 — no merge, no comparison at this layer)
+        prim = generic_fb_primary(spans)
+        p_text, s_text = (ocr_text, text) if prim == "ocr" else (text, ocr_text)
+        f_p = extract_fields(vendor, p_text)
+        i_p = extract_items(vendor, p_text, f_p)
+        conf = (
+            a3_text_confidence(vendor, f_p, i_p)
+            if prim == "text"
+            else a4_ocr_confidence(p_text)
+        )
+        src_text = p_text if p10_adequate(vendor, f_p, i_p, conf) else s_text
     else:
-        fields, items = merge_routes(vendor, fields_t, items_t, fields_o, items_o)
-        src_text = None
+        # hybrid, ceco/steelcraft: their specialized processors are
+        # text-only — the OCR side is never consulted (audit §21)
+        src_text = text
 
-    # F13 additional_info is schlage-only and DOCUMENT-level; the hybrid
-    # J1 combiner iterates only its seven priority sections, so
-    # additional_info is dropped on that route (fallback_processor.py:
-    # 536-568; audit §18)
+    fields = extract_fields(vendor, src_text)
+    items = extract_items(vendor, src_text, fields)
+
+    # F13 additional_info is schlage-only and DOCUMENT-level, harvested
+    # from the text the specialized processor settled on (audit §18/§21)
     info: list[str] = []
-    if vendor == "schlage" and src_text is not None:
+    if vendor == "schlage":
         info = _schlage_additional_info(src_text)
 
     out = emit_spans(vendor, fields, items, spans, info)

@@ -764,3 +764,55 @@ def test_p6_quality_score_indicators():
     assert O._quality_score("  abc  ") == 0.0
     # repetitive OCR artifacts demote i4
     assert O._quality_score("aaaaaaa " * 3 + "invoice") < 0.6
+
+
+def test_o6_schlage_pick_scale_mismatch():
+    # audit §21 (schlage_processor.py:168-228): text candidates score
+    # 0-100 (_calculate_text_quality) while the OCR confidence arrives on
+    # a 0-1 scale (tesseract conf/100 at :490; easyocr readtext at
+    # :505-521) — any text candidate past the 50-char gate beats OCR
+    text = "INVOICE# 1234567 SCHLAGE ORDER TOTAL AMOUNT DUE CUSTOMER BILL\n" * 2
+    ocr = "SCHLAGE UPS EXP 1 111 111 X*1 |D| FEB 28 85.00 54.64/00 4,280.16\n" * 20
+    assert O.schlage_pick_text(text, ocr, 0.8) == text
+    # OCR wins only when the selectable text is <= 50 stripped chars
+    tiny = "INVOICE# 123"
+    assert O.schlage_pick_text(tiny, ocr, 0.8) == ocr
+    # both under their gates → the text argument comes back unchanged
+    assert O.schlage_pick_text(tiny, "x", 0.8) == tiny
+
+
+def test_p10_adequacy_and_a3_confidence():
+    # audit §21 (fallback_processor.py:392-496): the generic extractor
+    # never produces company fields, so both company requirements go
+    # missing (2 critical) and validation can never pass → the *_fallback
+    # routes always fall through to the secondary side for generic docs
+    fields = {
+        "header.invoice_number": "ABC-12345",
+        "header.invoice_date": "1/2/25",
+        "totals.subtotal": "431.90",
+    }
+    items = [{"serialized": "line=1|code=W-1|qty=2|desc=widget|unit=5.00|ext=10.00",
+              "marks": [], "line": "1"}] * 4
+    conf = O.a3_text_confidence("generic", fields, items)
+    # 15 + 10 + (30 + 4 complete * 2) + 8 = 71
+    assert conf == 71.0, conf
+    is_valid, completeness, missing, empty = O.validate_fields("generic", fields, items)
+    assert not is_valid
+    # no vendor./customer. key at all → the reference's SECTION-missing
+    # string ("Section 'vendor_info' is missing"), which does NOT contain
+    # a critical substring — so completeness 70 + conf 71 IS adequate
+    assert "Section 'vendor_info' is missing" in missing
+    # completeness: 15+10 header + 20+15 items + 10 totals = 70
+    assert completeness == 70.0, completeness
+    assert O.p10_adequate("generic", fields, items, conf)
+    # below the 70-confidence threshold → inadequate regardless
+    assert not O.p10_adequate("generic", fields, items, 65.0)
+    # a single present-but-empty company key flips the missing entry to
+    # the CRITICAL per-field form... while a missing invoice number joins
+    # it → 2 critical entries → the completeness branch fails too
+    f_bad = {"vendor.name": "ACME", "customer.company": ""}
+    assert not O.p10_adequate("generic", f_bad, items, 95.0)
+    # a doc with company fields and high completeness IS adequate
+    f2 = dict(fields, **{"vendor.name": "ACME", "customer.company": "ZED"})
+    ok = O.p10_adequate("generic", f2, items, 95.0)
+    assert ok
