@@ -479,9 +479,55 @@ P10_CRITICAL = ("invoice_number", "line_items", "company_name")
 A3_NUMERIC_KEYS = {
     "ceco": ("ord", "net", "ext"),
     "steelcraft": ("ord", "list", "ext"),
-    "schlage": ("list", "unit", "ext"),
+    "schlage": ("ord", "unit", "ext"),
     "generic": ("qty", "unit", "ext"),
 }
+
+# Step-3b fallback bank (audit §22): when a SCHLAGE specialized result is
+# invalid or low-confidence, the dispatcher's fallback runs the generic
+# TextPDFProcessor with its OWN schlage VendorConfig
+# (text_pdf_processor.py:173-205) — a second, different bank family with
+# per-pattern weights, consumed through the DynamicPatternExtractor
+# argmax (audit §15 semantics). Patterns and weights verbatim.
+TPP_SCHLAGE_BANK: dict[str, list[str]] = {
+    "header.invoice_number": [
+        r"invoice\s*number\s*:?\s*([A-Z0-9\-]{6,20})",
+        r"invoice\s*#\s*:?\s*([A-Z0-9\-]{6,20})",
+        r"\b([0-9]{6}-[0-9]{3})\b",
+    ],
+    "header.invoice_date": [
+        r"invoice\s*date\s*:?\s*(\d{1,2}[\/\-\.]\d{1,2}[\/\-\.]\d{2,4})",
+        r"date\s*:?\s*(\d{1,2}[\/\-\.]\d{1,2}[\/\-\.]\d{2,4})",
+        r"\b(\d{1,2}[\/\-\.]\d{1,2}[\/\-\.]\d{2,4})\b",
+    ],
+    "vendor.name": [
+        r"(Schlage)",
+        r"(SCHLAGE)",
+        r"(Allegion)",
+        r"([A-Z][A-Za-z\s&]+(?:Inc|LLC|Corp|Company|Co\.|Ltd|Products|Services|Solutions)\.?)",
+    ],
+    "header.order_number": [
+        r"order\s*number\s*:?\s*([A-Z0-9\-]{6,20})",
+        r"order\s*no\s*:?\s*([A-Z0-9\-]{6,20})",
+    ],
+    "header.customer_po": [
+        r"customer\s*po\s*:?\s*([A-Z0-9\-]{3,20})",
+        r"po\s*#?\s*:?\s*([A-Z0-9\-]{3,20})",
+    ],
+}
+TPP_SCHLAGE_WEIGHTS: dict[str, list[float]] = {
+    "header.invoice_number": [0.8, 0.7, 0.6],
+    "header.invoice_date": [0.8, 0.6, 0.4],
+    "vendor.name": [0.9, 0.9, 0.8, 0.6],
+    "header.order_number": [0.7, 0.6],
+    "header.customer_po": [0.7, 0.6],
+}
+# the step-3b primary method per vendor — the dispatcher wrappers pin
+# these regardless of what the specialized processor actually did
+# (fallback_processor.py:706/:748/:790): steelcraft/ceco TEXT_EXTRACTION,
+# schlage OCR; steelcraft's confidence is a FIXED 95.0 (:706)
+STEP3B_METHOD = {"ceco": "text", "steelcraft": "text", "schlage": "ocr"}
+STEELCRAFT_FIXED_CONFIDENCE = 95.0
 
 # A7/J5 — cross-validation gap-fill (schlage_processor.py:944-971; audit
 # §19): AFTER the totals parse and the derivation, surcharges/shipping

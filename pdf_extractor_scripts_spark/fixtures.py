@@ -307,6 +307,11 @@ def _schlage_lines(rng: random.Random, n_items: int, variant: str) -> list[list[
     ship_block.append(f"{rng.choice(['APEX', 'GARNER'])}, NC {rng.randint(27000, 27999)}")
     head += bill_block + ship_block + ["BRAND CARRIER"]
     items: list[str] = []
+    # ~half the xval docs render comma-free extended amounts so the
+    # step-3b missing-subtotal fill actually lands; the other half keep
+    # comma amounts, which poison the reference's one-try float() sum
+    # (data_validator.py:258-270; audit §22)
+    small_ext = variant == "xval" and rng.random() < 0.5
     for i in range(1, n_items + 1):
         brand = rng.choice(["SCHLAGE", "VON DUPRIN", "LCN"])
         items.append(
@@ -315,7 +320,7 @@ def _schlage_lines(rng: random.Random, n_items: int, variant: str) -> list[list[
             f"|CYL.80-0{rng.randint(10, 99)}.EV.626.R134.| "
             f"{rng.choice(['FEB', 'MAR'])} {rng.randint(1, 28)} "
             f"{_money(rng, 50, 500)} {rng.randint(10, 99)}.{rng.randint(10, 99)}/00 "
-            f"{_money(rng, 1000, 9999)}"
+            f"{_money(rng, 100, 999) if small_ext else _money(rng, 1000, 9999)}"
         )
         # 16-char body whose tail is digits so the OCR-split form matches the
         # reference's continuation grammar ^(\d{2,4}) (schlage_processor.py:1427)
@@ -433,7 +438,9 @@ def make_document(i: int, seed: int = 42) -> dict:
         doc_id = f"steelcraft/Allegion - Steelcraft {rng.randint(1, 9999):04d}.pdf"
         media_pages = set()
     elif vclass == 2:
-        variant = ["surcharge_item", "synthesis", "derived", "xval"][i % 4]
+        # i % 4 == 2 for every schlage doc — key the variant on i // 16 so
+        # all four totals variants actually occur
+        variant = ["surcharge_item", "synthesis", "derived", "xval"][(i // 16) % 4]
         pages = _schlage_lines(rng, rng.randint(1, 3), variant)
         doc_id = f"schlage/{rng.randint(100000, 999999)}-0{rng.randint(10, 99)} Schlage {rng.randint(1, 999):03d}.pdf"
         # media-heavy by default (pdf_text_detector.py:100-104 expects a low

@@ -107,12 +107,13 @@ def with_extraction(df: DataFrame) -> DataFrame:
     banks = {v: {k: list(p) for k, p in bank.items()} for v, bank in C.FIELD_BANKS.items()}
     order = {v: list(ks) for v, ks in C.FIELD_ORDER.items()}
     extract_udf = _make_extract_udf(banks, order)
-    text_in = F.when(
-        F.col("route").isin("text", "hybrid"), F.col("text_route_text")
-    ).otherwise(F.lit(None))
-    ocr_in = F.when(
-        F.col("route").isin("ocr", "hybrid"), F.col("ocr_route_text")
-    ).otherwise(F.lit(None))
+    # both assemblies ship for every row since audit §22: the step-3b
+    # fallback parses the OPPOSITE side's text (a text-method result falls
+    # back to the OCR assembly and vice versa), so the old route masking
+    # would starve the fallback. Extraction itself is still single-pass —
+    # the kernel resolves each row to one input.
+    text_in = F.col("text_route_text")
+    ocr_in = F.col("ocr_route_text")
     # schlage-hybrid O6 candidates: the all-pages stub-OCR assemblies per
     # engine as PLAIN columns (simple array_join transforms keep the UDF's
     # argument projection codegen-able); the dual-engine selection itself

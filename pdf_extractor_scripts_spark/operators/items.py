@@ -71,6 +71,9 @@ _SH_WB_CONT = re.compile(C.SCHLAGE_WAYBILL_CONT)
 _SH_FEDEX = re.compile(C.SCHLAGE_FEDEX_NUMBER)
 
 _GEN_ITEM = re.compile(C.GENERIC_ITEM)
+# schlage surcharge-amount fallback (schlage_processor.py:1517)
+_SH_SUR_AMT = re.compile(r"SURCHARGES?:?\s*\$?(\d{1,3}(?:,\d{3})*\.\d{2})",
+                         re.IGNORECASE)
 
 
 def _intervals(header_idx: list[int], n_lines: int, window: int):
@@ -272,6 +275,7 @@ def schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
         g = m.groups()
         unit = f"{round(_money(g[9]) - _money(g[10]), 2):.2f}"
         pairs = [("line", g[3]), ("brand", g[0]), ("carrier", g[1]),
+                 ("ord", g[4]), ("shp", g[5]),
                  ("code", g[6]), ("desc", g[7]), ("ship", g[8]),
                  ("list", g[9]), ("disc", g[10]), ("dcode", g[11]),
                  ("unit", unit), ("ext", g[12])]
@@ -308,12 +312,22 @@ def schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
             pairs.append(("waybill", wb))
         items.append({"line": g[3], "serialized": _serialize(pairs), "marks": []})
 
-    sur = fields.get("totals.surcharges")
-    has_sur = any("brand=AGN_SURCHARGE" in it["serialized"] for it in items)
-    if len(items) == 1 and sur is not None and not has_sur:
-        pairs = [("line", "999"), ("brand", "AGN_SURCHARGE"), ("carrier", ""),
-                 ("code", "SURCHG"), ("desc", "SURCHARGE"), ("ext", sur)]
-        items.append({"line": "999", "serialized": _serialize(pairs), "marks": []})
+    # surcharge synthesis — the reference field set (audit §22; classify-
+    # once twin of the oracle's form)
+    if len(items) == 1:
+        sur = fields.get("totals.surcharges")
+        if not sur:
+            m = _SH_SUR_AMT.search("\n".join(lines))
+            sur = m.group(1) if m else None
+        if sur:
+            bm = re.search(r"(?:^|\|)brand=([^|]*)", items[0]["serialized"])
+            main_brand = (bm.group(1) if bm else "") or "UNKNOWN"
+            ln = str(len(items) + 1)
+            pairs = [("line", ln), ("brand", main_brand), ("carrier", ""),
+                     ("ord", "1"), ("shp", "1"), ("code", "AGN_SURCHARGE"),
+                     ("desc", "Surcharge Item"), ("list", sur),
+                     ("disc", "00.00"), ("unit", sur), ("ext", sur)]
+            items.append({"line": ln, "serialized": _serialize(pairs), "marks": []})
     return items
 
 

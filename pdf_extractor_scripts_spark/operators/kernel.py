@@ -307,6 +307,39 @@ def extract_routed(
         res2 = extract_batch(vendor[redo], sec_text, field_banks, field_order)
         for idx in redo:
             res.loc[idx] = res2.loc[idx]
+    redo_set = set(redo)
+
+    # step 3b (audit §22): global validate → fallback → compare → enhance,
+    # via the shared oracle layer. The method label is what the dispatcher
+    # wrapper pins (STEP3B_METHOD) for specialized vendors; generic rows
+    # carry the side their result actually came from.
+    order = C.FIELD_ORDER if field_order is None else field_order
+    flip = {"ocr": "text", "text": "ocr"}
+    for idx in vendor.index:
+        row = res.loc[idx]
+        if row["fields"] is None:
+            continue
+        v = vendor[idx]
+        if v in C.STEP3B_METHOD:
+            method = C.STEP3B_METHOD[v]
+        else:
+            r = route[idx]
+            if r in ("text", "ocr"):
+                method = r
+            else:
+                prim = fb_primary[idx]
+                method = flip[prim] if idx in redo_set else prim
+        fields = {kv["key"]: kv["value"] for kv in row["fields"]}
+        f2, i2, n2 = O.step3b(
+            v, method, fields, row["items"] or [], row["info"] or [],
+            text[idx] or "", ocr[idx] or "",
+        )
+        keys = order.get(v, [])
+        res.at[idx, "fields"] = [
+            {"key": k, "value": f2[k]} for k in keys if k in f2
+        ]
+        res.at[idx, "items"] = i2
+        res.at[idx, "info"] = n2
 
     t_col, o_col = [], []
     for idx in vendor.index:

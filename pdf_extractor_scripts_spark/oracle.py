@@ -432,16 +432,25 @@ def _match_quality(value: str) -> float:
     return length * content
 
 
-def _extract_fields_argmax(text: str) -> dict[str, str]:
+def _extract_fields_argmax(
+    text: str,
+    bank: dict[str, list[str]] | None = None,
+    bank_weights: dict[str, list[float]] | None = None,
+) -> dict[str, str]:
     """DynamicPatternExtractor.extract_field_with_confidence
     (text_pdf_processor.py:439-476): findall every pattern with
     IGNORECASE|MULTILINE, score every non-blank match as
     weight * (1 - 0.1*pattern_index) * quality, return the argmax —
     max() keeps the FIRST result in (pattern, match) enumeration order
-    among equals. Values are stripped on output (:457)."""
+    among equals. Values are stripped on output (:457). Defaults to the
+    generic bank; the step-3b schlage fallback passes the second
+    (TextPDFProcessor) bank family (audit §22)."""
+    if bank is None:
+        bank = C.FIELD_BANKS["generic"]
+        bank_weights = C.GENERIC_WEIGHTS
     out: dict[str, str] = {}
-    for key, patterns in C.FIELD_BANKS["generic"].items():
-        weights = C.GENERIC_WEIGHTS.get(key, [1.0] * len(patterns))
+    for key, patterns in bank.items():
+        weights = (bank_weights or {}).get(key, [1.0] * len(patterns))
         best: tuple[float, str] | None = None
         for i, pat in enumerate(patterns):
             for m in re.finditer(pat, text, re.IGNORECASE | re.MULTILINE):
@@ -923,6 +932,7 @@ def _schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
         # unit = list - discount (schlage_processor.py:1640-1650)
         unit = f"{round(_money(list_price) - _money(disc), 2):.2f}"
         pairs = [("line", order_line), ("brand", brand), ("carrier", carrier),
+                 ("ord", l1), ("shp", l2),
                  ("code", code), ("desc", desc), ("ship", ship_date),
                  ("list", list_price), ("disc", disc), ("dcode", disc_code),
                  ("unit", unit), ("ext", ext)]
@@ -961,14 +971,28 @@ def _schlage_items(lines: list[str], fields: dict[str, str]) -> list[dict]:
         items.append({"line": order_line, "serialized": _serialize(pairs),
                       "marks": []})
 
-    # surcharge synthesis: totals-only surcharge with a single main item
-    # (schlage_processor.py:1505-1553, 1718-1831)
-    has_surcharge_item = any("brand=AGN_SURCHARGE" in it["serialized"] for it in items)
-    sur = fields.get("totals.surcharges")
-    if len(items) == 1 and sur is not None and not has_surcharge_item:
-        pairs = [("line", "999"), ("brand", "AGN_SURCHARGE"), ("carrier", ""),
-                 ("code", "SURCHG"), ("desc", "SURCHARGE"), ("ext", sur)]
-        items.append({"line": "999", "serialized": _serialize(pairs), "marks": []})
+    # surcharge synthesis (schlage_processor.py:1505-1553; audit §22
+    # tightened to the reference's field set): single main item + an
+    # amount from totals.surcharges or the SURCHARGES regex over the text
+    # → a synthesized item with the MAIN item's brand, item_number
+    # AGN_SURCHARGE, qty 1/1, list = unit = amount, discount '00.00',
+    # line_number = the running counter
+    if len(items) == 1:
+        sur = fields.get("totals.surcharges")
+        if not sur:
+            m = re.search(
+                r"SURCHARGES?:?\s*\$?(\d{1,3}(?:,\d{3})*\.\d{2})",
+                "\n".join(lines), re.IGNORECASE,
+            )
+            sur = m.group(1) if m else None
+        if sur:
+            main_brand = _item_field(items[0]["serialized"], "brand") or "UNKNOWN"
+            ln = str(len(items) + 1)
+            pairs = [("line", ln), ("brand", main_brand), ("carrier", ""),
+                     ("ord", "1"), ("shp", "1"), ("code", "AGN_SURCHARGE"),
+                     ("desc", "Surcharge Item"), ("list", sur),
+                     ("disc", "00.00"), ("unit", sur), ("ext", sur)]
+            items.append({"line": ln, "serialized": _serialize(pairs), "marks": []})
     return items
 
 
@@ -1187,6 +1211,203 @@ def p10_adequate(
     return is_valid or (completeness >= 70.0 and len(crit) <= 1)
 
 
+# ---------------------------------------------------------------------------
+# Step-3b layer pieces (audit §22): specialized-result confidences and the
+# validator enhancement (fallback_processor.py:133-152; data_validator.py:
+# 209-330; schlage_processor.py:975-985; ceco_processor.py:867-921)
+# ---------------------------------------------------------------------------
+def a7_schlage_accuracy(fields: dict[str, str], items: list[dict]) -> float:
+    """The schlage specialized result's confidence_score = the A7
+    cross-validation accuracy (schlage_processor.py:975-985):
+    (header_completeness*0.3 + line_items_presence*0.4 +
+    totals_nonempty_ratio*0.3) * 100, where header completeness counts
+    invoice_number/invoice_date/customer_po and the totals ratio is
+    filled totals keys over all totals keys (min denominator 1)."""
+    req = ["header.invoice_number", "header.invoice_date", "header.customer_po"]
+    header = sum(1 for k in req if fields.get(k, "").strip()) / len(req)
+    items_c = 1.0 if items else 0.0
+    totals = {k: v for k, v in fields.items() if k.startswith("totals.")}
+    totals_c = (
+        sum(1 for v in totals.values() if v.strip()) / max(len(totals), 1)
+    )
+    return (header * 0.3 + items_c * 0.4 + totals_c * 0.3) * 100
+
+
+def a9_ceco_confidence(fields: dict[str, str], items: list[dict]) -> float:
+    """The ceco specialized result's confidence_score
+    (ceco_processor.py:867-921): header 25 (6.25 per field over
+    invoice_number/invoice_date/order_no/customer_po), vendor 15 (5 per
+    company/address/city — our field model extracts only the company, so
+    address/city never score; documented model gap), items 20 + 15 *
+    per-field fill ratio over line/code/desc/ord/net, customer company
+    10, payment terms 7.5, ship_from-or-tracking 7.5; capped 100."""
+    score = 0.0
+    hdr = ["header.invoice_number", "header.invoice_date",
+           "header.order_no", "header.customer_po"]
+    score += sum(25 / len(hdr) for k in hdr if fields.get(k, "").strip())
+    if fields.get("vendor.name", "").strip():
+        score += 15 / 3
+    if items:
+        score += 20
+        item_fields = ["line", "code", "desc", "ord", "net"]
+        total = len(items) * len(item_fields)
+        filled = sum(
+            1 for it in items for k in item_fields
+            if _item_field(it["serialized"], k).strip()
+        )
+        score += (filled / total) * 15 if total else 0.0
+    if fields.get("customer.sold_to_company", "").strip():
+        score += 10
+    if fields.get("payment.terms", "").strip():
+        score += 7.5
+    if (fields.get("shipping.origin", "").strip()
+            or fields.get("shipping.tracking", "").strip()):
+        score += 7.5
+    return min(score, 100.0)
+
+
+def enhance_fields(
+    vendor: str, fields: dict[str, str], items: list[dict]
+) -> tuple[dict[str, str], list[dict]]:
+    """enhance_extracted_data (data_validator.py:209-330, audit §22) —
+    runs only on the VALID + confident branch of step 3b:
+
+    * per-item: extended amount = round(qty*price, 2) when missing with
+      both inputs populated, and quantity_shipped backfilled from
+      quantity_ordered (:237-254) — expressed over our serialized keys;
+    * missing subtotal = sum of float(extended_amount) over populated
+      items — float() does NOT strip commas, so a single comma-bearing
+      amount raises inside the one try block and poisons the WHOLE fill
+      (:258-270), reproduced as-is; the fill lands only when the sum is
+      > 0, formatted '%.2f';
+    * empty-string values are deleted from every section dict and every
+      item (:286-330) — our serialized items drop their empty kv pairs.
+    """
+    qty_key = {"ceco": "ord", "steelcraft": "ord", "schlage": "ord",
+               "generic": "qty"}[vendor]
+    unit_key = {"ceco": "net", "steelcraft": "list", "schlage": "unit",
+                "generic": "unit"}[vendor]
+    out_items: list[dict] = []
+    for it in items:
+        s = it["serialized"]
+        pairs = []
+        for part in s.split("|"):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                pairs.append([k, v])
+            elif pairs:
+                # value fragment containing '|' — reattach
+                pairs[-1][1] += "|" + part
+        kv = {k: v for k, v in pairs}
+        if (
+            qty_key
+            and not kv.get("ext", "").strip()
+            and kv.get(qty_key, "").strip()
+            and kv.get(unit_key, "").strip()
+        ):
+            try:
+                ext = round(float(kv[qty_key]) * float(kv[unit_key]), 2)
+                for p in pairs:
+                    if p[0] == "ext":
+                        p[1] = str(ext)
+                        break
+                else:
+                    pairs.append(["ext", str(ext)])
+            except (ValueError, TypeError):
+                pass
+        if (
+            vendor in ("ceco", "steelcraft", "schlage")
+            and not kv.get("shp", "").strip()
+            and kv.get("ord", "").strip()
+        ):
+            for p in pairs:
+                if p[0] == "shp":
+                    p[1] = kv["ord"]
+                    break
+        # _clean_empty_values: drop empty-string kv pairs
+        pairs = [p for p in pairs if p[1].strip() != ""]
+        out_items.append({
+            **it, "serialized": "|".join(f"{k}={v}" for k, v in pairs),
+        })
+    out_fields = {k: v for k, v in fields.items() if v.strip() != ""}
+    if out_items and not out_fields.get("totals.subtotal", "").strip():
+        try:
+            subtotal = sum(
+                float(_item_field(it["serialized"], "ext"))
+                for it in out_items
+                if _item_field(it["serialized"], "ext").strip()
+            )
+            if subtotal > 0:
+                out_fields["totals.subtotal"] = f"{subtotal:.2f}"
+        except (ValueError, TypeError):
+            pass
+    return out_fields, out_items
+
+
+def step3b(
+    vendor: str,
+    method: str,
+    fields: dict[str, str],
+    items: list[dict],
+    info: list[str],
+    text: str,
+    ocr_text: str,
+) -> tuple[dict[str, str], list[dict], list[str]]:
+    """The global validate → fallback → compare → enhance layer
+    (fallback_processor.py:133-152, :342-390; audit §22), applied to
+    EVERY document after the method result:
+
+    * primary confidence: the dispatcher wrappers pin it — steelcraft a
+      FIXED 95.0, ceco its own A9 score, schlage the A7 cross-validation
+      accuracy; generic results carry A3 (text) or the stub A4 (OCR);
+    * valid AND confidence >= 70 → enhance_extracted_data and return;
+    * else run the OPPOSITE method: TEXT-method results fall back to the
+      OCR parse (our banks over the OCR assembly, the image-processor
+      analog); OCR-method results fall back to TextPDFProcessor — for
+      schlage that is the SECOND bank family (argmax over
+      TPP_SCHLAGE_BANK) plus the generic F7 item grammar, for generic
+      the generic bank itself;
+    * J2: the fallback wins iff its confidence is STRICTLY higher
+      (:370-381); a winning text fallback carries no additional_info
+      (TextPDFProcessor produces none), so info empties.
+    """
+    if vendor == "schlage":
+        conf = a7_schlage_accuracy(fields, items)
+    elif vendor == "ceco":
+        conf = a9_ceco_confidence(fields, items)
+    elif vendor == "steelcraft":
+        conf = C.STEELCRAFT_FIXED_CONFIDENCE
+    elif method == "text":
+        conf = a3_text_confidence(vendor, fields, items)
+    else:
+        conf = a4_ocr_confidence(ocr_text)
+    is_valid, _, _, _ = validate_fields(vendor, fields, items)
+    if is_valid and conf >= C.MIN_CONFIDENCE_THRESHOLD:
+        fields, items = enhance_fields(vendor, fields, items)
+        return fields, items, info
+    if method == "text":
+        fb_fields = extract_fields(vendor, ocr_text)
+        fb_items = extract_items(vendor, ocr_text, fb_fields)
+        fb_conf = a4_ocr_confidence(ocr_text)
+        fb_info = []  # fallback parses carry no additional_info
+    else:
+        if vendor == "schlage":
+            fb_fields = _extract_fields_argmax(
+                text, C.TPP_SCHLAGE_BANK, C.TPP_SCHLAGE_WEIGHTS
+            )
+            fb_items = _generic_items(_filtered_lines(text))
+        else:
+            fb_fields = extract_fields(vendor, text)
+            fb_items = extract_items(vendor, text, fb_fields)
+        fb_conf = a3_text_confidence(
+            "generic" if vendor == "schlage" else vendor, fb_fields, fb_items
+        )
+        fb_info = []  # TextPDFProcessor results carry no additional_info
+    if fb_conf > conf:
+        return fb_fields, fb_items, fb_info
+    return fields, items, info
+
+
 def merge_routes(
     vendor: str,
     fields_t: dict[str, str], items_t: list[dict],
@@ -1341,6 +1562,18 @@ def extract_document(doc_id: str, spans: list[dict]) -> dict:
     info: list[str] = []
     if vendor == "schlage":
         info = _schlage_additional_info(src_text)
+
+    # step 3b (audit §22): global validate → fallback → compare → enhance.
+    # The method label is what the dispatcher WRAPPER pins, not what ran:
+    # specialized vendors per STEP3B_METHOD; generic carries the side its
+    # result actually came from.
+    if vendor in C.STEP3B_METHOD:
+        method = C.STEP3B_METHOD[vendor]
+    else:
+        method = "ocr" if (route == "ocr" or src_text == ocr_text) else "text"
+    fields, items, info = step3b(
+        vendor, method, fields, items, info, text, ocr_text
+    )
 
     out = emit_spans(vendor, fields, items, spans, info)
     return {

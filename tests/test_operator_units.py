@@ -143,9 +143,23 @@ def test_ceco_freight_colon_fallback_pattern():
 
 
 def test_schlage_surcharge_synthesis_only_single_item():
+    # schlage_processor.py:1505-1553 (audit §22 field set): single main
+    # item + a surcharge amount → synthesized item with the MAIN brand,
+    # item_number AGN_SURCHARGE, qty 1/1, list = unit = ext = amount,
+    # discount '00.00', line_number from the running counter
     item = ("SCHLAGE UPS EXP 1 111 111 X*1 |D| FEB 28 85.00 54.64/00 4,280.16")
     one = O._schlage_items([item], {"totals.surcharges": "85.60"})
-    assert len(one) == 2 and "brand=AGN_SURCHARGE" in one[1]["serialized"]
+    assert len(one) == 2
+    s = one[1]["serialized"]
+    for frag in ("line=2", "brand=SCHLAGE", "code=AGN_SURCHARGE",
+                 "desc=Surcharge Item", "ord=1", "shp=1", "list=85.60",
+                 "disc=00.00", "unit=85.60", "ext=85.60"):
+        assert frag in s, (frag, s)
+    # no surcharge in totals → the SURCHARGES regex over the text is the
+    # fallback amount source (:1516-1520)
+    fb = O._schlage_items([item, "Surcharges $43.21"], {})
+    assert "ext=43.21" in fb[1]["serialized"]
+    # two main items → no synthesis
     two = O._schlage_items([item, item.replace(" 1 111", " 2 111")],
                            {"totals.surcharges": "85.60"})
     assert len(two) == 2 and all("AGN_SURCHARGE" not in i["serialized"] for i in two)
@@ -816,3 +830,65 @@ def test_p10_adequacy_and_a3_confidence():
     f2 = dict(fields, **{"vendor.name": "ACME", "customer.company": "ZED"})
     ok = O.p10_adequate("generic", f2, items, 95.0)
     assert ok
+
+
+def test_step3b_enhance_and_comma_poison():
+    # audit §22 (data_validator.py:209-330): the enhancement branch drops
+    # empty-string kv pairs and fills a missing subtotal from the item
+    # extended amounts — but float() does not strip commas, so ONE
+    # comma-bearing amount poisons the whole fill inside the single try
+    items = [
+        {"line": "1", "marks": [],
+         "serialized": "line=1|brand=SCHLAGE|carrier=|ord=2|shp=2|code=X|desc=D|unit=5.00|ext=10.00"},
+        {"line": "2", "marks": [],
+         "serialized": "line=2|brand=LCN|carrier=|ord=1|shp=1|code=Y|desc=E|unit=4.00|ext=4.00"},
+    ]
+    fields = {"header.invoice_number": "1234567"}
+    f2, i2 = O.enhance_fields("schlage", fields, items)
+    assert f2["totals.subtotal"] == "14.00"
+    assert "carrier=" not in i2[0]["serialized"]  # empty kv dropped
+    poisoned = [dict(items[0]), dict(items[1])]
+    poisoned[0]["serialized"] = poisoned[0]["serialized"].replace("ext=10.00", "ext=1,210.00")
+    f3, _ = O.enhance_fields("schlage", fields, poisoned)
+    assert "totals.subtotal" not in f3  # comma poisons the one-try sum
+    # ext fill from qty * unit when missing
+    missing_ext = [{"line": "1", "marks": [],
+                    "serialized": "line=1|ord=3|shp=3|code=X|desc=D|unit=2.50|ext="}]
+    _, i4 = O.enhance_fields("schlage", {}, missing_ext)
+    assert "ext=7.5" in i4[0]["serialized"]
+
+
+def test_step3b_specialized_confidences_and_fallback_retention():
+    # audit §22: steelcraft carries a FIXED 95.0 (fallback_processor.py:
+    # 706); ceco its own A9 (ceco_processor.py:867-921); schlage the A7
+    # accuracy (schlage_processor.py:975-985); the J2 compare keeps the
+    # primary unless the fallback confidence is STRICTLY higher
+    fields = {"header.invoice_number": "12345678",
+              "header.invoice_date": "1/2/25",
+              "header.customer_po": "999-001",
+              "totals.subtotal": "10.00"}
+    items = [{"line": "1", "marks": [],
+              "serialized": "line=1|code=C|desc=D|ord=1|net=5.00|ext=5.00"}]
+    a7 = O.a7_schlage_accuracy(fields, items)
+    assert a7 == 100.0, a7  # 3/3 header, items, 1/1 totals
+    a9 = O.a9_ceco_confidence(fields, items)
+    # header 3*6.25 + items 20 + 15*(5/5 fields filled) + 0 others
+    assert abs(a9 - (18.75 + 35)) < 1e-9, a9
+    # an invalid low-conf result with a zero-confidence OCR fallback is
+    # retained unchanged (ocr side has no non-marker content)
+    f, i, n = O.step3b("steelcraft", "text", {}, [], [], "SOME TEXT", "=== PAGE 1 ===")
+    assert (f, i, n) == ({}, [], [])
+
+
+def test_step3b_schlage_tpp_fallback_bank():
+    # audit §22: an invalid/low-confidence schlage result falls back to
+    # the SECOND bank family (text_pdf_processor.py:173-205) via the
+    # DynamicPatternExtractor argmax
+    text = "INVOICE# 3456789\nSELLER: Schlage Lock Co. LLC"
+    got = O._extract_fields_argmax(text, O.C.TPP_SCHLAGE_BANK, O.C.TPP_SCHLAGE_WEIGHTS)
+    assert got["header.invoice_number"] == "3456789"
+    assert got["vendor.name"] == "Schlage"
+    # 'ORDER#' does not match the second bank's order-number forms
+    got2 = O._extract_fields_argmax("ORDER# 45678901", O.C.TPP_SCHLAGE_BANK,
+                                    O.C.TPP_SCHLAGE_WEIGHTS)
+    assert "header.order_number" not in got2
