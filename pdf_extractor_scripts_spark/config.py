@@ -483,6 +483,149 @@ A3_NUMERIC_KEYS = {
     "generic": ("qty", "unit", "ext"),
 }
 
+# THIRD bank family (audit §23): the generic OCR method parses with the
+# image processor, whose field extraction is the F3 adaptive detector
+# (enhanced_pattern_detector.py:54-373) plus static header/totals
+# fallbacks and a 5-pattern line-item cascade
+# (image_pdf_processor.py:608-1097, :923-948, :1155-1165). Patterns,
+# context keywords, validity gates, ideal lengths and position priors
+# verbatim; FieldType.CUSTOMER_PO has NO patterns in the reference's dict
+# and so can never be extracted by F3 (the static header fallback is its
+# only source).
+F3_PATTERNS: dict[str, list[str]] = {
+    "invoice_number": [
+        r"invoice\s*(?:number|no|#)?\s*:?\s*([A-Z0-9\-]{6,})",
+        r"inv\s*(?:number|no|#)?\s*:?\s*([A-Z0-9\-]{6,})",
+        r"(?:^|\s)([A-Z0-9\-]{8,12})(?=\s|$)",
+        r"(?:document|doc)\s*(?:number|no|#)?\s*:?\s*([A-Z0-9\-]{6,})",
+        r"(?:bill|billing)\s*(?:number|no|#)?\s*:?\s*([A-Z0-9\-]{6,})",
+    ],
+    "invoice_date": [
+        r"invoice\s*date\s*:?\s*(\d{1,2}[\/\-\.]\d{1,2}[\/\-\.]\d{2,4})",
+        r"date\s*:?\s*(\d{1,2}[\/\-\.]\d{1,2}[\/\-\.]\d{2,4})",
+        r"(?:bill|billing)\s*date\s*:?\s*(\d{1,2}[\/\-\.]\d{1,2}[\/\-\.]\d{2,4})",
+        r"(\d{1,2}[\/\-\.]\d{1,2}[\/\-\.]\d{2,4})",
+        r"(\d{4}[\/\-\.]\d{1,2}[\/\-\.]\d{1,2})",
+    ],
+    "order_number": [
+        r"(?:order|purchase)\s*(?:number|no|#)?\s*:?\s*([A-Z0-9\-]{4,})",
+        r"po\s*(?:number|no|#)?\s*:?\s*([A-Z0-9\-]{4,})",
+        r"customer\s*po\s*:?\s*([A-Z0-9\-]{4,})",
+        r"reference\s*(?:number|no|#)?\s*:?\s*([A-Z0-9\-]{4,})",
+    ],
+    "vendor_name": [
+        r"(?:from|vendor|supplier)\s*:?\s*([A-Z][A-Za-z\s&\.,]{10,50})",
+        r"^([A-Z][A-Za-z\s&\.,]{10,50})(?:\s*(?:inc|corp|llc|ltd)\.?)?",
+        r"bill\s*from\s*:?\s*([A-Z][A-Za-z\s&\.,]{10,50})",
+    ],
+    "customer_name": [
+        r"(?:to|customer|client|bill\s*to)\s*:?\s*([A-Z][A-Za-z\s&\.,]{5,50})",
+        r"ship\s*to\s*:?\s*([A-Z][A-Za-z\s&\.,]{5,50})",
+        r"sold\s*to\s*:?\s*([A-Z][A-Za-z\s&\.,]{5,50})",
+    ],
+    "total_amount": [
+        r"(?:total|grand\s*total|invoice\s*total)\s*(?:\(USD\))?\s*:?\s*\$?\s*([\d,]+\.?\d*)",
+        r"amount\s*due\s*:?\s*\$?\s*([\d,]+\.?\d*)",
+        r"balance\s*due\s*:?\s*\$?\s*([\d,]+\.?\d*)",
+        r"total\s*amount\s*:?\s*\$?\s*([\d,]+\.?\d*)",
+    ],
+    "subtotal": [
+        r"(?:sub\s*total|subtotal)\s*:?\s*\$?\s*([\d,]+\.?\d*)",
+        r"(?:net|before\s*tax)\s*:?\s*\$?\s*([\d,]+\.?\d*)",
+        r"merchandise\s*total\s*:?\s*\$?\s*([\d,]+\.?\d*)",
+    ],
+    "tax_amount": [
+        r"(?:tax|sales\s*tax|vat)\s*:?\s*\$?\s*([\d,]+\.?\d*)",
+        r"(?:state|local)\s*tax\s*:?\s*\$?\s*([\d,]+\.?\d*)",
+    ],
+    "payment_terms": [
+        r"(?:terms|payment\s*terms)\s*:?\s*([^\\n]{10,50})",
+        r"(?:net|due)\s*(\d+)\s*(?:days?)",
+        r"(\d+%\s*\d+\s*days?,?\s*net\s*\d+)",
+    ],
+}
+F3_CONTEXT_KEYWORDS: dict[str, list[str]] = {
+    "invoice_number": ["invoice", "bill", "document", "number"],
+    "invoice_date": ["date", "issued", "created", "bill"],
+    "order_number": ["order", "purchase", "po", "reference"],
+    "vendor_name": ["from", "vendor", "supplier", "company"],
+    "customer_name": ["to", "customer", "client", "ship", "bill"],
+    "total_amount": ["total", "amount", "due", "balance", "grand"],
+    "subtotal": ["subtotal", "sub", "net", "before"],
+    "tax_amount": ["tax", "vat", "sales", "state"],
+    "payment_terms": ["terms", "payment", "net", "due"],
+}
+F3_IDEAL_LENGTHS: dict[str, tuple[int, int]] = {
+    "invoice_number": (6, 15), "invoice_date": (8, 12),
+    "order_number": (4, 20), "vendor_name": (10, 50),
+    "customer_name": (5, 50), "total_amount": (3, 15),
+    "subtotal": (3, 15), "tax_amount": (1, 10), "payment_terms": (5, 50),
+}
+F3_PREFERRED_POSITIONS: dict[str, tuple[float, float]] = {
+    "invoice_number": (0.0, 0.3), "invoice_date": (0.0, 0.3),
+    "vendor_name": (0.0, 0.2), "customer_name": (0.1, 0.4),
+    "total_amount": (0.7, 1.0), "subtotal": (0.6, 0.9),
+    "tax_amount": (0.6, 0.9), "payment_terms": (0.8, 1.0),
+}
+F3_AMOUNT_TYPES = ("total_amount", "subtotal", "tax_amount")
+F3_NAME_TYPES = ("vendor_name", "customer_name")
+# F3 field → our span key (image_pdf_processor.py:656-713 mapping)
+F3_FIELD_MAP = {
+    "invoice_number": "header.invoice_number",
+    "invoice_date": "header.invoice_date",
+    "order_number": "header.order_number",
+    "vendor_name": "vendor.name",
+    "customer_name": "customer.company",
+    "total_amount": "totals.total",
+    "subtotal": "totals.subtotal",
+    "tax_amount": "totals.tax",
+    "payment_terms": "payment.terms",
+}
+# static fallbacks (:925-948 header, :1157-1165 totals)
+IMG_HEADER_FALLBACK: dict[str, list[str]] = {
+    "header.invoice_number": [
+        r"invoice\s*number\s*:?\s*([0-9]{8})",
+        r"invoice\s*#?\s*:?\s*([0-9]{8})",
+        r"\b([0-9]{8})\b",
+    ],
+    "header.invoice_date": [
+        r"invoice\s*date\s*:?\s*(\d{1,2}[\/\-]\d{1,2}[\/\-]\d{2,4})",
+        r"date\s*:?\s*(\d{1,2}[\/\-]\d{1,2}[\/\-]\d{2,4})",
+        r"\b(\d{1,2}[\/\-]\d{1,2}[\/\-]\d{2,4})\b",
+    ],
+    "header.order_number": [
+        r"order\s*no\s*:?\s*([A-Z0-9\-]+)",
+        r"order\s*number\s*:?\s*([A-Z0-9\-]+)",
+    ],
+    "header.customer_po": [
+        r"customer\s*po\s*:?\s*([A-Z0-9\-]+)",
+        r"po\s*#?\s*:?\s*([A-Z0-9\-]+)",
+    ],
+}
+IMG_TOTALS_FALLBACK: dict[str, str] = {
+    "totals.discount": r"discount\s*of\s*\$\s*([\d,]+\.?\d*)",
+    "totals.total_sale": r"total\s*sale\s*:?\s*\$?\s*([\d,]+\.?\d*)",
+    "totals.tax": r"tax\s*:?\s*\$?\s*([\d,]+\.?\d*)",
+    "totals.total": r"invoice\s*total\s*\(USD\)\s*:?\s*\$?\s*([\d,]+\.?\d*)",
+}
+# the image line-item pattern cascade (:987-1002): first pattern with any
+# valid item wins
+IMG_ITEM_PATTERNS: list[str] = [
+    r"(\d{3})\s+(\d{3})\s+(FR3PC)\s+(\d+)\s+(\d+)\s+3\s+PIECE\s+FRAME\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)",
+    r"(\d{3})\s+(\d{3})\s+(FR3PC)\s+(\d+)\s+(\d+)\s+([^0-9]+?)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)",
+    r"(\d{1,3})\s+(\d{2,3})\s+([A-Z0-9]+)\s+(\d+)\s+(\d+)\s+([^0-9]+?)\s+([\d.,]+)\s+([\d.,]+)\s+([\d.,]+)\s+([\d.,]+)",
+    r"^(\d{1,3})\s+(\d{2,3})\s+([A-Z0-9]+)\s+(\d+)\s+(\d+)\s+(.+?)\s+([\d.,]+)\s+([\d.,]+)\s+([\d.,]+)\s+([\d.,]+)$",
+    r"(\d{1,3})\s+([A-Z0-9]+)\s+(\d+)\s+([^0-9]+?)\s+([\d.,]+)\s+([\d.,]+)",
+]
+# keys emitted by the image route beyond the generic bank — give them
+# stable emission slots after the generic bank keys in FIELD_ORDER
+GENERIC_IMG_KEYS = ["header.order_number", "header.customer_po",
+                    "vendor.name", "customer.company", "payment.terms",
+                    "totals.discount", "totals.total_sale"]
+FIELD_ORDER["generic"] = FIELD_ORDER["generic"] + [
+    k for k in GENERIC_IMG_KEYS if k not in FIELD_ORDER["generic"]
+]
+
 # Step-3b fallback bank (audit §22): when a SCHLAGE specialized result is
 # invalid or low-confidence, the dispatcher's fallback runs the generic
 # TextPDFProcessor with its OWN schlage VendorConfig

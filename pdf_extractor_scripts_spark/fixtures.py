@@ -420,6 +420,36 @@ def _generic_lines(rng: random.Random, n_items: int, corrupted: bool) -> list[li
     return [lines]
 
 
+def _generic_image_lines(rng: random.Random, n_items: int) -> list[list[str]]:
+    """A media-only generic 'scan' whose sidecar text matches the IMAGE
+    processor's bank family (audit §23): F3 labeled fields, the 6-group
+    simplified item grammar (image_pdf_processor.py:1001), and the
+    terms form that survives F3's payment-terms patterns."""
+    head = [
+        f"Invoice Number: INV-{rng.randint(100000, 999999)}",
+        f"Invoice Date: {_date(rng)}",
+        f"From: {rng.choice(['Acme Industrial Supply Co', 'Summit Tooling Works Ltd'])}",
+        f"Bill To: {rng.choice(['Brighton Contractors', 'Mesa Building Group'])}",
+        f"Order Number: PO-{rng.randint(10000, 99999)}",
+    ]
+    items = []
+    for k in range(1, n_items + 1):
+        qty = rng.randint(1, 9)
+        unit = round(rng.uniform(5, 99), 2)
+        items.append(
+            f"{k} {rng.choice(['GADGET7', 'WIDGET3', 'SPROCKET9'])} {qty} "
+            f"{rng.choice(['steel gadget', 'brass widget', 'alloy sprocket'])} "
+            f"{unit:.2f} {round(qty * unit, 2):.2f}"
+        )
+    totals = [
+        f"Subtotal: ${_money(rng, 50, 900)}",
+        f"Tax: ${_money(rng, 1, 50)}",
+        f"Total Amount: ${_money(rng, 60, 999)}",
+        "Terms: 2% 10 days, net 30",
+    ]
+    return [head, items + totals]
+
+
 def make_document(i: int, seed: int = 42) -> dict:
     """One deterministic document: {'doc_id', 'spans'}."""
     rng = random.Random(seed * 1_000_003 + i)
@@ -461,6 +491,12 @@ def make_document(i: int, seed: int = 42) -> dict:
             media_pages = set(range(1, len(pages)))
         else:
             media_pages = set(range(len(pages)))
+    elif i % 16 == 11:
+        # media-only generic scan → routes 'ocr' → parsed by the IMAGE
+        # bank family (audit §23)
+        pages = _generic_image_lines(rng, rng.randint(1, 4))
+        doc_id = f"misc/scan_{i:06d}.pdf"
+        media_pages = set(range(len(pages)))
     else:
         corrupted = i % 16 == 3
         pages = _generic_lines(rng, rng.randint(1, 4), corrupted)

@@ -252,15 +252,18 @@ def extract_routed(
     final = pd.Series([None] * n, index=vendor.index, dtype=object)
     t_slot = pd.Series([True] * n, index=vendor.index)
     generic_hybrid = []
+    side_of: dict = {}  # generic rows: which side the final input came from
     for idx in vendor.index:
         r = route[idx]
+        v = vendor[idx]
         if r == "text":
             final[idx] = text[idx]
+            side_of[idx] = "text"
         elif r == "ocr":
             final[idx] = ocr[idx]
             t_slot[idx] = False
+            side_of[idx] = "ocr"
         else:
-            v = vendor[idx]
             if v == "schlage":
                 h1, h2 = bool(has1[idx]), bool(has2[idx])
                 full = O.select_engine_text(
@@ -275,11 +278,29 @@ def extract_routed(
             elif v == "generic":
                 prim = fb_primary[idx]
                 final[idx] = ocr[idx] if prim == "ocr" else text[idx]
+                side_of[idx] = prim
                 generic_hybrid.append(idx)
             else:
                 final[idx] = text[idx]
 
     res = extract_batch(vendor, final, field_banks, field_order)
+
+    def _impose_image_parse(idx) -> None:
+        # the generic OCR method parses with the IMAGE processor's bank
+        # family (audit §23), not the generic text bank
+        f, i = O.image_route_extract(final[idx] or "")
+        keys = (C.FIELD_ORDER if field_order is None else field_order).get(
+            vendor[idx], []
+        )
+        res.at[idx, "fields"] = [
+            {"key": k, "value": f[k]} for k in keys if k in f
+        ]
+        res.at[idx, "items"] = i
+        res.at[idx, "info"] = []
+
+    for idx in vendor.index:
+        if vendor[idx] == "generic" and side_of.get(idx) == "ocr":
+            _impose_image_parse(idx)
 
     # P10 adequacy second pass for generic hybrids (small subset)
     redo = []
@@ -296,17 +317,23 @@ def extract_routed(
         if not O.p10_adequate("generic", fields, items, conf):
             redo.append(idx)
     if redo:
-        sec_text = pd.Series(
-            [
-                text[idx] if fb_primary[idx] == "ocr" else ocr[idx]
-                for idx in redo
-            ],
-            index=pd.Index(redo),
-            dtype=object,
-        )
-        res2 = extract_batch(vendor[redo], sec_text, field_banks, field_order)
+        flip_side = {"ocr": "text", "text": "ocr"}
+        sec_rows = [idx for idx in redo if flip_side[fb_primary[idx]] == "text"]
+        if sec_rows:
+            sec_text = pd.Series(
+                [text[idx] for idx in sec_rows],
+                index=pd.Index(sec_rows), dtype=object,
+            )
+            res2 = extract_batch(
+                vendor[sec_rows], sec_text, field_banks, field_order
+            )
+            for idx in sec_rows:
+                res.loc[idx] = res2.loc[idx]
         for idx in redo:
-            res.loc[idx] = res2.loc[idx]
+            side_of[idx] = flip_side[fb_primary[idx]]
+            final[idx] = ocr[idx] if side_of[idx] == "ocr" else text[idx]
+            if side_of[idx] == "ocr":
+                _impose_image_parse(idx)
     redo_set = set(redo)
 
     # step 3b (audit §22): global validate → fallback → compare → enhance,

@@ -1344,6 +1344,222 @@ def enhance_fields(
     return out_fields, out_items
 
 
+# ---------------------------------------------------------------------------
+# THIRD bank family (audit §23): the image processor's extraction — the F3
+# adaptive detector + static fallbacks + the 5-pattern item cascade
+# (enhanced_pattern_detector.py:54-373; image_pdf_processor.py:608-1097)
+# ---------------------------------------------------------------------------
+def _f3_value_quality(ftype: str, value: str) -> float:
+    """:295-325 — base 50, +30 ideal length, +20 composition."""
+    if not value:
+        return 0.0
+    score = 50.0
+    lo, hi = C.F3_IDEAL_LENGTHS.get(ftype, (1, 100))
+    if lo <= len(value) <= hi:
+        score += 30
+    if ftype in C.F3_AMOUNT_TYPES:
+        if re.match(r"^\d+\.?\d*$", value.replace(",", "").replace("$", "")):
+            score += 20
+    elif ftype in C.F3_NAME_TYPES:
+        if any(c.isupper() for c in value) and any(c.islower() for c in value):
+            score += 20
+    return min(100.0, score)
+
+
+def _f3_position(ftype: str, pos: int, total: int) -> float:
+    """:327-355 — 100 inside the preferred band, else 100 - distance*200."""
+    rel = pos / total if total > 0 else 0.0
+    lo, hi = C.F3_PREFERRED_POSITIONS.get(ftype, (0.0, 1.0))
+    if lo <= rel <= hi:
+        return 100.0
+    dist = (lo - rel) if rel < lo else (rel - hi)
+    return max(0.0, 100.0 - dist * 200.0)
+
+
+def _f3_valid(ftype: str, value: str) -> bool:
+    """:214-241 validity gates."""
+    if not value or len(value.strip()) < 2:
+        return False
+    amt = lambda v: bool(re.match(r"[\d,]+\.?\d*$", v.replace("$", "").strip()))
+    rules = {
+        "invoice_number": lambda v: len(v) >= 4 and any(c.isalnum() for c in v),
+        "invoice_date": lambda v: bool(
+            re.match(r"\d{1,4}[\/\-\.]\d{1,2}[\/\-\.]\d{1,4}", v)),
+        "order_number": lambda v: len(v) >= 3 and any(c.isalnum() for c in v),
+        "vendor_name": lambda v: len(v) >= 5 and any(c.isalpha() for c in v),
+        "customer_name": lambda v: len(v) >= 3 and any(c.isalpha() for c in v),
+        "total_amount": amt, "subtotal": amt, "tax_amount": amt,
+        "payment_terms": lambda v: len(v) >= 5,
+    }
+    return rules.get(ftype, lambda v: True)(value)
+
+
+def f3_extract_all(text: str) -> dict[str, tuple[str, float]]:
+    """extract_all_fields (:144-168): per field type, every pattern's
+    finditer(IGNORECASE|MULTILINE) matches are validity-gated, scored
+    50 + min(30, ctx_hits*10) + min(25, len(pattern)/100*25) +
+    value_quality*0.25 + position*0.20, deduped by whitespace-collapsed
+    lowercase value (first kept), and the best-confidence match wins
+    (stable sort → enumeration order breaks ties)."""
+    out: dict[str, tuple[str, float]] = {}
+    n = len(text)
+    for ftype, patterns in C.F3_PATTERNS.items():
+        matches: list[tuple[float, str]] = []
+        seen: set[str] = set()
+        for pat in patterns:
+            for m in re.finditer(pat, text, re.IGNORECASE | re.MULTILINE):
+                value = (m.group(1) if m.groups() else m.group(0)).strip()
+                if not _f3_valid(ftype, value):
+                    continue
+                norm = re.sub(r"\s+", " ", value.lower().strip())
+                if norm in seen:
+                    continue
+                seen.add(norm)
+                ctx = text[max(0, m.start() - 50): min(n, m.end() + 50)].lower()
+                hits = sum(
+                    1 for kw in C.F3_CONTEXT_KEYWORDS.get(ftype, [])
+                    if kw in ctx
+                )
+                conf = 50.0
+                conf += min(30.0, hits * 10.0)
+                conf += min(25.0, len(pat) / 100.0 * 25.0)
+                conf += _f3_value_quality(ftype, value) * 0.25
+                conf += _f3_position(ftype, m.start(), n) * 0.20
+                matches.append((min(100.0, conf), value))
+        if matches:
+            best = max(matches, key=lambda t: t[0])
+            out[ftype] = (best[1], best[0])
+    return out
+
+
+def _img_items(text: str) -> list[dict]:
+    """The image line-item cascade (:983-1097): patterns tried in order,
+    findall MULTILINE|IGNORECASE, first pattern producing any valid item
+    wins; values are int/float-converted (str() serialization preserves
+    the float repr, e.g. '829.0'); dedupe on (line, code); a simple
+    numbers-fallback when nothing matched."""
+    items: list[dict] = []
+    for pat in C.IMG_ITEM_PATTERNS:
+        for match in re.findall(pat, text, re.MULTILINE | re.IGNORECASE):
+            if len(match) >= 10:
+                kv = [("line", match[0].strip()), ("plant", match[1].strip()),
+                      ("code", match[2].strip()),
+                      ("ord", str(_safe_int(match[3]))),
+                      ("shp", str(_safe_int(match[4]))),
+                      ("desc", match[5].strip()),
+                      ("list", str(_safe_float(match[6]))),
+                      ("disc", str(_safe_float(match[7]))),
+                      ("unit", str(_safe_float(match[8]))),
+                      ("ext", str(_safe_float(match[9])))]
+            elif len(match) >= 6:
+                kv = [("line", match[0].strip()), ("plant", ""),
+                      ("code", match[1].strip()),
+                      ("ord", str(_safe_int(match[2]))),
+                      ("shp", str(_safe_int(match[2]))),
+                      ("desc", match[3].strip()),
+                      ("list", "0.0"), ("disc", "0.0"),
+                      ("unit", str(_safe_float(match[4]))),
+                      ("ext", str(_safe_float(match[5])))]
+            else:
+                continue
+            d = dict(kv)
+            if not d["line"].strip() or not d["desc"].strip():
+                continue
+            if not any(_safe_float(d[k]) > 0 for k in ("ord", "unit", "ext")):
+                continue
+            if any(
+                _item_field(it["serialized"], "line") == d["line"]
+                and _item_field(it["serialized"], "code") == d["code"]
+                for it in items
+            ):
+                continue
+            items.append({"line": d["line"], "serialized": _serialize(kv),
+                          "marks": []})
+        if items:
+            break
+    if not items:
+        # simple fallback (:819-850): any line with >= 3 numbers
+        for raw in text.split("\n"):
+            line = raw.strip()
+            nums = re.findall(r"\d+\.?\d*", line)
+            if len(nums) < 3:
+                continue
+            desc = re.sub(r"\d+\.?\d*", "", line).strip()
+            kv = [("line", str(len(items) + 1)), ("plant", ""), ("code", ""),
+                  ("ord", str(int(float(nums[0])))),
+                  ("shp", str(int(float(nums[0])))),
+                  ("desc", desc), ("list", "0.0"), ("disc", "0.0"),
+                  ("unit", str(float(nums[-2]))),
+                  ("ext", str(float(nums[-1])))]
+            d = dict(kv)
+            if not d["desc"]:
+                continue
+            if not any(_safe_float(d[k]) > 0 for k in ("ord", "unit", "ext")):
+                continue
+            items.append({"line": d["line"], "serialized": _serialize(kv),
+                          "marks": []})
+    return items
+
+
+def _safe_int(v: str) -> int:
+    try:
+        return int(str(v).replace(",", "").strip())
+    except (ValueError, AttributeError):
+        return 0
+
+
+def _safe_float(v: str) -> float:
+    try:
+        return float(str(v).replace(",", "").replace("$", "").strip())
+    except (ValueError, AttributeError):
+        return 0.0
+
+
+def _parse_side(vendor: str, side: str, text_s: str) -> tuple[dict[str, str], list[dict]]:
+    """Which bank family parses a given side (audit §23): the generic OCR
+    method is the image processor (F3 + fallbacks); every other
+    combination uses the vendor banks. Specialized vendors always parse
+    with their own processors regardless of side."""
+    if vendor == "generic" and side == "ocr":
+        return image_route_extract(text_s)
+    f = extract_fields(vendor, text_s)
+    return f, extract_items(vendor, text_s, f)
+
+
+def image_route_extract(text: str) -> tuple[dict[str, str], list[dict]]:
+    """The generic OCR method's parse (image_pdf_processor.py:608-921;
+    audit §23): F3 adaptive fields mapped into sections (CUSTOMER_PO has
+    no F3 patterns and can only arrive via the static fallback), the
+    5-pattern item cascade, then — when invoice_number/date/total are
+    still missing — the static header/totals fallback dicts, whose
+    header pass OVERWRITES any F3 order_number/customer_po on match."""
+    f3 = f3_extract_all(text)
+    fields: dict[str, str] = {}
+    for ftype, (value, _conf) in f3.items():
+        key = C.F3_FIELD_MAP.get(ftype)
+        if key:
+            fields[key] = value
+    items = _img_items(text)
+    missing = [
+        k for k in ("invoice_number", "invoice_date", "total_amount")
+        if k not in f3
+    ]
+    if missing:
+        if "invoice_number" in missing or "invoice_date" in missing:
+            for key, pats in C.IMG_HEADER_FALLBACK.items():
+                for pat in pats:
+                    m = re.search(pat, text, re.IGNORECASE)
+                    if m:
+                        fields[key] = m.group(1)
+                        break
+        if "total_amount" in missing:
+            for key, pat in C.IMG_TOTALS_FALLBACK.items():
+                m = re.search(pat, text, re.IGNORECASE)
+                if m:
+                    fields[key] = m.group(1)
+    return fields, items
+
+
 def step3b(
     vendor: str,
     method: str,
@@ -1386,8 +1602,9 @@ def step3b(
         fields, items = enhance_fields(vendor, fields, items)
         return fields, items, info
     if method == "text":
-        fb_fields = extract_fields(vendor, ocr_text)
-        fb_items = extract_items(vendor, ocr_text, fb_fields)
+        # the OCR fallback is _process_with_ocr → the IMAGE processor's
+        # own extraction (audit §23 third bank family), for every vendor
+        fb_fields, fb_items = image_route_extract(ocr_text)
         fb_conf = a4_ocr_confidence(ocr_text)
         fb_info = []  # fallback parses carry no additional_info
     else:
@@ -1523,11 +1740,13 @@ def extract_document(doc_id: str, spans: list[dict]) -> dict:
     route = route_document(vendor, spans)
 
     text = assemble(spans, "text")
+    fields = items = None
+    side = "text"
     if route == "text":
         src_text = text
     elif route == "ocr":
         # O3/O4/O5: the dual-engine selection's winner (or near-tie merge)
-        src_text = ocr_text
+        src_text, side = ocr_text, "ocr"
     elif vendor == "schlage":
         # hybrid, specialized: O6 comprehensive pick — ONE extraction of
         # the winning candidate (audit §21; the J1 combiner is dead code
@@ -1541,21 +1760,25 @@ def extract_document(doc_id: str, spans: list[dict]) -> dict:
         # :218-235 — no merge, no comparison at this layer)
         prim = generic_fb_primary(spans)
         p_text, s_text = (ocr_text, text) if prim == "ocr" else (text, ocr_text)
-        f_p = extract_fields(vendor, p_text)
-        i_p = extract_items(vendor, p_text, f_p)
+        f_p, i_p = _parse_side(vendor, prim, p_text)
         conf = (
             a3_text_confidence(vendor, f_p, i_p)
             if prim == "text"
             else a4_ocr_confidence(p_text)
         )
-        src_text = p_text if p10_adequate(vendor, f_p, i_p, conf) else s_text
+        if p10_adequate(vendor, f_p, i_p, conf):
+            src_text, side = p_text, prim
+            fields, items = f_p, i_p
+        else:
+            src_text = s_text
+            side = "text" if prim == "ocr" else "ocr"
     else:
         # hybrid, ceco/steelcraft: their specialized processors are
         # text-only — the OCR side is never consulted (audit §21)
         src_text = text
 
-    fields = extract_fields(vendor, src_text)
-    items = extract_items(vendor, src_text, fields)
+    if fields is None:
+        fields, items = _parse_side(vendor, side, src_text)
 
     # F13 additional_info is schlage-only and DOCUMENT-level, harvested
     # from the text the specialized processor settled on (audit §18/§21)

@@ -100,7 +100,10 @@ def test_overrides_reach_executors_end_to_end(spark):
     inverse = C.apply_overrides(ov)
     try:
         docs = corpus_df(spark, n_docs=30, seed=42).filter(
-            F.col("doc_id").startswith("misc/")  # generic-vendor docs
+            # generic TEXT-route docs: the media-only misc/scan_* docs
+            # parse through the IMAGE bank family (audit §23), which S8
+            # bank overrides deliberately do not touch
+            F.col("doc_id").startswith("misc/invoice_")
         )
         # collect the result rows directly — layering filter/explode exprs on
         # top of the emission mega-expression duplicates it in codegen

@@ -892,3 +892,41 @@ def test_step3b_schlage_tpp_fallback_bank():
     got2 = O._extract_fields_argmax("ORDER# 45678901", O.C.TPP_SCHLAGE_BANK,
                                     O.C.TPP_SCHLAGE_WEIGHTS)
     assert "header.order_number" not in got2
+
+
+def test_f3_image_route_extract_reference_bugs():
+    # audit §23: the image route's F3 detector reproduces the reference's
+    # artifacts exactly
+    text = "\n".join([
+        "Invoice Number: INV-832173",
+        "Invoice Date: 1/9/26",
+        "From: Acme Industrial Supply Co",
+        "Bill To: Brighton Contractors",
+        "Order Number: PO-17309",
+        "1 GADGET7 3 steel gadget 12.50 37.50",
+        "Subtotal: $255.76",
+        "Tax: $44.73",
+        "Total Amount: $117.00",
+        "Terms: 2% 10 days, net 30",
+    ])
+    fields, items = O.image_route_extract(text)
+    assert fields["header.invoice_number"] == "INV-832173"
+    # the vendor-name capture class includes \s and crosses the newline
+    # into the next label (no anchor, no newline exclusion)
+    assert fields["vendor.name"] == "Acme Industrial Supply Co\nBill To"
+    # 'Subtotal' CONTAINS 'total', and its capture scores the same 100 as
+    # the real total — enumeration order keeps the FIRST, so totals.total
+    # mirrors the subtotal value
+    assert fields["totals.total"] == "255.76"
+    # the terms capture's [^\n] class (raw-string bug) excludes the
+    # LETTER n — under IGNORECASE also N — so it stops before 'net'
+    assert fields["payment.terms"] == "2% 10 days,"
+    # 6-group simplified item grammar with int/float conversion reprs
+    s = items[0]["serialized"]
+    for frag in ("line=1", "code=GADGET7", "ord=3", "shp=3",
+                 "desc=steel gadget", "list=0.0", "unit=12.5", "ext=37.5"):
+        assert frag in s, (frag, s)
+    # a doc with NO F3 invoice number falls into the static header
+    # fallback, whose bare 8-digit form grabs any number
+    f2, _ = O.image_route_extract("bogus 12345678 text\nxyz 5 7 9")
+    assert f2["header.invoice_number"] == "12345678"
