@@ -455,6 +455,7 @@ def make_document(i: int, seed: int = 42) -> dict:
     rng = random.Random(seed * 1_000_003 + i)
     vclass = i % 4
     heavy = i == 16  # skew-tail doc (vclass 0 → CECO, text-rich)
+    hybrid_pages: set[int] = set()  # pages with text AND an image (audit §24)
 
     if vclass == 0:
         n_items = 40 if heavy else rng.randint(1, 6)
@@ -497,6 +498,18 @@ def make_document(i: int, seed: int = 42) -> dict:
         pages = _generic_image_lines(rng, rng.randint(1, 4))
         doc_id = f"misc/scan_{i:06d}.pdf"
         media_pages = set(range(len(pages)))
+    elif i % 16 == 15:
+        # mixed-page generic doc (audit §24): two HYBRID pages (text AND
+        # an image on the same page) + one image-only page → P7 flags
+        # mixed content with image_pages(1) > text_pages(0) → the
+        # text_with_ocr_fallback branch (route hybrid, text primary)
+        body = _generic_lines(rng, rng.randint(2, 4), False)[0]
+        half = max(1, len(body) // 2)
+        pages = [body[:half], body[half:],
+                 ["received at dock 4", "inspection pending"]]
+        doc_id = f"misc/mixed_{i:06d}.pdf"
+        media_pages = {2}
+        hybrid_pages = {0, 1}
     else:
         corrupted = i % 16 == 3
         pages = _generic_lines(rng, rng.randint(1, 4), corrupted)
@@ -542,7 +555,19 @@ def make_document(i: int, seed: int = 42) -> dict:
     for p, lines in enumerate(pages):
         spans.append({"kind": "page_break", "text": f"=== PAGE {p + 1} ===", "media_ref": "", "offset": off})
         off += 1
-        if p in media_pages:
+        if p in hybrid_pages:
+            # text AND an image on the SAME page (P7 hybrid class,
+            # audit §24); the stub OCR of the page sees the same lines
+            ref = f"img://{doc_id}/{p + 1}/0"
+            spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": off})
+            off += 1
+            for l in lines:
+                spans.append({"kind": "text", "text": l, "media_ref": "", "offset": off})
+                off += 1
+            for l in lines:
+                spans.append({"kind": "media_text", "text": l, "media_ref": ref, "offset": off})
+                off += 1
+        elif p in media_pages:
             ref = f"img://{doc_id}/{p + 1}/0"
             spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": off})
             off += 1

@@ -263,48 +263,7 @@ def with_route(df: DataFrame) -> DataFrame:
         .when(F.col("n_text_chars") >= thr, "hybrid")
         .otherwise("ocr")
     )
-    df = df.withColumn(
-        "g_det",
-        F.expr(
-            # one fold over spans builds the pdfplumber-style detection
-            # triple for the generic cascade (audit §20,
-            # pdf_text_detector.py:345-371): per page, lines join with
-            # '\n' and the page text is whitespace-stripped; total_text
-            # concatenates stripped page texts with NO separator; tp
-            # counts pages whose stripped text is STRICTLY longer than
-            # the vendor threshold; sample = total_text[:200].
-            f"""CASE WHEN vendor = 'generic' THEN aggregate(
-              spans,
-              named_struct('cur', '', 'tot', '', 'tp', 0),
-              (acc, s) -> CASE
-                WHEN s.kind = 'page_break' THEN named_struct(
-                  'cur', '',
-                  'tot', concat(acc.tot, regexp_replace(acc.cur, '^\\\\s+|\\\\s+$', '')),
-                  'tp', acc.tp + CASE WHEN length(regexp_replace(acc.cur, '^\\\\s+|\\\\s+$', ''))
-                                       > {C.TEXT_THRESHOLDS['generic']} THEN 1 ELSE 0 END)
-                WHEN s.kind = 'text' THEN named_struct(
-                  'cur', CASE WHEN acc.cur = '' THEN s.text
-                              ELSE concat(acc.cur, '\\n', s.text) END,
-                  'tot', acc.tot, 'tp', acc.tp)
-                ELSE acc END,
-              acc -> named_struct(
-                'chars', length(concat(acc.tot, regexp_replace(acc.cur, '^\\\\s+|\\\\s+$', ''))),
-                'sample', substring(concat(acc.tot, regexp_replace(acc.cur, '^\\\\s+|\\\\s+$', '')), 1, 200),
-                'tp', acc.tp + CASE WHEN length(regexp_replace(acc.cur, '^\\\\s+|\\\\s+$', ''))
-                                     > {C.TEXT_THRESHOLDS['generic']} THEN 1 ELSE 0 END))
-            END"""
-        ),
-    ).withColumn(
-        "n_image_pages",
-        F.expr(
-            "aggregate(spans, named_struct('pg', 0, 'last', -1, 'cnt', 0), "
-            "(acc, s) -> CASE WHEN s.kind = 'page_break' "
-            "  THEN named_struct('pg', acc.pg + 1, 'last', acc.last, 'cnt', acc.cnt) "
-            "WHEN s.kind = 'media' AND acc.last <> acc.pg "
-            "  THEN named_struct('pg', acc.pg, 'last', acc.pg, 'cnt', acc.cnt + 1) "
-            "ELSE acc END, acc -> acc.cnt)"
-        ),
-    )
+    df = df.withColumn("g_det", F.expr(_generic_det_fold_sql()))
     df = df.withColumn(
         "g_qscore",
         F.when(F.col("vendor") == "generic", _generic_quality_score()),
@@ -322,8 +281,53 @@ def with_route(df: DataFrame) -> DataFrame:
         ).otherwise("ocr"),
     )
     return df.withColumn("fb_primary", fbp).drop(
-        "g_det", "n_image_pages", "g_qscore"
+        "g_det", "g_qscore"
     )
+
+
+def _generic_det_fold_sql() -> str:
+    """One fold over spans builds the generic cascade's detection struct
+    (audits §20/§24): P4's triple (pdf_text_detector.py:345-371 — per
+    page, lines join with '\\n', the page text is whitespace-stripped,
+    total_text concatenates stripped page texts with NO separator, tp
+    counts pages whose stripped text is STRICTLY longer than the
+    threshold, sample = total_text[:200]) plus P7's page classification
+    (:453-459 — hybrid = text AND images, text = text only, image = no
+    qualifying text; the pre-page segment 0 never classifies)."""
+    thr = C.TEXT_THRESHOLDS["generic"]
+    strip = lambda x: f"regexp_replace({x}, '^\\\\s+|\\\\s+$', '')"
+    has = lambda x: f"(length({strip(x)}) > {thr})"
+    classify = (
+        f"'tx', acc.tx + CASE WHEN acc.pg > 0 AND {has('acc.cur')} AND NOT acc.media THEN 1 ELSE 0 END, "
+        f"'im', acc.im + CASE WHEN acc.pg > 0 AND NOT {has('acc.cur')} THEN 1 ELSE 0 END, "
+        f"'hy', acc.hy + CASE WHEN acc.pg > 0 AND {has('acc.cur')} AND acc.media THEN 1 ELSE 0 END"
+    )
+    keep_counts = "'tx', acc.tx, 'im', acc.im, 'hy', acc.hy"
+    return f"""CASE WHEN vendor = 'generic' THEN aggregate(
+      spans,
+      named_struct('cur', '', 'tot', '', 'tp', 0, 'pg', 0, 'media', false,
+                   'tx', 0, 'im', 0, 'hy', 0),
+      (acc, s) -> CASE
+        WHEN s.kind = 'page_break' THEN named_struct(
+          'cur', '',
+          'tot', concat(acc.tot, {strip('acc.cur')}),
+          'tp', acc.tp + CASE WHEN {has('acc.cur')} THEN 1 ELSE 0 END,
+          'pg', acc.pg + 1, 'media', false, {classify})
+        WHEN s.kind = 'text' THEN named_struct(
+          'cur', CASE WHEN acc.cur = '' THEN s.text
+                      ELSE concat(acc.cur, '\\n', s.text) END,
+          'tot', acc.tot, 'tp', acc.tp, 'pg', acc.pg, 'media', acc.media,
+          {keep_counts})
+        WHEN s.kind = 'media' THEN named_struct(
+          'cur', acc.cur, 'tot', acc.tot, 'tp', acc.tp, 'pg', acc.pg,
+          'media', true, {keep_counts})
+        ELSE acc END,
+      acc -> named_struct(
+        'chars', length(concat(acc.tot, {strip('acc.cur')})),
+        'sample', substring(concat(acc.tot, {strip('acc.cur')}), 1, 200),
+        'tp', acc.tp + CASE WHEN {has('acc.cur')} THEN 1 ELSE 0 END,
+        {classify}))
+    END"""
 
 
 def _generic_quality_score():
@@ -384,14 +388,14 @@ def _generic_route(score):
     has_text = (F.col("g_det.chars") > gthr) & (
         F.col("g_det.tp") / F.col("n_pages") >= C.MIN_TEXT_RATIO["generic"]
     )
-    tp = F.col("g_det.tp")
-    imgp = F.col("n_image_pages")
-    mixed = (tp > 0) & (imgp > 0)
+    # P7 classification (audit §24): mixed iff ANY hybrid page; the
+    # image>text comparison uses the EXCLUSIVE per-class counts
+    mixed = F.col("g_det.hy") > 0
     return (
         F.when(
             has_text
             & (score >= C.QUALITY_THRESHOLDS["generic"])
-            & ~(mixed & (imgp > tp)),
+            & ~(mixed & (F.col("g_det.im") > F.col("g_det.tx"))),
             "text",
         )
         .when(has_text, "hybrid")

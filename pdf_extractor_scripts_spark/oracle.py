@@ -168,10 +168,9 @@ def route_document(vendor: str, spans: list[dict]) -> str:
             return "hybrid"
         return "ocr"
     # generic: the live P8 cascade
-    has_text, score, tp, imgp = _generic_detection(spans)
-    mixed = tp > 0 and imgp > 0
+    has_text, score, _tp4, tx, im, mixed = _generic_detection(spans)
     if has_text and score >= C.QUALITY_THRESHOLDS[vendor]:
-        if mixed and imgp > tp:
+        if mixed and im > tx:
             return "hybrid"  # text_with_ocr_fallback (:663-664)
         return "text"  # tier >= MEDIUM is subsumed by score >= threshold
     if has_text:
@@ -179,31 +178,57 @@ def route_document(vendor: str, spans: list[dict]) -> str:
     return "ocr"
 
 
-def _generic_detection(spans: list[dict]) -> tuple[bool, float, int, int]:
-    """The pdfplumber-style detection triple for the generic cascade
-    (pdf_text_detector.py:345-371): (has_selectable_text, quality score of
-    the 200-char sample, per-page-thresholded text-page count, image-page
-    count)."""
+def _generic_detection(
+    spans: list[dict],
+) -> tuple[bool, float, int, int, int, bool]:
+    """The detection tuple for the generic cascade: P4's pdfplumber triple
+    (pdf_text_detector.py:345-371 — has_selectable_text over the STRICT
+    char bound and the per-page-thresholded ratio; the 200-char sample's
+    quality score) plus P7's page classification (:453-459; audit §24):
+    a page with text AND images is HYBRID, a page with only text is a
+    text page, and a page with NO qualifying text counts as an image page
+    regardless of whether it has images; mixed_content_detected is true
+    iff ANY hybrid page exists — NOT merely the coexistence of text pages
+    and image pages. P8's image>text comparison uses the EXCLUSIVE
+    text/image counts (hybrid pages in neither). Returns
+    (has_text, score, tp4, text_pages, image_pages, mixed)."""
     thr = C.TEXT_THRESHOLDS["generic"]
     n_pages = max(1, sum(1 for s in spans if s["kind"] == "page_break"))
     page_lines: list[list[str]] = [[]]
-    image_pages: set[int] = set()
+    page_media: list[bool] = [False]
     pg = 0
     for s in spans:
         if s["kind"] == "page_break":
             pg += 1
             page_lines.append([])
+            page_media.append(False)
         elif s["kind"] == "text":
             page_lines[pg].append(s["text"])
         elif s["kind"] == "media":
-            image_pages.add(pg)
-    page_texts = ["\n".join(ls).strip() for ls in page_lines if ls]
-    total_text = "".join(page_texts)
-    tp = sum(1 for p in page_texts if len(p) > thr)  # strict > (:352-355)
-    ratio = tp / n_pages
+            page_media[pg] = True
+    segs = [
+        ("\n".join(ls).strip(), media)
+        for ls, media in zip(page_lines, page_media)
+    ]
+    # P4's totals run over every segment (segment 0 — any pre-page-break
+    # preamble — is empty in well-formed docs and contributes nothing);
+    # P7's page classification covers only REAL pages, the segments after
+    # each page_break (:407 iterates pdf.pages)
+    total_text = "".join(t for t, _ in segs)
+    tp4 = sum(1 for t, _ in segs if len(t) > thr)  # strict > (:352-355)
+    ratio = tp4 / n_pages
     has_text = len(total_text) > thr and ratio >= C.MIN_TEXT_RATIO["generic"]
     score = _quality_score(total_text[:200])  # sample_text (:372)
-    return has_text, score, tp, len(image_pages)
+    tx = im = hy = 0
+    for t, media in segs[1:]:
+        page_has_text = len(t) > thr
+        if page_has_text and media:
+            hy += 1
+        elif page_has_text:
+            tx += 1
+        else:
+            im += 1
+    return has_text, score, tp4, tx, im, hy > 0
 
 
 def generic_fb_primary(spans: list[dict]) -> str:
@@ -211,7 +236,7 @@ def generic_fb_primary(spans: list[dict]) -> str:
     mixed-majority branch is text_with_ocr_fallback (text first,
     pdf_text_detector.py:663-664); the low-quality branch is
     ocr_with_text_fallback (OCR first, :672-674)."""
-    _, score, _, _ = _generic_detection(spans)
+    _, score, _, _, _, _ = _generic_detection(spans)
     return "text" if score >= C.QUALITY_THRESHOLDS["generic"] else "ocr"
 
 

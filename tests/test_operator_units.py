@@ -930,3 +930,36 @@ def test_f3_image_route_extract_reference_bugs():
     # fallback, whose bare 8-digit form grabs any number
     f2, _ = O.image_route_extract("bogus 12345678 text\nxyz 5 7 9")
     assert f2["header.invoice_number"] == "12345678"
+
+
+def test_p7_page_classification_and_mixed_branch():
+    # audit §24 (pdf_text_detector.py:453-459): a page with text AND
+    # images is HYBRID; a textless page counts as an IMAGE page even with
+    # no images; mixed means ANY hybrid page — not the mere coexistence
+    # of text and image pages
+    def doc(page_specs):
+        spans, off = [], 0
+        for p, (lines, media) in enumerate(page_specs):
+            spans.append({"kind": "page_break", "text": f"=== PAGE {p+1} ===",
+                          "media_ref": "", "offset": off}); off += 1
+            if media:
+                spans.append({"kind": "media", "text": "",
+                              "media_ref": f"img://x/{p}", "offset": off}); off += 1
+            for l in lines:
+                spans.append({"kind": "text", "text": l, "media_ref": "", "offset": off})
+                off += 1
+        return spans
+
+    good = ["Invoice Number: ABC-12345 invoice bill total amount due x"] * 2
+    # text page + image-only page: NOT mixed (no hybrid page) → 'text'
+    s = doc([(good, False), (good, False), ([], True)])
+    has, score, tp4, tx, im, mixed = O._generic_detection(s)
+    assert (tx, im, mixed) == (2, 1, False)
+    assert O.route_document("generic", s) == "text"
+    # two HYBRID pages + an image page: mixed, im(1) > tx(0) → the
+    # text_with_ocr_fallback branch (route hybrid)
+    s2 = doc([(good, True), (good, True), ([], True)])
+    has2, _, _, tx2, im2, mixed2 = O._generic_detection(s2)
+    assert (tx2, im2, mixed2) == (0, 1, True)
+    assert O.route_document("generic", s2) == "hybrid"
+    assert O.generic_fb_primary(s2) == "text"
