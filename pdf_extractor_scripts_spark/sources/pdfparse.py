@@ -16,11 +16,22 @@ Output span grammar matches the corpus fixtures (FIXTURES.md):
 Image pages yield media spans only — text inside an image is physically
 unreadable without OCR, which is the downstream O2 stage's job.
 
+Stream filters (r4): FlateDecode, LZWDecode, ASCIIHexDecode, ASCII85Decode
+and RunLengthDecode are decoded (pure stdlib), with PNG/TIFF predictor
+support for Flate/LZW (the layout every real xref stream uses); terminal
+image codecs (DCTDecode/JPXDecode/CCITTFax/JBIG2) pass their compressed
+bytes through — a page image's payload IS the compressed image, which is
+exactly what the media-span model wants (pixel decode is the env-blocked
+multimodal seam, operators/multimodal.py). Encrypted PDFs are detected via
+the trailer /Encrypt entry and rejected with PdfEncryptedError so ingest
+counts them as a distinct parse-fallback reason (reference behavior:
+pdfplumber raises and the fallback chain advances,
+text_pdf_processor.py:661-670).
+
 Scope (documented simplifications, fine for the invoice-class PDFs the
-reference handles): classic xref tables (not xref streams), FlateDecode (the
-only filter the reference's PDFs use) + uncompressed streams, WinAnsi/ASCII
-string bytes (latin-1 decode), one text line per Td/TD/T*/Tm move (how
-virtually every line-oriented PDF writer, including ours, emits text).
+reference handles): WinAnsi/ASCII string bytes (latin-1 decode), one text
+line per Td/TD/T*/Tm move (how virtually every line-oriented PDF writer,
+including ours, emits text).
 
 The module also ships a deterministic PDF WRITER (build_pdf) so tests can
 round-trip: fixture lines → real PDF bytes → parse_pdf_spans → identical
@@ -36,6 +47,13 @@ import zlib
 # ---------------------------------------------------------------------------
 # Object model
 # ---------------------------------------------------------------------------
+class PdfEncryptedError(ValueError):
+    """The file's trailer carries /Encrypt — content streams are RC4/AES
+    encrypted and unreadable without the decryption keys. Raised eagerly at
+    document open so ingest metrics count 'encrypted' as its own fallback
+    reason (the exception NAME is the reason key in parse_error)."""
+
+
 class Ref:
     __slots__ = ("num",)
 
@@ -232,6 +250,10 @@ class PdfDocument:
     def __init__(self, data: bytes):
         self.data = data
         self.offsets, self.trailer = self._read_xref_chain()
+        if "Encrypt" in self.trailer:
+            # eager rejection with a DISTINCT error class: the ingest
+            # fallback path records the class name as the fallback reason
+            raise PdfEncryptedError("trailer has /Encrypt — encrypted PDF")
         self._cache: dict[int, object] = {}
 
     # -- xref ---------------------------------------------------------------
@@ -435,18 +457,205 @@ class _Stream:
         self.raw = raw
 
 
+# Terminal image codecs: the decoded result is PIXELS, not bytes we can
+# tokenize — the compressed payload passes through as the media payload
+# (DCTDecode = baseline JPEG, the filter on virtually every scanned-invoice
+# page image; reference gets these via pdfplumber/pdf2image,
+# image_pdf_processor.py:132-149).
+_IMAGE_CODECS = {"DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode",
+                 "CCF", "JBIG2Decode"}
+
+
+def _unpredict(data: bytes, parms: dict) -> bytes:
+    """Undo the /DecodeParms Predictor over a decompressed payload.
+
+    Predictor >= 10 → PNG row filters (each row prefixed by a filter-type
+    byte: 0 none, 1 sub, 2 up, 3 average, 4 paeth) — the layout every real
+    xref stream uses (/Predictor 12 /Columns W). Predictor 2 → TIFF
+    horizontal differencing (8-bit components only). Ref-valued or absent
+    parms → identity."""
+    pred = parms.get("Predictor", 1)
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    columns = parms.get("Columns", 1)
+    if not all(isinstance(v, int) for v in (colors, bpc, columns)):
+        return data
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if pred == 2:
+        if bpc != 8:
+            raise ValueError("TIFF predictor with sub-byte components")
+        out = bytearray(data)
+        for r in range(0, len(out), rowlen):
+            for i in range(r + bpp, min(r + rowlen, len(out))):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: rows of (1 + rowlen) bytes
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    while i + 1 <= len(data):
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        i += 1 + rowlen
+        if ft == 1:  # sub
+            for j in range(bpp, len(row)):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # up
+            for j in range(len(row)):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # average
+            for j in range(len(row)):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + (left + prev[j]) // 2) & 0xFF
+        elif ft == 4:  # paeth
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG row filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode: MSB-first variable-width codes 9→12 bits, clear code
+    256, EOD 257, /EarlyChange (default 1) widens one code early."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code = 258
+    width = 9
+    prev: bytes | None = None
+    buf = 0
+    nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (buf >> nbits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = {i: bytes([i]) for i in range(256)}
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            out += entry
+            prev = entry
+            if next_code >= (1 << width) - early and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    hx = re.sub(rb"\s", b"", data)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    out = bytearray()
+    group: list[int] = []
+    for c in data:
+        if c in b"\x00\t\n\x0c\r ":
+            continue
+        if c == 0x7A:  # 'z' — four zero bytes (only valid between groups)
+            if group:
+                raise ValueError("'z' inside an ascii85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 33 <= c <= 117:
+            raise ValueError(f"invalid ascii85 byte {c}")
+        group.append(c - 33)
+        if len(group) == 5:
+            n = 0
+            for g in group:
+                n = n * 85 + g
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        k = len(group)
+        group += [84] * (5 - k)  # pad with 'u'
+        n = 0
+        for g in group:
+            n = n * 85 + g
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        l = data[i]
+        i += 1
+        if l == 128:  # EOD
+            break
+        if l < 128:
+            out += data[i : i + l + 1]
+            i += l + 1
+        else:
+            out += data[i : i + 1] * (257 - l)
+            i += 1
+    return bytes(out)
+
+
 def _decode_stream(s) -> bytes:
     if not isinstance(s, _Stream):
         raise ValueError("Contents entry is not a stream object")
     filt = s.attrs.get("Filter")
     filters = [filt] if isinstance(filt, (str, Name)) else (filt or [])
+    parms = s.attrs.get("DecodeParms", s.attrs.get("DP"))
+    parms_list = [parms] if isinstance(parms, dict) else (parms or [])
     data = s.raw
-    for f in filters:
-        if f == "FlateDecode":
-            data = zlib.decompress(data)
+    for i, f in enumerate(filters):
+        p = parms_list[i] if i < len(parms_list) and isinstance(parms_list[i], dict) else {}
+        if f in ("FlateDecode", "Fl"):
+            data = _unpredict(zlib.decompress(data), p)
+        elif f in ("LZWDecode", "LZW"):
+            ec = p.get("EarlyChange", 1)
+            data = _unpredict(_lzw_decode(data, ec if isinstance(ec, int) else 1), p)
+        elif f in ("ASCIIHexDecode", "AHx"):
+            data = _asciihex_decode(data)
+        elif f in ("ASCII85Decode", "A85"):
+            data = _ascii85_decode(data)
+        elif f in ("RunLengthDecode", "RL"):
+            data = _runlength_decode(data)
+        elif f in _IMAGE_CODECS:
+            return data  # terminal: compressed image bytes ARE the payload
+        elif f == "Crypt":
+            raise PdfEncryptedError("stream carries a /Crypt filter")
         else:
-            raise ValueError(f"unsupported stream filter {f!r} "
-                             "(only FlateDecode is implemented)")
+            raise ValueError(f"unsupported stream filter {f!r}")
     return data
 
 
@@ -565,16 +774,130 @@ def parse_pdf_spans(data: bytes, doc_id: str) -> list[dict]:
     return spans
 
 
+def pdf_media_payloads(data: bytes, doc_id: str) -> list[dict]:
+    """(media_ref, payload, filter) per image placement, media_refs aligned
+    with parse_pdf_spans' media spans. Terminal image codecs (DCTDecode &c)
+    pass their COMPRESSED bytes through — for a scanned page the JPEG bytes
+    are the payload the multimodal stage wants (operators/multimodal.py
+    decodes pixels behind the env-blocked seam); byte filters (Flate/LZW/…)
+    are decoded."""
+    doc = PdfDocument(data)
+    out: list[dict] = []
+    for p, page in enumerate(doc.pages()):
+        images = doc.page_image_xobjects(page)
+        img_i = 0
+        for ev in content_events(doc.page_content(page), set(images)):
+            if ev[0] != "image":
+                continue
+            res = doc.get(page.get("Resources", {})) or {}
+            xo = doc.get(res.get("XObject", {})) or {}
+            obj = doc.get(xo[ev[1]])
+            filt = obj.attrs.get("Filter")
+            filters = [filt] if isinstance(filt, (str, Name)) else (filt or [])
+            out.append({
+                "media_ref": f"img://{doc_id}/{p + 1}/{img_i}",
+                "payload": _decode_stream(obj),
+                "filter": "/".join(str(f) for f in filters),
+            })
+            img_i += 1
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Deterministic PDF writer (test fixture): lines/images → real PDF bytes
 # ---------------------------------------------------------------------------
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF LZW encoder (EarlyChange=1) — fixture-side twin of _lzw_decode."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    buf = 0
+    nbits = 0
+    result = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            result.append((buf >> nbits) & 0xFF)
+
+    emit(256)  # clear table
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        # the decoder's table trails the encoder's by one entry, so the
+        # width flips one code later than the naive encoder condition
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4095:
+            # table full at 12 bits — the spec requires a CLEAR here
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    if nbits:
+        result.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(result)
+
+
+def _rl_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 126:
+            j += 1
+        if j > i:  # repeat run (length 2..128)
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+        else:  # literal run until the next repeat or 128 bytes
+            j = i
+            while (
+                j < n and j - i < 128
+                and not (j < n - 1 and data[j] == data[j + 1])
+            ):
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+_CONTENT_ENCODERS = {
+    "Flate": ("FlateDecode", zlib.compress),
+    "LZW": ("LZWDecode", _lzw_encode),
+    "AHx": ("ASCIIHexDecode",
+            lambda d: __import__("binascii").hexlify(d) + b">"),
+    "A85": ("ASCII85Decode",
+            lambda d: __import__("base64").a85encode(d) + b"~>"),
+    "RL": ("RunLengthDecode", _rl_encode),
+}
+
+
 def _esc(s: str) -> bytes:
     b = s.encode("latin-1", errors="replace")
     return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
 def build_pdf(
-    pages: list[list[tuple]], compress: bool = True, xref_stream: bool = False
+    pages: list[list[tuple]], compress: bool = True, xref_stream: bool = False,
+    content_filter: str | None = None, image_filter: str = "Flate",
+    encrypted: bool = False,
 ) -> bytes:
     """Build a PDF file from ordered paint events.
 
@@ -586,6 +909,12 @@ def build_pdf(
     PDF 1.5 file whose cross-reference is a binary /XRef STREAM and whose
     catalog/pages/font dictionaries live inside an /ObjStm object stream —
     the layout virtually every modern PDF writer produces.
+
+    ``content_filter`` picks the content-stream codec ("Flate" | "LZW" |
+    "AHx" | "A85" | "RL"; None → the legacy ``compress`` flag). ``image_
+    filter`` is "Flate" or "DCT" (fake-JPEG bytes under /DCTDecode — the
+    scanned-page layout). ``encrypted=True`` stamps a /Encrypt entry so
+    tests can exercise the PdfEncryptedError ingest path.
     """
     objects: dict[int, bytes] = {}
     next_num = 1
@@ -608,12 +937,19 @@ def build_pdf(
         img_nums = []
         for _ in range(n_images):
             inum = alloc()
-            img_data = zlib.compress(b"\x80")
+            if image_filter == "DCT":
+                # fake-JPEG bytes: SOI + APP0 marker + EOI — enough for the
+                # terminal-codec passthrough (nothing here parses pixels)
+                img_data = b"\xff\xd8\xff\xe0\x00\x06FAKE\xff\xd9"
+                fname = b"DCTDecode"
+            else:
+                img_data = zlib.compress(b"\x80")
+                fname = b"FlateDecode"
             objects[inum] = (
                 b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
                 b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
-                b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
-                % (len(img_data), img_data)
+                b"/Filter /%s /Length %d >>\nstream\n%s\nendstream"
+                % (fname, len(img_data), img_data)
             )
             img_nums.append(inum)
 
@@ -646,9 +982,12 @@ def build_pdf(
         if in_text:
             ops.append(b"ET")
         content = b"\n".join(ops)
-        if compress:
-            payload = zlib.compress(content)
-            stream_dict = b"<< /Filter /FlateDecode /Length %d >>" % len(payload)
+        cf = content_filter if content_filter else ("Flate" if compress else None)
+        if cf is not None:
+            fname, enc = _CONTENT_ENCODERS[cf]
+            payload = enc(content)
+            stream_dict = (b"<< /Filter /%s /Length %d >>"
+                           % (fname.encode("ascii"), len(payload)))
         else:
             payload = content
             stream_dict = b"<< /Length %d >>" % len(payload)
@@ -688,8 +1027,10 @@ def build_pdf(
         out += b"0000000000 65535 f \n"
         for num in range(1, n_objs):
             out += b"%010d 00000 n \n" % offsets[num]
-        out += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-                % (n_objs, catalog_num, xref_pos))
+        enc = (b" /Encrypt << /Filter /Standard /V 1 /R 2 >>"
+               if encrypted else b"")
+        out += (b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+                % (n_objs, catalog_num, enc, xref_pos))
         return bytes(out)
 
     # --- PDF 1.5: pack the document dicts into an /ObjStm, emit an /XRef
@@ -732,18 +1073,20 @@ def build_pdf(
         else:
             rows.append(entry(1, offsets[num], 0))
     xref_payload = zlib.compress(b"".join(rows))
+    enc = (b"/Encrypt << /Filter /Standard /V 1 /R 2 >> " if encrypted else b"")
     out += b"%d 0 obj\n" % xref_num
     out += (
-        b"<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d] /Root %d 0 R "
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d] /Root %d 0 R %s"
         b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
-        % (n_objs, n_objs, catalog_num, len(xref_payload), xref_payload)
+        % (n_objs, n_objs, catalog_num, enc, len(xref_payload), xref_payload)
     )
     out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)
 
 
 def spans_to_pdf(
-    spans: list[dict], compress: bool = True, xref_stream: bool = False
+    spans: list[dict], compress: bool = True, xref_stream: bool = False,
+    **build_kwargs,
 ) -> bytes:
     """Render a fixture span sequence (FIXTURES.md grammar) as real PDF
     bytes, for round-trip tests: build → parse_pdf_spans → the original
@@ -761,4 +1104,5 @@ def spans_to_pdf(
         elif s["kind"] == "rule":
             pages[-1].append(("rule", s["text"]))
         # media_text: dropped — not representable in PDF bytes
-    return build_pdf(pages, compress=compress, xref_stream=xref_stream)
+    return build_pdf(pages, compress=compress, xref_stream=xref_stream,
+                     **build_kwargs)

@@ -107,3 +107,19 @@ def test_no_unpartitioned_window_over_unbounded_input(spark):
                 bad[name] = m.group(0)[:120]
                 break
     assert not bad, f"unpartitioned windows: {bad}"
+
+
+def test_ngram_jaccard_verify_ships_no_set_arrays(spark):
+    """r4 (VERDICT r3 #3): the exact-Jaccard verify must compute |A∩B| from
+    narrow per-shingle rows, never by shipping collect_set arrays through
+    the pair joins — no shuffle row may carry a whole document's shingle
+    set, so verify-shuffle bytes scale with candidate count, not document
+    length. The candidate pair list rides a broadcast into the fan-out
+    join (guard-bounded, MBs at any sf)."""
+    from pdf_extractor_scripts_spark.plans.registry import all_specs
+
+    df = all_specs()["dedup_ngram_jaccard"].spark(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "collect_set" not in plan
+    assert "array_intersect" not in plan and "array_union" not in plan
+    assert "BroadcastExchange" in plan

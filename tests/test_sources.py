@@ -197,3 +197,132 @@ def test_xref_stream_indirect_length_recovers():
     exp = parse_pdf_spans(pdf, "misc/x.pdf")
     assert [s["text"] for s in got] == [s["text"] for s in exp]
     assert any(s["text"] == "INVOICE 123" for s in got)
+
+
+# ---------------------------------------------------------------------------
+# r4: stream-filter coverage (VERDICT r3 "Next round" #2) — the first-door
+# path for real-world PDFs: LZW/ASCIIHex/ASCII85/RunLength content streams,
+# PNG predictors, DCTDecode page images, and encrypted-PDF detection.
+# Reference behavior to match: pdfplumber's filter handling at
+# text_pdf_processor.py:661-670 (the parse either succeeds or the fallback
+# chain advances with a reason).
+# ---------------------------------------------------------------------------
+def test_stream_filter_roundtrips_every_codec():
+    """A fixture doc rendered with each supported content-stream codec
+    parses back to the identical span sequence, in both classic-xref and
+    xref-stream layouts."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        parse_pdf_spans,
+        spans_to_pdf,
+    )
+
+    d = make_corpus(8, seed=42)[3]
+    want = parse_pdf_spans(spans_to_pdf(d["spans"]), d["doc_id"])
+    assert want, "fixture doc must parse"
+    for cf in ("LZW", "AHx", "A85", "RL"):
+        for xs in (False, True):
+            pdf = spans_to_pdf(d["spans"], xref_stream=xs, content_filter=cf)
+            got = parse_pdf_spans(pdf, d["doc_id"])
+            assert got == want, f"filter {cf} xref_stream={xs}"
+
+
+def test_lzw_table_clear_and_png_predictor():
+    """LZW survives a >4095-entry table (spec CLEAR emission) and Flate
+    /DecodeParms PNG predictors (the real-world xref-stream layout)
+    round-trip."""
+    import random
+    import zlib
+
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        _Stream,
+        _decode_stream,
+        _lzw_decode,
+        _lzw_encode,
+        _unpredict,
+    )
+
+    rng = random.Random(11)
+    blob = bytes(rng.randrange(256) for _ in range(20000))
+    assert _lzw_decode(_lzw_encode(blob)) == blob
+    compressible = b"INVOICE TOTAL 123.45 FREIGHT 9.99\n" * 2000
+    assert _lzw_decode(_lzw_encode(compressible)) == compressible
+
+    # forward-filter 5 rows with the PNG 'up' predictor, then undo
+    rows = [bytes(rng.randrange(256) for _ in range(8)) for _ in range(5)]
+    filtered, prev = bytearray(), bytes(8)
+    for r in rows:
+        filtered.append(2)
+        filtered += bytes((r[j] - prev[j]) & 0xFF for j in range(8))
+        prev = r
+    assert _unpredict(bytes(filtered), {"Predictor": 12, "Columns": 8}) \
+        == b"".join(rows)
+    # and through the filter chain: Flate + DecodeParms
+    s = _Stream(
+        {"Filter": "FlateDecode",
+         "DecodeParms": {"Predictor": 12, "Columns": 8}},
+        zlib.compress(bytes(filtered)),
+    )
+    assert _decode_stream(s) == b"".join(rows)
+
+
+def test_dct_image_payload_passthrough():
+    """/DCTDecode page images: the span sequence is unchanged (media spans
+    with ordered media_refs) and pdf_media_payloads passes the COMPRESSED
+    JPEG bytes through as the media payload — the multimodal stage's input
+    (pixel decode is the env-blocked seam, operators/multimodal.py)."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        parse_pdf_spans,
+        pdf_media_payloads,
+    )
+
+    pages = [[("text", "INVOICE 77"), ("image",)], [("image",)]]
+    want = parse_pdf_spans(build_pdf(pages), "misc/s.pdf")
+    pdf = build_pdf(pages, image_filter="DCT")
+    assert parse_pdf_spans(pdf, "misc/s.pdf") == want
+    payloads = pdf_media_payloads(pdf, "misc/s.pdf")
+    assert [p["media_ref"] for p in payloads] == [
+        "img://misc/s.pdf/1/0", "img://misc/s.pdf/2/0"]
+    assert all(p["filter"] == "DCTDecode" for p in payloads)
+    assert all(p["payload"].startswith(b"\xff\xd8") for p in payloads)
+    # byte filters still DECODE (Flate 1x1 gray pixel)
+    flate = pdf_media_payloads(build_pdf(pages), "misc/s.pdf")
+    assert all(p["payload"] == b"\x80" for p in flate)
+
+
+def test_encrypted_pdf_is_a_distinct_counted_fallback_reason(spark, tmpdir):
+    """An /Encrypt trailer is rejected eagerly with PdfEncryptedError; the
+    Spark ingest path degrades the doc to the empty-page fallback with the
+    error CLASS as the reason key — so batch metrics can report
+    'encrypted' separately from 'corrupt' without a second pass."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        PdfEncryptedError,
+        build_pdf,
+        parse_pdf_spans,
+    )
+
+    pages = [[("text", "INVOICE 123")]]
+    for xs in (False, True):
+        with pytest.raises(PdfEncryptedError):
+            parse_pdf_spans(build_pdf(pages, encrypted=True, xref_stream=xs),
+                            "misc/e.pdf")
+
+    with open(f"{tmpdir}/enc.pdf", "wb") as f:
+        f.write(build_pdf(pages, encrypted=True))
+    with open(f"{tmpdir}/corrupt.pdf", "wb") as f:
+        f.write(b"%PDF-1.4 garbage")
+    with open(f"{tmpdir}/ok.pdf", "wb") as f:
+        f.write(build_pdf(pages))
+    acc = spark.sparkContext.accumulator(0)
+    parsed = parse_binary_to_spans(
+        read_binary_docs(spark, tmpdir), fallback_acc=acc
+    )
+    reasons = {
+        r["doc_id"].rsplit("/", 1)[-1]:
+            (r["parse_error"] or "").split(":")[0]
+        for r in parsed.collect()
+    }
+    assert reasons["ok.pdf"] == ""
+    assert reasons["enc.pdf"] == "PdfEncryptedError"
+    assert reasons["corrupt.pdf"] not in ("", "PdfEncryptedError")
+    assert acc.value == 2
