@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt", action="store_true",
                    help="enable weight-aware salted repartition (skewed inputs)")
     p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--unified-json", metavar="DIR",
+                   help="batch mode: also project the COMMITTED results to "
+                        "the reference's UnifiedJSONSchema (json_schema.py) "
+                        "as JSON-lines under DIR — one structured document "
+                        "per line, doc_id in metadata.pdf_path")
     args = p.parse_args(argv)
 
     spark = _session(f"pdf-extract-{args.mode}")
@@ -121,6 +126,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.output:
             n = run_with_checkpoint(spark, docs, args.output, args.run_id)
             print(f"processed {n} documents (resume-aware, run_id={args.run_id})")
+            if args.unified_json:
+                from .operators.checkpoint import committed_outputs
+                from .plans.unified import to_unified_json
+
+                (
+                    to_unified_json(committed_outputs(spark, args.output))
+                    .select("unified_json")
+                    .write.mode("overwrite")
+                    .text(args.unified_json)
+                )
+                print(f"unified JSON written to {args.unified_json}")
         else:
             res = run_pipeline(docs, salt=args.salt)
             res.write.format("noop").mode("overwrite").save()

@@ -9,8 +9,14 @@ Line-item extraction is inherently sequential per document (bounded forward
 scans with state — SURVEY.md §7.3(2)); the engine's parsers in
 operators/items.py are an INDEPENDENT implementation of the item grammars
 (classify-every-line-once + interval attachment vs the oracle's nested
-forward scans), so the span-equality tests cross-check two genuinely
-different implementations of every stage.
+forward scans). The remaining sequential components (F5 address blocks,
+F13 info harvest, O6 pick, image-route F3, A3/A4/P10, step-3b) come from
+operators/independent.py — a from-reference-semantics rewrite, NOT the
+oracle module (r3 VERDICT #1: the kernel previously imported oracle
+directly for these, so the contract compared a function with itself). The
+span-equality tests therefore cross-check two genuinely different
+implementations of EVERY stage; tests/test_mutation_independence.py proves
+it by mutating the oracle and asserting divergence.
 """
 
 from __future__ import annotations
@@ -21,7 +27,7 @@ import numpy as np
 import pandas as pd
 
 from .. import config as C
-from .. import oracle as O
+from . import independent as I
 
 
 def _argmax_extract(sub: pd.Series, key: str, patterns: list[str]) -> pd.Series:
@@ -165,13 +171,13 @@ def extract_fields_batch(
                     d[k] = val
             # F5 address blocks are a line-scanning state machine
             # (inherently sequential); schlage adds the derived-totals quirk.
-            O._address_blocks(v, texts[row_i], d)
+            I.address_blocks(v, texts[row_i], d)
             if v == "schlage":
-                O._schlage_derived_totals(d)
-                O._schlage_crossval_totals(d, texts[row_i])
+                I.schlage_derived_totals(d)
+                I.schlage_crossval_totals(d, texts[row_i])
             if v == "ceco":
                 # ceco_processor.py:648-650 no-freight default
-                O._ceco_freight_default(d, texts[row_i])
+                I.ceco_freight_default(d, texts[row_i])
             results[pos[idx]] = d
     return results
 
@@ -187,7 +193,7 @@ def extract_batch(
     fields: list[{key, value}] in bank order; items: list[{line, serialized,
     marks}] in document order (sorting happens natively downstream); info:
     the F13 document-level additional-info harvest (schlage only — audit
-    §18; sequential two-phase line walk shared with the oracle, like F5).
+    §18; sequential two-phase line walk, independent.py twin — like F5).
     """
     from .items import extract_items
 
@@ -210,7 +216,7 @@ def extract_batch(
              for it in items]
         )
         info_col.append(
-            O._schlage_additional_info(text[idx]) if v == "schlage" else []
+            I.schlage_additional_info(text[idx]) if v == "schlage" else []
         )
     return pd.DataFrame(
         {"fields": fields_col, "items": items_col, "info": info_col},
@@ -238,7 +244,7 @@ def extract_routed(
     * route 'text'/'ocr': extract that side (result in the matching slot);
     * hybrid schlage: O6 comprehensive pick between the selectable text
       and the all-pages stub-OCR candidate (dual-engine selection over
-      the e1f/e2f assemblies via the shared oracle logic), then one
+      the e1f/e2f assemblies via the independent.py twin), then one
       extraction;
     * hybrid generic: extract the fb_primary side, check P10 adequacy
       (A3 confidence for text, the stub A4 for OCR), else extract the
@@ -266,7 +272,7 @@ def extract_routed(
         else:
             if v == "schlage":
                 h1, h2 = bool(has1[idx]), bool(has2[idx])
-                full = O.select_engine_text(
+                full = I.select_engine_text(
                     e1f[idx] or "", e2f[idx] or "", h1, h2
                 )
                 conf01 = (
@@ -274,7 +280,7 @@ def extract_routed(
                     if h1
                     else (C.OCR_ENGINE_CONF["secondary"] / 100.0 if h2 else 0.0)
                 )
-                final[idx] = O.schlage_pick_text(text[idx] or "", full, conf01)
+                final[idx] = I.schlage_pick_text(text[idx] or "", full, conf01)
             elif v == "generic":
                 prim = fb_primary[idx]
                 final[idx] = ocr[idx] if prim == "ocr" else text[idx]
@@ -288,7 +294,7 @@ def extract_routed(
     def _impose_image_parse(idx) -> None:
         # the generic OCR method parses with the IMAGE processor's bank
         # family (audit §23), not the generic text bank
-        f, i = O.image_route_extract(final[idx] or "")
+        f, i = I.image_route_extract(final[idx] or "")
         keys = (C.FIELD_ORDER if field_order is None else field_order).get(
             vendor[idx], []
         )
@@ -310,11 +316,11 @@ def extract_routed(
         items = row["items"] or []
         prim = fb_primary[idx]
         conf = (
-            O.a3_text_confidence("generic", fields, items)
+            I.a3_text_confidence("generic", fields, items)
             if prim == "text"
-            else O.a4_ocr_confidence(final[idx] or "")
+            else I.a4_ocr_confidence(final[idx] or "")
         )
-        if not O.p10_adequate("generic", fields, items, conf):
+        if not I.p10_adequate("generic", fields, items, conf):
             redo.append(idx)
     if redo:
         flip_side = {"ocr": "text", "text": "ocr"}
@@ -337,7 +343,7 @@ def extract_routed(
     redo_set = set(redo)
 
     # step 3b (audit §22): global validate → fallback → compare → enhance,
-    # via the shared oracle layer. The method label is what the dispatcher
+    # via the independent.py twin of the layer. The method label is what the
     # wrapper pins (STEP3B_METHOD) for specialized vendors; generic rows
     # carry the side their result actually came from.
     order = C.FIELD_ORDER if field_order is None else field_order
@@ -357,9 +363,10 @@ def extract_routed(
                 prim = fb_primary[idx]
                 method = flip[prim] if idx in redo_set else prim
         fields = {kv["key"]: kv["value"] for kv in row["fields"]}
-        f2, i2, n2 = O.step3b(
+        f2, i2, n2 = I.step3b(
             v, method, fields, row["items"] or [], row["info"] or [],
             text[idx] or "", ocr[idx] or "",
+            field_banks, field_order,
         )
         keys = order.get(v, [])
         res.at[idx, "fields"] = [
