@@ -908,22 +908,62 @@ def argmax_fields(
 # ---------------------------------------------------------------------------
 
 
+def _format_groups(key: str, m: re.Match) -> str:
+    """Captured groups → field value: the phone 3-group reformat
+    (ceco_processor.py:706-719), else non-null groups '|'-joined."""
+    groups = [g for g in m.groups() if g is not None]
+    if key.endswith(".phone") and len(groups) == 3:
+        return f"({groups[0]}) {groups[1]}-{groups[2]}"
+    return groups[0] if len(groups) == 1 else "|".join(groups)
+
+
+def fields_single(
+    vendor: str, text: str, field_banks: dict | None = None
+) -> dict[str, str]:
+    """Single-document vendor-bank extraction — the plain-``re`` twin of
+    kernel.extract_fields_batch (first-match-wins per ordered pattern list
+    with the per-call-site flags/strip/comma-strip, generic = all-matches
+    argmax, plus the F5/derived/crossval/freight hooks). The step-3b
+    fallback runs per DOCUMENT, where a 1-row pandas batch costs ~50ms of
+    frame overhead (profiled r4: 73 fallback docs = 3.6s of a 6.5s
+    1000-doc kernel run); this path is ~100× cheaper for the same bytes."""
+    banks = C.FIELD_BANKS if field_banks is None else field_banks
+    if vendor == "generic":
+        out = argmax_fields(text, banks["generic"], C.GENERIC_WEIGHTS)
+        address_blocks(vendor, text, out)
+        return out
+    out: dict[str, str] = {}
+    for key, patterns in banks[vendor].items():
+        flags = C.field_flags(vendor, key)
+        hit = next(
+            (m for pat in patterns if (m := re.search(pat, text, flags))), None
+        )
+        if hit is None:
+            continue
+        val = _format_groups(key, hit)
+        if C.field_strip(vendor, key):
+            val = val.strip()
+        if C.field_comma_strip(vendor, key):
+            val = val.replace(",", "")
+        out[key] = val
+    address_blocks(vendor, text, out)
+    if vendor == "schlage":
+        schlage_derived_totals(out)
+        schlage_crossval_totals(out, text)
+    if vendor == "ceco":
+        ceco_freight_default(out, text)
+    return out
+
+
 def _parse_text_side(
     vendor: str, text: str,
     field_banks: dict | None, field_order: dict | None,
 ) -> tuple[dict[str, str], list[dict]]:
     """TextPDFProcessor fallback parse via the ENGINE's own independent
-    extractors (the vectorized field kernel + items.py grammars) — not the
-    oracle's."""
-    import pandas as pd
-
+    extractors (fields_single + items.py grammars) — never the oracle's."""
     from .items import extract_items
-    from .kernel import extract_fields_batch
 
-    got = extract_fields_batch(
-        pd.Series([vendor]), pd.Series([text]), field_banks
-    )[0]
-    fields = got or {}
+    fields = fields_single(vendor, text, field_banks)
     return fields, extract_items(vendor, text, fields)
 
 
