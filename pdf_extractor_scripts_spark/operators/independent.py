@@ -35,6 +35,17 @@ import re
 
 from .. import config as C
 
+# Cached pattern compiler for the per-document hot paths. Python's own
+# re._compile cache pays a ~3µs dict+flags lookup per call; the lru_cache
+# hit is cheaper and, unlike hoisted module-level compiles, stays
+# override-safe because the cache key IS the pattern text + flags.
+# Measured neutral at the current fixture mix (the fallback parse no longer
+# dominates) — kept because it removes 50k+ per-batch lookup calls from
+# profiles and costs nothing.
+import functools
+
+_rx = functools.lru_cache(maxsize=None)(re.compile)
+
 # ---------------------------------------------------------------------------
 # shared small helpers (engine-side twins, NOT imported from the oracle)
 # ---------------------------------------------------------------------------
@@ -112,9 +123,9 @@ def _schlage_classify(collected: list[str], name: str) -> dict[str, str]:
     SALES REP lines (company from before the literal 'SALES REP') and
     standalone 7-8 digit customer numbers, and truncates the street at the
     literal 'JOB NAME' — all reference quirks kept as-is."""
-    street_re = re.compile(C.SCHLAGE_ADDR_STREET, re.IGNORECASE)
-    city_re = re.compile(C.SCHLAGE_ADDR_CITY, re.IGNORECASE)
-    city_cap = re.compile(f"({C.SCHLAGE_ADDR_CITY})", re.IGNORECASE)
+    street_re = _rx(C.SCHLAGE_ADDR_STREET, re.IGNORECASE)
+    city_re = _rx(C.SCHLAGE_ADDR_CITY, re.IGNORECASE)
+    city_cap = _rx(f"({C.SCHLAGE_ADDR_CITY})", re.IGNORECASE)
     out: dict[str, str] = {}
     for line in collected:
         u = line.upper()
@@ -159,7 +170,7 @@ def _ceco_first(text: str, pats: list[str]) -> str | None:
     """_extract_field_with_patterns: ordered first-match-wins over the
     whole text, IGNORECASE|MULTILINE, stripped group(1)."""
     for p in pats:
-        m = re.search(p, text, re.IGNORECASE | re.MULTILINE)
+        m = _rx(p, re.IGNORECASE | re.MULTILINE).search(text)
         if m:
             return m.group(1).strip()
     return None
@@ -242,7 +253,7 @@ def schlage_crossval_totals(fields: dict[str, str], text: str) -> None:
         if key in fields:
             continue
         for pat in pats:
-            got = re.findall(pat, text, re.IGNORECASE)
+            got = _rx(pat, re.IGNORECASE).findall(text)
             if got:
                 fields[key] = got[0]
                 break
@@ -282,13 +293,13 @@ def schlage_additional_info(text: str) -> list[str]:
     out: list[str] = []
     seen: set[str] = set()
     for pat in C.SCHLAGE_INFO_USEFUL:
-        for raw in re.findall(pat, text, re.IGNORECASE):
+        for raw in _rx(pat, re.IGNORECASE).findall(text):
             clean = raw.strip()
             if (clean and clean not in seen
                     and C.SCHLAGE_INFO_USEFUL_MIN < len(clean) < C.SCHLAGE_INFO_USEFUL_MAX):
                 seen.add(clean)
                 out.append(clean)
-    skip_res = [re.compile(p, re.IGNORECASE) for p in C.SCHLAGE_INFO_SKIP]
+    skip_res = [_rx(p, re.IGNORECASE) for p in C.SCHLAGE_INFO_SKIP]
     for raw in text.split("\n"):
         line = raw.strip()
         if len(line) < C.SCHLAGE_INFO_MIN_LEN:
@@ -723,7 +734,7 @@ def f3_extract_all(text: str) -> dict[str, tuple[str, float]]:
         order = 0
         for pat in patterns:
             pat_pts = min(25.0, len(pat) / 100.0 * 25.0)
-            for m in re.finditer(pat, text, re.IGNORECASE | re.MULTILINE):
+            for m in _rx(pat, re.IGNORECASE | re.MULTILINE).finditer(text):
                 value = (m.group(1) if m.groups() else m.group(0)).strip()
                 if not _f3_valid(ftype, value):
                     continue
@@ -791,7 +802,7 @@ def _img_items(text: str) -> list[dict]:
     items: list[dict] = []
     keys_seen: set[tuple[str, str]] = set()
     for pat in C.IMG_ITEM_PATTERNS:
-        for match in re.findall(pat, text, re.MULTILINE | re.IGNORECASE):
+        for match in _rx(pat, re.MULTILINE | re.IGNORECASE).findall(text):
             kv = _img_row(match)
             if kv is None:
                 continue
@@ -848,13 +859,13 @@ def image_route_extract(text: str) -> tuple[dict[str, str], list[dict]]:
         if need_header:
             for key, pats in C.IMG_HEADER_FALLBACK.items():
                 for pat in pats:
-                    m = re.search(pat, text, re.IGNORECASE)
+                    m = _rx(pat, re.IGNORECASE).search(text)
                     if m:
                         fields[key] = m.group(1)
                         break
         if need_total:
             for key, pat in C.IMG_TOTALS_FALLBACK.items():
-                m = re.search(pat, text, re.IGNORECASE)
+                m = _rx(pat, re.IGNORECASE).search(text)
                 if m:
                     fields[key] = m.group(1)
     return fields, items
@@ -890,7 +901,7 @@ def argmax_fields(
         cands: list[tuple[float, int, str]] = []
         order = 0
         for i, pat in enumerate(patterns):
-            for m in re.finditer(pat, text, re.IGNORECASE | re.MULTILINE):
+            for m in _rx(pat, re.IGNORECASE | re.MULTILINE).finditer(text):
                 raw = m.group(1) if m.groups() else m.group(0)
                 if not raw or not raw.strip():
                     continue
