@@ -89,6 +89,54 @@ def committed_metrics(spark: SparkSession, ckpt_dir: str) -> DataFrame:
     )
 
 
+def batch_summary(spark: SparkSession, ckpt_dir: str) -> DataFrame:
+    """The reference's batch-summary shape (batch_processor.py:321-403:
+    _create_batch_summary + get_processing_statistics) over the COMMITTED
+    outputs — one row: totals, success rate, per-method counts (the
+    reference's method_used vocabulary: text_extraction / ocr / hybrid from
+    our route column), and the confidence min/avg/max quality metrics.
+
+    Mapping note: the reference counts a file 'failed' when every processor
+    raised; this engine degrades those documents to an empty-page result
+    and SIGNALS them (parse fallbacks are counted at ingest, validation
+    failures here), so `failed_extractions` reports the validation-failed
+    count — the nearest committed-table analog, stated rather than
+    silently redefined. Timestamps are the caller's concern (the reference
+    stamps time.strftime at :399 — nondeterministic)."""
+    out = committed_outputs(spark, ckpt_dir)
+    method = (
+        F.when(F.col("route") == "text", "text_extraction")
+        .when(F.col("route") == "ocr", "ocr")
+        .otherwise("hybrid")
+    )
+    return (
+        out.select("doc_id", "validation_failed", "extraction_confidence",
+                   method.alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("total_files"),
+            (F.count(F.lit(1)) - F.sum("validation_failed")).cast("long")
+            .alias("successful_extractions"),
+            F.sum("validation_failed").cast("long").alias("failed_extractions"),
+            F.round(
+                100.0 * (F.count(F.lit(1)) - F.sum("validation_failed"))
+                / F.count(F.lit(1)), 2
+            ).alias("success_rate_percent"),
+            F.sum(F.when(F.col("m") == "text_extraction", 1).otherwise(0))
+            .cast("long").alias("method_text_extraction"),
+            F.sum(F.when(F.col("m") == "ocr", 1).otherwise(0))
+            .cast("long").alias("method_ocr"),
+            F.sum(F.when(F.col("m") == "hybrid", 1).otherwise(0))
+            .cast("long").alias("method_hybrid"),
+            F.round(F.avg("extraction_confidence"), 2)
+            .alias("average_confidence_score"),
+            F.round(F.min("extraction_confidence"), 4)
+            .alias("min_confidence_score"),
+            F.round(F.max("extraction_confidence"), 4)
+            .alias("max_confidence_score"),
+        )
+    )
+
+
 def quality_report(spark: SparkSession, ckpt_dir: str) -> DataFrame:
     """Operational rollup over the COMMITTED outputs: per (vendor, route)
     doc counts, confidence distribution, validation-failure and OCR rates —

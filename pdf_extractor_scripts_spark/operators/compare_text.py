@@ -85,3 +85,123 @@ def comparison_summary(cmp: DataFrame) -> DataFrame:
         F.round(F.avg("similarity"), 4).alias("avg_similarity"),
         F.round(F.avg("numeric_recall"), 4).alias("avg_numeric_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The reference's raw-text quality rubric (text_extraction_comparison.py:
+# 60-190): spacing preservation, column alignment, numeric accuracy,
+# line-item detection, and their 0.25/0.30/0.25/0.20 weighted overall.
+# Column alignment needs regex MATCH POSITIONS (neither engine's SQL exposes
+# them), so the rubric is an Arrow-batched pandas UDF like _difflib_ratio.
+# ---------------------------------------------------------------------------
+import re as _re
+
+_Q_NUM = _re.compile(r"\d+\.\d+")
+_Q_ITEM_LINE = _re.compile(r"^\s*\d{3}\s+\d+")
+_Q_WIDE_GAP = _re.compile(r"\s{3,}")
+
+
+def ref_text_quality(text: str) -> dict:
+    """One document's rubric — mirrors the reference formulas exactly,
+    including the quirks: the spacing skip checks 'Invoice'/'Page:' on the
+    RAW (unstripped) line case-sensitively (:68); column alignment pairs
+    consecutive item lines positionally with a 3-char tolerance (:98-113);
+    numeric accuracy's integer branch always scores (the \\d+\\.\\d+
+    pattern admits only decimals, so only >6-decimal values fail, :126-133);
+    empty text → all zeros (:162-164)."""
+    if not text:
+        return {"total_characters": 0, "total_lines": 0,
+                "spacing_preservation_score": 0.0,
+                "column_alignment_score": 0.0,
+                "numeric_accuracy_score": 0.0,
+                "line_item_detection_score": 0.0,
+                "overall_quality_score": 0.0}
+    lines = text.split("\n")
+
+    data_lines = [l for l in lines
+                  if l.strip() and "Invoice" not in l and "Page:" not in l]
+    spacing = (
+        100.0 * sum(1 for l in data_lines if _Q_WIDE_GAP.search(l))
+        / len(data_lines)
+        if data_lines else 0.0
+    )
+
+    item_lines = [l for l in lines if _Q_ITEM_LINE.match(l)]
+    aligned = total_cols = 0
+    for cur, nxt in zip(item_lines, item_lines[1:]):
+        cur_pos = [m.start() for m in _Q_NUM.finditer(cur)]
+        nxt_pos = [m.start() for m in _Q_NUM.finditer(nxt)]
+        for p1, p2 in zip(cur_pos, nxt_pos):
+            total_cols += 1
+            if abs(p1 - p2) <= 3:
+                aligned += 1
+    column = 100.0 * aligned / total_cols if total_cols else 0.0
+
+    numbers = _Q_NUM.findall(text)
+    numeric = (
+        100.0 * sum(1 for n in numbers if len(n.split(".")[1]) <= 6)
+        / len(numbers)
+        if numbers else 0.0
+    )
+
+    complete = sum(1 for l in item_lines if len(_Q_NUM.findall(l)) >= 3)
+    line_item = 100.0 * complete / len(item_lines) if item_lines else 0.0
+
+    overall = (spacing * 0.25 + column * 0.30 + numeric * 0.25
+               + line_item * 0.20)
+    return {"total_characters": len(text), "total_lines": len(lines),
+            "spacing_preservation_score": spacing,
+            "column_alignment_score": column,
+            "numeric_accuracy_score": numeric,
+            "line_item_detection_score": line_item,
+            "overall_quality_score": overall}
+
+
+# explicit StructType: a DDL-string returnType would need a live session at
+# import time (the module imports before tests create one)
+from pyspark.sql.types import LongType, StructField, StructType  # noqa: E402
+
+_QUALITY_SCHEMA = StructType([
+    StructField("total_characters", LongType()),
+    StructField("total_lines", LongType()),
+    StructField("spacing_preservation_score", DoubleType()),
+    StructField("column_alignment_score", DoubleType()),
+    StructField("numeric_accuracy_score", DoubleType()),
+    StructField("line_item_detection_score", DoubleType()),
+    StructField("overall_quality_score", DoubleType()),
+])
+
+
+@F.pandas_udf(_QUALITY_SCHEMA)
+def _quality_udf(texts: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        [ref_text_quality(t or "") for t in texts], index=texts.index
+    )
+
+
+def with_text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the reference rubric as a `quality` struct column — the
+    corpus-scale form of analyze_text_quality: one Arrow round-trip, no
+    driver loop, so a 100 TB comparison run stays distributed."""
+    return df.withColumn("quality", _quality_udf(F.col(text_col)))
+
+
+def quality_comparison(a: DataFrame, b: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc side-by-side rubric + the difflib similarity — the engine
+    form of compare_extractions (text_extraction_comparison.py:226-262);
+    'advantages' are derivable by comparing the paired struct columns."""
+    qa = with_text_quality(a, text_col).select(
+        "doc_id", F.col("quality").alias("quality_a"),
+        F.col(text_col).alias("text_a"))
+    qb = with_text_quality(b, text_col).select(
+        "doc_id", F.col("quality").alias("quality_b"),
+        F.col(text_col).alias("text_b"))
+    j = qa.join(qb, "doc_id", "full_outer")
+    return j.select(
+        "doc_id", "quality_a", "quality_b",
+        F.round(
+            _difflib_ratio(
+                F.coalesce("text_a", F.lit("")), F.coalesce("text_b", F.lit(""))
+            ) * 100, 4
+        ).alias("similarity_score"),  # the reference reports 0-100 (:199)
+    )

@@ -149,3 +149,28 @@ def test_cli_pdf_ingestion_end_to_end(spark, tmpdir):
     assert ids == {d["doc_id"] for d in docs}  # relative paths, decoded
     # extraction really happened: every text-route doc carries output spans
     assert got.filter("route = 'text' and size(out_spans) > 0").count() > 0
+
+
+def test_batch_summary_reference_shape(spark, tmpdir):
+    """batch_summary mirrors the reference's batch-statistics shape
+    (batch_processor.py:321-403): one row of totals + success rate +
+    method-vocabulary counts + confidence min/avg/max, over COMMITTED
+    outputs only, and internally consistent with quality_report."""
+    from pdf_extractor_scripts_spark.operators.checkpoint import batch_summary
+
+    docs = corpus_df(spark, n_docs=60, seed=42)
+    run_with_checkpoint(spark, docs, str(tmpdir), run_id="bs")
+    row = batch_summary(spark, str(tmpdir)).collect()
+    assert len(row) == 1
+    s = row[0]
+    assert s["total_files"] == 60
+    assert s["successful_extractions"] + s["failed_extractions"] == 60
+    assert s["success_rate_percent"] == round(
+        100.0 * s["successful_extractions"] / 60, 2)
+    assert (s["method_text_extraction"] + s["method_ocr"]
+            + s["method_hybrid"]) == 60
+    assert s["method_text_extraction"] > 0 and s["method_ocr"] > 0
+    assert 0.0 <= s["min_confidence_score"] <= s["average_confidence_score"] \
+        <= s["max_confidence_score"] <= 1.0
+    rep = {(r["vendor"], r["route"]): r for r in quality_report(spark, str(tmpdir)).collect()}
+    assert sum(r["n_docs"] for r in rep.values()) == 60

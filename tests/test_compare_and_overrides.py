@@ -3,6 +3,8 @@ degraded outputs must score below) and the S8 config-override mechanism."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import tempfile
@@ -120,3 +122,76 @@ def test_overrides_reach_executors_end_to_end(spark):
             assert t.isdigit(), f"override did not reach executor: {t}"
     finally:
         C.restore_overrides(inverse)
+
+
+def test_ref_text_quality_rubric_hand_case():
+    """The reference rubric (text_extraction_comparison.py:60-190) on a
+    hand-computed document — every score derived manually from the
+    formulas, including the quirks: the case-sensitive 'Invoice' spacing
+    skip and the decimals-only numeric pattern."""
+    from pdf_extractor_scripts_spark.operators.compare_text import ref_text_quality
+
+    text = "\n".join([
+        "Invoice 500",                          # spacing-skipped ('Invoice')
+        "  001  12   Widget A   10.50   21.00", # item line, wide gaps
+        "  001  13   Widget B   11.50   23.00", # item line, same layout
+        "Total: 44.00",                         # data line, no 3-space gap
+        "",                                     # blank → skipped
+    ])
+    q = ref_text_quality(text)
+    assert q["total_lines"] == 5
+    assert q["spacing_preservation_score"] == pytest.approx(100 * 2 / 3)
+    # both item lines place 10.50/11.50 and 21.00/23.00 at equal offsets
+    assert q["column_alignment_score"] == 100.0
+    # all five decimals have <= 6 fractional digits
+    assert q["numeric_accuracy_score"] == 100.0
+    # item lines carry only 2 decimal numbers each → no 'complete' items
+    assert q["line_item_detection_score"] == 0.0
+    assert q["overall_quality_score"] == pytest.approx(
+        (100 * 2 / 3) * 0.25 + 100.0 * 0.30 + 100.0 * 0.25 + 0.0 * 0.20
+    )
+    # shifting ONLY the last column of line 2 by 4 chars (> the 3-char
+    # tolerance) misaligns that one column pair; shifting an earlier
+    # column moves the whole tail and zeroes both (checked too)
+    q2 = ref_text_quality(text.replace("11.50   23.00", "11.50       23.00"))
+    assert q2["column_alignment_score"] == pytest.approx(50.0)
+    q3 = ref_text_quality(text.replace("  11.50", "        11.50"))
+    assert q3["column_alignment_score"] == 0.0
+    # empty text → zeros
+    assert ref_text_quality("")["overall_quality_score"] == 0.0
+
+
+def test_with_text_quality_distributed_matches_local(spark):
+    """The Arrow UDF form must agree per-doc with the local function over
+    real assembled fixture texts, and the side-by-side comparison reports
+    the reference's 0-100 similarity scale."""
+    import pyspark.sql.functions as F
+
+    from pdf_extractor_scripts_spark import oracle as O
+    from pdf_extractor_scripts_spark.fixtures import make_corpus
+    from pdf_extractor_scripts_spark.operators.compare_text import (
+        quality_comparison,
+        ref_text_quality,
+        with_text_quality,
+    )
+
+    docs = make_corpus(40, seed=42)
+    rows = [(d["doc_id"], O.assemble(d["spans"], "text")) for d in docs]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r["quality"].asDict()
+        for r in with_text_quality(df).collect()
+    }
+    assert len(got) == 40
+    nonzero = 0
+    for doc_id, text in rows:
+        exp = ref_text_quality(text)
+        for k, v in exp.items():
+            assert got[doc_id][k] == pytest.approx(v), (doc_id, k)
+        nonzero += exp["overall_quality_score"] > 0
+    assert nonzero > 20, "fixtures must exercise the rubric"
+
+    cmp = quality_comparison(df, df.withColumn("text", F.upper("text")))
+    row = cmp.filter(F.col("doc_id") == rows[0][0]).collect()[0]
+    assert 0.0 < row["similarity_score"] <= 100.0
+    assert row["quality_a"]["total_characters"] == len(rows[0][1])
