@@ -722,6 +722,26 @@ def content_events(content: bytes, image_names: set[str]) -> list[tuple]:
                 cur.append(b"".join(operands[-1][1]).decode("latin-1"))
         elif op == b"ET":
             flush()
+        elif op == b"BI":
+            # inline image: BI <dict entries> ID <raw binary> EI — the
+            # binary payload is NOT tokenizable (it would garbage the lexer
+            # or raise on an unbalanced paren). Consume dict tokens up to
+            # ID, then scan for the whitespace-delimited EI terminator and
+            # resume after it. (Real parsers use the decoded length; the
+            # delimiter scan is the standard fallback heuristic and can
+            # only false-positive if the raw bytes contain ' EI ' — the
+            # same ambiguity every PDF tokenizer accepts.) The image
+            # itself is a paint event, same as a Do placement.
+            while True:
+                t = lx.next_token()
+                if t is None or (t[0] == "op" and t[1] == b"ID"):
+                    break
+            m = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r /\[\]<>(]|$)").search(
+                lx.data, lx.pos
+            )
+            lx.pos = m.end() if m else len(lx.data)
+            flush()
+            events.append(("image", None))
         elif op == b"Do":
             if operands and operands[-1][0] == "name":
                 nm = operands[-1][1]
@@ -788,6 +808,16 @@ def pdf_media_payloads(data: bytes, doc_id: str) -> list[dict]:
         img_i = 0
         for ev in content_events(doc.page_content(page), set(images)):
             if ev[0] != "image":
+                continue
+            if ev[1] is None:
+                # inline (BI..EI) image: counted so media_refs stay aligned
+                # with parse_pdf_spans; raw payload not re-extracted here
+                out.append({
+                    "media_ref": f"img://{doc_id}/{p + 1}/{img_i}",
+                    "payload": b"",
+                    "filter": "Inline",
+                })
+                img_i += 1
                 continue
             res = doc.get(page.get("Resources", {})) or {}
             xo = doc.get(res.get("XObject", {})) or {}
@@ -975,6 +1005,11 @@ def build_pdf(
                     ops.append(b"q 100 0 0 100 %d 80 cm /Im%d Do Q"
                                % (72 + 110 * img_i, img_i))
                     img_i += 1
+                elif ev[0] == "inline_image":
+                    # 1×1 gray inline image — the BI..EI layout scanners
+                    # emit for small page graphics
+                    ops.append(b"q 20 0 0 20 500 700 cm "
+                               b"BI /W 1 /H 1 /BPC 8 /CS /G ID \x80 EI Q")
                 else:  # rule: "x,y,w,h"
                     x, y, w, h = ev[1].split(",")
                     ops.append(b"%s %s %s %s re f"

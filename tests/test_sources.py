@@ -326,3 +326,39 @@ def test_encrypted_pdf_is_a_distinct_counted_fallback_reason(spark, tmpdir):
     assert reasons["enc.pdf"] == "PdfEncryptedError"
     assert reasons["corrupt.pdf"] not in ("", "PdfEncryptedError")
     assert acc.value == 2
+
+
+def test_inline_image_bi_id_ei():
+    """BI..ID..EI inline images: the raw binary payload must be skipped
+    (not tokenized — unbalanced parens/backslashes in image bytes would
+    otherwise garbage or crash the lexer), the image becomes a media span
+    in paint order, and media_ref numbering stays aligned across inline
+    and XObject images."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        content_events,
+        parse_pdf_spans,
+        pdf_media_payloads,
+    )
+
+    # tokenizer-level: binary with unbalanced paren, backslash, nul bytes
+    content = (b"BT (hello) Tj ET "
+               b"BI /W 2 /H 1 /BPC 8 /CS /G ID (\\\xff\x00\x9c EI "
+               b"BT (world) Tj ET")
+    evs = content_events(content, set())
+    assert evs == [("line", "hello"), ("image", None), ("line", "world")]
+
+    # writer round-trip: inline + XObject images interleave; media_refs
+    # number by paint order regardless of mechanism
+    pages = [[("text", "INVOICE 9"), ("inline_image",), ("image",),
+              ("text", "TOTAL 1.00")]]
+    pdf = build_pdf(pages)
+    spans = parse_pdf_spans(pdf, "misc/i.pdf")
+    assert [s["kind"] for s in spans] == [
+        "page_break", "text", "media", "media", "text"]
+    assert [s["media_ref"] for s in spans if s["kind"] == "media"] == [
+        "img://misc/i.pdf/1/0", "img://misc/i.pdf/1/1"]
+    payloads = pdf_media_payloads(pdf, "misc/i.pdf")
+    assert [(p["media_ref"], p["filter"]) for p in payloads] == [
+        ("img://misc/i.pdf/1/0", "Inline"),
+        ("img://misc/i.pdf/1/1", "FlateDecode")]
