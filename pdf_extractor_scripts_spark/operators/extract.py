@@ -117,7 +117,7 @@ def with_extraction(df: DataFrame) -> DataFrame:
     # schlage-hybrid O6 candidates: the all-pages stub-OCR assemblies per
     # engine as PLAIN columns (simple array_join transforms keep the UDF's
     # argument projection codegen-able); the dual-engine selection itself
-    # runs in the kernel via the shared oracle logic
+    # runs in the kernel via the independent.py twin
     sch_hybrid = (F.col("route") == "hybrid") & (F.col("vendor") == "schlage")
     e1f = F.when(
         sch_hybrid, F.expr(_joined_expr(["page_break", "text", "media_text"]))
