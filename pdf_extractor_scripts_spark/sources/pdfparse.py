@@ -124,7 +124,16 @@ class _Lexer:
             while j < len(d) and d[j] not in _WS and d[j] not in _DELIM:
                 j += 1
             self.pos = j
-            return ("name", d[i + 1 : j].decode("latin-1"))
+            raw = d[i + 1 : j]
+            if b"#" in raw:
+                # PDF 1.2+ name escapes: #xx hex pairs (/A#20B = 'A B');
+                # a malformed '#' without two hex digits stays literal
+                raw = re.sub(
+                    rb"#([0-9A-Fa-f]{2})",
+                    lambda m: bytes([int(m.group(1), 16)]),
+                    raw,
+                )
+            return ("name", raw.decode("latin-1"))
         if c in b"+-.0123456789":
             j = i + 1
             while j < len(d) and d[j : j + 1] in b"+-.0123456789":
@@ -299,7 +308,8 @@ class PdfDocument:
         p = lx.pos + 6
         if data[p : p + 2] == b"\r\n":
             p += 2
-        elif data[p : p + 1] == b"\n":
+        elif data[p : p + 1] in (b"\n", b"\r"):
+            # lone \r: spec-invalid but emitted by broken writers
             p += 1
         if isinstance(attrs["Length"], Ref):
             # /Length as an indirect ref on the XRef stream itself is a
@@ -392,7 +402,7 @@ class PdfDocument:
             p = lx.pos + 6
             if self.data[p : p + 2] == b"\r\n":
                 p += 2
-            elif self.data[p : p + 1] == b"\n":
+            elif self.data[p : p + 1] in (b"\n", b"\r"):
                 p += 1
             length = int(self.get(val["Length"]))
             raw = self.data[p : p + length]

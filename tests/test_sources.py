@@ -362,3 +362,42 @@ def test_inline_image_bi_id_ei():
     assert [(p["media_ref"], p["filter"]) for p in payloads] == [
         ("img://misc/i.pdf/1/0", "Inline"),
         ("img://misc/i.pdf/1/1", "FlateDecode")]
+
+
+def test_name_hex_escapes_and_lone_cr_stream():
+    """Real-world writer quirks: #xx hex escapes in PDF names
+    (/F#6cateDecode still decodes as FlateDecode) and a lone \\r after the
+    'stream' keyword (spec-invalid, emitted by broken writers)."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        _Lexer,
+        build_pdf,
+        parse_pdf_spans,
+    )
+
+    assert _Lexer(b"/A#20B ").next_token() == ("name", "A B")
+    assert _Lexer(b"/F#6cateDecode ").next_token() == ("name", "FlateDecode")
+    assert _Lexer(b"/Bad#Z ").next_token() == ("name", "Bad#Z")  # literal
+
+    # end-to-end: a hand-built PDF whose /Length key carries a hex escape
+    # and whose stream keyword is followed by a lone \r
+    raw = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Contents 4 0 R >>\nendobj\n")
+    content = b"BT (HI#) Tj ET"
+    obj4 = (b"4 0 obj\n<< /L#65ngth %d >>\nstream\r%s\nendstream\nendobj\n"
+            % (len(content), content))
+    body = raw + obj4
+    xref_pos = len(body)
+    offs = []
+    for num in (1, 2, 3, 4):
+        offs.append(body.find(b"%d 0 obj" % num))
+    out = bytearray(body)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for o in offs:
+        out += b"%010d 00000 n \n" % o
+    out += (b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % xref_pos)
+    spans = parse_pdf_spans(bytes(out), "d")
+    assert [s["text"] for s in spans] == ["=== PAGE 1 ===", "HI#"]
