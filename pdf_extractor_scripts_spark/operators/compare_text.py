@@ -197,11 +197,42 @@ def quality_comparison(a: DataFrame, b: DataFrame, text_col: str = "text") -> Da
         "doc_id", F.col("quality").alias("quality_b"),
         F.col(text_col).alias("text_b"))
     j = qa.join(qb, "doc_id", "full_outer")
+    j = j.withColumn("text_a", F.coalesce("text_a", F.lit(""))).withColumn(
+        "text_b", F.coalesce("text_b", F.lit(""))
+    )
+    # find_key_differences (:201-224): line-item count mismatch + numeric
+    # set differences, capped at 5 (the reference caps a SET slice — order
+    # nondeterministic there; sorted here so runs are reproducible)
+    items = lambda c: f"size(regexp_extract_all({c}, '(?m)^\\\\s*\\\\d{{3}}\\\\s+\\\\d+', 0))"  # noqa: E731
+    nums = lambda c: f"array_distinct(regexp_extract_all({c}, '\\\\d+\\\\.\\\\d+', 0))"  # noqa: E731
+    diff_items = F.expr(
+        f"CASE WHEN {items('text_a')} <> {items('text_b')} THEN "
+        f"concat('Line item count: A=', {items('text_a')}, ', B=', {items('text_b')}) END"
+    )
+    missing = lambda x, y, label: F.expr(  # noqa: E731
+        f"CASE WHEN size(array_except({nums(x)}, {nums(y)})) > 0 THEN "
+        f"concat('Numbers missing in {label}: ', array_join(slice(array_sort("
+        f"array_except({nums(x)}, {nums(y)})), 1, 5), ', ')) END"
+    )
+    adv = lambda metric, label: F.when(  # noqa: E731
+        F.col(f"quality_a.{metric}") > F.col(f"quality_b.{metric}"),
+        F.struct(F.lit("a").alias("side"), F.lit(label).alias("advantage")),
+    ).otherwise(
+        F.struct(F.lit("b").alias("side"), F.lit(label).alias("advantage"))
+    )
     return j.select(
         "doc_id", "quality_a", "quality_b",
         F.round(
-            _difflib_ratio(
-                F.coalesce("text_a", F.lit("")), F.coalesce("text_b", F.lit(""))
-            ) * 100, 4
+            _difflib_ratio(F.col("text_a"), F.col("text_b")) * 100, 4
         ).alias("similarity_score"),  # the reference reports 0-100 (:199)
+        F.array_compact(
+            F.array(diff_items, missing("text_a", "text_b", "B"),
+                    missing("text_b", "text_a", "A"))
+        ).alias("differences"),
+        # the reference's ties-go-to-B quirk (strict > on the A side, :240)
+        F.array(
+            adv("spacing_preservation_score", "Better spacing preservation"),
+            adv("column_alignment_score", "Better column alignment"),
+            adv("overall_quality_score", "Higher overall quality"),
+        ).alias("advantages"),
     )

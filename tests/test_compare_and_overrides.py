@@ -195,3 +195,35 @@ def test_with_text_quality_distributed_matches_local(spark):
     row = cmp.filter(F.col("doc_id") == rows[0][0]).collect()[0]
     assert 0.0 < row["similarity_score"] <= 100.0
     assert row["quality_a"]["total_characters"] == len(rows[0][1])
+
+
+def test_quality_comparison_differences_and_advantages(spark):
+    """find_key_differences + advantages semantics
+    (text_extraction_comparison.py:201-262): line-item count mismatch,
+    numeric set differences capped at 5, and the ties-go-to-B strict-> advantage quirk."""
+    from pdf_extractor_scripts_spark.operators.compare_text import (
+        quality_comparison,
+    )
+
+    a_text = "\n".join([
+        "  001  12   Widget   10.50   21.00",
+        "  002  13   Gadget   5.25    10.50",
+        "Extra: 99.99",
+    ])
+    b_text = "\n".join([
+        "  001  12   Widget   10.50   21.00",
+        "Other: 7.77",
+    ])
+    a = spark.createDataFrame([("d1", a_text)], "doc_id string, text string")
+    b = spark.createDataFrame([("d1", b_text)], "doc_id string, text string")
+    row = quality_comparison(a, b).collect()[0]
+    diffs = row["differences"]
+    assert any(d.startswith("Line item count: A=2, B=1") for d in diffs)
+    assert any("missing in B: " in d and "5.25" in d and "99.99" in d
+               for d in diffs)
+    assert any("missing in A: 7.77" in d for d in diffs)
+    # identical sides → no differences; ALL advantages go to B (ties-go-to-B)
+    row2 = quality_comparison(a, a.withColumnRenamed("text", "text")).collect()[0]
+    assert row2["differences"] == []
+    assert {adv["side"] for adv in row2["advantages"]} == {"b"}
+    assert len(row2["advantages"]) == 3
