@@ -137,3 +137,90 @@ def test_ocr_combine_uses_only_input_lines(l1, l2):
     n2 = len([x for x in l2 if x.strip()])
     n_out = len([x for x in out.split("\n") if x])
     assert n_out == max(n1, n2)
+
+
+@given(data=st.binary(max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_codec_roundtrips_arbitrary_bytes(data):
+    """r4 stream codecs: every encoder/decoder pair must round-trip
+    arbitrary bytes (LZW incl. the table-full CLEAR path; RunLength
+    repeat/literal boundaries; AHx/A85 via the stdlib encoders)."""
+    import base64
+    import binascii
+
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        _ascii85_decode,
+        _asciihex_decode,
+        _lzw_decode,
+        _lzw_encode,
+        _rl_encode,
+        _runlength_decode,
+    )
+
+    assert _lzw_decode(_lzw_encode(data)) == data
+    assert _runlength_decode(_rl_encode(data)) == data
+    assert _asciihex_decode(binascii.hexlify(data) + b">") == data
+    assert _ascii85_decode(base64.a85encode(data) + b"~>") == data
+
+
+@given(
+    rows=st.lists(st.binary(min_size=6, max_size=6), min_size=1, max_size=8),
+    ft=st.sampled_from([0, 1, 2, 3, 4]),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_predictor_roundtrips_all_filter_types(rows, ft):
+    """Forward-apply each PNG row filter, then _unpredict must restore the
+    original rows (bpp=1, the /Columns layout xref streams use)."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import _unpredict
+
+    width = 6
+    filtered = bytearray()
+    prev = bytes(width)
+    for r in rows:
+        filtered.append(ft)
+        if ft == 0:
+            filtered += r
+        elif ft == 1:  # sub
+            filtered += bytes(
+                (r[j] - (r[j - 1] if j >= 1 else 0)) & 0xFF for j in range(width))
+        elif ft == 2:  # up
+            filtered += bytes((r[j] - prev[j]) & 0xFF for j in range(width))
+        elif ft == 3:  # average
+            filtered += bytes(
+                (r[j] - ((r[j - 1] if j >= 1 else 0) + prev[j]) // 2) & 0xFF
+                for j in range(width))
+        else:  # paeth
+            out = []
+            for j in range(width):
+                a = r[j - 1] if j >= 1 else 0
+                b = prev[j]
+                c = prev[j - 1] if j >= 1 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((r[j] - pr) & 0xFF)
+            filtered += bytes(out)
+        prev = r
+    got = _unpredict(bytes(filtered), {"Predictor": 12, "Columns": width})
+    assert got == b"".join(rows)
+
+
+def test_fields_single_matches_oracle_on_all_fixture_docs():
+    """The r4 plain-re single-doc extractor (independent.fields_single, the
+    step-3b fallback parse) must agree with oracle.extract_fields on every
+    fixture document × every vendor bank — the per-doc twin of the
+    vectorized-kernel contract."""
+    from pdf_extractor_scripts_spark import oracle as O
+    from pdf_extractor_scripts_spark.fixtures import make_corpus
+    from pdf_extractor_scripts_spark.operators.independent import fields_single
+
+    checked = 0
+    for d in make_corpus(120, seed=42):
+        text = O.assemble(d["spans"], "text")
+        ocr = O.select_ocr_text(d["spans"])
+        for vendor in ("ceco", "steelcraft", "schlage", "generic"):
+            for t in (text, ocr):
+                assert fields_single(vendor, t) == O.extract_fields(vendor, t), \
+                    (d["doc_id"], vendor)
+                checked += 1
+    assert checked == 960
