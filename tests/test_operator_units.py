@@ -963,3 +963,40 @@ def test_p7_page_classification_and_mixed_branch():
     assert (tx2, im2, mixed2) == (0, 1, True)
     assert O.route_document("generic", s2) == "hybrid"
     assert O.generic_fb_primary(s2) == "text"
+
+
+def test_o4_quality_score_three_implementations_agree(spark):
+    """O4's quality score exists THREE times — the native SQL twin
+    (detect.py, drives the in-plan selection), independent.py (kernel O6
+    path) and oracle.py (contract) — and the near-tie branch compares
+    scores with a strict threshold, so all three must agree bit-for-bit
+    on realistic assembled texts."""
+    import pyspark.sql.functions as F
+
+    from pdf_extractor_scripts_spark import oracle as O
+    from pdf_extractor_scripts_spark.fixtures import make_corpus
+    from pdf_extractor_scripts_spark.operators import independent as I
+    from pdf_extractor_scripts_spark.operators.detect import (
+        _ocr_line_score_sql,
+        _ocr_qscore_sql,
+    )
+
+    texts = [O.select_ocr_text(d["spans"]) for d in make_corpus(40, seed=42)]
+    texts += ["", "   ", "INVOICE 123 $45.67 TOTAL due 01/02/2024"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = df.select(
+        F.expr(_ocr_qscore_sql("t", 90.0)).alias("q90"),
+        F.expr(_ocr_qscore_sql("t", 80.0)).alias("q80"),
+    ).collect()
+    for row, t in zip(got, texts):
+        for col, conf in (("q90", 90.0), ("q80", 80.0)):
+            assert row[col] == I.ocr_quality_score(t, conf) == \
+                O.ocr_quality_score(t, conf), (t[:40], conf)
+
+    # line score (the near-tie merge comparator) on stripped lines — the
+    # only form the combine path feeds it
+    lines = [l.strip() for t in texts for l in t.split("\n") if l.strip()][:80]
+    ldf = spark.createDataFrame([(l,) for l in lines], "l string")
+    lgot = ldf.select(F.expr(_ocr_line_score_sql("l")).alias("s")).collect()
+    for row, l in zip(lgot, lines):
+        assert row["s"] == I._line_score(l) == O._ocr_line_score(l), l[:40]
