@@ -236,3 +236,29 @@ def quality_comparison(a: DataFrame, b: DataFrame, text_col: str = "text") -> Da
             adv("overall_quality_score", "Higher overall quality"),
         ).alias("advantages"),
     )
+
+
+def render_side_by_side(
+    text_a: str, text_b: str, title: str, lines_to_show: int = 50,
+    label_a: str = "EXTRACTION A", label_b: str = "EXTRACTION B",
+) -> str:
+    """The reference's side-by-side visual diff
+    (visual_text_comparison.py:28-55) as a returned string: 120-wide
+    banner, 60/60 columns, per-line truncation at 58+'..' — a driver-side
+    debugging view over two collected texts (never a distributed op)."""
+    out = [
+        "=" * 120,
+        title.center(120),
+        "=" * 120,
+        f"{label_a.center(60)} | {label_b.center(60)}",
+        f"{'-' * 60} | {'-' * 60}",
+    ]
+    la = text_a.split("\n")[:lines_to_show]
+    lb = text_b.split("\n")[:lines_to_show]
+    for i in range(max(len(la), len(lb))):
+        a = la[i] if i < len(la) else ""
+        b = lb[i] if i < len(lb) else ""
+        a = a[:58] + ".." if len(a) > 60 else a
+        b = b[:58] + ".." if len(b) > 60 else b
+        out.append(f"{a:<60} | {b:<60}")
+    return "\n".join(out)

@@ -227,3 +227,19 @@ def test_quality_comparison_differences_and_advantages(spark):
     assert row2["differences"] == []
     assert {adv["side"] for adv in row2["advantages"]} == {"b"}
     assert len(row2["advantages"]) == 3
+
+
+def test_render_side_by_side_format():
+    """visual_text_comparison.py:28-55 format: 120-wide banner, 60/60
+    columns, 58+'..' truncation, shorter side padded with blanks."""
+    from pdf_extractor_scripts_spark.operators.compare_text import (
+        render_side_by_side,
+    )
+
+    a = "short\n" + "x" * 70
+    b = "only line"
+    out = render_side_by_side(a, b, "TEST").split("\n")
+    assert out[0] == "=" * 120 and "TEST" in out[1]
+    assert out[5].startswith("short") and out[5][60:62] == " |"
+    assert out[6].startswith("x" * 58 + "..")
+    assert out[6].rstrip().endswith("|")  # b side blank on row 2
