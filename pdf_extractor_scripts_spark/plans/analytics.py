@@ -468,6 +468,8 @@ def stream_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Semi-structured field extraction from a JSON payload column — "
         "JVM-side get_json_object, no Python in the loop.",
+    gated=False,  # illustrative non-§2 row; vacated its driver slot for
+                  # dedup_clusters (r5) — still DuckDB-parity-checked locally
 )
 def f15_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -507,6 +509,8 @@ def _funnel_sql(dialect: str) -> str:
     doc="Ordered funnel (signup → first view after → first purchase after): "
         "one groupBy(user) with conditional-min stage times, then ordering "
         "predicates — no self-joins, one shuffle.",
+    gated=False,  # illustrative non-§2 row; vacated its driver slot for
+                  # corpus_curation (r5) — still DuckDB-parity-checked locally
 )
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)

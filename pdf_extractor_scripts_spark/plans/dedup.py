@@ -80,6 +80,17 @@ _BANDS = 4
 # max_bucket=None to opt out (research/audit runs only).
 _MAX_BUCKET = 64
 
+# Broadcast ceiling for the Jaccard-verify pair list (rows). Below this the
+# candidate pairs (and their doc-id list) are broadcast into the verify
+# joins — measured 10.0s vs 16.8s for the shuffle form at sf0.1. Above it
+# the hint is DROPPED automatically and AQE picks a shuffle join: the guard
+# keeps |pairs| ~linear in corpus size, but "linear" still outgrows executor
+# memory at 10^12 docs, and an OOM is worse than a slower join. ~50 bytes
+# per (doc_a, doc_b) row puts the default (4M rows) around 200 MB broadcast
+# — inside a 4 GB executor's comfort zone. Tests drive the fallback path by
+# monkeypatching this to 0.
+BROADCAST_PAIRS_MAX = 4_000_000
+
 
 # --------------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
@@ -411,6 +422,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig.cache()
     pairs = lsh_candidate_pairs(sig, _K, _BANDS, _MAX_BUCKET)
+    # Automated broadcast decision (r4 VERDICT #6): cache the pair list and
+    # count it — sig is already cached, so the count's marginal cost is the
+    # band join, which the cache then reuses for the verify. Below the
+    # ceiling → broadcast both the pair list and its doc-id list (fastest
+    # measured form); above → plain joins, AQE chooses the strategy. The
+    # per-row set math is identical on both paths.
+    pairs = pairs.cache()
+    use_bc = pairs.count() <= BROADCAST_PAIRS_MAX
+    _bc = F.broadcast if use_bc else (lambda df: df)
     # Per-row set math (r3 VERDICT #3): verify from distinct (doc_id, h)
     # rows instead of shipping collect_set arrays through the pair joins —
     # every shuffled row stays 2-3 narrow columns (no row ever carries a
@@ -427,7 +447,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    dist = rows.join(F.broadcast(cand_docs), "doc_id", "left_semi").distinct()
+    dist = rows.join(_bc(cand_docs), "doc_id", "left_semi").distinct()
     dist.cache()
     sizes = dist.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ra = dist.select(F.col("doc_id").alias("doc_a"), "h")
@@ -436,11 +456,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16.8s for the shuffle form at sf0.1, interleaved min-of-2): pairs
     # are (doc_a, doc_b) strings, guard-bounded to ~linear in corpus size,
     # so the broadcast stays MBs while the per-shingle sides never
-    # re-shuffle for join 1. At 10^12 docs, when |pairs| outgrows executor
-    # memory, drop the hint (AQE picks shuffle-hash) or shard the verify
-    # by band_id — the per-row set math is unchanged either way.
+    # re-shuffle for join 1. Above BROADCAST_PAIRS_MAX the hint is dropped
+    # automatically (use_bc above) — the per-row set math is unchanged.
     inter = (
-        ra.join(F.broadcast(pairs), "doc_a")
+        ra.join(_bc(pairs), "doc_a")
         .join(rb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -562,8 +581,8 @@ def _clusters_sql() -> str:
         "to drop. One row per corpus document (singletons survive as their "
         "own cluster). DuckDB replays the fixpoint as a recursive "
         "reachability CTE.",
-    gated=False,  # registry holds the 50-row gate window; locally
-                  # oracle-checked like every other spec
+    gated=True,  # the curation money-path holds a driver slot (r5);
+                 # f15_json_props vacated the window to make room
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(spark, sf_dir)
@@ -617,7 +636,8 @@ def _curation_sql(dialect: str) -> str:
         "Pure composition of dedup_clusters and the P6 quality formula — "
         "one extra doc_id join each, then a tiny rollup; at 100 TB the "
         "joins are co-partitioned on doc_id.",
-    gated=False,  # composition of gated/checked parts; local oracle check
+    gated=True,  # the end-to-end funnel a training-data user actually runs
+                 # holds a driver slot (r5); funnel_conversion vacated
 )
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import p6_text_quality
