@@ -74,7 +74,7 @@ def _utc(spark: SparkSession) -> None:
 
 def _ensure_loaded() -> None:
     """Import all query modules for their registration side effects."""
-    from . import analytics, textops, layout, dedup, similarity, pipelineops, scalepath  # noqa: F401
+    from . import analytics, textops, layout, dedup, similarity, pipelineops, scalepath, unified  # noqa: F401
 
 
 def all_queries() -> dict[str, QuerySpec]:
