@@ -22,10 +22,13 @@ support for Flate/LZW (the layout every real xref stream uses); terminal
 image codecs (DCTDecode/JPXDecode/CCITTFax/JBIG2) pass their compressed
 bytes through — a page image's payload IS the compressed image, which is
 exactly what the media-span model wants (pixel decode is the env-blocked
-multimodal seam, operators/multimodal.py). Encrypted PDFs are detected via
-the trailer /Encrypt entry and rejected with PdfEncryptedError so ingest
-counts them as a distinct parse-fallback reason (reference behavior:
-pdfplumber raises and the fallback chain advances,
+multimodal seam, operators/multimodal.py). Encrypted PDFs (r5): standard
+security handler with an EMPTY user password (RC4 V1/V2, R2-R3) decrypts
+transparently — the common real-world "secured" invoice, which the
+reference opens via PyPDF2 .decrypt('') (pdf_text_detector.py:171-204);
+AES (/V 4+) or a nonempty user password raises PdfEncryptedError so
+ingest counts genuinely locked files as a distinct parse-fallback reason
+(reference behavior: pdfplumber raises and the fallback chain advances,
 text_pdf_processor.py:661-670).
 
 Scope (documented simplifications, fine for the invoice-class PDFs the
@@ -40,18 +43,22 @@ span sequence → identical pipeline output.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
+from binascii import hexlify
 
 
 # ---------------------------------------------------------------------------
 # Object model
 # ---------------------------------------------------------------------------
 class PdfEncryptedError(ValueError):
-    """The file's trailer carries /Encrypt — content streams are RC4/AES
-    encrypted and unreadable without the decryption keys. Raised eagerly at
-    document open so ingest metrics count 'encrypted' as its own fallback
-    reason (the exception NAME is the reason key in parse_error)."""
+    """The file is GENUINELY locked: an unsupported handler (AES /V 4+) or
+    a nonempty user password (empty-password verification failed). Raised
+    eagerly at document open so ingest metrics count 'encrypted' as its
+    own fallback reason (the exception NAME is the reason key in
+    parse_error). Standard-handler RC4 with an empty user password no
+    longer lands here — those files decrypt transparently (r5)."""
 
 
 class Ref:
@@ -259,11 +266,64 @@ class PdfDocument:
     def __init__(self, data: bytes):
         self.data = data
         self.offsets, self.trailer = self._read_xref_chain()
-        if "Encrypt" in self.trailer:
-            # eager rejection with a DISTINCT error class: the ingest
-            # fallback path records the class name as the fallback reason
-            raise PdfEncryptedError("trailer has /Encrypt — encrypted PDF")
         self._cache: dict[int, object] = {}
+        self._enc_key: bytes | None = None
+        if "Encrypt" in self.trailer:
+            # standard security handler with an EMPTY user password (the
+            # common real-world "secured" invoice — the reference opens
+            # these via PyPDF2 .decrypt(''), pdf_text_detector.py:171-204)
+            # decrypts transparently; anything else raises the DISTINCT
+            # PdfEncryptedError class so ingest metrics count 'encrypted'
+            # as its own fallback reason
+            self._setup_decryption()
+
+    def _setup_decryption(self) -> None:
+        """RC4 V1/V2 R2-R3 empty-user-password setup (spec §7.6.3) — the
+        /Encrypt dict itself is never encrypted, so fetching it before
+        ``_enc_key`` is set is exactly right."""
+        from .pdfcrypt import derive_file_key, verify_user_password
+
+        enc = self.get(self.trailer["Encrypt"])
+        filt = self.get(enc.get("Filter"))
+        v = int(self.get(enc.get("V", 0)) or 0)
+        r = int(self.get(enc.get("R", 0)) or 0)
+        if filt != "Standard" or v not in (1, 2) or r not in (2, 3):
+            raise PdfEncryptedError(
+                f"unsupported encryption (Filter={filt} V={v} R={r}) — "
+                "only standard-handler RC4 V1/V2 R2-R3 is readable"
+            )
+        o = self.get(enc.get("O")) or b""
+        u = self.get(enc.get("U")) or b""
+        p = int(self.get(enc.get("P", -1)))
+        length = int(self.get(enc.get("Length", 40)) or 40)
+        ids = self.get(self.trailer.get("ID")) or []
+        id0 = self.get(ids[0]) if ids else b""
+        key = derive_file_key(b"", o, p, id0, r, length)
+        if not verify_user_password(key, u, id0, r):
+            raise PdfEncryptedError(
+                "password-protected — empty user password rejected"
+            )
+        self._enc_key = key
+
+    def _decrypt_strings(self, val, num: int):
+        """Strings in a directly-stored object are encrypted with that
+        object's key; nested direct dicts/arrays inherit it. (Objects
+        inside an /ObjStm are NOT separately encrypted — their container
+        stream already was — so this only runs for direct objects.)"""
+        from .pdfcrypt import object_key, rc4
+
+        key = object_key(self._enc_key, num)
+
+        def walk(v):
+            if isinstance(v, bytes):
+                return rc4(key, v)
+            if isinstance(v, dict):
+                return {k: walk(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [walk(x) for x in v]
+            return v
+
+        return walk(val)
 
     # -- xref ---------------------------------------------------------------
     def _read_xref_chain(self):
@@ -406,7 +466,15 @@ class PdfDocument:
                 p += 1
             length = int(self.get(val["Length"]))
             raw = self.data[p : p + length]
+            if self._enc_key is not None and val.get("Type") != "XRef":
+                # decrypt BEFORE filter decode (spec order); cross-reference
+                # streams are never encrypted
+                from .pdfcrypt import object_key, rc4
+
+                raw = rc4(object_key(self._enc_key, obj.num), raw)
             val = _Stream(val, raw)
+        elif self._enc_key is not None:
+            val = self._decrypt_strings(val, obj.num)
         self._cache[obj.num] = val
         return val
 
@@ -937,7 +1005,7 @@ def _esc(s: str) -> bytes:
 def build_pdf(
     pages: list[list[tuple]], compress: bool = True, xref_stream: bool = False,
     content_filter: str | None = None, image_filter: str = "Flate",
-    encrypted: bool = False,
+    encrypted: bool | str = False,
 ) -> bytes:
     """Build a PDF file from ordered paint events.
 
@@ -953,9 +1021,37 @@ def build_pdf(
     ``content_filter`` picks the content-stream codec ("Flate" | "LZW" |
     "AHx" | "A85" | "RL"; None → the legacy ``compress`` flag). ``image_
     filter`` is "Flate" or "DCT" (fake-JPEG bytes under /DCTDecode — the
-    scanned-page layout). ``encrypted=True`` stamps a /Encrypt entry so
-    tests can exercise the PdfEncryptedError ingest path.
+    scanned-page layout). ``encrypted=True`` REALLY encrypts every stream
+    with the standard security handler (RC4 V1 R2, empty user+owner
+    password — the common "secured" invoice, readable without a prompt);
+    ``encrypted="aes"`` stamps an unsupported /V 4 dict so tests can
+    exercise the PdfEncryptedError reject path.
     """
+    from .pdfcrypt import (
+        derive_file_key, object_key, owner_entry, rc4, user_entry,
+    )
+
+    if encrypted is True or encrypted == "rc4-128":
+        v, r, length = (2, 3, 128) if encrypted == "rc4-128" else (1, 2, 40)
+        file_id = hashlib.md5(b"pdf_extractor_scripts_spark fixture id").digest()
+        o_entry = owner_entry(b"", b"", r=r)
+        file_key = derive_file_key(b"", o_entry, -1, file_id, r=r, length=length)
+        u_entry = user_entry(file_key, file_id, r)
+        id_hex = hexlify(file_id)
+        enc_dict = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d "
+            b"/O <%s> /U <%s> /P -1 >>"
+            % (v, r, length, hexlify(o_entry), hexlify(u_entry))
+        )
+
+        def enc_stream(num: int, data: bytes) -> bytes:
+            return rc4(object_key(file_key, num), data)
+    else:
+        enc_dict = (b"<< /Filter /Standard /V 4 /R 4 >>"
+                    if encrypted == "aes" else b"")
+        id_hex = b""
+        enc_stream = lambda num, data: data  # noqa: E731
+
     objects: dict[int, bytes] = {}
     next_num = 1
 
@@ -985,6 +1081,7 @@ def build_pdf(
             else:
                 img_data = zlib.compress(b"\x80")
                 fname = b"FlateDecode"
+            img_data = enc_stream(inum, img_data)
             objects[inum] = (
                 b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
                 b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
@@ -1037,6 +1134,7 @@ def build_pdf(
             payload = content
             stream_dict = b"<< /Length %d >>" % len(payload)
         cnum = alloc()
+        payload = enc_stream(cnum, payload)  # RC4 preserves length
         objects[cnum] = b"%s\nstream\n%s\nendstream" % (stream_dict, payload)
 
         xobj = b""
@@ -1072,8 +1170,9 @@ def build_pdf(
         out += b"0000000000 65535 f \n"
         for num in range(1, n_objs):
             out += b"%010d 00000 n \n" % offsets[num]
-        enc = (b" /Encrypt << /Filter /Standard /V 1 /R 2 >>"
-               if encrypted else b"")
+        enc = b" /Encrypt " + enc_dict if enc_dict else b""
+        if id_hex:
+            enc += b" /ID [<%s> <%s>]" % (id_hex, id_hex)
         out += (b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
                 % (n_objs, catalog_num, enc, xref_pos))
         return bytes(out)
@@ -1090,6 +1189,7 @@ def build_pdf(
     first = len(header) + 1
     payload = zlib.compress(header + b"\n" + b"\n".join(bodies))
     objstm_num = alloc()
+    payload = enc_stream(objstm_num, payload)
     objects[objstm_num] = (
         b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>"
         b"\nstream\n%s\nendstream" % (len(packed), first, len(payload), payload)
@@ -1118,7 +1218,9 @@ def build_pdf(
         else:
             rows.append(entry(1, offsets[num], 0))
     xref_payload = zlib.compress(b"".join(rows))
-    enc = (b"/Encrypt << /Filter /Standard /V 1 /R 2 >> " if encrypted else b"")
+    enc = b"/Encrypt " + enc_dict + b" " if enc_dict else b""
+    if id_hex:
+        enc += b"/ID [<%s> <%s>] " % (id_hex, id_hex)
     out += b"%d 0 obj\n" % xref_num
     out += (
         b"<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d] /Root %d 0 R %s"

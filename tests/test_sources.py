@@ -290,11 +290,14 @@ def test_dct_image_payload_passthrough():
     assert all(p["payload"] == b"\x80" for p in flate)
 
 
-def test_encrypted_pdf_is_a_distinct_counted_fallback_reason(spark, tmpdir):
-    """An /Encrypt trailer is rejected eagerly with PdfEncryptedError; the
-    Spark ingest path degrades the doc to the empty-page fallback with the
-    error CLASS as the reason key — so batch metrics can report
-    'encrypted' separately from 'corrupt' without a second pass."""
+def test_genuinely_locked_pdf_is_a_distinct_counted_fallback_reason(spark, tmpdir):
+    """r5: PdfEncryptedError is now reserved for GENUINELY locked files —
+    unsupported handlers (AES /V 4) and files whose empty user password
+    fails verification. The Spark ingest path degrades those to the
+    empty-page fallback with the error CLASS as the reason key — so batch
+    metrics report 'encrypted' separately from 'corrupt'."""
+    import re
+
     from pdf_extractor_scripts_spark.sources.pdfparse import (
         PdfEncryptedError,
         build_pdf,
@@ -304,11 +307,22 @@ def test_encrypted_pdf_is_a_distinct_counted_fallback_reason(spark, tmpdir):
     pages = [[("text", "INVOICE 123")]]
     for xs in (False, True):
         with pytest.raises(PdfEncryptedError):
-            parse_pdf_spans(build_pdf(pages, encrypted=True, xref_stream=xs),
+            parse_pdf_spans(build_pdf(pages, encrypted="aes", xref_stream=xs),
                             "misc/e.pdf")
 
+    # a NONEMPTY user password: corrupt /U so the empty-password check fails
+    wrongpass = re.sub(
+        rb"/U <([0-9a-f]+)>",
+        lambda m: b"/U <" + b"00" * (len(m.group(1)) // 2) + b">",
+        build_pdf(pages, encrypted=True),
+    )
+    with pytest.raises(PdfEncryptedError, match="password-protected"):
+        parse_pdf_spans(wrongpass, "misc/locked.pdf")
+
     with open(f"{tmpdir}/enc.pdf", "wb") as f:
-        f.write(build_pdf(pages, encrypted=True))
+        f.write(build_pdf(pages, encrypted="aes"))
+    with open(f"{tmpdir}/locked.pdf", "wb") as f:
+        f.write(wrongpass)
     with open(f"{tmpdir}/corrupt.pdf", "wb") as f:
         f.write(b"%PDF-1.4 garbage")
     with open(f"{tmpdir}/ok.pdf", "wb") as f:
@@ -324,8 +338,51 @@ def test_encrypted_pdf_is_a_distinct_counted_fallback_reason(spark, tmpdir):
     }
     assert reasons["ok.pdf"] == ""
     assert reasons["enc.pdf"] == "PdfEncryptedError"
+    assert reasons["locked.pdf"] == "PdfEncryptedError"
     assert reasons["corrupt.pdf"] not in ("", "PdfEncryptedError")
-    assert acc.value == 2
+    assert acc.value == 3
+
+
+def test_empty_password_rc4_pdf_decrypts_transparently(spark, tmpdir):
+    """r5 (VERDICT r4 #4): standard-security-handler files with an EMPTY
+    user password — the common real-world 'secured' invoice — decrypt
+    transparently (the reference gets this from PyPDF2 .decrypt(''),
+    pdf_text_detector.py:171-204). RC4 V1/R2/40-bit and V2/R3/128-bit,
+    classic and xref-stream layouts, all span-identical to plaintext; the
+    Spark ingest path parses them with zero fallbacks."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        parse_pdf_spans,
+    )
+
+    pages = [[("text", "INVOICE 123"), ("text", "TOTAL 45.00"), ("image",)],
+             [("text", "PAGE TWO")]]
+    for xs in (False, True):
+        plain = parse_pdf_spans(build_pdf(pages, xref_stream=xs), "d.pdf")
+        for mode in (True, "rc4-128"):
+            got = parse_pdf_spans(
+                build_pdf(pages, encrypted=mode, xref_stream=xs), "d.pdf"
+            )
+            assert got == plain, (xs, mode)
+
+    # ciphertext check: even uncompressed, the payload bytes are opaque
+    raw = build_pdf(pages, compress=False, encrypted=True)
+    assert b"INVOICE" not in raw
+
+    with open(f"{tmpdir}/enc_r2.pdf", "wb") as f:
+        f.write(build_pdf(pages, encrypted=True))
+    with open(f"{tmpdir}/enc_r3.pdf", "wb") as f:
+        f.write(build_pdf(pages, encrypted="rc4-128", xref_stream=True))
+    acc = spark.sparkContext.accumulator(0)
+    parsed = parse_binary_to_spans(
+        read_binary_docs(spark, tmpdir), fallback_acc=acc
+    ).collect()
+    assert acc.value == 0
+    texts = {r["doc_id"].rsplit("/", 1)[-1]:
+             [s["text"] for s in r["spans"] if s["kind"] == "text"]
+             for r in parsed}
+    assert texts["enc_r2.pdf"] == ["INVOICE 123", "TOTAL 45.00", "PAGE TWO"]
+    assert texts["enc_r3.pdf"] == ["INVOICE 123", "TOTAL 45.00", "PAGE TWO"]
 
 
 def test_inline_image_bi_id_ei():
