@@ -224,3 +224,53 @@ def test_fields_single_matches_oracle_on_all_fixture_docs():
                     (d["doc_id"], vendor)
                 checked += 1
     assert checked == 960
+
+
+# ---------------------------------------------------------------------------
+# r5: standard-security-handler crypto properties (no Spark needed)
+# ---------------------------------------------------------------------------
+@given(st.binary(min_size=0, max_size=512), st.binary(min_size=1, max_size=16))
+@settings(max_examples=50, deadline=None)
+def test_rc4_is_an_involution(data, key):
+    from pdf_extractor_scripts_spark.sources.pdfcrypt import rc4
+
+    assert rc4(key, rc4(key, data)) == data
+
+
+@given(st.binary(min_size=0, max_size=24), st.sampled_from([2, 3]))
+@settings(max_examples=30, deadline=None)
+def test_empty_user_password_always_verifies(owner_pw, r):
+    """Whatever the OWNER password, a file whose user password is empty
+    must authenticate with the empty password (that's the whole point of
+    the transparent-decryption path) — and a NONEMPTY user password must
+    not."""
+    from pdf_extractor_scripts_spark.sources.pdfcrypt import (
+        derive_file_key,
+        owner_entry,
+        user_entry,
+        verify_user_password,
+    )
+
+    id0 = b"\x01\x02" * 8
+    length = 40 if r == 2 else 128
+    o = owner_entry(owner_pw, b"", r=r)
+    key = derive_file_key(b"", o, -1, id0, r, length)
+    u = user_entry(key, id0, r)
+    assert verify_user_password(key, u, id0, r)
+
+    # a document whose USER password is 'secret' must reject empty
+    o2 = owner_entry(owner_pw, b"secret", r=r)
+    key_secret = derive_file_key(b"secret", o2, -1, id0, r, length)
+    u2 = user_entry(key_secret, id0, r)
+    key_empty = derive_file_key(b"", o2, -1, id0, r, length)
+    assert not verify_user_password(key_empty, u2, id0, r)
+
+
+@given(st.integers(min_value=1, max_value=9_999_999))
+@settings(max_examples=30, deadline=None)
+def test_object_keys_differ_per_object(num):
+    from pdf_extractor_scripts_spark.sources.pdfcrypt import object_key
+
+    k = b"\x11" * 5
+    assert object_key(k, num) != object_key(k, num + 1)
+    assert len(object_key(k, num)) == 10  # min(5+5, 16)
