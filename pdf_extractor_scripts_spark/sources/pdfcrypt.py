@@ -52,15 +52,19 @@ def _pad(password: bytes) -> bytes:
 
 
 def derive_file_key(
-    password: bytes, o_entry: bytes, p: int, id0: bytes, r: int, length: int = 40
+    password: bytes, o_entry: bytes, p: int, id0: bytes, r: int,
+    length: int = 40, encrypt_metadata: bool = True,
 ) -> bytes:
     """Algorithm 2: the file encryption key from the (padded) user
-    password, /O, /P (signed 32-bit little-endian) and the first file ID."""
+    password, /O, /P (signed 32-bit little-endian) and the first file ID.
+    R4 with /EncryptMetadata false appends FF FF FF FF to the hash input."""
     h = hashlib.md5()
     h.update(_pad(password))
     h.update(o_entry[:32])
     h.update(struct.pack("<i", p))
     h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     digest = h.digest()
     n = 5 if r == 2 else max(5, min(16, length // 8))
     if r >= 3:

@@ -23,8 +23,8 @@ image codecs (DCTDecode/JPXDecode/CCITTFax/JBIG2) pass their compressed
 bytes through — a page image's payload IS the compressed image, which is
 exactly what the media-span model wants (pixel decode is the env-blocked
 multimodal seam, operators/multimodal.py). Encrypted PDFs (r5): standard
-security handler with an EMPTY user password (RC4 V1/V2, R2-R3) decrypts
-transparently — the common real-world "secured" invoice, which the
+security handler with an EMPTY user password (RC4 — V1/V2 R2-R3, or V4/R4
+with a /V2 crypt filter) decrypts transparently — the common real-world "secured" invoice, which the
 reference opens via PyPDF2 .decrypt('') (pdf_text_detector.py:171-204);
 AES (/V 4+) or a nonempty user password raises PdfEncryptedError so
 ingest counts genuinely locked files as a distinct parse-fallback reason
@@ -287,23 +287,57 @@ class PdfDocument:
         filt = self.get(enc.get("Filter"))
         v = int(self.get(enc.get("V", 0)) or 0)
         r = int(self.get(enc.get("R", 0)) or 0)
-        if filt != "Standard" or v not in (1, 2) or r not in (2, 3):
+        length = int(self.get(enc.get("Length", 40)) or 40)
+        encrypt_metadata = bool(self.get(enc.get("EncryptMetadata", True)))
+        ok = filt == "Standard" and (
+            (v in (1, 2) and r in (2, 3))
+            or (v == 4 and r == 4 and self._v4_rc4_length(enc) is not None)
+        )
+        if not ok:
+            cfm = self._v4_cfm(enc) if v >= 4 else None
             raise PdfEncryptedError(
-                f"unsupported encryption (Filter={filt} V={v} R={r}) — "
-                "only standard-handler RC4 V1/V2 R2-R3 is readable"
+                f"unsupported encryption (Filter={filt} V={v} R={r}"
+                + (f" CFM={cfm}" if cfm else "")
+                + ") — standard-handler RC4 only (V1/V2 R2-R3, or V4/R4 "
+                "with a /V2 crypt filter)"
             )
+        if v == 4:
+            length = self._v4_rc4_length(enc)
         o = self.get(enc.get("O")) or b""
         u = self.get(enc.get("U")) or b""
         p = int(self.get(enc.get("P", -1)))
-        length = int(self.get(enc.get("Length", 40)) or 40)
         ids = self.get(self.trailer.get("ID")) or []
         id0 = self.get(ids[0]) if ids else b""
-        key = derive_file_key(b"", o, p, id0, r, length)
+        key = derive_file_key(b"", o, p, id0, r, length, encrypt_metadata)
         if not verify_user_password(key, u, id0, r):
             raise PdfEncryptedError(
                 "password-protected — empty user password rejected"
             )
         self._enc_key = key
+
+    def _v4_cfm(self, enc) -> str | None:
+        """The /CFM of the crypt filter the default stream filter (/StmF)
+        names, or None when it cannot be resolved."""
+        cf = self.get(enc.get("CF")) or {}
+        stmf = self.get(enc.get("StmF", "Identity"))
+        entry = self.get(cf.get(str(stmf))) if str(stmf) in cf else None
+        return str(self.get(entry.get("CFM"))) if entry else None
+
+    def _v4_rc4_length(self, enc):
+        """Key length (bits) iff this V4 dict is plain-RC4: both default
+        filters (/StmF, /StrF) must name a crypt filter whose /CFM is /V2.
+        AESV2/AESV3, /Identity defaults, or a missing /CF → None (reject —
+        anything but uniform RC4 is beyond this reader)."""
+        cf = self.get(enc.get("CF")) or {}
+        names = {str(self.get(enc.get(k, "Identity"))) for k in ("StmF", "StrF")}
+        if len(names) != 1 or "Identity" in names:
+            return None
+        entry = self.get(cf.get(names.pop()))
+        if not isinstance(entry, dict) or str(self.get(entry.get("CFM"))) != "V2":
+            return None
+        n = int(self.get(entry.get("Length", 16)) or 16)
+        # CF /Length is spec'd in BYTES but some writers emit bits
+        return n * 8 if n <= 16 else n
 
     def _decrypt_strings(self, val, num: int):
         """Strings in a directly-stored object are encrypted with that
@@ -1031,24 +1065,33 @@ def build_pdf(
         derive_file_key, object_key, owner_entry, rc4, user_entry,
     )
 
-    if encrypted is True or encrypted == "rc4-128":
-        v, r, length = (2, 3, 128) if encrypted == "rc4-128" else (1, 2, 40)
+    if encrypted is True or encrypted in ("rc4-128", "v4-rc4"):
+        v, r, length = {
+            True: (1, 2, 40), "rc4-128": (2, 3, 128), "v4-rc4": (4, 4, 128),
+        }[encrypted]
         file_id = hashlib.md5(b"pdf_extractor_scripts_spark fixture id").digest()
-        o_entry = owner_entry(b"", b"", r=r)
+        o_entry = owner_entry(b"", b"", r=min(r, 3))
         file_key = derive_file_key(b"", o_entry, -1, file_id, r=r, length=length)
         u_entry = user_entry(file_key, file_id, r)
         id_hex = hexlify(file_id)
+        cf = (b"/CF << /StdCF << /CFM /V2 /Length 16 >> >> "
+              b"/StmF /StdCF /StrF /StdCF " if v == 4 else b"")
         enc_dict = (
-            b"<< /Filter /Standard /V %d /R %d /Length %d "
+            b"<< /Filter /Standard /V %d /R %d /Length %d %s"
             b"/O <%s> /U <%s> /P -1 >>"
-            % (v, r, length, hexlify(o_entry), hexlify(u_entry))
+            % (v, r, length, cf, hexlify(o_entry), hexlify(u_entry))
         )
 
         def enc_stream(num: int, data: bytes) -> bytes:
             return rc4(object_key(file_key, num), data)
     else:
-        enc_dict = (b"<< /Filter /Standard /V 4 /R 4 >>"
-                    if encrypted == "aes" else b"")
+        # a realistic AESV2 dict: the reject path a real Acrobat-9 AES
+        # file would take
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF >>"
+            if encrypted == "aes" else b"")
         id_hex = b""
         enc_stream = lambda num, data: data  # noqa: E731
 

@@ -359,7 +359,7 @@ def test_empty_password_rc4_pdf_decrypts_transparently(spark, tmpdir):
              [("text", "PAGE TWO")]]
     for xs in (False, True):
         plain = parse_pdf_spans(build_pdf(pages, xref_stream=xs), "d.pdf")
-        for mode in (True, "rc4-128"):
+        for mode in (True, "rc4-128", "v4-rc4"):
             got = parse_pdf_spans(
                 build_pdf(pages, encrypted=mode, xref_stream=xs), "d.pdf"
             )
