@@ -1199,7 +1199,22 @@ def build_pdf(
                           % (kids, len(kid_nums)))
     objects[catalog_num] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
 
+    # /Info with a literal string — exercises STRING decryption: in the
+    # classic layout the string is RC4'd with the Info object's own key; in
+    # the ObjStm layout it stays plain inside the (encrypted) container
+    # stream, pinning that objstm strings are never double-decrypted
+    producer = b"pdf_extractor_scripts_spark writer"
+    info_num = alloc()
+    if enc_dict and id_hex:  # really-encrypted modes only
+        info_body = b"<< /Producer <%s> >>" % hexlify(
+            enc_stream(info_num, producer)
+        )
+        info_plain = b"<< /Producer (%s) >>" % producer
+    else:
+        info_body = info_plain = b"<< /Producer (%s) >>" % producer
+
     if not xref_stream:
+        objects[info_num] = info_body
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
         offsets: dict[int, int] = {}
         for num in sorted(objects):
@@ -1216,13 +1231,15 @@ def build_pdf(
         enc = b" /Encrypt " + enc_dict if enc_dict else b""
         if id_hex:
             enc += b" /ID [<%s> <%s>]" % (id_hex, id_hex)
-        out += (b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
-                % (n_objs, catalog_num, enc, xref_pos))
+        out += (b"trailer\n<< /Size %d /Root %d 0 R /Info %d 0 R%s >>"
+                b"\nstartxref\n%d\n%%%%EOF\n"
+                % (n_objs, catalog_num, info_num, enc, xref_pos))
         return bytes(out)
 
     # --- PDF 1.5: pack the document dicts into an /ObjStm, emit an /XRef
     # stream instead of a classic table ---
-    packed = [catalog_num, pages_num, font_num]
+    packed = [catalog_num, pages_num, font_num, info_num]
+    objects[info_num] = info_plain  # container stream carries the crypto
     bodies = [objects.pop(n) for n in packed]
     offs, cur = [], 0
     for b in bodies:
@@ -1266,9 +1283,11 @@ def build_pdf(
         enc += b"/ID [<%s> <%s>] " % (id_hex, id_hex)
     out += b"%d 0 obj\n" % xref_num
     out += (
-        b"<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d] /Root %d 0 R %s"
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d] /Root %d 0 R "
+        b"/Info %d 0 R %s"
         b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
-        % (n_objs, n_objs, catalog_num, enc, len(xref_payload), xref_payload)
+        % (n_objs, n_objs, catalog_num, info_num, enc, len(xref_payload),
+           xref_payload)
     )
     out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)

@@ -458,3 +458,27 @@ def test_name_hex_escapes_and_lone_cr_stream():
             % xref_pos)
     spans = parse_pdf_spans(bytes(out), "d")
     assert [s["text"] for s in spans] == ["=== PAGE 1 ===", "HI#"]
+
+
+def test_encrypted_string_decryption_both_storage_layouts():
+    """r5: document-level STRINGS decrypt too — a direct-object /Info
+    Producer string is RC4'd with the Info object's own key (classic
+    layout) while the same string inside an /ObjStm stays plain under the
+    container stream's encryption (PDF 1.5 layout) — pinning both that
+    direct strings decrypt and that objstm strings are never
+    double-decrypted."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        PdfDocument,
+        build_pdf,
+    )
+
+    pages = [[("text", "INVOICE 1")]]
+    expect = b"pdf_extractor_scripts_spark writer"
+    for xs in (False, True):
+        for mode in (False, True, "rc4-128", "v4-rc4"):
+            doc = PdfDocument(build_pdf(pages, xref_stream=xs, encrypted=mode))
+            info = doc.get(doc.trailer["Info"])
+            assert info["Producer"] == expect, (xs, mode)
+    # the ciphertext really is opaque in the classic encrypted layout
+    raw = build_pdf(pages, encrypted=True)
+    assert expect not in raw
