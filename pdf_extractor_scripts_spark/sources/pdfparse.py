@@ -1065,17 +1065,23 @@ def build_pdf(
         derive_file_key, object_key, owner_entry, rc4, user_entry,
     )
 
-    if encrypted is True or encrypted in ("rc4-128", "v4-rc4"):
+    if encrypted is True or encrypted in ("rc4-128", "v4-rc4",
+                                          "v4-rc4-nometa"):
         v, r, length = {
             True: (1, 2, 40), "rc4-128": (2, 3, 128), "v4-rc4": (4, 4, 128),
+            "v4-rc4-nometa": (4, 4, 128),
         }[encrypted]
+        em = encrypted != "v4-rc4-nometa"
         file_id = hashlib.md5(b"pdf_extractor_scripts_spark fixture id").digest()
         o_entry = owner_entry(b"", b"", r=min(r, 3))
-        file_key = derive_file_key(b"", o_entry, -1, file_id, r=r, length=length)
+        file_key = derive_file_key(b"", o_entry, -1, file_id, r=r,
+                                   length=length, encrypt_metadata=em)
         u_entry = user_entry(file_key, file_id, r)
         id_hex = hexlify(file_id)
         cf = (b"/CF << /StdCF << /CFM /V2 /Length 16 >> >> "
-              b"/StmF /StdCF /StrF /StdCF " if v == 4 else b"")
+              b"/StmF /StdCF /StrF /StdCF "
+              + (b"" if em else b"/EncryptMetadata false ")
+              if v == 4 else b"")
         enc_dict = (
             b"<< /Filter /Standard /V %d /R %d /Length %d %s"
             b"/O <%s> /U <%s> /P -1 >>"

@@ -359,7 +359,7 @@ def test_empty_password_rc4_pdf_decrypts_transparently(spark, tmpdir):
              [("text", "PAGE TWO")]]
     for xs in (False, True):
         plain = parse_pdf_spans(build_pdf(pages, xref_stream=xs), "d.pdf")
-        for mode in (True, "rc4-128", "v4-rc4"):
+        for mode in (True, "rc4-128", "v4-rc4", "v4-rc4-nometa"):
             got = parse_pdf_spans(
                 build_pdf(pages, encrypted=mode, xref_stream=xs), "d.pdf"
             )
@@ -475,7 +475,7 @@ def test_encrypted_string_decryption_both_storage_layouts():
     pages = [[("text", "INVOICE 1")]]
     expect = b"pdf_extractor_scripts_spark writer"
     for xs in (False, True):
-        for mode in (False, True, "rc4-128", "v4-rc4"):
+        for mode in (False, True, "rc4-128", "v4-rc4", "v4-rc4-nometa"):
             doc = PdfDocument(build_pdf(pages, xref_stream=xs, encrypted=mode))
             info = doc.get(doc.trailer["Info"])
             assert info["Producer"] == expect, (xs, mode)
