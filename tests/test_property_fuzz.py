@@ -307,3 +307,33 @@ def test_malformed_encrypt_dicts_reject_cleanly(o_bytes, u_bytes, v, r):
     # exact original entries the parse must still work
     assert (v, r) in ((1, 2), (2, 3), (2, 2), (1, 3))
     assert doc.pages()
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_fast_lexer_matches_reference_lexer(data):
+    """r5: the regex master-tokenizer (_CLexer, the production hot path)
+    must produce the IDENTICAL token stream and end positions as the
+    per-character reference _Lexer on arbitrary bytes — same tokens, same
+    final positions, same exception/no-exception behavior."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import _CLexer, _Lexer
+
+    a, b = _Lexer(data), _CLexer(data)
+    for _ in range(80):
+        try:
+            ta = a.next_token()
+            ea = None
+        except Exception as exc:
+            ta, ea = None, type(exc)
+        try:
+            tb = b.next_token()
+            eb = None
+        except Exception as exc:
+            tb, eb = None, type(exc)
+        assert ea == eb, (data, ea, eb)
+        if ea is not None:
+            return
+        assert ta == tb, (data, ta, tb)
+        assert a.pos == b.pos, (data, ta, a.pos, b.pos)
+        if ta is None:
+            return
