@@ -254,136 +254,143 @@ def extract_routed(
 
     Hybrid results ride the 't' slot; the 'o' slot is None for them.
     """
+    # List-based plumbing (r5): per-row pandas access (Series.__getitem__,
+    # .loc/.at) cost ~20% of the kernel wall at 1000-row batches; pull the
+    # columns out once, loop positionally, and only build Series at the
+    # Arrow boundary.
     n = len(vendor)
-    final = pd.Series([None] * n, index=vendor.index, dtype=object)
-    t_slot = pd.Series([True] * n, index=vendor.index)
-    generic_hybrid = []
+    vl, rl = vendor.tolist(), route.tolist()
+    fbl = fb_primary.tolist()
+    h1l, h2l = has1.tolist(), has2.tolist()
+    tl, ol = text.tolist(), ocr.tolist()
+    e1l, e2l = e1f.tolist(), e2f.tolist()
+    final: list = [None] * n
+    t_slot = [True] * n
+    generic_hybrid: list[int] = []
     side_of: dict = {}  # generic rows: which side the final input came from
-    for idx in vendor.index:
-        r = route[idx]
-        v = vendor[idx]
+    for i in range(n):
+        r = rl[i]
+        v = vl[i]
         if r == "text":
-            final[idx] = text[idx]
-            side_of[idx] = "text"
+            final[i] = tl[i]
+            side_of[i] = "text"
         elif r == "ocr":
-            final[idx] = ocr[idx]
-            t_slot[idx] = False
-            side_of[idx] = "ocr"
+            final[i] = ol[i]
+            t_slot[i] = False
+            side_of[i] = "ocr"
         else:
             if v == "schlage":
-                h1, h2 = bool(has1[idx]), bool(has2[idx])
+                h1, h2 = bool(h1l[i]), bool(h2l[i])
                 full = I.select_engine_text(
-                    e1f[idx] or "", e2f[idx] or "", h1, h2
+                    e1l[i] or "", e2l[i] or "", h1, h2
                 )
                 conf01 = (
                     C.OCR_ENGINE_CONF["primary"] / 100.0
                     if h1
                     else (C.OCR_ENGINE_CONF["secondary"] / 100.0 if h2 else 0.0)
                 )
-                final[idx] = I.schlage_pick_text(text[idx] or "", full, conf01)
+                final[i] = I.schlage_pick_text(tl[i] or "", full, conf01)
             elif v == "generic":
-                prim = fb_primary[idx]
-                final[idx] = ocr[idx] if prim == "ocr" else text[idx]
-                side_of[idx] = prim
-                generic_hybrid.append(idx)
+                prim = fbl[i]
+                final[i] = ol[i] if prim == "ocr" else tl[i]
+                side_of[i] = prim
+                generic_hybrid.append(i)
             else:
-                final[idx] = text[idx]
+                final[i] = tl[i]
 
-    res = extract_batch(vendor, final, field_banks, field_order)
+    res = extract_batch(
+        vendor, pd.Series(final, index=vendor.index, dtype=object),
+        field_banks, field_order,
+    )
+    fields_l = res["fields"].tolist()
+    items_l = res["items"].tolist()
+    info_l = res["info"].tolist()
+    order_map = C.FIELD_ORDER if field_order is None else field_order
 
-    def _impose_image_parse(idx) -> None:
+    def _impose_image_parse(i) -> None:
         # the generic OCR method parses with the IMAGE processor's bank
         # family (audit §23), not the generic text bank
-        f, i = I.image_route_extract(final[idx] or "")
-        keys = (C.FIELD_ORDER if field_order is None else field_order).get(
-            vendor[idx], []
-        )
-        res.at[idx, "fields"] = [
-            {"key": k, "value": f[k]} for k in keys if k in f
-        ]
-        res.at[idx, "items"] = i
-        res.at[idx, "info"] = []
+        f, it = I.image_route_extract(final[i] or "")
+        keys = order_map.get(vl[i], [])
+        fields_l[i] = [{"key": k, "value": f[k]} for k in keys if k in f]
+        items_l[i] = it
+        info_l[i] = []
 
-    for idx in vendor.index:
-        if vendor[idx] == "generic" and side_of.get(idx) == "ocr":
-            _impose_image_parse(idx)
+    for i in range(n):
+        if vl[i] == "generic" and side_of.get(i) == "ocr":
+            _impose_image_parse(i)
 
     # P10 adequacy second pass for generic hybrids (small subset)
     redo = []
-    for idx in generic_hybrid:
-        row = res.loc[idx]
-        fields = {kv["key"]: kv["value"] for kv in (row["fields"] or [])}
-        items = row["items"] or []
-        prim = fb_primary[idx]
+    for i in generic_hybrid:
+        fields = {kv["key"]: kv["value"] for kv in (fields_l[i] or [])}
+        items = items_l[i] or []
+        prim = fbl[i]
         conf = (
             I.a3_text_confidence("generic", fields, items)
             if prim == "text"
-            else I.a4_ocr_confidence(final[idx] or "")
+            else I.a4_ocr_confidence(final[i] or "")
         )
         if not I.p10_adequate("generic", fields, items, conf):
-            redo.append(idx)
+            redo.append(i)
     if redo:
         flip_side = {"ocr": "text", "text": "ocr"}
-        sec_rows = [idx for idx in redo if flip_side[fb_primary[idx]] == "text"]
+        sec_rows = [i for i in redo if flip_side[fbl[i]] == "text"]
         if sec_rows:
-            sec_text = pd.Series(
-                [text[idx] for idx in sec_rows],
-                index=pd.Index(sec_rows), dtype=object,
-            )
             res2 = extract_batch(
-                vendor[sec_rows], sec_text, field_banks, field_order
+                pd.Series([vl[i] for i in sec_rows], dtype=object),
+                pd.Series([tl[i] for i in sec_rows], dtype=object),
+                field_banks, field_order,
             )
-            for idx in sec_rows:
-                res.loc[idx] = res2.loc[idx]
-        for idx in redo:
-            side_of[idx] = flip_side[fb_primary[idx]]
-            final[idx] = ocr[idx] if side_of[idx] == "ocr" else text[idx]
-            if side_of[idx] == "ocr":
-                _impose_image_parse(idx)
+            f2l = res2["fields"].tolist()
+            i2l = res2["items"].tolist()
+            n2l = res2["info"].tolist()
+            for j, i in enumerate(sec_rows):
+                fields_l[i], items_l[i], info_l[i] = f2l[j], i2l[j], n2l[j]
+        for i in redo:
+            side_of[i] = flip_side[fbl[i]]
+            final[i] = ol[i] if side_of[i] == "ocr" else tl[i]
+            if side_of[i] == "ocr":
+                _impose_image_parse(i)
     redo_set = set(redo)
 
     # step 3b (audit §22): global validate → fallback → compare → enhance,
     # via the independent.py twin of the layer. The method label is what the
     # wrapper pins (STEP3B_METHOD) for specialized vendors; generic rows
     # carry the side their result actually came from.
-    order = C.FIELD_ORDER if field_order is None else field_order
     flip = {"ocr": "text", "text": "ocr"}
-    for idx in vendor.index:
-        row = res.loc[idx]
-        if row["fields"] is None:
+    for i in range(n):
+        if fields_l[i] is None:
             continue
-        v = vendor[idx]
+        v = vl[i]
         if v in C.STEP3B_METHOD:
             method = C.STEP3B_METHOD[v]
         else:
-            r = route[idx]
+            r = rl[i]
             if r in ("text", "ocr"):
                 method = r
             else:
-                prim = fb_primary[idx]
-                method = flip[prim] if idx in redo_set else prim
-        fields = {kv["key"]: kv["value"] for kv in row["fields"]}
+                prim = fbl[i]
+                method = flip[prim] if i in redo_set else prim
+        fields = {kv["key"]: kv["value"] for kv in fields_l[i]}
         f2, i2, n2 = I.step3b(
-            v, method, fields, row["items"] or [], row["info"] or [],
-            text[idx] or "", ocr[idx] or "",
+            v, method, fields, items_l[i] or [], info_l[i] or [],
+            tl[i] or "", ol[i] or "",
             field_banks, field_order,
         )
-        keys = order.get(v, [])
-        res.at[idx, "fields"] = [
-            {"key": k, "value": f2[k]} for k in keys if k in f2
-        ]
-        res.at[idx, "items"] = i2
-        res.at[idx, "info"] = n2
+        keys = order_map.get(v, [])
+        fields_l[i] = [{"key": k, "value": f2[k]} for k in keys if k in f2]
+        items_l[i] = i2
+        info_l[i] = n2
 
     t_col, o_col = [], []
-    for idx in vendor.index:
-        row = res.loc[idx]
+    for i in range(n):
         cell = (
             None
-            if row["fields"] is None
-            else {"fields": row["fields"], "items": row["items"], "info": row["info"]}
+            if fields_l[i] is None
+            else {"fields": fields_l[i], "items": items_l[i], "info": info_l[i]}
         )
-        if t_slot[idx]:
+        if t_slot[i]:
             t_col.append(cell)
             o_col.append(None)
         else:
