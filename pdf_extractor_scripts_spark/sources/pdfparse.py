@@ -362,9 +362,24 @@ def _parse_value(lx: _Lexer, tok=None):
 class PdfDocument:
     def __init__(self, data: bytes):
         self.data = data
-        self.offsets, self.trailer = self._read_xref_chain()
         self._cache: dict[int, object] = {}
         self._enc_key: bytes | None = None
+        try:
+            self.offsets, self.trailer = self._read_xref_chain()
+            if "Root" not in self.trailer:
+                raise ValueError("xref chain yielded no /Root")
+        except PdfEncryptedError:
+            raise
+        except Exception:
+            # xref recovery (r5): truncated tails, garbage startxref
+            # offsets, and overwritten xref tables are the dirty tail of
+            # every real corpus (reference behavior: PyPDF2's lenient mode
+            # rebuilds the table the same way). Scan for object headers,
+            # newest (last) occurrence wins — incremental updates append.
+            self._rebuild_xref_by_scan()
+            # the scan walks objects BEFORE decryption is configured; drop
+            # anything it cached so encrypted payloads re-read decrypted
+            self._cache.clear()
         if "Encrypt" in self.trailer:
             # standard security handler with an EMPTY user password (the
             # common real-world "secured" invoice — the reference opens
@@ -480,6 +495,78 @@ class PdfDocument:
             prev = section_trailer.get("Prev")
             pos = int(prev) if prev is not None else None
         return offsets, trailer
+
+    def _rebuild_xref_by_scan(self) -> None:
+        """Last-resort xref reconstruction: find every `N G obj` header in
+        the raw bytes (last occurrence of each object number wins — the
+        newest incremental update appears latest in the file), map members
+        of any surviving /ObjStm containers, then recover the trailer for
+        /Root (+ /Encrypt /ID): a classic `trailer` dict, an /XRef stream
+        dict, or the /Catalog itself — whichever survives."""
+        data = self.data
+        offsets: dict[int, object] = {}
+        for m in re.finditer(rb"(?:^|[\r\n])\s*(\d+)\s+(\d+)\s+obj\b", data):
+            offsets[int(m.group(1))] = m.start(1)
+        if not offsets:
+            raise ValueError("xref recovery found no object headers")
+        self.offsets = offsets
+        self.trailer = {}
+        direct = list(offsets)
+
+        # classic trailers first (newest wins)
+        trailer: dict = {}
+        for tm in reversed(list(re.finditer(rb"trailer\s*", data))):
+            try:
+                cand = _parse_value(_CLexer(data, tm.end()))
+            except Exception:
+                continue
+            if isinstance(cand, dict) and "Root" in cand:
+                trailer = cand
+                break
+
+        # walk the surviving direct objects: ObjStm containers supply their
+        # members (type-2 entries the lost xref stream would have held);
+        # an /XRef stream dict or a /Catalog supplies /Root if the classic
+        # trailer didn't survive
+        for num in direct:
+            try:
+                val = self.get(Ref(num))
+            except Exception:
+                continue
+            if isinstance(val, _Stream):
+                typ = val.attrs.get("Type")
+                if typ == "ObjStm":
+                    try:
+                        payload = _decode_stream(val)
+                        n = int(self.get(val.attrs["N"]))
+                        first = int(self.get(val.attrs["First"]))
+                        header = payload[:first].split()
+                        for k in range(n):
+                            member = int(header[2 * k])
+                            offsets.setdefault(member, ("objstm", num, k))
+                    except Exception:
+                        continue
+                elif typ == "XRef" and "Root" not in trailer:
+                    if isinstance(val.attrs, dict) and "Root" in val.attrs:
+                        trailer = val.attrs
+            elif isinstance(val, dict) and val.get("Type") == "Catalog":
+                if "Root" not in trailer:
+                    trailer = {"Root": Ref(num)}
+        if "Root" not in trailer:
+            # last resort: a catalog packed inside a recovered ObjStm
+            for num, off in offsets.items():
+                if not isinstance(off, tuple):
+                    continue
+                try:
+                    val = self.get(Ref(num))
+                except Exception:
+                    continue
+                if isinstance(val, dict) and val.get("Type") == "Catalog":
+                    trailer = {"Root": Ref(num)}
+                    break
+        if "Root" not in trailer:
+            raise ValueError("xref recovery found no /Root or /Catalog")
+        self.trailer = trailer
 
     def _read_xref_stream(self, pos: int):
         """PDF 1.5+ cross-reference STREAM (/Type /XRef): binary entries of

@@ -482,3 +482,54 @@ def test_encrypted_string_decryption_both_storage_layouts():
     # the ciphertext really is opaque in the classic encrypted layout
     raw = build_pdf(pages, encrypted=True)
     assert expect not in raw
+
+
+def test_xref_recovery_scan(spark, tmpdir):
+    """r5: corrupt/truncated cross-reference data recovers via the
+    object-header scan (PyPDF2-lenient-mode analog) — truncated classic
+    xref, garbage startxref, missing trailer (catalog-scan path), the 1.5
+    layout with a bad offset or the whole /XRef stream truncated away, and
+    an ENCRYPTED file with a truncated xref — all parse span-identically
+    to the healthy file. Ingest counts them as clean parses, not
+    fallbacks."""
+    import re
+
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        parse_pdf_spans,
+    )
+
+    pages = [[("text", "INVOICE 777"), ("text", "TOTAL 1.00"), ("image",)],
+             [("text", "P2")]]
+    good = build_pdf(pages)
+    exp = parse_pdf_spans(good, "d.pdf")
+    bad_sx = re.sub(rb"startxref\n\d+", b"startxref\n999999", good)
+    cases = {
+        "cut_xref.pdf": good[:good.rfind(b"xref")] + b"\n%%EOF\n",
+        "bad_startxref.pdf": bad_sx,
+        "no_trailer.pdf": good[:good.rfind(b"xref")],
+    }
+    good15 = build_pdf(pages, xref_stream=True)
+    exp15 = parse_pdf_spans(good15, "d.pdf")
+    cases15 = {
+        "bad_sx15.pdf": re.sub(rb"startxref\n\d+", b"startxref\n999999", good15),
+        "cut15.pdf": good15[: good15.rfind(b"\n", 0, good15.rfind(b" obj"))],
+    }
+    for name, b in cases.items():
+        assert parse_pdf_spans(b, "d.pdf") == exp, name
+    for name, b in cases15.items():
+        assert parse_pdf_spans(b, "d.pdf") == exp15, name
+
+    enc = build_pdf(pages, encrypted=True)
+    assert parse_pdf_spans(enc[: enc.rfind(b"xref")], "d.pdf") == exp, "enc"
+
+    # Spark ingest: recovered files are CLEAN parses (no fallback count)
+    for name, b in {**cases, **cases15}.items():
+        with open(f"{tmpdir}/{name}", "wb") as f:
+            f.write(b)
+    acc = spark.sparkContext.accumulator(0)
+    parsed = parse_binary_to_spans(
+        read_binary_docs(spark, tmpdir), fallback_acc=acc
+    ).collect()
+    assert acc.value == 0
+    assert all(r["parse_ok"] for r in parsed)
