@@ -533,3 +533,41 @@ def test_xref_recovery_scan(spark, tmpdir):
     ).collect()
     assert acc.value == 0
     assert all(r["parse_ok"] for r in parsed)
+
+
+def test_incremental_update_newest_object_wins():
+    """r5: an appended incremental update (the way viewers edit PDFs —
+    new object + new xref section with /Prev to the old table) must win
+    over the original object on BOTH paths: the normal Prev chain walk
+    (first-seen = newest-section entry wins) and the recovery scan
+    (last header occurrence wins) when the update's startxref is then
+    corrupted."""
+    import re
+
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        parse_pdf_spans,
+    )
+
+    base = build_pdf([[("text", "OLD TEXT")]], compress=False)
+    old_xref = int(re.search(rb"startxref\n(\d+)", base).group(1))
+    # object 4 is the page-1 content stream in the classic writer layout
+    content = b"BT /F1 10 Tf 1 0 0 1 72 760 Tm (NEW TEXT) Tj ET"
+    body = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+    upd = bytearray(base)
+    obj_off = len(upd)
+    upd += b"4 0 obj\n%s\nendobj\n" % body
+    xref_off = len(upd)
+    upd += b"xref\n4 1\n%010d 00000 n \n" % obj_off
+    upd += (b"trailer\n<< /Size 7 /Root 1 0 R /Prev %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (old_xref, xref_off))
+    upd = bytes(upd)
+
+    got = parse_pdf_spans(upd, "d.pdf")
+    assert [s["text"] for s in got if s["kind"] == "text"] == ["NEW TEXT"]
+
+    # corrupt the UPDATE's startxref: the recovery scan must still pick
+    # the newest object 4
+    broken = upd[: upd.rfind(b"startxref")] + b"startxref\n999999\n%%EOF\n"
+    got2 = parse_pdf_spans(broken, "d.pdf")
+    assert [s["text"] for s in got2 if s["kind"] == "text"] == ["NEW TEXT"]
