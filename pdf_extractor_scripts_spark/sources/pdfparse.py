@@ -363,6 +363,7 @@ class PdfDocument:
     def __init__(self, data: bytes):
         self.data = data
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, tuple] = {}
         self._enc_key: bytes | None = None
         try:
             self.offsets, self.trailer = self._read_xref_chain()
@@ -380,6 +381,7 @@ class PdfDocument:
             # the scan walks objects BEFORE decryption is configured; drop
             # anything it cached so encrypted payloads re-read decrypted
             self._cache.clear()
+            self._objstm_cache.clear()
         if "Encrypt" in self.trailer:
             # standard security handler with an EMPTY user password (the
             # common real-world "secured" invoice — the reference opens
@@ -700,14 +702,23 @@ class PdfDocument:
         """Fetch object ``idx`` from an object stream (/Type /ObjStm): the
         decompressed payload starts with N (objnum, offset) pairs; objects
         begin at /First + offset."""
-        stm = self.get(Ref(container_num))
-        if not isinstance(stm, _Stream) or stm.attrs.get("Type") != "ObjStm":
-            raise ValueError(f"object {container_num} is not an /ObjStm")
-        payload = _decode_stream(stm)
-        n = int(self.get(stm.attrs["N"]))
-        first = int(self.get(stm.attrs["First"]))
-        header = payload[:first].split()
-        pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
+        cached = self._objstm_cache.get(container_num)
+        if cached is None:
+            stm = self.get(Ref(container_num))
+            if not isinstance(stm, _Stream) or stm.attrs.get("Type") != "ObjStm":
+                raise ValueError(f"object {container_num} is not an /ObjStm")
+            # decode ONCE per container — real PDFs pack hundreds of objects
+            # per stream, and per-member re-decompression is quadratic
+            payload = _decode_stream(stm)
+            n = int(self.get(stm.attrs["N"]))
+            first = int(self.get(stm.attrs["First"]))
+            header = payload[:first].split()
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+            ]
+            cached = (payload, first, pairs)
+            self._objstm_cache[container_num] = cached
+        payload, first, pairs = cached
         _, rel = pairs[idx]
         return _parse_value(_CLexer(payload, first + rel))
 
@@ -936,7 +947,28 @@ def _decode_stream(s) -> bytes:
     for i, f in enumerate(filters):
         p = parms_list[i] if i < len(parms_list) and isinstance(parms_list[i], dict) else {}
         if f in ("FlateDecode", "Fl"):
-            data = _unpredict(zlib.decompress(data), p)
+            try:
+                data = _unpredict(zlib.decompress(data), p)
+            except zlib.error:
+                # truncated/corrupt tail: salvage the valid prefix — a
+                # partially-readable page beats an empty-doc fallback.
+                # Chunked feeding keeps the output decoded BEFORE the
+                # corrupt region (one whole-buffer call would discard it).
+                out = bytearray()
+                for chunk in (4096, 1):  # byte-wise only if coarse got nothing
+                    d = zlib.decompressobj()
+                    out = bytearray()
+                    try:
+                        for k in range(0, len(data), chunk):
+                            out += d.decompress(data[k : k + chunk])
+                        out += d.flush()
+                    except zlib.error:
+                        pass
+                    if out:
+                        break
+                if not out:
+                    raise ValueError("undecodable Flate stream")
+                data = _unpredict(bytes(out), p)
         elif f in ("LZWDecode", "LZW"):
             ec = p.get("EarlyChange", 1)
             data = _unpredict(_lzw_decode(data, ec if isinstance(ec, int) else 1), p)
@@ -980,7 +1012,14 @@ def content_events(content: bytes, image_names: set[str]) -> list[tuple]:
             cur.clear()
 
     while True:
-        tok = lx.next_token()
+        try:
+            tok = lx.next_token()
+        except ValueError:
+            # truncated/salvaged streams can end mid-token (an unterminated
+            # string after a Flate-salvage cut) — keep the events decoded
+            # so far; the round-trip suites would surface any silent loss
+            # on healthy input as missing spans
+            break
         if tok is None:
             break
         kind, val = tok

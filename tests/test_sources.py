@@ -571,3 +571,35 @@ def test_incremental_update_newest_object_wins():
     broken = upd[: upd.rfind(b"startxref")] + b"startxref\n999999\n%%EOF\n"
     got2 = parse_pdf_spans(broken, "d.pdf")
     assert [s["text"] for s in got2 if s["kind"] == "text"] == ["NEW TEXT"]
+
+
+def test_flate_salvage_and_structural_fallback_line():
+    """r5: the lenient-parse line — content damage with INTACT structure
+    salvages a partial document (chunked decompressobj keeps the deflate
+    prefix; content_events flushes at a truncated tail), while damage
+    that destroys structural objects (the page tree) stays a counted
+    doc-level fallback. Healthy files are untouched (round-trip suites)."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        parse_pdf_spans,
+    )
+
+    pages = [[("text", f"LINE {i:03d} AMOUNT {i * 7}.00") for i in range(100)]]
+    good = build_pdf(pages)
+    i = good.find(b"stream\n") + 7
+    j = good.find(b"\nendstream", i)
+    body = good[i:j]
+
+    # 40% of the compressed content destroyed, structure intact → partial
+    trunc = good[:i] + body[: int(len(body) * 0.6)] + good[j:]
+    texts = [s["text"] for s in parse_pdf_spans(trunc, "d.pdf")
+             if s["kind"] == "text"]
+    assert 20 < len(texts) < 100
+    assert texts[0] == "LINE 000 AMOUNT 0.00"  # prefix is byte-exact
+
+    # file hard-truncated INSIDE the content stream: the page tree object
+    # (written after the content) is gone → structural loss → ValueError
+    # (ingest counts it, parse_binary_to_spans fallback path)
+    hard = good[: i + int(len(body) * 0.5)]
+    with pytest.raises(Exception):
+        parse_pdf_spans(hard, "d.pdf")
