@@ -262,3 +262,66 @@ def render_side_by_side(
         b = b[:58] + ".." if len(b) > 60 else b
         out.append(f"{a:<60} | {b:<60}")
     return "\n".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Structural analyzers (visual_text_comparison.py:52-134) — the reference's
+# line-item / spacing / numeric-precision profile, as one JVM-side pass
+# ---------------------------------------------------------------------------
+# the reference's diagnostic patterns, verbatim grammars:
+# line items = `^\s*(\d{3})\s+.*?(d+.d+)\s+(d+.d+)\s*$` per line (:59),
+# "significant spacing" = 5+ consecutive spaces (:85),
+# numeric precision = every `\d+.\d+` token (:110)
+LINE_ITEM_RX = r"(?m)^[ \t]*\d{3}[ \t].*?\d+\.\d+[ \t]+\d+\.\d+[ \t]*$"
+SPACED_LINE_RX = r"(?m)^.*[ ]{5,}.*$"
+DECIMAL_RX = r"\d+\.\d+"
+# inside a SQL string literal the backslashes need their own escaping
+_DECIMAL_RX_SQL = DECIMAL_RX.replace("\\", "\\\\")
+
+
+def structure_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document structural profile: counts of line-item-shaped rows,
+    heavily-spaced lines, and decimal-number tokens (+ distinct decimals).
+    All regexp_count/JVM-side — the three analyze_* passes of
+    visual_text_comparison.py as columns instead of printouts, so two
+    extraction variants can be compared with a join."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(LINE_ITEM_RX)).alias("n_line_items"),
+        F.regexp_count(t, F.lit(SPACED_LINE_RX)).alias("n_spaced_lines"),
+        F.regexp_count(t, F.lit(DECIMAL_RX)).alias("n_decimals"),
+        F.size(F.array_distinct(
+            F.expr(f"regexp_extract_all({text_col}, '{_DECIMAL_RX_SQL}', 0)")
+        )).alias("n_unique_decimals"),
+    )
+
+
+def structure_comparison(a: DataFrame, b: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """A-vs-B structural diff (the reference's side-by-side analyzer
+    output as rows): per-doc count deltas plus the decimal-set difference
+    sizes (numbers only in A / only in B — analyze_numeric_precision's
+    only_in_python/only_in_nodejs)."""
+    pa = structure_profile(a, text_col).alias("pa")
+    pb = structure_profile(b, text_col).alias("pb")
+    da = a.select("doc_id", F.expr(
+        f"array_distinct(regexp_extract_all({text_col}, '{_DECIMAL_RX_SQL}', 0))"
+    ).alias("nums_a"))
+    db = b.select("doc_id", F.expr(
+        f"array_distinct(regexp_extract_all({text_col}, '{_DECIMAL_RX_SQL}', 0))"
+    ).alias("nums_b"))
+    return (
+        pa.join(pb, "doc_id")
+        .join(da, "doc_id").join(db, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("pa.n_line_items") - F.col("pb.n_line_items"))
+            .alias("d_line_items"),
+            (F.col("pa.n_spaced_lines") - F.col("pb.n_spaced_lines"))
+            .alias("d_spaced_lines"),
+            F.size(F.array_except("nums_a", "nums_b")).alias("n_only_in_a"),
+            F.size(F.array_except("nums_b", "nums_a")).alias("n_only_in_b"),
+            F.size(F.array_intersect("nums_a", "nums_b")).alias("n_common"),
+        )
+    )

@@ -243,3 +243,37 @@ def test_render_side_by_side_format():
     assert out[5].startswith("short") and out[5][60:62] == " |"
     assert out[6].startswith("x" * 58 + "..")
     assert out[6].rstrip().endswith("|")  # b side blank on row 2
+
+
+def test_structure_profile_and_comparison(spark):
+    """r5: the visual_text_comparison.py analyzers (line-item structure
+    :52-77, spacing patterns :78-103, numeric precision :104-134) as
+    JVM-side per-doc columns — hand-computed pin values."""
+    from pdf_extractor_scripts_spark.operators.compare_text import (
+        structure_comparison,
+        structure_profile,
+    )
+
+    a = spark.createDataFrame(
+        [
+            ("d1", "001 WIDGET A     2  3.50  7.00\nTOTAL      10.50\nplain line"),
+            ("d2", "no items here 1.25 1.25 2.50"),
+        ],
+        ["doc_id", "text"],
+    )
+    prof = {r["doc_id"]: r for r in structure_profile(a).collect()}
+    assert (prof["d1"]["n_line_items"], prof["d1"]["n_spaced_lines"],
+            prof["d1"]["n_decimals"], prof["d1"]["n_unique_decimals"]) == (1, 2, 3, 3)
+    assert (prof["d2"]["n_line_items"], prof["d2"]["n_spaced_lines"],
+            prof["d2"]["n_decimals"], prof["d2"]["n_unique_decimals"]) == (0, 0, 3, 2)
+
+    b = spark.createDataFrame(
+        [("d1", "001 WIDGET A 2 3.50 6.99"), ("d2", "nothing")],
+        ["doc_id", "text"],
+    )
+    cmp = {r["doc_id"]: r for r in structure_comparison(a, b).collect()}
+    # d1: same item count; A has {3.50, 7.00, 10.50}, B has {3.50, 6.99}
+    assert (cmp["d1"]["d_line_items"], cmp["d1"]["d_spaced_lines"]) == (0, 2)
+    assert (cmp["d1"]["n_only_in_a"], cmp["d1"]["n_only_in_b"],
+            cmp["d1"]["n_common"]) == (2, 1, 1)
+    assert (cmp["d2"]["n_only_in_a"], cmp["d2"]["n_common"]) == (2, 0)
