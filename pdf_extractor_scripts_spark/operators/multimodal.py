@@ -116,8 +116,11 @@ def decode_media(
     if decoder is None:
         if not deterministic_stub:
             raise NotImplementedError(
-                "real media decoding requires image/audio libraries not "
-                "present in this environment; pass decoder= to wire one in"
+                "no decoder configured; pass decoder= to wire one in — "
+                "operators.jpegcodec.jpeg_pixel_stats is a pure-stdlib "
+                "REAL decoder for baseline-JPEG (/DCTDecode) payloads; "
+                "PIL/torchaudio wrappers slot in the same way for other "
+                "codecs"
             )
         decoder = _stub_decode
 

@@ -1345,20 +1345,33 @@ def build_pdf(
         img_nums = []
         for _ in range(n_images):
             inum = alloc()
+            iw = ih = 1
             if image_filter == "DCT":
                 # fake-JPEG bytes: SOI + APP0 marker + EOI — enough for the
                 # terminal-codec passthrough (nothing here parses pixels)
                 img_data = b"\xff\xd8\xff\xe0\x00\x06FAKE\xff\xd9"
+                fname = b"DCTDecode"
+            elif image_filter == "DCT-real":
+                # a REAL baseline JPEG (stdlib codec) — the payload the
+                # multimodal decode stage can genuinely decode
+                from ..operators.jpegcodec import encode_gray_jpeg
+
+                iw = ih = 16
+                grad = bytes(
+                    min(255, 40 + 12 * ((x + y) % 16))
+                    for y in range(ih) for x in range(iw)
+                )
+                img_data = encode_gray_jpeg(grad, iw, ih, quality=85)
                 fname = b"DCTDecode"
             else:
                 img_data = zlib.compress(b"\x80")
                 fname = b"FlateDecode"
             img_data = enc_stream(inum, img_data)
             objects[inum] = (
-                b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
                 b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
                 b"/Filter /%s /Length %d >>\nstream\n%s\nendstream"
-                % (fname, len(img_data), img_data)
+                % (iw, ih, fname, len(img_data), img_data)
             )
             img_nums.append(inum)
 

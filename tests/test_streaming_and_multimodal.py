@@ -356,3 +356,74 @@ def test_real_tesseract_engine_through_seam(spark):
 
     got = ocr_media(one, engine=tess_engine).first()
     assert "12345" in got["text"]
+
+
+def test_stdlib_jpeg_decoder_makes_dct_decode_real(spark):
+    """r5: the DCT seam is no longer env-blocked — build a PDF whose page
+    image is a REAL baseline JPEG (image_filter='DCT-real', pure-stdlib
+    encoder), surface its payload through pdf_media_payloads, and run the
+    pure-stdlib jpeg_pixel_stats decoder through the decode_media
+    mapInPandas seam: dimensions and pixel statistics come back from real
+    pixels, identically on the executor and locally."""
+    from pdf_extractor_scripts_spark.operators.jpegcodec import (
+        decode_gray_jpeg,
+        jpeg_pixel_stats,
+    )
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        parse_pdf_spans,
+        pdf_media_payloads,
+    )
+
+    pdf = build_pdf([[("text", "SCAN"), ("image",)]], image_filter="DCT-real")
+    payloads = pdf_media_payloads(pdf, "misc/scan.pdf")
+    assert len(payloads) == 1 and payloads[0]["filter"] == "DCTDecode"
+    payload = payloads[0]["payload"]
+    w, h, px = decode_gray_jpeg(payload)
+    assert (w, h) == (16, 16) and len(px) == 256
+
+    spans = parse_pdf_spans(pdf, "misc/scan.pdf")
+    media_ref = next(s["media_ref"] for s in spans if s["kind"] == "media")
+    media = spark.createDataFrame(
+        [(media_ref, {"modality": "image", "width": 16, "height": 16},
+          bytearray(payload))],
+        "media_ref string, meta map<string,string>, payload binary",
+    )
+    feat = decode_media(media, decoder=jpeg_pixel_stats).first()
+    assert feat["n_bytes"] == len(payload)
+    local = jpeg_pixel_stats(payload)  # executor == local (float32 column)
+    assert all(abs(a - b) < 1e-4 for a, b in zip(feat["feature"], local))
+    assert feat["feature"][:2] == [16.0, 16.0]
+
+
+def test_jpeg_codec_roundtrip_and_rejects():
+    """Codec contract: encode→decode round-trips within quantization error
+    (MAE < 10 at q85 on synthetic invoice-like content, byte-exact
+    determinism), and unsupported variants reject with ValueError."""
+    import pytest as _pytest
+
+    from pdf_extractor_scripts_spark.operators.jpegcodec import (
+        decode_gray_jpeg,
+        encode_gray_jpeg,
+    )
+
+    W, H = 40, 24
+    px = bytearray()
+    for y in range(H):
+        for x in range(W):
+            v = min(255, 200 + (x + y) % 40)
+            if 8 <= y <= 12 and x % 7 < 3:
+                v = 20  # dark text-ish strokes
+            px.append(v)
+    jp = encode_gray_jpeg(bytes(px), W, H, quality=85)
+    assert jp[:2] == b"\xff\xd8" and jp[-2:] == b"\xff\xd9"
+    assert encode_gray_jpeg(bytes(px), W, H, quality=85) == jp  # deterministic
+    w, h, out = decode_gray_jpeg(jp)
+    assert (w, h) == (W, H)
+    mae = sum(abs(a - b) for a, b in zip(px, out)) / len(px)
+    assert mae < 10, mae
+
+    with _pytest.raises(ValueError):
+        decode_gray_jpeg(b"\xff\xd8\xff\xe0\x00\x06FAKE\xff\xd9")  # fake
+    with _pytest.raises(ValueError):
+        decode_gray_jpeg(b"not a jpeg")
