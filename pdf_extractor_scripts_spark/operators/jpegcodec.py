@@ -10,9 +10,13 @@ libraries are absent, so the engine slot of operators/multimodal.py
 (``decode_media(decoder=...)``) can be fed ``jpeg_pixel_stats`` instead of
 a stub, making the decode stage REAL for DCT payloads.
 
-Scope: luma-only baseline (SOF0, one scan, 8×8 blocks, no restart
-markers) — the invoice-scan class. Color/progressive JPEG raises, keeping
-the honest reject path. Everything here implements the published spec.
+Scope (r5, extended): baseline sequential (SOF0), grayscale AND YCbCr
+color with sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0 — the
+real-world scanner classes), restart markers (DRI/RSTn). Decoding returns
+the LUMA plane — document text lives in luminance; chroma blocks are
+entropy-decoded to stay in sync but not reconstructed. Progressive,
+arithmetic-coded, 12-bit, and >2×2-sampled variants raise ValueError (the
+honest reject). Everything here implements the published spec.
 """
 
 from __future__ import annotations
@@ -59,6 +63,40 @@ AC_VALS = [
     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+# Annex K.2 — chrominance quantization table (quality 50 base)
+QTABLE_CHROMA_BASE = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 — standard chrominance DC/AC tables
+DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_VALS_C = list(range(12))
+AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
@@ -141,14 +179,23 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s
         return bytes(self.buf)
 
+    def marker(self, m: int) -> None:
+        """Byte-align (1-padded) and emit a raw marker (RSTn)."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, m])
+
 
 def _category(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
 
 
 def encode_gray_jpeg(pixels: bytes, width: int, height: int,
-                     quality: int = 75) -> bytes:
-    """Encode 8-bit grayscale pixels (row-major) as baseline JPEG."""
+                     quality: int = 75, restart_interval: int = 0) -> bytes:
+    """Encode 8-bit grayscale pixels (row-major) as baseline JPEG.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs (the
+    layout scanners produce for error resilience)."""
     if len(pixels) != width * height:
         raise ValueError("pixel buffer does not match dimensions")
     qt = _scaled_qtable(quality)
@@ -157,8 +204,13 @@ def encode_gray_jpeg(pixels: bytes, width: int, height: int,
 
     bw = _BitWriter()
     prev_dc = 0
+    mcu = 0
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.marker(0xD0 + (mcu // restart_interval - 1) % 8)
+                prev_dc = 0
+            mcu += 1
             block = []
             for y in range(8):
                 sy = min(by + y, height - 1)
@@ -207,6 +259,8 @@ def encode_gray_jpeg(pixels: bytes, width: int, height: int,
         bytes(DC_BITS) + bytes(DC_VALS)
     out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(AC_VALS)) + b"\x10" + \
         bytes(AC_BITS) + bytes(AC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
     out += scan
     out += b"\xff\xd9"  # EOI
@@ -246,6 +300,18 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker (DRI scans)."""
+        self.n = 0
+        d = self.data
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and \
+                d[self.pos + 1] == 0xFF:
+            self.pos += 1  # fill bytes
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF or \
+                not (0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
 
 def _huff_lookup(bits: list[int], vals: list[int]):
     """(code, length) → symbol map for decode."""
@@ -276,15 +342,30 @@ def _extend(v: int, cat: int) -> int:
 
 
 def decode_gray_jpeg(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline grayscale JPEG → (width, height, pixels).
-    Color, progressive, or subsampled inputs raise ValueError (the honest
-    reject: this is the invoice-scan decoder, not a general one)."""
+    """Back-compat wrapper: decode any supported baseline JPEG and return
+    the LUMA plane — for a grayscale file that is the image itself."""
+    return decode_jpeg_luma(data)
+
+
+def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline JPEG → (width, height, luma pixels).
+
+    Supported (r5): grayscale AND YCbCr color, sampling factors up to 2×2
+    (4:4:4, 4:2:2, 4:2:0 — the real-world scanner classes), restart
+    markers (DRI/RSTn). The LUMA plane is returned — for document
+    processing the text lives in luminance; chroma blocks are
+    entropy-decoded (they must be, to stay in sync) but not reconstructed.
+    Progressive/arithmetic/12-bit variants raise ValueError (the honest
+    reject)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     width = height = 0
+    comps: list[dict] = []  # {id, h, v, tq} in SOF order
+    scan_comps: list[dict] = []  # SOF comp + dc/ac table ids, in SOS order
+    restart_interval = 0
     scan_start = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -293,7 +374,7 @@ def decode_gray_jpeg(data: bytes) -> tuple[int, int, bytes]:
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seglen]
@@ -306,12 +387,18 @@ def decode_gray_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 qtables[tq] = list(seg[i + 1 : i + 65])
                 i += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision supported")
             height, width = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
-            if ncomp != 1:
-                raise ValueError("color JPEG unsupported (grayscale only)")
-            if seg[7] != 0x11:
-                raise ValueError("subsampling unsupported")
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component JPEG unsupported")
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                h, v = hv >> 4, hv & 0xF
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    raise ValueError("sampling factors beyond 2x2 unsupported")
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
@@ -324,63 +411,236 @@ def decode_gray_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 vals = list(seg[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _huff_lookup(bits, vals)
                 i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
-            comp_dc = seg[2] >> 4
-            comp_ac = seg[2] & 0xF
+            ns = seg[0]
+            by_id = {c["id"]: c for c in comps}
+            for s in range(ns):
+                cid, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                c = dict(by_id[cid])
+                c["td"], c["ta"] = tt >> 4, tt & 0xF
+                scan_comps.append(c)
             scan_start = pos + seglen
             break
         pos += seglen
-    if scan_start is None or not width:
+    if scan_start is None or not width or not scan_comps:
         raise ValueError("no scan data")
 
-    qt = qtables.get(0)
-    dct = htables.get((0, comp_dc))
-    act = htables.get((1, comp_ac))
-    if not (qt and dct and act):
-        raise ValueError("missing tables")
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+    luma_id = scan_comps[0]["id"]  # Y is the first SOF/SOS component
+
+    # luma plane at full sampling resolution
+    lw, lh = mcus_x * 8 * scan_comps[0]["h"], mcus_y * 8 * scan_comps[0]["v"]
+    luma = bytearray(lw * lh)
+
     br = _BitReader(data[scan_start:])
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    pixels = bytearray(width * height)
-    prev_dc = 0
-    for byi in range(bh):
-        for bxi in range(bw):
-            zz = [0] * 64
-            cat = _read_symbol(br, dct)
-            if cat:
-                zz[0] = _extend(br.bits(cat), cat)
-            zz[0] += prev_dc
-            prev_dc = zz[0]
-            i = 1
-            while i < 64:
-                sym = _read_symbol(br, act)
-                if sym == 0x00:  # EOB
-                    break
-                run, cat = sym >> 4, sym & 0xF
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += run
-                if i > 63:
-                    raise ValueError("AC index overflow")
-                zz[i] = _extend(br.bits(cat), cat)
-                i += 1
-            coef = [0.0] * 64
-            for k in range(64):
-                coef[ZIGZAG[k]] = zz[k] * qt[k]
-            blk = _idct(coef)
-            for y in range(8):
-                py = byi * 8 + y
-                if py >= height:
-                    break
-                row = py * width
-                for x in range(8):
-                    px = bxi * 8 + x
-                    if px >= width:
-                        continue
-                    v = int(round(blk[y * 8 + x] + 128.0))
-                    pixels[row + px] = 0 if v < 0 else (255 if v > 255 else v)
-    return width, height, bytes(pixels)
+    prev_dc = {c["id"]: 0 for c in scan_comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.restart()
+                prev_dc = {c["id"]: 0 for c in scan_comps}
+            for c in scan_comps:
+                dct = htables.get((0, c["td"]))
+                act = htables.get((1, c["ta"]))
+                qt = qtables.get(c["tq"])
+                if not (dct and act and qt):
+                    raise ValueError("missing tables")
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        zz = [0] * 64
+                        cat = _read_symbol(br, dct)
+                        if cat:
+                            zz[0] = _extend(br.bits(cat), cat)
+                        zz[0] += prev_dc[c["id"]]
+                        prev_dc[c["id"]] = zz[0]
+                        i = 1
+                        while i < 64:
+                            sym = _read_symbol(br, act)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            run, cat = sym >> 4, sym & 0xF
+                            i += run
+                            if i > 63:
+                                raise ValueError("AC index overflow")
+                            zz[i] = _extend(br.bits(cat), cat)
+                            i += 1
+                        if c["id"] != luma_id:
+                            continue  # chroma: sync-decode only
+                        coef = [0.0] * 64
+                        for k in range(64):
+                            coef[ZIGZAG[k]] = zz[k] * qt[k]
+                        blk = _idct(coef)
+                        bx0 = (mx * c["h"] + bh) * 8
+                        by0 = (my * c["v"] + bv) * 8
+                        for y in range(8):
+                            row = (by0 + y) * lw + bx0
+                            for x in range(8):
+                                v = int(round(blk[y * 8 + x] + 128.0))
+                                luma[row + x] = (
+                                    0 if v < 0 else (255 if v > 255 else v)
+                                )
+            mcu_count += 1
+
+    # crop the padded luma plane to (width, height); when luma is
+    # subsampled relative to hmax/vmax (never in practice), scale indices
+    sx = scan_comps[0]["h"] / hmax
+    sy = scan_comps[0]["v"] / vmax
+    out = bytearray(width * height)
+    if sx == 1.0 and sy == 1.0:
+        for y in range(height):
+            out[y * width : (y + 1) * width] = luma[y * lw : y * lw + width]
+    else:
+        for y in range(height):
+            ly = int(y * sy)
+            row = ly * lw
+            orow = y * width
+            for x in range(width):
+                out[orow + x] = luma[row + int(x * sx)]
+    return width, height, bytes(out)
+
+
+def encode_color_jpeg(rgb: bytes, width: int, height: int,
+                      quality: int = 75, subsample: bool = True) -> bytes:
+    """Encode interleaved 8-bit RGB as baseline YCbCr JPEG — 4:2:0 when
+    ``subsample`` (the scanner default) else 4:4:4. Fixture-side twin of
+    decode_jpeg_luma's color support."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    n = width * height
+    Y = bytearray(n)
+    Cb = bytearray(n)
+    Cr = bytearray(n)
+    for i in range(n):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        yv = 0.299 * r + 0.587 * g + 0.114 * b
+        Y[i] = max(0, min(255, int(round(yv))))
+        Cb[i] = max(0, min(255, int(round(128 - 0.168736 * r
+                                          - 0.331264 * g + 0.5 * b))))
+        Cr[i] = max(0, min(255, int(round(128 + 0.5 * r - 0.418688 * g
+                                          - 0.081312 * b))))
+    if subsample:  # 2x2 box-average chroma
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+        cb2 = bytearray(cw * ch)
+        cr2 = bytearray(cw * ch)
+        for cy in range(ch):
+            for cx in range(cw):
+                acc_b = acc_r = cnt = 0
+                for dy in range(2):
+                    for dx in range(2):
+                        y0, x0 = min(2 * cy + dy, height - 1), \
+                            min(2 * cx + dx, width - 1)
+                        acc_b += Cb[y0 * width + x0]
+                        acc_r += Cr[y0 * width + x0]
+                        cnt += 1
+                cb2[cy * cw + cx] = acc_b // cnt
+                cr2[cy * cw + cx] = acc_r // cnt
+        planes = [(bytes(Y), width, height, 2, 2),
+                  (bytes(cb2), cw, ch, 1, 1), (bytes(cr2), cw, ch, 1, 1)]
+    else:
+        planes = [(bytes(Y), width, height, 1, 1),
+                  (bytes(Cb), width, height, 1, 1),
+                  (bytes(Cr), width, height, 1, 1)]
+
+    qt_l = _scaled_qtable(quality)
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qt_c = [max(1, min(255, (b * scale + 50) // 100))
+            for b in QTABLE_CHROMA_BASE]
+    dc_l = _huff_codes(DC_BITS, DC_VALS)
+    ac_l = _huff_codes(AC_BITS, AC_VALS)
+    dc_c = _huff_codes(DC_BITS_C, DC_VALS_C)
+    ac_c = _huff_codes(AC_BITS_C, AC_VALS_C)
+
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+
+    def block_at(plane, pw, ph, bx0, by0):
+        out = []
+        for y in range(8):
+            sy0 = min(by0 + y, ph - 1)
+            row = sy0 * pw
+            for x in range(8):
+                out.append(float(plane[row + min(bx0 + x, pw - 1)]) - 128.0)
+        return out
+
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (plane, pw, ph, h, v) in enumerate(planes):
+                qt = qt_l if ci == 0 else qt_c
+                dcc = dc_l if ci == 0 else dc_c
+                acc = ac_l if ci == 0 else ac_c
+                for bv in range(v):
+                    for bh in range(h):
+                        blk = block_at(plane, pw, ph,
+                                       (mx * h + bh) * 8, (my * v + bv) * 8)
+                        coef = _fdct(blk)
+                        quant = [int(round(coef[ZIGZAG[i]] / qt[i]))
+                                 for i in range(64)]
+                        diff = quant[0] - prev_dc[ci]
+                        prev_dc[ci] = quant[0]
+                        cat = _category(diff)
+                        code, ln = dcc[cat]
+                        bw.write(code, ln)
+                        if cat:
+                            bw.write(diff if diff >= 0
+                                     else diff + (1 << cat) - 1, cat)
+                        run = 0
+                        for i in range(1, 64):
+                            vq = quant[i]
+                            if vq == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = acc[0xF0]
+                                bw.write(code, ln)
+                                run -= 16
+                            cat = _category(vq)
+                            code, ln = acc[(run << 4) | cat]
+                            bw.write(code, ln)
+                            bw.write(vq if vq >= 0
+                                     else vq + (1 << cat) - 1, cat)
+                            run = 0
+                        if run:
+                            code, ln = acc[0x00]
+                            bw.write(code, ln)
+    scan = bw.flush()
+
+    y_hv = (planes[0][3] << 4) | planes[0][4]
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt_l)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qt_c)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, y_hv, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(DC_VALS)) + b"\x00" + \
+        bytes(DC_BITS) + bytes(DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(AC_VALS)) + b"\x10" + \
+        bytes(AC_BITS) + bytes(AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(DC_VALS_C)) + \
+        b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C)
+    out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(AC_VALS_C)) + \
+        b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C)
+    out += b"\xff\xda" + struct.pack(">H", 12) + \
+        bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def jpeg_pixel_stats(payload: bytes) -> list[float]:

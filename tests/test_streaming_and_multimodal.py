@@ -427,3 +427,43 @@ def test_jpeg_codec_roundtrip_and_rejects():
         decode_gray_jpeg(b"\xff\xd8\xff\xe0\x00\x06FAKE\xff\xd9")  # fake
     with _pytest.raises(ValueError):
         decode_gray_jpeg(b"not a jpeg")
+
+
+def test_jpeg_codec_color_subsampling_and_restart():
+    """r5: the decoder covers the real-world scanner classes — YCbCr color
+    at 4:4:4 and 4:2:0 (luma plane returned; chroma sync-decoded) and
+    DRI/RSTn restart-marker scans — all within quantization error of the
+    computed luminance."""
+    from pdf_extractor_scripts_spark.operators.jpegcodec import (
+        decode_jpeg_luma,
+        encode_color_jpeg,
+        encode_gray_jpeg,
+    )
+
+    W, H = 36, 28
+    rgb = bytearray()
+    y_exp = []
+    for y in range(H):
+        for x in range(W):
+            r, g, b = (x * 7) % 256, (y * 9) % 256, ((x + y) * 5) % 256
+            if 10 <= y <= 14 and x % 6 < 2:
+                r = g = b = 15  # text-ish strokes
+            rgb += bytes((r, g, b))
+            y_exp.append(0.299 * r + 0.587 * g + 0.114 * b)
+    for sub in (False, True):
+        w, h, luma = decode_jpeg_luma(
+            encode_color_jpeg(bytes(rgb), W, H, quality=85, subsample=sub)
+        )
+        assert (w, h) == (W, H)
+        mae = sum(abs(a - b) for a, b in zip(y_exp, luma)) / len(y_exp)
+        assert mae < 10, (sub, mae)
+
+    # restart markers: DRI emitted, RSTn consumed, DC predictors reset
+    W2, H2 = 48, 32
+    px = bytes(((x * 11 + y * 17) % 256) for y in range(H2) for x in range(W2))
+    jp = encode_gray_jpeg(px, W2, H2, quality=90, restart_interval=5)
+    assert b"\xff\xdd" in jp
+    w, h, out = decode_jpeg_luma(jp)
+    assert (w, h) == (W2, H2)
+    mae = sum(abs(a - b) for a, b in zip(px, out)) / len(px)
+    assert mae < 8, mae
