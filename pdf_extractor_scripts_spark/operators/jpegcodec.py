@@ -101,11 +101,21 @@ AC_VALS_C = [
 ]
 
 
-def _scaled_qtable(quality: int) -> list[int]:
-    """IJG quality scaling of the Annex K table."""
+def _scaled_qtable(quality: int, base: list[int] | None = None) -> list[int]:
+    """IJG quality scaling of an Annex K table, returned in ZIGZAG order —
+    the order DQT segments (and this codec's quantize loops, which index by
+    zigzag position) use. The base tables above are spec-printed in natural
+    row-major order, so each entry is permuted through ZIGZAG here; without
+    the permutation the effective matrix is a scrambled Annex K (r5 bug —
+    self-consistent, but wrong quality semantics vs any other codec)."""
+    if base is None:
+        base = QTABLE_BASE
     q = max(1, min(100, quality))
     scale = 5000 // q if q < 50 else 200 - 2 * q
-    return [max(1, min(255, (b * scale + 50) // 100)) for b in QTABLE_BASE]
+    return [
+        max(1, min(255, (base[ZIGZAG[i]] * scale + 50) // 100))
+        for i in range(64)
+    ]
 
 
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -415,6 +425,14 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if ns != len(comps):
+                # a legal baseline file may ALSO split components across
+                # several scans (non-interleaved); this decoder reads one
+                # interleaved scan, so mis-tiling would silently scramble
+                # pixels — reject honestly instead
+                raise ValueError(
+                    "non-interleaved (multi-scan) baseline JPEG unsupported"
+                )
             by_id = {c["id"]: c for c in comps}
             for s in range(ns):
                 cid, tt = seg[1 + 2 * s], seg[2 + 2 * s]
@@ -553,10 +571,7 @@ def encode_color_jpeg(rgb: bytes, width: int, height: int,
                   (bytes(Cr), width, height, 1, 1)]
 
     qt_l = _scaled_qtable(quality)
-    q = max(1, min(100, quality))
-    scale = 5000 // q if q < 50 else 200 - 2 * q
-    qt_c = [max(1, min(255, (b * scale + 50) // 100))
-            for b in QTABLE_CHROMA_BASE]
+    qt_c = _scaled_qtable(quality, QTABLE_CHROMA_BASE)
     dc_l = _huff_codes(DC_BITS, DC_VALS)
     ac_l = _huff_codes(AC_BITS, AC_VALS)
     dc_c = _huff_codes(DC_BITS_C, DC_VALS_C)

@@ -22,12 +22,15 @@ support for Flate/LZW (the layout every real xref stream uses); terminal
 image codecs (DCTDecode/JPXDecode/CCITTFax/JBIG2) pass their compressed
 bytes through — a page image's payload IS the compressed image, which is
 exactly what the media-span model wants (pixel decode is the env-blocked
-multimodal seam, operators/multimodal.py). Encrypted PDFs (r5): standard
-security handler with an EMPTY user password (RC4 — V1/V2 R2-R3, or V4/R4
-with a /V2 crypt filter) decrypts transparently — the common real-world "secured" invoice, which the
-reference opens via PyPDF2 .decrypt('') (pdf_text_detector.py:171-204);
-AES (/V 4+) or a nonempty user password raises PdfEncryptedError so
-ingest counts genuinely locked files as a distinct parse-fallback reason
+multimodal seam, operators/multimodal.py). Encrypted PDFs (r5, extended
+r6): standard security handler with an EMPTY user password decrypts
+transparently — RC4 (V1/V2 R2-R3, V4/R4 with a /V2 crypt filter), AES-128
+(V4/AESV2, the Acrobat 7+ default) and AES-256 (V5 R5-R6 AESV3) — the
+common real-world "secured" invoice; the reference's PyPDF2 .decrypt('')
+(pdf_text_detector.py:171-204) handles only the RC4 subset, so the AES
+families are engine-exceeds-reference coverage. A nonempty user password
+or a non-Standard (public-key) handler raises PdfEncryptedError so ingest
+counts genuinely locked files as a distinct parse-fallback reason
 (reference behavior: pdfplumber raises and the fallback chain advances,
 text_pdf_processor.py:661-670).
 
@@ -53,12 +56,13 @@ from binascii import hexlify
 # Object model
 # ---------------------------------------------------------------------------
 class PdfEncryptedError(ValueError):
-    """The file is GENUINELY locked: an unsupported handler (AES /V 4+) or
-    a nonempty user password (empty-password verification failed). Raised
-    eagerly at document open so ingest metrics count 'encrypted' as its
-    own fallback reason (the exception NAME is the reason key in
-    parse_error). Standard-handler RC4 with an empty user password no
-    longer lands here — those files decrypt transparently (r5)."""
+    """The file is GENUINELY locked: an unsupported handler (public-key
+    /Adobe.PubSec, mixed crypt filters) or a nonempty user password
+    (empty-password verification failed). Raised eagerly at document open
+    so ingest metrics count 'encrypted' as its own fallback reason (the
+    exception NAME is the reason key in parse_error). Standard-handler RC4
+    (r5) and AES-128/AES-256 (r6) with an empty user password no longer
+    land here — those files decrypt transparently."""
 
 
 class Ref:
@@ -365,6 +369,7 @@ class PdfDocument:
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, tuple] = {}
         self._enc_key: bytes | None = None
+        self._enc_method: str | None = None
         try:
             self.offsets, self.trailer = self._read_xref_chain()
             if "Root" not in self.trailer:
@@ -392,10 +397,15 @@ class PdfDocument:
             self._setup_decryption()
 
     def _setup_decryption(self) -> None:
-        """RC4 V1/V2 R2-R3 empty-user-password setup (spec §7.6.3) — the
-        /Encrypt dict itself is never encrypted, so fetching it before
-        ``_enc_key`` is set is exactly right."""
-        from .pdfcrypt import derive_file_key, verify_user_password
+        """Standard-handler empty-password setup — RC4 V1/V2 R2-R3
+        (spec §7.6.3), AES-128 V4/AESV2, AES-256 V5/R5-R6 AESV3
+        (PDF 2.0 §7.6.4). The /Encrypt dict itself is never encrypted, so
+        fetching it before ``_enc_key`` is set is exactly right."""
+        from .pdfcrypt import (
+            derive_file_key,
+            verify_r6_password,
+            verify_user_password,
+        )
 
         enc = self.get(self.trailer["Encrypt"])
         filt = self.get(enc.get("Filter"))
@@ -403,20 +413,34 @@ class PdfDocument:
         r = int(self.get(enc.get("R", 0)) or 0)
         length = int(self.get(enc.get("Length", 40)) or 40)
         encrypt_metadata = bool(self.get(enc.get("EncryptMetadata", True)))
-        ok = filt == "Standard" and (
-            (v in (1, 2) and r in (2, 3))
-            or (v == 4 and r == 4 and self._v4_rc4_length(enc) is not None)
-        )
-        if not ok:
+        v4 = self._v4_method(enc) if v == 4 and r == 4 else None
+        if filt == "Standard" and v in (1, 2) and r in (2, 3):
+            method = "rc4"
+        elif filt == "Standard" and v4 is not None:
+            method, length = v4
+        elif filt == "Standard" and v == 5 and r in (5, 6) \
+                and self._v4_method(enc, aes256=True) is not None:
+            # AES-256: SHA-2 key derivation, no /ID or RC4 legacy inputs
+            u = self.get(enc.get("U")) or b""
+            o = self.get(enc.get("O")) or b""
+            ue = self.get(enc.get("UE")) or b""
+            oe = self.get(enc.get("OE")) or b""
+            key = verify_r6_password(b"", u, o, ue, oe, r)
+            if key is None:
+                raise PdfEncryptedError(
+                    "password-protected — empty user password rejected"
+                )
+            self._enc_key = key
+            self._enc_method = "aes256"
+            return
+        else:
             cfm = self._v4_cfm(enc) if v >= 4 else None
             raise PdfEncryptedError(
                 f"unsupported encryption (Filter={filt} V={v} R={r}"
                 + (f" CFM={cfm}" if cfm else "")
-                + ") — standard-handler RC4 only (V1/V2 R2-R3, or V4/R4 "
-                "with a /V2 crypt filter)"
+                + ") — standard handler only: RC4 V1/V2 R2-R3, V4/R4 "
+                "RC4 or AESV2, V5 R5-R6 AESV3"
             )
-        if v == 4:
-            length = self._v4_rc4_length(enc)
         o = self.get(enc.get("O")) or b""
         u = self.get(enc.get("U")) or b""
         p = int(self.get(enc.get("P", -1)))
@@ -428,6 +452,7 @@ class PdfDocument:
                 "password-protected — empty user password rejected"
             )
         self._enc_key = key
+        self._enc_method = method
 
     def _v4_cfm(self, enc) -> str | None:
         """The /CFM of the crypt filter the default stream filter (/StmF)
@@ -437,34 +462,56 @@ class PdfDocument:
         entry = self.get(cf.get(str(stmf))) if str(stmf) in cf else None
         return str(self.get(entry.get("CFM"))) if entry else None
 
-    def _v4_rc4_length(self, enc):
-        """Key length (bits) iff this V4 dict is plain-RC4: both default
-        filters (/StmF, /StrF) must name a crypt filter whose /CFM is /V2.
-        AESV2/AESV3, /Identity defaults, or a missing /CF → None (reject —
-        anything but uniform RC4 is beyond this reader)."""
+    def _v4_method(self, enc, aes256: bool = False):
+        """(method, key length bits) iff this V4/V5 dict is uniformly one
+        supported cipher: both default filters (/StmF, /StrF) must name a
+        crypt filter whose /CFM is /V2 (RC4), /AESV2, or — when
+        ``aes256`` — /AESV3. Mixed filters, /Identity defaults, or a
+        missing /CF → None (reject — per-filter mixing is beyond this
+        reader)."""
         cf = self.get(enc.get("CF")) or {}
         names = {str(self.get(enc.get(k, "Identity"))) for k in ("StmF", "StrF")}
         if len(names) != 1 or "Identity" in names:
             return None
         entry = self.get(cf.get(names.pop()))
-        if not isinstance(entry, dict) or str(self.get(entry.get("CFM"))) != "V2":
+        if not isinstance(entry, dict):
+            return None
+        cfm = str(self.get(entry.get("CFM")))
+        if aes256:
+            return ("aes256", 256) if cfm == "AESV3" else None
+        if cfm == "AESV2":
+            return ("aes128", 128)
+        if cfm != "V2":
             return None
         n = int(self.get(entry.get("Length", 16)) or 16)
         # CF /Length is spec'd in BYTES but some writers emit bits
-        return n * 8 if n <= 16 else n
+        return ("rc4", n * 8 if n <= 16 else n)
 
-    def _decrypt_strings(self, val, num: int):
+    def _decrypt_data(self, data: bytes, num: int, gen: int) -> bytes:
+        """One string/stream payload through the configured cipher: RC4 and
+        AES-128 use a per-object key (the latter with the ``sAlT`` suffix
+        and an IV+CBC+padding payload); AES-256 uses the file key
+        directly. The GENERATION number participates in the per-object key
+        (spec Algorithm 1) — gen>0 objects decrypt to garbage without it."""
+        from .pdfcrypt import object_key, object_key_aes, pdf_aes_decrypt, rc4
+
+        if self._enc_method == "rc4":
+            return rc4(object_key(self._enc_key, num, gen), data)
+        if self._enc_method == "aes128":
+            return pdf_aes_decrypt(object_key_aes(self._enc_key, num, gen), data)
+        return pdf_aes_decrypt(self._enc_key, data)
+
+    def _decrypt_strings(self, val, num: int, gen: int = 0):
         """Strings in a directly-stored object are encrypted with that
-        object's key; nested direct dicts/arrays inherit it. (Objects
-        inside an /ObjStm are NOT separately encrypted — their container
-        stream already was — so this only runs for direct objects.)"""
-        from .pdfcrypt import object_key, rc4
-
-        key = object_key(self._enc_key, num)
+        object's key; nested direct dicts/arrays inherit it — INCLUDING a
+        stream object's own dict (spec: all strings outside the /Encrypt
+        dict). Objects inside an /ObjStm are NOT separately encrypted —
+        their container stream already was — so this only runs for direct
+        objects."""
 
         def walk(v):
             if isinstance(v, bytes):
-                return rc4(key, v)
+                return self._decrypt_data(v, num, gen)
             if isinstance(v, dict):
                 return {k: walk(x) for k, x in v.items()}
             if isinstance(v, list):
@@ -674,6 +721,8 @@ class PdfDocument:
         m = re.compile(rb"(\d+)\s+(\d+)\s+obj\s*").match(self.data, off)
         if not m:
             raise ValueError(f"no object header at offset {off}")
+        # the header's generation participates in per-object decryption keys
+        gen = int(m.group(2))
         lx = _CLexer(self.data, m.end())
         val = _parse_value(lx)
         # stream payload?
@@ -688,13 +737,14 @@ class PdfDocument:
             raw = self.data[p : p + length]
             if self._enc_key is not None and val.get("Type") != "XRef":
                 # decrypt BEFORE filter decode (spec order); cross-reference
-                # streams are never encrypted
-                from .pdfcrypt import object_key, rc4
-
-                raw = rc4(object_key(self._enc_key, obj.num), raw)
+                # streams are never encrypted. Strings in the stream's own
+                # dict decrypt with the same object key (they are strings
+                # outside /Encrypt like any other).
+                raw = self._decrypt_data(raw, obj.num, gen)
+                val = self._decrypt_strings(val, obj.num, gen)
             val = _Stream(val, raw)
         elif self._enc_key is not None:
-            val = self._decrypt_strings(val, obj.num)
+            val = self._decrypt_strings(val, obj.num, gen)
         self._cache[obj.num] = val
         return val
 
@@ -994,6 +1044,21 @@ def _fmt_num(v: float) -> str:
     return str(int(v)) if v == int(v) else str(v)
 
 
+def _next_tok(lx):
+    """``next_token`` with truncation-class errors mapped to end-of-stream:
+    an unterminated string/hex literal is what a Flate-salvage cut looks
+    like mid-token, so the events decoded so far are kept. Every OTHER
+    lexer error (e.g. a malformed number) propagates — the ingest layer
+    counts it as an observable fallback instead of silently truncating the
+    event list (r5 swallowed all ValueErrors here, masking real bugs)."""
+    try:
+        return lx.next_token()
+    except ValueError as e:
+        if str(e).startswith("unterminated"):
+            return None
+        raise
+
+
 def content_events(content: bytes, image_names: set[str]) -> list[tuple]:
     """Tokenize one page's content stream into ordered paint events:
     ("line", str) — one per Td/TD/T*/Tm text-line move, show-op strings on
@@ -1012,14 +1077,7 @@ def content_events(content: bytes, image_names: set[str]) -> list[tuple]:
             cur.clear()
 
     while True:
-        try:
-            tok = lx.next_token()
-        except ValueError:
-            # truncated/salvaged streams can end mid-token (an unterminated
-            # string after a Flate-salvage cut) — keep the events decoded
-            # so far; the round-trip suites would surface any silent loss
-            # on healthy input as missing spans
-            break
+        tok = _next_tok(lx)
         if tok is None:
             break
         kind, val = tok
@@ -1030,7 +1088,7 @@ def content_events(content: bytes, image_names: set[str]) -> list[tuple]:
             # TJ operand: collect until arr_close, keep strings only
             parts = []
             while True:
-                t = lx.next_token()
+                t = _next_tok(lx)
                 if t is None or t[0] == "arr_close":
                     break
                 if t[0] == "str":
@@ -1068,7 +1126,7 @@ def content_events(content: bytes, image_names: set[str]) -> list[tuple]:
             # same ambiguity every PDF tokenizer accepts.) The image
             # itself is a paint event, same as a Do placement.
             while True:
-                t = lx.next_token()
+                t = _next_tok(lx)
                 if t is None or (t[0] == "op" and t[1] == b"ID"):
                     break
             m = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r /\[\]<>(]|$)").search(
@@ -1262,7 +1320,7 @@ def _esc(s: str) -> bytes:
 def build_pdf(
     pages: list[list[tuple]], compress: bool = True, xref_stream: bool = False,
     content_filter: str | None = None, image_filter: str = "Flate",
-    encrypted: bool | str = False,
+    encrypted: bool | str = False, user_password: bytes = b"",
 ) -> bytes:
     """Build a PDF file from ordered paint events.
 
@@ -1281,28 +1339,60 @@ def build_pdf(
     scanned-page layout). ``encrypted=True`` REALLY encrypts every stream
     with the standard security handler (RC4 V1 R2, empty user+owner
     password — the common "secured" invoice, readable without a prompt);
-    ``encrypted="aes"`` stamps an unsupported /V 4 dict so tests can
-    exercise the PdfEncryptedError reject path.
+    "rc4-128" / "v4-rc4" / "v4-rc4-nometa" are the later RC4 layouts,
+    "aesv2" is AES-128-CBC (V4/R4, the Acrobat 7+ default), "aesv3" /
+    "aesv3-r5" are AES-256 (V5 R6 / legacy R5) — all genuinely encrypted
+    and all transparently readable. ``encrypted="aes"`` stamps a
+    non-Standard (public-key) /Encrypt dict so tests can exercise the
+    PdfEncryptedError reject path; ``user_password`` makes any really-
+    encrypted mode a genuinely LOCKED file (empty-password open fails).
     """
     from .pdfcrypt import (
-        derive_file_key, object_key, owner_entry, rc4, user_entry,
+        derive_file_key, make_r6_entries, object_key, object_key_aes,
+        owner_entry, pdf_aes_encrypt, rc4, user_entry,
     )
 
-    if encrypted is True or encrypted in ("rc4-128", "v4-rc4",
-                                          "v4-rc4-nometa"):
+    def _iv(num: int) -> bytes:
+        # deterministic per-object IV — fixtures must be byte-stable
+        return hashlib.md5(b"iv%d" % num).digest()
+
+    if encrypted in ("aesv3", "aesv3-r5"):
+        r = 5 if encrypted == "aesv3-r5" else 6
+        file_key = hashlib.sha256(
+            b"pdf_extractor_scripts_spark aes256 fixture key"
+        ).digest()
+        u, ue, o, oe, perms = make_r6_entries(
+            user_password, user_password, file_key, p=-1, r=r
+        )
+        enc_dict = (
+            b"<< /Filter /Standard /V 5 /R %d /Length 256 "
+            b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+            b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> /P -1 >>"
+            % (r, hexlify(o), hexlify(u), hexlify(oe), hexlify(ue),
+               hexlify(perms))
+        )
+        id_hex = b""
+
+        def enc_stream(num: int, data: bytes) -> bytes:
+            return pdf_aes_encrypt(file_key, _iv(num), data)
+    elif encrypted is True or encrypted in ("rc4-128", "v4-rc4",
+                                            "v4-rc4-nometa", "aesv2"):
         v, r, length = {
             True: (1, 2, 40), "rc4-128": (2, 3, 128), "v4-rc4": (4, 4, 128),
-            "v4-rc4-nometa": (4, 4, 128),
+            "v4-rc4-nometa": (4, 4, 128), "aesv2": (4, 4, 128),
         }[encrypted]
         em = encrypted != "v4-rc4-nometa"
         file_id = hashlib.md5(b"pdf_extractor_scripts_spark fixture id").digest()
-        o_entry = owner_entry(b"", b"", r=min(r, 3))
-        file_key = derive_file_key(b"", o_entry, -1, file_id, r=r,
+        o_entry = owner_entry(user_password, user_password, r=min(r, 3))
+        file_key = derive_file_key(user_password, o_entry, -1, file_id, r=r,
                                    length=length, encrypt_metadata=em)
         u_entry = user_entry(file_key, file_id, r)
         id_hex = hexlify(file_id)
-        cf = (b"/CF << /StdCF << /CFM /V2 /Length 16 >> >> "
+        cfm = b"AESV2" if encrypted == "aesv2" else b"V2"
+        cf = (b"/CF << /StdCF << /CFM /%s /Length 16 >> >> "
               b"/StmF /StdCF /StrF /StdCF "
+              % cfm
               + (b"" if em else b"/EncryptMetadata false ")
               if v == 4 else b"")
         enc_dict = (
@@ -1311,18 +1401,36 @@ def build_pdf(
             % (v, r, length, cf, hexlify(o_entry), hexlify(u_entry))
         )
 
-        def enc_stream(num: int, data: bytes) -> bytes:
-            return rc4(object_key(file_key, num), data)
+        if encrypted == "aesv2":
+            def enc_stream(num: int, data: bytes) -> bytes:
+                return pdf_aes_encrypt(
+                    object_key_aes(file_key, num), _iv(num), data
+                )
+        else:
+            def enc_stream(num: int, data: bytes) -> bytes:
+                return rc4(object_key(file_key, num), data)
     else:
-        # a realistic AESV2 dict: the reject path a real Acrobat-9 AES
-        # file would take
+        # a PUBLIC-KEY security handler — genuinely out of scope for the
+        # standard-handler reader, the honest reject fixture now that both
+        # AES families decrypt transparently
         enc_dict = (
-            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
-            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
-            b"/StmF /StdCF /StrF /StdCF >>"
+            b"<< /Filter /Adobe.PubSec /SubFilter /adbe.pkcs7.s5 /V 4 "
+            b"/CF << /DefaultCryptFilter << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /DefaultCryptFilter /StrF /DefaultCryptFilter >>"
             if encrypted == "aes" else b"")
         id_hex = b""
         enc_stream = lambda num, data: data  # noqa: E731
+
+    really_encrypted = bool(enc_dict) and encrypted != "aes"
+
+    def _note(num: int) -> bytes:
+        # a literal string INSIDE a stream object's dict (encrypted modes):
+        # pins that stream-dict strings decrypt with the object key — spec
+        # says ALL strings outside /Encrypt are encrypted, stream dicts
+        # included (an r5 gap: only non-stream objects were walked)
+        if not really_encrypted:
+            return b""
+        return b" /Note <%s>" % hexlify(enc_stream(num, b"fixture-stream-note"))
 
     objects: dict[int, bytes] = {}
     next_num = 1
@@ -1410,16 +1518,18 @@ def build_pdf(
             ops.append(b"ET")
         content = b"\n".join(ops)
         cf = content_filter if content_filter else ("Flate" if compress else None)
+        cnum = alloc()
         if cf is not None:
             fname, enc = _CONTENT_ENCODERS[cf]
-            payload = enc(content)
-            stream_dict = (b"<< /Filter /%s /Length %d >>"
-                           % (fname.encode("ascii"), len(payload)))
+            payload = enc_stream(cnum, enc(content))
+            # /Length AFTER encryption: RC4 preserves length but AES adds
+            # an IV + padding
+            stream_dict = (b"<< /Filter /%s /Length %d%s >>"
+                           % (fname.encode("ascii"), len(payload),
+                              _note(cnum)))
         else:
-            payload = content
-            stream_dict = b"<< /Length %d >>" % len(payload)
-        cnum = alloc()
-        payload = enc_stream(cnum, payload)  # RC4 preserves length
+            payload = enc_stream(cnum, content)
+            stream_dict = b"<< /Length %d%s >>" % (len(payload), _note(cnum))
         objects[cnum] = b"%s\nstream\n%s\nendstream" % (stream_dict, payload)
 
         xobj = b""
@@ -1447,7 +1557,8 @@ def build_pdf(
     # stream, pinning that objstm strings are never double-decrypted
     producer = b"pdf_extractor_scripts_spark writer"
     info_num = alloc()
-    if enc_dict and id_hex:  # really-encrypted modes only
+    really_encrypted = bool(enc_dict) and encrypted != "aes"
+    if really_encrypted:
         info_body = b"<< /Producer <%s> >>" % hexlify(
             enc_stream(info_num, producer)
         )

@@ -337,3 +337,68 @@ def test_fast_lexer_matches_reference_lexer(data):
         assert a.pos == b.pos, (data, ta, a.pos, b.pos)
         if ta is None:
             return
+
+
+# ---------------------------------------------------------------------------
+# r6: AES (FIPS-197) + AES-256 revision 6 key-derivation properties
+# ---------------------------------------------------------------------------
+def test_aes_fips197_vectors():
+    """The computed-table AES must reproduce the published FIPS-197
+    Appendix C known-answer vectors for 128/192/256-bit keys."""
+    from pdf_extractor_scripts_spark.sources.pdfcrypt import (
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _expand_key,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    for klen, ct_hex in (
+        (16, "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        (24, "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        (32, "8ea2b7ca516745bfeafc49904b496089"),
+    ):
+        rks, nr = _expand_key(bytes(range(klen)))
+        ct = _aes_encrypt_block(rks, nr, pt)
+        assert ct.hex() == ct_hex, klen
+        assert _aes_decrypt_block(rks, nr, ct) == pt, klen
+
+
+@given(st.binary(min_size=0, max_size=300),
+       st.sampled_from([16, 32]), st.integers(0, 2**31))
+@settings(max_examples=40, deadline=None)
+def test_pdf_aes_payload_roundtrip(data, klen, seed):
+    """IV + CBC + PKCS#7 payloads round-trip for any data length, both key
+    sizes (AESV2 object keys are 16 bytes, AESV3 file keys 32)."""
+    import hashlib
+
+    from pdf_extractor_scripts_spark.sources.pdfcrypt import (
+        pdf_aes_decrypt,
+        pdf_aes_encrypt,
+    )
+
+    key = hashlib.sha256(b"k%d" % seed).digest()[:klen]
+    iv = hashlib.md5(b"iv%d" % seed).digest()
+    assert pdf_aes_decrypt(key, pdf_aes_encrypt(key, iv, data)) == data
+
+
+@given(st.binary(min_size=0, max_size=24), st.sampled_from([5, 6]))
+@settings(max_examples=10, deadline=None)
+def test_r6_empty_user_password_verifies_and_owner_path_works(owner_pw, r):
+    """AES-256 twin of the RC4 property: empty user password always
+    unwraps the file key via /U//UE; a nonempty user password rejects the
+    empty probe; and an empty OWNER password recovers the key through the
+    /O//OE path even when the user password is set."""
+    from pdf_extractor_scripts_spark.sources.pdfcrypt import (
+        make_r6_entries,
+        verify_r6_password,
+    )
+
+    fk = bytes(range(32))
+    u, ue, o, oe, _ = make_r6_entries(b"", owner_pw, fk, r=r)
+    assert verify_r6_password(b"", u, o, ue, oe, r) == fk
+
+    u2, ue2, o2, oe2, _ = make_r6_entries(b"secret", b"", fk, r=r)
+    # user path fails for the empty probe, owner path (empty) recovers
+    assert verify_r6_password(b"", u2, o2, ue2, oe2, r) == fk
+    u3, ue3, o3, oe3, _ = make_r6_entries(b"secret", b"owner", fk, r=r)
+    assert verify_r6_password(b"", u3, o3, ue3, oe3, r) is None

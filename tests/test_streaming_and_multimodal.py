@@ -467,3 +467,44 @@ def test_jpeg_codec_color_subsampling_and_restart():
     assert (w, h) == (W2, H2)
     mae = sum(abs(a - b) for a, b in zip(px, out)) / len(px)
     assert mae < 8, mae
+
+
+def test_jpeg_dqt_is_spec_zigzag_order_and_multiscan_rejects():
+    """ADVICE r5 pins: (1) the DQT segment carries the Annex K table in
+    ZIGZAG order — entry i must equal the scaled base table at natural
+    index ZIGZAG[i], so any spec-conforming decoder reconstructs the same
+    quantization matrix this codec used; (2) a baseline file whose first
+    SOS covers fewer components than the frame (non-interleaved
+    multi-scan) is an honest ValueError reject, not scrambled pixels."""
+    import struct as _struct
+
+    from pdf_extractor_scripts_spark.operators.jpegcodec import (
+        QTABLE_BASE,
+        ZIGZAG,
+        decode_jpeg_luma,
+        encode_color_jpeg,
+        encode_gray_jpeg,
+    )
+
+    quality = 85
+    scale = 200 - 2 * quality
+    expect = [
+        max(1, min(255, (QTABLE_BASE[ZIGZAG[i]] * scale + 50) // 100))
+        for i in range(64)
+    ]
+    jp = encode_gray_jpeg(bytes(64), 8, 8, quality=quality)
+    i = jp.find(b"\xff\xdb")
+    dqt = list(jp[i + 5 : i + 5 + 64])
+    assert dqt == expect
+    # spot-check the permutation is real: natural vs zigzag differ at q85
+    assert dqt != [max(1, min(255, (b * scale + 50) // 100))
+                   for b in QTABLE_BASE]
+
+    # synthesize a non-interleaved first scan: 3-component SOF0 but SOS
+    # with ns=1 (component 1 only)
+    color = encode_color_jpeg(bytes(27), 3, 3, quality=85, subsample=False)
+    s = color.find(b"\xff\xda")
+    bad = color[:s] + b"\xff\xda" + _struct.pack(">H", 8) + \
+        bytes([1, 1, 0x00, 0, 63, 0]) + color[s + 14:]
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg_luma(bad)
