@@ -183,17 +183,20 @@ def main() -> None:
     pdf_sec = min(run_pdf_ingest(spark, pdf_root) for _ in range(2))
     timings["pdf_ingest"] = round(pdf_sec, 3)
 
-    # Targeted outlier retries (r4 VERDICT #1): any query still >1.3x its
-    # previous-round record after the min-of-2 passes gets up to 2 more
-    # cache-cleared attempts, time-separated from the earlier passes — a
-    # genuine regression survives all 4 samples, a noise window doesn't.
-    # BENCH_r04.json's j6=4.04s (4.28x r3, plan unchanged, same-session
-    # controlled runs flat) is the phantom this protocol exists to prevent.
+    # Targeted outlier retries (r4 VERDICT #1, baseline fixed r6 per r5
+    # VERDICT #2): any query still >1.3x its MINIMUM HISTORICAL record
+    # after the min-of-2 passes gets up to 2 more cache-cleared attempts,
+    # time-separated from the earlier passes — a genuine regression
+    # survives all 4 samples, a noise window doesn't. Keying on the
+    # previous ROUND's record let an inflated record propagate (r4's
+    # j6=4.04s phantom sailed r5's q3 through unretried); the rolling
+    # per-query min in BENCH/best_records.json cannot ratchet upward.
     prev = _prev_round_queries()
+    best = _best_records()
     noise_retries: dict[str, int] = {}
-    if prev:
+    if best:
         for name in HEADLINE:
-            p = prev["queries"].get(name)
+            p = best.get(name)
             for _ in range(2):
                 if not p or timings[name] <= 1.3 * p:
                     break
@@ -202,11 +205,11 @@ def main() -> None:
                 _force(qspecs[name].spark(spark, SF_DIR))
                 timings[name] = min(timings[name], round(time.time() - t0, 3))
                 noise_retries[name] = noise_retries.get(name, 0) + 1
-        p = prev["queries"].get("extract_pipeline")
+        p = best.get("extract_pipeline")
         if p and min(ext_times) > 1.3 * p:
             ext_times.append(run_extraction(spark, n_docs, warmup=False))
             noise_retries["extract_pipeline"] = 1
-        p = prev["queries"].get("pdf_ingest")
+        p = best.get("pdf_ingest")
         if p and pdf_sec > 1.3 * p:
             pdf_sec = min(pdf_sec, run_pdf_ingest(spark, pdf_root))
             noise_retries["pdf_ingest"] = 1
@@ -251,6 +254,13 @@ def main() -> None:
             pass
     if prev:
         out["prev_round_queries"] = prev
+    if best:
+        # capability-vs-weather ratios: this run against the best EVER
+        # recorded per query (<1 = new record)
+        out["vs_best"] = {
+            n: round(t / best[n], 2) for n, t in timings.items() if best.get(n)
+        }
+    _update_best_records(best, timings)
     print(json.dumps(out))
     _append_trend_table(sf, timings, prev, docs_per_sec, bucket_stats)
 
@@ -300,6 +310,48 @@ def _bucket_stats(spark) -> dict:
         }
     except Exception as e:  # telemetry must never fail the bench
         return {"error": str(e)[:200]}
+
+
+def _best_records() -> dict[str, float]:
+    """Minimum historical per-query wall seconds at THIS scale factor: the
+    rolling-min table (BENCH/best_records.json) merged with every
+    driver-recorded BENCH_r*.json — the retry baseline that cannot be
+    inflated by a single noisy round."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    best: dict[str, float] = {}
+    path = os.path.join(root, "BENCH", "best_records.json")
+    if os.path.exists(path):
+        try:
+            stored = json.load(open(path))
+            if stored.get("sf") == _sf_name():
+                best.update(stored.get("queries") or {})
+        except Exception:
+            pass
+    import glob
+
+    for fn in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        try:
+            parsed = json.load(open(fn)).get("parsed") or {}
+        except Exception:
+            continue
+        if parsed.get("sf") != _sf_name():
+            continue
+        for name, t in (parsed.get("queries") or {}).items():
+            if isinstance(t, (int, float)) and t > 0:
+                best[name] = min(best.get(name, t), float(t))
+    return best
+
+
+def _update_best_records(best: dict[str, float], timings: dict[str, float]) -> None:
+    merged = dict(best)
+    for name, t in timings.items():
+        if t > 0:
+            merged[name] = min(merged.get(name, t), float(t))
+    root = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(os.path.join(root, "BENCH"), exist_ok=True)
+    with open(os.path.join(root, "BENCH", "best_records.json"), "w") as f:
+        json.dump({"sf": _sf_name(), "queries": merged}, f, indent=1,
+                  sort_keys=True)
 
 
 def _prev_round_queries() -> dict:

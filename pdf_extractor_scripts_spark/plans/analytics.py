@@ -243,6 +243,10 @@ def a8_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Top-1 selection per group with explicit total ordering — the "
         "reference's argmax-confidence selections (T2) made deterministic "
         "(ties broken by key, SURVEY.md §7.3(1)).",
+    gated=False,  # r6 slot rotation (VERDICT r5 #8): o4_ocr_variant_select
+                  # gates the same argmax idiom, so T2 donates its driver
+                  # slot to unified_json_projection; still DuckDB-parity-
+                  # checked locally like every xgate row
 )
 def t2_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")

@@ -311,8 +311,10 @@ def _register_unified() -> None:
             "to_json) hash-checked byte-for-byte against a DuckDB string "
             "twin; every section, the null-drop semantics, the kwargs "
             "passthrough map and the method vocabulary are exercised.",
-        gated=False,  # the 50-row gate window is full of §2 operators;
-                      # locally DuckDB-parity-checked like every xgate row
+        gated=True,  # r6 (VERDICT r5 #8): the migration surface takes the
+                     # driver slot t2_argmax_customer donated (o4 gates the
+                     # same argmax idiom, so no §2 family loses its only
+                     # gate)
     )
     def unified_json_projection(spark, sf_dir: str) -> DataFrame:
         out = to_unified_json(_synthetic_result(spark, sf_dir))

@@ -192,6 +192,29 @@ def test_connected_components_fixpoint(spark):
                    20: 20, 21: 20}
 
 
+def test_connected_components_reliable_checkpoint_branch(spark, tmp_path):
+    """r6 (VERDICT r5 #1): with a checkpoint_dir the fixpoint materializes
+    every iteration through RELIABLE checkpoint() on shared storage (the
+    cluster-survivable path) — identical results, and the directory really
+    receives checkpoint data."""
+    import os
+
+    from pdf_extractor_scripts_spark.plans.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    ckpt = str(tmp_path / "ccdir")
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    walked = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert walked, "reliable checkpoint wrote nothing"
+
+
 def test_portable_hll_accuracy_and_hash_quality(spark):
     """sketch_portable_hll (r4): the from-scratch portable HLL must land
     within ~2×rsd (13%) of the exact distinct count on the fixture corpus,
