@@ -1209,6 +1209,7 @@ def pdf_media_payloads(data: bytes, doc_id: str) -> list[dict]:
                     "media_ref": f"img://{doc_id}/{p + 1}/{img_i}",
                     "payload": b"",
                     "filter": "Inline",
+                    "params": {},
                 })
                 img_i += 1
                 continue
@@ -1217,10 +1218,33 @@ def pdf_media_payloads(data: bytes, doc_id: str) -> list[dict]:
             obj = doc.get(xo[ev[1]])
             filt = obj.attrs.get("Filter")
             filters = [filt] if isinstance(filt, (str, Name)) else (filt or [])
+            # terminal codecs that are NOT self-describing (CCITT G4 has no
+            # header) need their /DecodeParms to decode — surface them so a
+            # downstream decode_media decoder can be parameterized
+            # (operators.ccittcodec.ccitt_decoder)
+            parms = doc.get(
+                obj.attrs.get("DecodeParms", obj.attrs.get("DP"))
+            )
+            if isinstance(parms, list):
+                parms = next(
+                    (doc.get(x) for x in parms if isinstance(doc.get(x), dict)),
+                    {},
+                )
+            params = {}
+            if isinstance(parms, dict):
+                for k in ("K", "Columns", "Rows", "BlackIs1",
+                          "EncodedByteAlign"):
+                    if k in parms:
+                        params[k] = doc.get(parms[k])
+            for k, default in (("Width", None), ("Height", None)):
+                v = doc.get(obj.attrs.get(k, default))
+                if v is not None:
+                    params[k.lower()] = int(v)
             out.append({
                 "media_ref": f"img://{doc_id}/{p + 1}/{img_i}",
                 "payload": _decode_stream(obj),
                 "filter": "/".join(str(f) for f in filters),
+                "params": params,
             })
             img_i += 1
     return out
@@ -1471,15 +1495,35 @@ def build_pdf(
                 )
                 img_data = encode_gray_jpeg(grad, iw, ih, quality=85)
                 fname = b"DCTDecode"
+            elif image_filter == "CCITT-real":
+                # a REAL Group 4 fax payload (stdlib codec) — the layout
+                # scanned B/W invoices actually use; G4 is not
+                # self-describing so the object carries /DecodeParms
+                from ..operators.ccittcodec import encode_g4
+
+                iw = ih = 16
+                strokes = bytes(
+                    0 if (4 <= y <= 6 and x % 5 < 2)
+                    or (10 <= y <= 12 and (x // 3) % 2 == 0) else 255
+                    for y in range(ih) for x in range(iw)
+                )
+                img_data = encode_g4(strokes, iw, ih)
+                fname = b"CCITTFaxDecode"
             else:
                 img_data = zlib.compress(b"\x80")
                 fname = b"FlateDecode"
             img_data = enc_stream(inum, img_data)
+            if fname == b"CCITTFaxDecode":
+                bpc = 1
+                parms = (b" /DecodeParms << /K -1 /Columns %d /Rows %d >>"
+                         % (iw, ih))
+            else:
+                bpc, parms = 8, b""
             objects[inum] = (
                 b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-                b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
-                b"/Filter /%s /Length %d >>\nstream\n%s\nendstream"
-                % (iw, ih, fname, len(img_data), img_data)
+                b"/ColorSpace /DeviceGray /BitsPerComponent %d "
+                b"/Filter /%s%s /Length %d >>\nstream\n%s\nendstream"
+                % (iw, ih, bpc, fname, parms, len(img_data), img_data)
             )
             img_nums.append(inum)
 

@@ -508,3 +508,99 @@ def test_jpeg_dqt_is_spec_zigzag_order_and_multiscan_rejects():
         bytes([1, 1, 0x00, 0, 63, 0]) + color[s + 14:]
     with pytest.raises(ValueError, match="non-interleaved"):
         decode_jpeg_luma(bad)
+
+
+def test_ccitt_g4_codec_vectors_roundtrip_and_rejects():
+    """r6 (VERDICT r5 #1): pure-stdlib Group 4 codec. Known vectors pin the
+    bit-level spec (an all-white 1728-wide page is one V0 bit per row; a
+    horizontal-mode row emits 001 + MH white/black runs), arbitrary
+    bitmaps round-trip exactly (G4 is lossless), the MH tables are
+    prefix-free, and G3/truncated data reject honestly."""
+    import random
+
+    from pdf_extractor_scripts_spark.operators import ccittcodec as cc
+
+    enc = cc.encode_g4(b"\xff" * (1728 * 2), 1728, 2)
+    assert enc == bytes([0xC0, 0x04, 0x00, 0x40])  # "1","1",EOFB
+    assert cc.decode_g4(enc, 1728, 2)[2] == b"\xff" * (1728 * 2)
+
+    row = bytearray(b"\xff" * 1728)
+    row[4:7] = b"\x00\x00\x00"  # white 4, black 3, white tail
+    bits = "001" + "1011" + "10" + "1" + cc._EOFB  # H,W4,B3 then V0
+    want = int(bits.ljust((len(bits) + 7) // 8 * 8, "0"), 2).to_bytes(
+        (len(bits) + 7) // 8, "big"
+    )
+    assert cc.encode_g4(bytes(row), 1728, 1) == want
+
+    random.seed(7)
+    for (W, H) in [(16, 16), (61, 23), (200, 50), (1, 5), (1728, 4)]:
+        for dens in (0.05, 0.5, 0.95):
+            px = bytes(0 if random.random() < dens else 255
+                       for _ in range(W * H))
+            e = cc.encode_g4(px, W, H)
+            assert cc.decode_g4(e, W, H) == (W, H, px), (W, H, dens)
+
+    # MH prefix-freeness (transcription guard for the T.4 tables)
+    for color in (0, 1):
+        codes = list(cc._ENC[color].values())
+        assert len(set(codes)) == len(codes)
+        for a in codes:
+            assert not any(b is not a and b.startswith(a) for b in codes), a
+
+    with pytest.raises(ValueError):  # G3 via the params adapter
+        cc.ccitt_decoder({"K": 0, "Columns": 16})
+    # truncated scan with the row count demanded: a busy image cut mid-way
+    # cannot yield all its rows
+    busy = bytes(0 if (x + y) % 3 == 0 else 255
+                 for y in range(32) for x in range(64))
+    e = cc.encode_g4(busy, 64, 32)
+    with pytest.raises(ValueError):
+        cc.decode_g4(e[: len(e) // 4], 64, 32)
+
+
+def test_stdlib_g4_decoder_makes_ccittfax_real(spark):
+    """r6: the CCITT seam mirrors the r5 DCT one — build a PDF whose page
+    image is a REAL Group 4 payload (image_filter='CCITT-real'), surface
+    payload + /DecodeParms through pdf_media_payloads (G4 is not
+    self-describing, so the params ride along), parameterize the
+    pure-stdlib decoder with ccitt_decoder, and run it through the
+    decode_media mapInPandas seam: identical stats on executor and
+    locally. The same fixture decodes under AES encryption (decrypt
+    happens before the codec sees bytes)."""
+    from pdf_extractor_scripts_spark.operators.ccittcodec import (
+        ccitt_decoder,
+        decode_g4,
+    )
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        parse_pdf_spans,
+        pdf_media_payloads,
+    )
+
+    pdf = build_pdf([[("text", "SCAN"), ("image",)]],
+                    image_filter="CCITT-real")
+    payloads = pdf_media_payloads(pdf, "misc/scan.pdf")
+    assert len(payloads) == 1
+    assert payloads[0]["filter"] == "CCITTFaxDecode"
+    params = payloads[0]["params"]
+    assert params["K"] == -1 and params["Columns"] == 16
+    payload = payloads[0]["payload"]
+    w, h, px = decode_g4(payload, params["Columns"], params["Rows"])
+    assert (w, h) == (16, 16) and 0 in px and 255 in px
+
+    spans = parse_pdf_spans(pdf, "misc/scan.pdf")
+    media_ref = next(s["media_ref"] for s in spans if s["kind"] == "media")
+    media = spark.createDataFrame(
+        [(media_ref, {"modality": "image"}, bytearray(payload))],
+        "media_ref string, meta map<string,string>, payload binary",
+    )
+    decoder = ccitt_decoder(params)
+    feat = decode_media(media, decoder=decoder).first()
+    local = decoder(payload)
+    assert all(abs(a - b) < 1e-4 for a, b in zip(feat["feature"], local))
+    assert feat["feature"][:2] == [16.0, 16.0]
+
+    enc = build_pdf([[("text", "SCAN"), ("image",)]],
+                    image_filter="CCITT-real", encrypted="aesv3")
+    pl = pdf_media_payloads(enc, "misc/scan.pdf")
+    assert ccitt_decoder(pl[0]["params"])(pl[0]["payload"]) == local
