@@ -357,16 +357,37 @@ def decode_gray_jpeg(data: bytes) -> tuple[int, int, bytes]:
     return decode_jpeg_luma(data)
 
 
-def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline JPEG → (width, height, luma pixels).
+def _scan_end(data: bytes, start: int) -> int:
+    """End offset of an entropy-coded segment: the next marker that is not
+    byte stuffing (FF 00), a fill byte (FF FF), or a restart (RSTn)."""
+    i = start
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= len(data):
+            return len(data)
+        m = data[j + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            i = j + 2
+        elif m == 0xFF:
+            i = j + 1
+        else:
+            return j
 
-    Supported (r5): grayscale AND YCbCr color, sampling factors up to 2×2
+
+def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline (SOF0) or progressive (SOF2, r6) JPEG →
+    (width, height, luma pixels).
+
+    Supported: grayscale AND YCbCr color, sampling factors up to 2×2
     (4:4:4, 4:2:2, 4:2:0 — the real-world scanner classes), restart
-    markers (DRI/RSTn). The LUMA plane is returned — for document
-    processing the text lives in luminance; chroma blocks are
-    entropy-decoded (they must be, to stay in sync) but not reconstructed.
-    Progressive/arithmetic/12-bit variants raise ValueError (the honest
-    reject)."""
+    markers (DRI/RSTn), and progressive Huffman scans (spectral selection
+    + successive approximation, interleaved and single-component). The
+    LUMA plane is returned — for document processing the text lives in
+    luminance; baseline chroma blocks are entropy-decoded (they must be,
+    to stay in sync) but not reconstructed; progressive chroma scans are
+    independent segments and are skipped entirely. Arithmetic-coded,
+    hierarchical, lossless and 12-bit variants raise ValueError (the
+    honest reject)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -377,6 +398,8 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
     scan_comps: list[dict] = []  # SOF comp + dc/ac table ids, in SOS order
     restart_interval = 0
     scan_start = None
+    progressive = False
+    prog_scans: list[dict] = []
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -384,8 +407,8 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            continue  # standalone
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
+            continue  # standalone / fill
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -396,7 +419,8 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
                     raise ValueError("16-bit qtables unsupported")
                 qtables[tq] = list(seg[i + 1 : i + 65])
                 i += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             height, width = struct.unpack(">HH", seg[1:5])
@@ -409,7 +433,7 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
                 if not (1 <= h <= 2 and 1 <= v <= 2):
                     raise ValueError("sampling factors beyond 2x2 unsupported")
                 comps.append({"id": cid, "h": h, "v": v, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xC4:  # DHT
@@ -425,6 +449,26 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            by_id = {c["id"]: c for c in comps}
+            this_scan = []
+            for s in range(ns):
+                cid, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                c = dict(by_id[cid])
+                c["td"], c["ta"] = tt >> 4, tt & 0xF
+                this_scan.append(c)
+            if progressive:
+                ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                start = pos + seglen
+                end = _scan_end(data, start)
+                prog_scans.append({
+                    "comps": this_scan, "Ss": ss, "Se": se,
+                    "Ah": ahal >> 4, "Al": ahal & 0xF,
+                    "data": data[start:end],
+                    # tables/DRI may be redefined between scans — snapshot
+                    "htables": dict(htables), "dri": restart_interval,
+                })
+                pos = end
+                continue
             if ns != len(comps):
                 # a legal baseline file may ALSO split components across
                 # several scans (non-interleaved); this decoder reads one
@@ -433,15 +477,15 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
                 raise ValueError(
                     "non-interleaved (multi-scan) baseline JPEG unsupported"
                 )
-            by_id = {c["id"]: c for c in comps}
-            for s in range(ns):
-                cid, tt = seg[1 + 2 * s], seg[2 + 2 * s]
-                c = dict(by_id[cid])
-                c["td"], c["ta"] = tt >> 4, tt & 0xF
-                scan_comps.append(c)
+            scan_comps = this_scan
             scan_start = pos + seglen
             break
         pos += seglen
+    if progressive:
+        if not width or not prog_scans:
+            raise ValueError("no scan data")
+        return _decode_progressive_luma(width, height, comps, qtables,
+                                        prog_scans)
     if scan_start is None or not width or not scan_comps:
         raise ValueError("no scan data")
 
@@ -528,13 +572,225 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
-def encode_color_jpeg(rgb: bytes, width: int, height: int,
-                      quality: int = 75, subsample: bool = True) -> bytes:
-    """Encode interleaved 8-bit RGB as baseline YCbCr JPEG — 4:2:0 when
-    ``subsample`` (the scanner default) else 4:4:4. Fixture-side twin of
-    decode_jpeg_luma's color support."""
-    if len(rgb) != 3 * width * height:
-        raise ValueError("pixel buffer does not match dimensions")
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding — T.81 Annex G.2: coefficients accumulate
+# across scans (spectral selection bands × successive-approximation bit
+# planes), then one dequantize + IDCT pass reconstructs the luma plane.
+# ---------------------------------------------------------------------------
+def _refine_nonzero(block: list[int], br: _BitReader, k0: int, se: int,
+                    p1: int) -> None:
+    """Correction bits for already-nonzero coefficients in band k0..se —
+    consumed even inside EOB runs (G.1.2.3)."""
+    for k in range(k0, se + 1):
+        z = ZIGZAG[k]
+        if block[z]:
+            if br.bit() and not (abs(block[z]) & p1):
+                block[z] += p1 if block[z] > 0 else -p1
+
+
+def _decode_progressive_luma(width: int, height: int, comps: list[dict],
+                             qtables: dict, scans: list[dict]
+                             ) -> tuple[int, int, bytes]:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    store: dict[int, dict] = {}
+    for c in comps:
+        pw, ph = mcus_x * c["h"], mcus_y * c["v"]  # MCU-padded block grid
+        cw_px = -(-width * c["h"] // hmax)          # actual comp dimensions
+        ch_px = -(-height * c["v"] // vmax)
+        store[c["id"]] = {
+            "blocks": [[0] * 64 for _ in range(pw * ph)],
+            "pw": pw, "ph": ph,
+            "aw": -(-cw_px // 8), "ah": -(-ch_px // 8),
+        }
+    luma_id = comps[0]["id"]
+
+    for scan in scans:
+        scomps = scan["comps"]
+        ss, se, ah, al = scan["Ss"], scan["Se"], scan["Ah"], scan["Al"]
+        if ss == 0 and se != 0 and len(scomps) > 1:
+            raise ValueError("interleaved progressive AC scan is illegal")
+        # progressive chroma-only scans are independent entropy segments —
+        # unlike baseline there is no sync to keep, so skip them outright
+        if all(c["id"] != luma_id for c in scomps):
+            continue
+        br = _BitReader(scan["data"])
+        dri = scan["dri"]
+        eobrun = 0
+        preds = {c["id"]: 0 for c in scomps}
+        try:
+            if ss == 0:  # DC scan (refinement or first)
+                if se != 0:
+                    raise ValueError("DC scan with Se != 0")
+
+                def dc_block(block, c):
+                    if ah == 0:
+                        cat = _read_symbol(br, scan["htables"][(0, c["td"])])
+                        diff = _extend(br.bits(cat), cat) if cat else 0
+                        preds[c["id"]] += diff
+                        block[0] = preds[c["id"]] << al
+                    else:
+                        if br.bit():
+                            block[0] |= 1 << al
+
+                if len(scomps) > 1:  # interleaved MCU order
+                    unit = 0
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            if dri and unit and unit % dri == 0:
+                                br.restart()
+                                preds = {c["id"]: 0 for c in scomps}
+                            unit += 1
+                            for c in scomps:
+                                st = store[c["id"]]
+                                for bv in range(c["v"]):
+                                    for bh in range(c["h"]):
+                                        idx = ((my * c["v"] + bv) * st["pw"]
+                                               + mx * c["h"] + bh)
+                                        dc_block(st["blocks"][idx], c)
+                else:  # single component: raster over its ACTUAL grid
+                    c = scomps[0]
+                    st = store[c["id"]]
+                    unit = 0
+                    for by in range(st["ah"]):
+                        for bx in range(st["aw"]):
+                            if dri and unit and unit % dri == 0:
+                                br.restart()
+                                preds = {c["id"]: 0 for c in scomps}
+                            unit += 1
+                            dc_block(st["blocks"][by * st["pw"] + bx], c)
+            else:  # AC scan: always single-component
+                c = scomps[0]
+                st = store[c["id"]]
+                act = scan["htables"].get((1, c["ta"]))
+                if act is None:
+                    raise ValueError("missing AC table")
+                p1 = 1 << al
+                unit = 0
+                for by in range(st["ah"]):
+                    for bx in range(st["aw"]):
+                        if dri and unit and unit % dri == 0:
+                            br.restart()
+                            eobrun = 0
+                        unit += 1
+                        block = st["blocks"][by * st["pw"] + bx]
+                        if ah == 0:  # first scan of this band/bit depth
+                            if eobrun:
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                sym = _read_symbol(br, act)
+                                r, s = sym >> 4, sym & 0xF
+                                if s == 0:
+                                    if r < 15:  # EOBn
+                                        eobrun = (1 << r) - 1
+                                        if r:
+                                            eobrun += br.bits(r)
+                                        break
+                                    k += 16  # ZRL
+                                else:
+                                    k += r
+                                    if k > se:
+                                        raise ValueError("AC index overflow")
+                                    block[ZIGZAG[k]] = (
+                                        _extend(br.bits(s), s) << al
+                                    )
+                                    k += 1
+                        else:  # refinement
+                            if eobrun:
+                                _refine_nonzero(block, br, ss, se, p1)
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                sym = _read_symbol(br, act)
+                                r, s = sym >> 4, sym & 0xF
+                                if s == 0:
+                                    if r < 15:  # EOBn: corrections, then run
+                                        eobrun = (1 << r) - 1
+                                        if r:
+                                            eobrun += br.bits(r)
+                                        _refine_nonzero(block, br, k, se, p1)
+                                        break
+                                    newval, count = 0, 16  # ZRL
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "refinement size must be 1"
+                                        )
+                                    newval = p1 if br.bit() else -p1
+                                    count = r + 1
+                                # pass `count` zero-history coefficients,
+                                # correcting nonzeros on the way; place the
+                                # new value at the count-th zero
+                                while k <= se:
+                                    z = ZIGZAG[k]
+                                    if block[z]:
+                                        if br.bit() and not (
+                                            abs(block[z]) & p1
+                                        ):
+                                            block[z] += (
+                                                p1 if block[z] > 0 else -p1
+                                            )
+                                        k += 1
+                                        continue
+                                    count -= 1
+                                    if count == 0:
+                                        if newval:
+                                            block[z] = newval
+                                        k += 1
+                                        break
+                                    k += 1
+        except ValueError as e:
+            if "truncated" in str(e):
+                # a cut-off later scan loses precision, not structure —
+                # progressive's whole point; keep what accumulated
+                continue
+            raise
+
+    # dequantize + IDCT the luma blocks, assemble + crop like baseline
+    c = comps[0]
+    qt = qtables.get(c["tq"])
+    if qt is None:
+        raise ValueError("missing quantization table")
+    st = store[luma_id]
+    lw, lh = st["pw"] * 8, st["ph"] * 8
+    luma = bytearray(lw * lh)
+    for by in range(st["ph"]):
+        for bx in range(st["pw"]):
+            block = st["blocks"][by * st["pw"] + bx]
+            coef = [0.0] * 64
+            for k in range(64):
+                z = ZIGZAG[k]
+                coef[z] = block[z] * qt[k]
+            blk = _idct(coef)
+            bx0, by0 = bx * 8, by * 8
+            for y in range(8):
+                row = (by0 + y) * lw + bx0
+                for x in range(8):
+                    v = int(round(blk[y * 8 + x] + 128.0))
+                    luma[row + x] = 0 if v < 0 else (255 if v > 255 else v)
+    sx = c["h"] / hmax
+    sy = c["v"] / vmax
+    out = bytearray(width * height)
+    if sx == 1.0 and sy == 1.0:
+        for y in range(height):
+            out[y * width : (y + 1) * width] = luma[y * lw : y * lw + width]
+    else:
+        for y in range(height):
+            row = int(y * sy) * lw
+            orow = y * width
+            for x in range(width):
+                out[orow + x] = luma[row + int(x * sx)]
+    return width, height, bytes(out)
+
+
+def _ycbcr_planes(rgb: bytes, width: int, height: int, subsample: bool):
+    """RGB → YCbCr planes [(pixels, w, h, h_samp, v_samp)], chroma
+    2×2-box-averaged when ``subsample`` (4:2:0) else full-res (4:4:4)."""
     n = width * height
     Y = bytearray(n)
     Cb = bytearray(n)
@@ -563,12 +819,32 @@ def encode_color_jpeg(rgb: bytes, width: int, height: int,
                         cnt += 1
                 cb2[cy * cw + cx] = acc_b // cnt
                 cr2[cy * cw + cx] = acc_r // cnt
-        planes = [(bytes(Y), width, height, 2, 2),
-                  (bytes(cb2), cw, ch, 1, 1), (bytes(cr2), cw, ch, 1, 1)]
-    else:
-        planes = [(bytes(Y), width, height, 1, 1),
-                  (bytes(Cb), width, height, 1, 1),
-                  (bytes(Cr), width, height, 1, 1)]
+        return [(bytes(Y), width, height, 2, 2),
+                (bytes(cb2), cw, ch, 1, 1), (bytes(cr2), cw, ch, 1, 1)]
+    return [(bytes(Y), width, height, 1, 1),
+            (bytes(Cb), width, height, 1, 1),
+            (bytes(Cr), width, height, 1, 1)]
+
+
+def _block_at(plane, pw, ph, bx0, by0):
+    """8×8 level-shifted sample block with edge replication."""
+    out = []
+    for y in range(8):
+        sy0 = min(by0 + y, ph - 1)
+        row = sy0 * pw
+        for x in range(8):
+            out.append(float(plane[row + min(bx0 + x, pw - 1)]) - 128.0)
+    return out
+
+
+def encode_color_jpeg(rgb: bytes, width: int, height: int,
+                      quality: int = 75, subsample: bool = True) -> bytes:
+    """Encode interleaved 8-bit RGB as baseline YCbCr JPEG — 4:2:0 when
+    ``subsample`` (the scanner default) else 4:4:4. Fixture-side twin of
+    decode_jpeg_luma's color support."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    planes = _ycbcr_planes(rgb, width, height, subsample)
 
     qt_l = _scaled_qtable(quality)
     qt_c = _scaled_qtable(quality, QTABLE_CHROMA_BASE)
@@ -581,15 +857,7 @@ def encode_color_jpeg(rgb: bytes, width: int, height: int,
     vmax = max(p[4] for p in planes)
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-
-    def block_at(plane, pw, ph, bx0, by0):
-        out = []
-        for y in range(8):
-            sy0 = min(by0 + y, ph - 1)
-            row = sy0 * pw
-            for x in range(8):
-                out.append(float(plane[row + min(bx0 + x, pw - 1)]) - 128.0)
-        return out
+    block_at = _block_at
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
@@ -654,6 +922,243 @@ def encode_color_jpeg(rgb: bytes, width: int, height: int,
     out += b"\xff\xda" + struct.pack(">H", 12) + \
         bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) fixture encoder — T.81 Annex G.1: DC + spectral bands,
+# each with one successive-approximation refinement pass, so every decoder
+# path (DC first/refine, AC first/refine, EOB runs, ZRL, correction bits)
+# is exercised by real files. The AC table is a flat 8-bit canonical code
+# over every (run, size) symbol progressive scans can emit (Annex K's AC
+# table lacks the EOBn symbols) — legal, decodable anywhere, fixture-grade
+# compression.
+# ---------------------------------------------------------------------------
+_PROG_AC_SYMS = [(r << 4) | s for r in range(16) for s in range(11)]
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[7] = len(_PROG_AC_SYMS)  # all codes length 8 (incomplete code)
+
+
+class _ACProgState:
+    """Per-scan EOB-run + buffered-correction-bit state (G.1.2.3)."""
+
+    def __init__(self, bw: _BitWriter, codes: dict):
+        self.bw = bw
+        self.codes = codes
+        self.eobrun = 0
+        self.be_bits: list[int] = []
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.codes[nbits << 4]
+            self.bw.write(code, ln)
+            if nbits:
+                self.bw.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+            for b in self.be_bits:
+                self.bw.write(b, 1)
+            self.be_bits = []
+
+
+def _enc_ac_first(state: _ACProgState, block: list[int], ss: int, se: int,
+                  al: int) -> None:
+    bw, codes = state.bw, state.codes
+    r = 0
+    for k in range(ss, se + 1):
+        v = block[ZIGZAG[k]]
+        m = (-v if v < 0 else v) >> al
+        if m == 0:
+            r += 1
+            continue
+        while r > 15:
+            state.emit_eobrun()
+            code, ln = codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        nbits = m.bit_length()
+        payload = m if v > 0 else ((1 << nbits) - 1 - m)
+        state.emit_eobrun()
+        code, ln = codes[(r << 4) | nbits]
+        bw.write(code, ln)
+        bw.write(payload, nbits)
+        r = 0
+    if r > 0:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            state.emit_eobrun()
+
+
+def _enc_ac_refine(state: _ACProgState, block: list[int], ss: int, se: int,
+                   al: int) -> None:
+    bw, codes = state.bw, state.codes
+    absv = [abs(block[ZIGZAG[k]]) >> al for k in range(ss, se + 1)]
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k  # last NEWLY-significant coefficient
+    r = 0
+    br_bits: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            state.emit_eobrun()
+            code, ln = codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+        if t > 1:  # previously significant: just its next magnitude bit
+            br_bits.append(t & 1)
+            continue
+        state.emit_eobrun()
+        code, ln = codes[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if block[ZIGZAG[k]] > 0 else 0, 1)
+        for b in br_bits:
+            bw.write(b, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        state.eobrun += 1
+        state.be_bits += br_bits
+        if state.eobrun == 0x7FFF or len(state.be_bits) > 900:
+            state.emit_eobrun()
+
+
+def encode_progressive_jpeg(pixels: bytes, width: int, height: int,
+                            quality: int = 75, rgb: bool = False,
+                            subsample: bool = True,
+                            band_split: int = 5) -> bytes:
+    """Encode a progressive (SOF2) JPEG — grayscale, or YCbCr color with
+    ``rgb=True`` (4:2:0 when ``subsample``). Scan script: interleaved DC at
+    Al=1, AC spectral bands [1..band_split] and [band_split+1..63] at Al=1
+    per component, then a DC refinement and AC refinements down to Al=0 —
+    the classic spectral-selection + successive-approximation layout."""
+    if rgb:
+        planes = _ycbcr_planes(pixels, width, height, subsample)
+    else:
+        if len(pixels) != width * height:
+            raise ValueError("pixel buffer does not match dimensions")
+        planes = [(bytes(pixels), width, height, 1, 1)]
+    qt_l = _scaled_qtable(quality)
+    qt_c = _scaled_qtable(quality, QTABLE_CHROMA_BASE)
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+
+    comps = []
+    for ci, (plane, pw_px, ph_px, h, v) in enumerate(planes):
+        qt = qt_l if ci == 0 else qt_c
+        pw, ph = mcus_x * h, mcus_y * v  # padded block grid (DC interleave)
+        aw, ah = -(-pw_px // 8), -(-ph_px // 8)  # actual grid (AC scans)
+        blocks = []
+        for by in range(ph):
+            for bx in range(pw):
+                coef = _fdct(_block_at(plane, pw_px, ph_px, bx * 8, by * 8))
+                q = [0] * 64
+                for i in range(64):
+                    q[ZIGZAG[i]] = int(round(coef[ZIGZAG[i]] / qt[i]))
+                blocks.append(q)
+        comps.append({"cid": ci + 1, "h": h, "v": v, "tq": 0 if ci == 0 else 1,
+                      "td": 0 if ci == 0 else 1, "blocks": blocks,
+                      "pw": pw, "ph": ph, "aw": aw, "ah": ah})
+
+    dc_tabs = {0: _huff_codes(DC_BITS, DC_VALS),
+               1: _huff_codes(DC_BITS_C, DC_VALS_C)}
+    ac_codes = _huff_codes(_PROG_AC_BITS, _PROG_AC_SYMS)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt_l)
+    if len(comps) > 1:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qt_c)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8,
+                                     height, width, len(comps))
+    for c in comps:
+        out += bytes([c["cid"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(DC_VALS)) + b"\x00" + \
+        bytes(DC_BITS) + bytes(DC_VALS)
+    if len(comps) > 1:
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(DC_VALS_C)) + \
+            b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C)
+    out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(_PROG_AC_SYMS)) + \
+        b"\x10" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_SYMS)
+
+    def sos(scan_comps, ss, se, ah, al, body):
+        hdr = bytes([len(scan_comps)])
+        for c in scan_comps:
+            hdr += bytes([c["cid"], (c["td"] << 4) | 0])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr)
+        out.extend(body)
+
+    # --- scan 1: DC first, interleaved, Al=1 ---
+    bw = _BitWriter()
+    preds = {c["cid"]: 0 for c in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in comps:
+                codes = dc_tabs[c["td"]]
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        blk = c["blocks"][(my * c["v"] + bv) * c["pw"]
+                                          + mx * c["h"] + bh]
+                        dc = blk[0] >> 1  # Al=1, arithmetic shift
+                        diff = dc - preds[c["cid"]]
+                        preds[c["cid"]] = dc
+                        cat = _category(diff)
+                        code, ln = codes[cat]
+                        bw.write(code, ln)
+                        if cat:
+                            bw.write(diff if diff >= 0
+                                     else diff + (1 << cat) - 1, cat)
+    sos(comps, 0, 0, 0, 1, bw.flush())
+
+    # --- AC first scans per component, two spectral bands, Al=1 ---
+    bands = [(1, band_split), (band_split + 1, 63)]
+    for c in comps:
+        for (ss, se) in bands:
+            bw = _BitWriter()
+            st = _ACProgState(bw, ac_codes)
+            for by in range(c["ah"]):
+                for bx in range(c["aw"]):
+                    _enc_ac_first(st, c["blocks"][by * c["pw"] + bx],
+                                  ss, se, 1)
+            st.emit_eobrun()
+            sos([c], ss, se, 0, 1, bw.flush())
+
+    # --- DC refinement, interleaved, Ah=1 Al=0 ---
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in comps:
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        blk = c["blocks"][(my * c["v"] + bv) * c["pw"]
+                                          + mx * c["h"] + bh]
+                        bw.write(blk[0] & 1, 1)
+    sos(comps, 0, 0, 1, 0, bw.flush())
+
+    # --- AC refinement scans, Ah=1 Al=0 ---
+    for c in comps:
+        for (ss, se) in bands:
+            bw = _BitWriter()
+            st = _ACProgState(bw, ac_codes)
+            for by in range(c["ah"]):
+                for bx in range(c["aw"]):
+                    _enc_ac_refine(st, c["blocks"][by * c["pw"] + bx],
+                                   ss, se, 0)
+            st.emit_eobrun()
+            sos([c], ss, se, 1, 0, bw.flush())
+
     out += b"\xff\xd9"
     return bytes(out)
 
