@@ -59,10 +59,15 @@ N_DOCS_BY_SF = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}
 N_PDFS_BY_SF = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 10000}
 
 
-def _pdf_tree(n_docs: int) -> str:
+def _pdf_tree(n_docs: int, repeat: int = 1) -> str:
     """Materialize a deterministic raw-PDF tree (mixed 1.4/1.5 layouts,
-    vendor subdirs) under /tmp; idempotent across bench runs."""
-    root = f"/tmp/spark_graft_pdftree_{n_docs}"
+    vendor subdirs) under /tmp; idempotent across bench runs. ``repeat``
+    tiles each doc's spans N times (multi-page files) so scaling runs can
+    size ingest walls past the noise window (r5 VERDICT #3) without
+    materializing hundreds of thousands of inodes."""
+    root = f"/tmp/spark_graft_pdftree_{n_docs}" + (
+        f"_x{repeat}" if repeat > 1 else ""
+    )
     marker = os.path.join(root, ".complete")
     if os.path.exists(marker):
         return root
@@ -72,8 +77,14 @@ def _pdf_tree(n_docs: int) -> str:
     for i, d in enumerate(make_corpus(n_docs, seed=42)):
         path = os.path.join(root, d["doc_id"])
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        spans = d["spans"]
+        if repeat > 1:
+            spans = [
+                dict(s, offset=j * len(d["spans"]) + s["offset"])
+                for j in range(repeat) for s in d["spans"]
+            ]
         with open(path, "wb") as f:
-            f.write(spans_to_pdf(d["spans"], xref_stream=(i % 2 == 0)))
+            f.write(spans_to_pdf(spans, xref_stream=(i % 2 == 0)))
     with open(marker, "w") as f:
         f.write("ok")
     return root
@@ -466,7 +477,10 @@ def scaling() -> None:
     )
 
     n_pdfs = int(os.environ.get("SPARK_GRAFT_SCALE_PDFS", "10000"))
-    binary = read_binary_docs(spark, _pdf_tree(n_pdfs)).localCheckpoint(eager=True)
+    pdf_repeat = int(os.environ.get("SPARK_GRAFT_SCALE_PDF_REPEAT", "1"))
+    binary = read_binary_docs(
+        spark, _pdf_tree(n_pdfs, pdf_repeat)
+    ).localCheckpoint(eager=True)
     _force(parse_binary_to_spans(binary))  # parser warmup
     pdf_times: dict[int, list[float]] = {n: [] for n in levels}
     for _ in range(rounds):
@@ -521,6 +535,7 @@ def scaling() -> None:
         "pairs": pair_stats,
         "pdf_ingest": {
             "files": n_pdfs,
+            "pages_repeat": pdf_repeat,
             "throughput_docs_per_sec": {str(n): pdf_thr[n] for n in levels},
             "pairs": pdf_pair_stats,
         },
@@ -547,8 +562,9 @@ def scaling() -> None:
             f"{p['n']}→{p['4n']}: {p['per_round']} (best window {p['best_round']})"
             for p in pair_stats
         ) + "\n")
-        f.write(f"\n### Raw-PDF ingest scaling ({n_pdfs} files, "
-                "binaryFile → byte-stream parse, single map stage)\n\n")
+        f.write(f"\n### Raw-PDF ingest scaling ({n_pdfs} files x{pdf_repeat} "
+                "content repeat, binaryFile → byte-stream parse, single map "
+                "stage)\n\n")
         f.write("| task slots (N) | best wall sec | files/sec |\n|---|---|---|\n")
         for n in levels:
             f.write(f"| {n} | {round(pdf_best[n], 2)} | {pdf_thr[n]} |\n")
