@@ -434,6 +434,96 @@ def _cpu_control(levels: list[int], iters: int = 10_000_000) -> dict[int, float]
     return {n: sorted(v)[len(v) // 2] for n, v in samples.items()}
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+
+def _pair_stats_for(tbl: dict[int, list[float]], pairs, control) -> list[dict]:
+    """Per-round N→4N efficiency ratios (adjacent-in-time measurements
+    share the same noisy-neighbor window), median across rounds, against
+    the pure-CPU hardware ceiling."""
+    out = []
+    for lo, hi in pairs:
+        per_round = [tbl[lo][r] / (4 * tbl[hi][r]) for r in range(len(tbl[lo]))]
+        raw = round(_median(per_round), 3)
+        ctl = round(control[hi] / (4 * control[lo]), 3)
+        out.append(
+            {"n": lo, "4n": hi, "efficiency": raw,
+             "best_round": round(max(per_round), 3),
+             "per_round": [round(x, 3) for x in per_round],
+             "hardware_ceiling": ctl,
+             "normalized": round(raw / ctl, 3) if ctl else None}
+        )
+    return out
+
+
+def scaling_ingest() -> None:
+    """Ingest-only long-wall scaling (r5 VERDICT #5): the binaryFile →
+    byte-stream parse job at N vs 4N task slots, with walls sized past the
+    noise window (≥60 s at the low slot count — SPARK_GRAFT_SCALE_PDF_REPEAT
+    tiles each file's content). Same interleaved min-of-rounds protocol as
+    --scaling; appends to BENCH/BASELINE.md."""
+    n_pdfs = int(os.environ.get("SPARK_GRAFT_SCALE_PDFS", "20000"))
+    pdf_repeat = int(os.environ.get("SPARK_GRAFT_SCALE_PDF_REPEAT", "30"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    pairs = [(4, 16), (8, 32)]
+    levels = sorted({n for p in pairs for n in p})
+
+    from pdf_extractor_scripts_spark.sources.spans import (
+        parse_binary_to_spans,
+        read_binary_docs,
+    )
+
+    spark = make_session(32)
+    binary = read_binary_docs(
+        spark, _pdf_tree(n_pdfs, pdf_repeat)
+    ).localCheckpoint(eager=True)
+    _force(parse_binary_to_spans(binary.limit(512)))  # parser warmup
+    times: dict[int, list[float]] = {n: [] for n in levels}
+    for _ in range(rounds):
+        for n in levels:
+            t0 = time.time()
+            _force(parse_binary_to_spans(binary.coalesce(n)))
+            times[n].append(time.time() - t0)
+    spark.stop()
+
+    control = _cpu_control(levels)
+    stats = _pair_stats_for(times, pairs, control)
+    best = {n: min(ts) for n, ts in times.items()}
+    thr = {n: round(n_pdfs / best[n], 1) for n in levels}
+    out = {
+        "metric": "raw-PDF ingest scaling N->4N (long-wall, interleaved)",
+        "value": stats[0]["efficiency"],
+        "unit": "efficiency",
+        "files": n_pdfs,
+        "pages_repeat": pdf_repeat,
+        "best_wall_sec": {str(n): round(best[n], 2) for n in levels},
+        "throughput_files_per_sec": {str(n): thr[n] for n in levels},
+        "pairs": stats,
+    }
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n### Long-wall raw-PDF ingest scaling ({n_pdfs} files "
+            f"x{pdf_repeat} content repeat, rounds={rounds}, interleaved)\n\n"
+            "| task slots (N) | best wall sec | files/sec |\n|---|---|---|\n"
+        )
+        for n in levels:
+            f.write(f"| {n} | {round(best[n], 2)} | {thr[n]} |\n")
+        f.write("\n| pair | parse eff | hardware ceiling | normalized |\n"
+                "|---|---|---|---|\n")
+        for p in stats:
+            f.write(
+                f"| {p['n']}→{p['4n']} | {p['efficiency']} | "
+                f"{p['hardware_ceiling']} | {p['normalized']} |\n"
+            )
+        f.write("\nPer-round pair ratios: " + "; ".join(
+            f"{p['n']}→{p['4n']}: {p['per_round']}" for p in stats) + "\n")
+
+
 def scaling() -> None:
     """North-rule scaling evidence: the SAME extraction job at parallelism N
     and 4N on the SAME materialized input.
@@ -762,7 +852,9 @@ def skew() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-ingest" in sys.argv:
+        scaling_ingest()
+    elif "--scaling" in sys.argv:
         scaling()
     elif "--skew" in sys.argv:
         skew()

@@ -9,13 +9,16 @@ decode to REAL pixels too: T.4 modified-Huffman run-length tables (needed
 by horizontal mode), the T.6 2-D modes (vertical/horizontal/pass), EOFB,
 and a fixture-side encoder twin.
 
-Scope: K < 0 (pure 2-D MMR — what PDF writers emit as /K -1; the G4 TIFF
-payload layout). 1-D (K = 0) and mixed (K > 0) G3 scans, uncompressed-mode
-extensions (000000011111 + ...), and /EncodedByteAlign raise ValueError —
-the honest reject, counted by the caller's fallback accounting. Decoding
-returns an 8-bit grayscale plane (0 = black, 255 = white) like the JPEG
-decoder's luma output; /BlackIs1 only flips PACKED-BIT polarity in PDF's
-bit-map model and therefore does not affect this gray rendering.
+Scope (r6, extended same round): every /K class — K < 0 (pure 2-D MMR,
+what PDF writers emit as /K -1; the G4 TIFF payload layout), K = 0
+(Group 3 1-D MH, EOL delimiters optional — both real-world layouts),
+K > 0 (Group 3 mixed: EOL + tag bit per row, 2-D rows against the
+previous line) — plus /EncodedByteAlign row padding. Uncompressed-mode
+extensions (0000001111...) raise ValueError — the honest reject, counted
+by the caller's fallback accounting. Decoding returns an 8-bit grayscale
+plane (0 = black, 255 = white) like the JPEG decoder's luma output;
+/BlackIs1 only flips PACKED-BIT polarity in PDF's bit-map model and
+therefore does not affect this gray rendering.
 
 Everything here implements the published ITU-T T.4/T.6 specification.
 """
@@ -93,7 +96,8 @@ _MODE_P = "0001"
 _MODE_H = "001"
 _MODE_V = {0: "1", 1: "011", -1: "010", 2: "000011", -2: "000010",
            3: "0000011", -3: "0000010"}
-_EOFB = "000000000001" * 2
+_EOL = "000000000001"
+_EOFB = _EOL * 2
 
 
 def _enc_table(term: list[str], makeup: dict[int, str]) -> dict[int, str]:
@@ -167,14 +171,118 @@ def _read_run(bits: _Bits, color: int) -> int:
             return total
 
 
-def decode_g4(data: bytes, columns: int, rows: int | None = None
-              ) -> tuple[int, int, bytes]:
+def _decode_2d_row(bits: _Bits, ref: list[int], columns: int) -> list[int]:
+    """One 2-D (MMR) coded row → changing-element positions (T.6 §2.2)."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0  # 0 white, 1 black
+    while a0 < columns:
+        # b1: first changing element of ref right of a0 with a colour
+        # transition opposite to a0's colour (index parity == color)
+        i = bisect_right(ref, a0)
+        if i % 2 != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else columns
+        b2 = ref[i + 1] if i + 1 < len(ref) else columns
+        # mode dispatch by prefix
+        if bits.peek(4) == 0b0001:  # pass
+            bits.pos += 4
+            a0 = b2
+            continue
+        if bits.peek(3) == 0b001:  # horizontal
+            bits.pos += 3
+            start = max(a0, 0)
+            r1 = _read_run(bits, color)
+            r2 = _read_run(bits, color ^ 1)
+            t1 = start + r1
+            t2 = t1 + r2
+            cur.append(t1)
+            cur.append(t2)
+            a0 = t2
+            continue
+        # vertical: V0=1, VR1=011, VL1=010, VR2=000011, VL2=000010,
+        # VR3=0000011, VL3=0000010 (H=001 and P=0001 consumed above,
+        # so after "00" the third bit is 0 and after "000" the fourth
+        # is 0 — anything else here is a corrupt stream)
+        if bits.bit() == 1:
+            d = 0
+        elif bits.bit() == 1:  # "01x"
+            d = 1 if bits.bit() else -1
+        elif bits.bit() == 1 or bits.bit() == 1:
+            raise ValueError("unexpected CCITT mode code")  # 001 / 0001
+        elif bits.bit() == 1:  # "00001x"
+            d = 2 if bits.bit() else -2
+        elif bits.bit() == 1:  # "000001x"
+            d = 3 if bits.bit() else -3
+        else:
+            raise ValueError(
+                "unsupported CCITT extension/uncompressed mode"
+            )
+        a1 = b1 + d
+        if a1 < 0 or a1 > columns:
+            raise ValueError("CCITT vertical move out of bounds")
+        cur.append(a1)
+        a0 = a1
+        color ^= 1
+    return cur
+
+
+def _decode_1d_row(bits: _Bits, columns: int) -> list[int]:
+    """One 1-D (MH) coded row → changing-element positions (T.4 §2.2)."""
+    cur: list[int] = []
+    pos = 0
+    color = 0
+    while pos < columns:
+        pos += _read_run(bits, color)
+        if pos < columns:
+            cur.append(pos)
+        color ^= 1
+    return cur
+
+
+def _render_row(cur: list[int], columns: int) -> bytearray:
+    """Changing elements → one 8-bit gray row (0 = black, 255 = white)."""
+    row = bytearray(b"\xff" * columns)
+    pos = 0
+    c = 0
+    for t in cur:
+        t = min(t, columns)
+        if c:
+            for x in range(pos, t):
+                row[x] = 0
+        pos = t
+        c ^= 1
+    if c:
+        for x in range(pos, columns):
+            row[x] = 0
+    return row
+
+
+def _consume_eol(bits: _Bits) -> bool:
+    """Consume fill 0-bits + one 000000000001 EOL; False (position
+    restored) when the next code is not an EOL."""
+    save = bits.pos
+    zeros = 0
+    while bits.pos < bits.n:
+        if bits.bit():
+            if zeros >= 11:
+                return True
+            bits.pos = save
+            return False
+        zeros += 1
+    bits.pos = save
+    return False
+
+
+def decode_g4(data: bytes, columns: int, rows: int | None = None,
+              byte_align: bool = False) -> tuple[int, int, bytes]:
     """Group 4 (T.6 MMR) → (width, height, 8-bit gray pixels; 0 = black).
 
     ``rows`` bounds decoding (the PDF /Rows or image /Height); with
     ``rows=None`` rows decode until EOFB / data exhaustion. The reference
     line for the first row is the imaginary all-white line (T.6 §2.2.1).
-    """
+    ``byte_align`` = PDF /EncodedByteAlign: each coded row starts on a
+    byte boundary."""
     if columns <= 0:
         raise ValueError("Columns must be positive")
     bits = _Bits(data)
@@ -182,82 +290,77 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None
     ref: list[int] = []  # changing-element positions; even idx → to-black
     height = 0
     while rows is None or height < rows:
+        if byte_align and bits.pos % 8:
+            bits.pos += 8 - bits.pos % 8
         if bits.pos >= bits.n:
             break
         if bits.peek(24) == 0b000000000001000000000001:  # EOFB
             bits.pos += 24
             break
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # 0 white, 1 black
-        while a0 < columns:
-            # b1: first changing element of ref right of a0 with a colour
-            # transition opposite to a0's colour (index parity == color)
-            i = bisect_right(ref, a0)
-            if i % 2 != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else columns
-            b2 = ref[i + 1] if i + 1 < len(ref) else columns
-            # mode dispatch by prefix
-            if bits.peek(4) == 0b0001:  # pass
-                bits.pos += 4
-                a0 = b2
-                continue
-            if bits.peek(3) == 0b001:  # horizontal
-                bits.pos += 3
-                start = max(a0, 0)
-                r1 = _read_run(bits, color)
-                r2 = _read_run(bits, color ^ 1)
-                t1 = start + r1
-                t2 = t1 + r2
-                cur.append(t1)
-                cur.append(t2)
-                a0 = t2
-                continue
-            # vertical: V0=1, VR1=011, VL1=010, VR2=000011, VL2=000010,
-            # VR3=0000011, VL3=0000010 (H=001 and P=0001 consumed above,
-            # so after "00" the third bit is 0 and after "000" the fourth
-            # is 0 — anything else here is a corrupt stream)
-            if bits.bit() == 1:
-                d = 0
-            elif bits.bit() == 1:  # "01x"
-                d = 1 if bits.bit() else -1
-            elif bits.bit() == 1 or bits.bit() == 1:
-                raise ValueError("unexpected CCITT mode code")  # 001 / 0001
-            elif bits.bit() == 1:  # "00001x"
-                d = 2 if bits.bit() else -2
-            elif bits.bit() == 1:  # "000001x"
-                d = 3 if bits.bit() else -3
-            else:
-                raise ValueError(
-                    "unsupported CCITT extension/uncompressed mode"
-                )
-            a1 = b1 + d
-            if a1 < 0 or a1 > columns:
-                raise ValueError("CCITT vertical move out of bounds")
-            cur.append(a1)
-            a0 = a1
-            color ^= 1
-        # transitions → one gray row
-        row = bytearray(b"\xff" * columns)
-        pos = 0
-        c = 0
-        for t in cur:
-            t = min(t, columns)
-            if c:
-                for x in range(pos, t):
-                    row[x] = 0
-            pos = t
-            c ^= 1
-        if c:
-            for x in range(pos, columns):
-                row[x] = 0
-        out += row
+        cur = _decode_2d_row(bits, ref, columns)
+        out += _render_row(cur, columns)
         height += 1
         ref = cur
     if rows is not None and height < rows:
         raise ValueError(f"CCITT data ended at row {height} of {rows}")
     return columns, height, bytes(out)
+
+
+def decode_g3(data: bytes, columns: int, rows: int | None = None,
+              k: int = 0, byte_align: bool = False) -> tuple[int, int, bytes]:
+    """Group 3 (T.4) → (width, height, gray pixels). ``k`` follows the PDF
+    /K convention: 0 = pure 1-D MH; > 0 = mixed, each row's EOL carries a
+    tag bit (1 = 1-D, 0 = 2-D against the previous row). EOLs are
+    REQUIRED row delimiters for k > 0 and optional for k = 0 (both layouts
+    occur in the wild); ≥2 consecutive EOLs (RTC) or data exhaustion ends
+    the image. ``byte_align`` = PDF /EncodedByteAlign."""
+    if columns <= 0:
+        raise ValueError("Columns must be positive")
+    bits = _Bits(data)
+    out = bytearray()
+    ref: list[int] = []
+    height = 0
+    # a leading EOL before the first row is legal in both modes
+    while rows is None or height < rows:
+        if byte_align and bits.pos % 8:
+            bits.pos += 8 - bits.pos % 8
+        saw_eol = _consume_eol(bits)
+        if saw_eol and _consume_eol(bits):  # RTC: consecutive EOLs
+            while _consume_eol(bits):
+                pass
+            break
+        if bits.pos >= bits.n:
+            break
+        if k > 0:
+            if not saw_eol and height > 0:
+                raise ValueError("missing EOL in mixed (K>0) G3 data")
+            one_d = bits.bit() == 1 if saw_eol else True
+            if saw_eol and _consume_eol(bits):
+                # EOL directly after the tag bit: RTC in tagged form
+                # (no row code legitimately starts with 11 zero bits)
+                break
+        else:
+            one_d = True
+        if one_d:
+            cur = _decode_1d_row(bits, columns)
+        else:
+            cur = _decode_2d_row(bits, ref, columns)
+        out += _render_row(cur, columns)
+        height += 1
+        ref = cur
+    if rows is not None and height < rows:
+        raise ValueError(f"CCITT data ended at row {height} of {rows}")
+    return columns, height, bytes(out)
+
+
+def decode_ccitt(data: bytes, k: int, columns: int,
+                 rows: int | None = None, byte_align: bool = False
+                 ) -> tuple[int, int, bytes]:
+    """/CCITTFaxDecode dispatch on the PDF /K parameter: K < 0 → Group 4
+    (T.6 MMR), K = 0 → Group 3 1-D, K > 0 → Group 3 mixed."""
+    if k < 0:
+        return decode_g4(data, columns, rows, byte_align)
+    return decode_g3(data, columns, rows, k, byte_align)
 
 
 class _BitW:
@@ -308,7 +411,54 @@ def _transitions(row: bytes, columns: int) -> list[int]:
     return t
 
 
-def encode_g4(pixels: bytes, columns: int, rows: int) -> bytes:
+def _align(bw: _BitW) -> None:
+    if bw.n:
+        bw.write("0" * (8 - bw.n))
+
+
+def _encode_2d_row(bw: _BitW, cur: list[int], ref: list[int],
+                   columns: int) -> None:
+    a0 = -1
+    color = 0
+    k = 0  # index of next transition in cur
+    while a0 < columns:
+        a1 = cur[k] if k < len(cur) else columns
+        i = bisect_right(ref, a0)
+        if i % 2 != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else columns
+        b2 = ref[i + 1] if i + 1 < len(ref) else columns
+        if b2 < a1:  # pass
+            bw.write(_MODE_P)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:  # vertical
+            bw.write(_MODE_V[a1 - b1])
+            a0 = a1
+            color ^= 1
+            k += 1
+        else:  # horizontal
+            a2 = cur[k + 1] if k + 1 < len(cur) else columns
+            start = max(a0, 0)
+            bw.write(_MODE_H)
+            _write_run(bw, a1 - start, color)
+            _write_run(bw, a2 - a1, color ^ 1)
+            a0 = a2
+            k += 2
+
+
+def _encode_1d_row(bw: _BitW, cur: list[int], columns: int) -> None:
+    pos = 0
+    color = 0
+    for t in cur + [columns]:
+        _write_run(bw, t - pos, color)
+        pos = t
+        color ^= 1
+        if pos >= columns:
+            break
+
+
+def encode_g4(pixels: bytes, columns: int, rows: int,
+              byte_align: bool = False) -> bytes:
     """8-bit gray pixels (row-major; <128 = black) → Group 4 bytes with a
     trailing EOFB — the fixture-side twin of ``decode_g4``."""
     if len(pixels) != columns * rows:
@@ -316,46 +466,60 @@ def encode_g4(pixels: bytes, columns: int, rows: int) -> bytes:
     bw = _BitW()
     ref: list[int] = []
     for y in range(rows):
+        if byte_align:
+            _align(bw)
         cur = _transitions(pixels[y * columns : (y + 1) * columns], columns)
-        a0 = -1
-        color = 0
-        k = 0  # index of next transition in cur
-        while a0 < columns:
-            a1 = cur[k] if k < len(cur) else columns
-            i = bisect_right(ref, a0)
-            if i % 2 != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else columns
-            b2 = ref[i + 1] if i + 1 < len(ref) else columns
-            if b2 < a1:  # pass
-                bw.write(_MODE_P)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:  # vertical
-                bw.write(_MODE_V[a1 - b1])
-                a0 = a1
-                color ^= 1
-                k += 1
-            else:  # horizontal
-                a2 = cur[k + 1] if k + 1 < len(cur) else columns
-                start = max(a0, 0)
-                bw.write(_MODE_H)
-                _write_run(bw, a1 - start, color)
-                _write_run(bw, a2 - a1, color ^ 1)
-                a0 = a2
-                k += 2
+        _encode_2d_row(bw, cur, ref, columns)
         ref = cur
+    if byte_align:
+        _align(bw)
     bw.write(_EOFB)
     return bw.flush()
 
 
-def ccitt_pixel_stats(payload: bytes, columns: int, rows: int | None = None
-                      ) -> list[float]:
+def encode_g3(pixels: bytes, columns: int, rows: int, k: int = 0,
+              byte_align: bool = False, eol: bool = True) -> bytes:
+    """Group 3 fixture twin. ``k`` per the PDF convention: 0 = pure 1-D
+    (EOL delimiters optional — ``eol`` covers both real-world layouts);
+    > 0 = mixed, every row EOL + tag bit, a 1-D row each k-th row and 2-D
+    rows between (the T.4 K-factor structure). Ends with RTC."""
+    if len(pixels) != columns * rows:
+        raise ValueError("pixel buffer does not match dimensions")
+    bw = _BitW()
+    ref: list[int] = []
+    eol_needed = eol or k > 0
+    for y in range(rows):
+        if byte_align:
+            _align(bw)
+        if eol_needed:
+            bw.write(_EOL)
+        cur = _transitions(pixels[y * columns : (y + 1) * columns], columns)
+        if k > 0:
+            one_d = y % k == 0
+            bw.write("1" if one_d else "0")
+        else:
+            one_d = True
+        if one_d:
+            _encode_1d_row(bw, cur, columns)
+        else:
+            _encode_2d_row(bw, cur, ref, columns)
+        ref = cur
+    if eol_needed:
+        for _ in range(6):  # RTC
+            bw.write(_EOL)
+            if k > 0:
+                bw.write("1")
+    return bw.flush()
+
+
+def ccitt_pixel_stats(payload: bytes, columns: int, rows: int | None = None,
+                      k: int = -1, byte_align: bool = False) -> list[float]:
     """A real ``decode_media`` decoder for /CCITTFaxDecode payloads: decode
-    G4 and return [width, height, mean, std, p_dark] — the same feature
-    shape as ``jpegcodec.jpeg_pixel_stats``."""
+    (G4 or G3 per ``k``) and return [width, height, mean, std, p_dark] —
+    the same feature shape as ``jpegcodec.jpeg_pixel_stats``."""
     import math
 
-    w, h, px = decode_g4(payload, columns, rows)
+    w, h, px = decode_ccitt(payload, k, columns, rows, byte_align)
     n = max(len(px), 1)
     mean = sum(px) / n
     var = sum((p - mean) ** 2 for p in px) / n
@@ -365,16 +529,16 @@ def ccitt_pixel_stats(payload: bytes, columns: int, rows: int | None = None
 
 def ccitt_decoder(params: dict):
     """Adapter for the ``decode_media`` engine slot: bake the non-self-
-    describing /DecodeParms (Columns/Rows/K) into a ``bytes ->
-    list[float]`` closure. K >= 0 (G3) raises — the honest reject."""
+    describing /DecodeParms (K/Columns/Rows/EncodedByteAlign) into a
+    ``bytes -> list[float]`` closure — every /K class decodes (G4 and
+    both G3 forms, r6)."""
     k = int(params.get("K", 0))
-    if k >= 0:
-        raise ValueError("only K < 0 (pure 2-D Group 4) is supported")
     columns = int(params.get("Columns", 1728))
     rows = params.get("Rows")
     rows = int(rows) if rows is not None else None
+    byte_align = bool(params.get("EncodedByteAlign", False))
 
     def decode(payload: bytes) -> list[float]:
-        return ccitt_pixel_stats(payload, columns, rows)
+        return ccitt_pixel_stats(payload, columns, rows, k, byte_align)
 
     return decode

@@ -1044,27 +1044,20 @@ def _fmt_num(v: float) -> str:
     return str(int(v)) if v == int(v) else str(v)
 
 
-def _next_tok(lx):
-    """``next_token`` with truncation-class errors mapped to end-of-stream:
-    an unterminated string/hex literal is what a Flate-salvage cut looks
-    like mid-token, so the events decoded so far are kept. Every OTHER
-    lexer error (e.g. a malformed number) propagates — the ingest layer
-    counts it as an observable fallback instead of silently truncating the
-    event list (r5 swallowed all ValueErrors here, masking real bugs)."""
-    try:
-        return lx.next_token()
-    except ValueError as e:
-        if str(e).startswith("unterminated"):
-            return None
-        raise
-
-
 def content_events(content: bytes, image_names: set[str]) -> list[tuple]:
     """Tokenize one page's content stream into ordered paint events:
     ("line", str) — one per Td/TD/T*/Tm text-line move, show-op strings on
     the same line concatenated; ("image", name) — per Do of an image
     XObject; ("rule", "x,y,w,h") — per `re` rectangle (layout hints, L7).
     Event order is the content-stream paint order.
+
+    Error policy (ADVICE r5): TRUNCATION-class lexer errors (unterminated
+    string/hex — the shape of a Flate-salvage cut mid-token) end event
+    extraction with the prefix kept; every OTHER lexer error (e.g. a
+    malformed number) propagates so the ingest layer counts an observable
+    fallback instead of silently dropping the tail. The try wraps the
+    WHOLE loop (zero cost until raised) rather than each next_token call —
+    the tokenizer is the parse hot path (~35% of wall, cProfile r5).
     """
     lx = _CLexer(content)
     operands: list = []
@@ -1076,77 +1069,84 @@ def content_events(content: bytes, image_names: set[str]) -> list[tuple]:
             events.append(("line", "".join(cur)))
             cur.clear()
 
-    while True:
-        tok = _next_tok(lx)
-        if tok is None:
-            break
-        kind, val = tok
-        if kind in ("num", "str", "name"):
-            operands.append((kind, val))
-            continue
-        if kind == "arr_open":
-            # TJ operand: collect until arr_close, keep strings only
-            parts = []
-            while True:
-                t = _next_tok(lx)
-                if t is None or t[0] == "arr_close":
-                    break
-                if t[0] == "str":
-                    parts.append(t[1])
-            operands.append(("tjarr", parts))
-            continue
-        if kind in ("dict_open",):  # inline dicts (e.g. BDC) — skip value
-            _parse_value(lx, tok)
-            operands.clear()
-            continue
-        # operator
-        op = val
-        if op in (b"Td", b"TD", b"T*", b"Tm"):
-            flush()
-        elif op == b"Tj":
-            if operands and operands[-1][0] == "str":
-                cur.append(operands[-1][1].decode("latin-1"))
-        elif op in (b"'", b'"'):
-            flush()
-            if operands and operands[-1][0] == "str":
-                cur.append(operands[-1][1].decode("latin-1"))
-        elif op == b"TJ":
-            if operands and operands[-1][0] == "tjarr":
-                cur.append(b"".join(operands[-1][1]).decode("latin-1"))
-        elif op == b"ET":
-            flush()
-        elif op == b"BI":
-            # inline image: BI <dict entries> ID <raw binary> EI — the
-            # binary payload is NOT tokenizable (it would garbage the lexer
-            # or raise on an unbalanced paren). Consume dict tokens up to
-            # ID, then scan for the whitespace-delimited EI terminator and
-            # resume after it. (Real parsers use the decoded length; the
-            # delimiter scan is the standard fallback heuristic and can
-            # only false-positive if the raw bytes contain ' EI ' — the
-            # same ambiguity every PDF tokenizer accepts.) The image
-            # itself is a paint event, same as a Do placement.
-            while True:
-                t = _next_tok(lx)
-                if t is None or (t[0] == "op" and t[1] == b"ID"):
-                    break
-            m = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r /\[\]<>(]|$)").search(
-                lx.data, lx.pos
-            )
-            lx.pos = m.end() if m else len(lx.data)
-            flush()
-            events.append(("image", None))
-        elif op == b"Do":
-            if operands and operands[-1][0] == "name":
-                nm = operands[-1][1]
-                if nm in image_names:
-                    flush()
-                    events.append(("image", nm))
-        elif op == b"re":
-            nums = [v for k, v in operands if k == "num"]
-            if len(nums) >= 4:
+    try:
+        while True:
+            tok = lx.next_token()
+            if tok is None:
+                break
+            kind, val = tok
+            if kind in ("num", "str", "name"):
+                operands.append((kind, val))
+                continue
+            if kind == "arr_open":
+                # TJ operand: collect until arr_close, keep strings only
+                parts = []
+                while True:
+                    t = lx.next_token()
+                    if t is None or t[0] == "arr_close":
+                        break
+                    if t[0] == "str":
+                        parts.append(t[1])
+                operands.append(("tjarr", parts))
+                continue
+            if kind in ("dict_open",):  # inline dicts (e.g. BDC) — skip
+                _parse_value(lx, tok)
+                operands.clear()
+                continue
+            # operator
+            op = val
+            if op in (b"Td", b"TD", b"T*", b"Tm"):
                 flush()
-                events.append(("rule", ",".join(_fmt_num(v) for v in nums[-4:])))
-        operands.clear()
+            elif op == b"Tj":
+                if operands and operands[-1][0] == "str":
+                    cur.append(operands[-1][1].decode("latin-1"))
+            elif op in (b"'", b'"'):
+                flush()
+                if operands and operands[-1][0] == "str":
+                    cur.append(operands[-1][1].decode("latin-1"))
+            elif op == b"TJ":
+                if operands and operands[-1][0] == "tjarr":
+                    cur.append(b"".join(operands[-1][1]).decode("latin-1"))
+            elif op == b"ET":
+                flush()
+            elif op == b"BI":
+                # inline image: BI <dict entries> ID <raw binary> EI — the
+                # binary payload is NOT tokenizable (it would garbage the
+                # lexer or raise on an unbalanced paren). Consume dict
+                # tokens up to ID, then scan for the whitespace-delimited
+                # EI terminator and resume after it. (Real parsers use the
+                # decoded length; the delimiter scan is the standard
+                # fallback heuristic and can only false-positive if the
+                # raw bytes contain ' EI ' — the same ambiguity every PDF
+                # tokenizer accepts.) The image itself is a paint event,
+                # same as a Do placement.
+                while True:
+                    t = lx.next_token()
+                    if t is None or (t[0] == "op" and t[1] == b"ID"):
+                        break
+                m = re.compile(
+                    rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r /\[\]<>(]|$)"
+                ).search(lx.data, lx.pos)
+                lx.pos = m.end() if m else len(lx.data)
+                flush()
+                events.append(("image", None))
+            elif op == b"Do":
+                if operands and operands[-1][0] == "name":
+                    nm = operands[-1][1]
+                    if nm in image_names:
+                        flush()
+                        events.append(("image", nm))
+            elif op == b"re":
+                nums = [v for k, v in operands if k == "num"]
+                if len(nums) >= 4:
+                    flush()
+                    events.append(
+                        ("rule", ",".join(_fmt_num(v) for v in nums[-4:]))
+                    )
+            operands.clear()
+    except ValueError as e:
+        if not str(e).startswith("unterminated"):
+            raise
     flush()
     return events
 

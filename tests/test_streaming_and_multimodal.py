@@ -547,8 +547,6 @@ def test_ccitt_g4_codec_vectors_roundtrip_and_rejects():
         for a in codes:
             assert not any(b is not a and b.startswith(a) for b in codes), a
 
-    with pytest.raises(ValueError):  # G3 via the params adapter
-        cc.ccitt_decoder({"K": 0, "Columns": 16})
     # truncated scan with the row count demanded: a busy image cut mid-way
     # cannot yield all its rows
     busy = bytes(0 if (x + y) % 3 == 0 else 255
@@ -556,6 +554,51 @@ def test_ccitt_g4_codec_vectors_roundtrip_and_rejects():
     e = cc.encode_g4(busy, 64, 32)
     with pytest.raises(ValueError):
         cc.decode_g4(e[: len(e) // 4], 64, 32)
+
+
+def test_ccitt_g3_and_byte_align_roundtrip():
+    """r6 (same-round extension): Group 3 decodes too — K=0 pure 1-D MH
+    (EOL delimiters present or absent, both wild layouts), K>0 mixed with
+    per-row EOL+tag and 2-D rows against the previous line, and
+    /EncodedByteAlign row padding for both groups. The params adapter
+    accepts every /K class; RTC terminates rows=None decodes."""
+    import random
+
+    from pdf_extractor_scripts_spark.operators import ccittcodec as cc
+
+    random.seed(11)
+    W, H = 72, 20
+    px = bytes(0 if random.random() < 0.25 else 255 for _ in range(W * H))
+
+    for eol in (False, True):
+        e = cc.encode_g3(px, W, H, k=0, eol=eol)
+        assert cc.decode_g3(e, W, H, k=0) == (W, H, px), ("k0", eol)
+    for k in (2, 4):
+        e = cc.encode_g3(px, W, H, k=k)
+        assert cc.decode_g3(e, W, H, k=k) == (W, H, px), ("mixed", k)
+    # RTC ends a rows=None decode at the true height
+    e = cc.encode_g3(px, W, H, k=0, eol=True)
+    assert cc.decode_g3(e, W, k=0) == (W, H, px)
+    e = cc.encode_g3(px, W, H, k=4)
+    assert cc.decode_g3(e, W, k=4) == (W, H, px)
+
+    for ba_codec in ("g4", "g3"):
+        if ba_codec == "g4":
+            e = cc.encode_g4(px, W, H, byte_align=True)
+            assert cc.decode_g4(e, W, H, byte_align=True) == (W, H, px)
+        else:
+            e = cc.encode_g3(px, W, H, k=0, byte_align=True)
+            assert cc.decode_g3(e, W, H, k=0, byte_align=True) == (W, H, px)
+
+    # the decode_media adapter now accepts every /K class
+    feats = cc.ccitt_decoder({"K": 0, "Columns": W, "Rows": H})(
+        cc.encode_g3(px, W, H, k=0)
+    )
+    assert feats[:2] == [float(W), float(H)]
+    feats2 = cc.ccitt_decoder(
+        {"K": 4, "Columns": W, "Rows": H, "EncodedByteAlign": True}
+    )(cc.encode_g3(px, W, H, k=4, byte_align=True))
+    assert feats2 == feats  # same pixels, same stats
 
 
 def test_stdlib_g4_decoder_makes_ccittfax_real(spark):
