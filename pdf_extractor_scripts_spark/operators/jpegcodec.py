@@ -456,37 +456,35 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
                 c = dict(by_id[cid])
                 c["td"], c["ta"] = tt >> 4, tt & 0xF
                 this_scan.append(c)
-            if progressive:
-                ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
-                start = pos + seglen
-                end = _scan_end(data, start)
-                prog_scans.append({
-                    "comps": this_scan, "Ss": ss, "Se": se,
-                    "Ah": ahal >> 4, "Al": ahal & 0xF,
-                    "data": data[start:end],
-                    # tables/DRI may be redefined between scans — snapshot
-                    "htables": dict(htables), "dri": restart_interval,
-                })
-                pos = end
-                continue
-            if ns != len(comps):
-                # a legal baseline file may ALSO split components across
-                # several scans (non-interleaved); this decoder reads one
-                # interleaved scan, so mis-tiling would silently scramble
-                # pixels — reject honestly instead
-                raise ValueError(
-                    "non-interleaved (multi-scan) baseline JPEG unsupported"
-                )
-            scan_comps = this_scan
-            scan_start = pos + seglen
-            break
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            start = pos + seglen
+            end = _scan_end(data, start)
+            prog_scans.append({
+                "comps": this_scan, "Ss": ss, "Se": se,
+                "Ah": ahal >> 4, "Al": ahal & 0xF,
+                "data": data[start:end],
+                # tables/DRI may be redefined between scans — snapshot
+                "htables": dict(htables), "dri": restart_interval,
+            })
+            pos = end
+            continue
         pos += seglen
+    if not width or not prog_scans:
+        raise ValueError("no scan data")
     if progressive:
-        if not width or not prog_scans:
-            raise ValueError("no scan data")
         return _decode_progressive_luma(width, height, comps, qtables,
                                         prog_scans)
-    if scan_start is None or not width or not scan_comps:
+    if len(prog_scans) > 1 or len(prog_scans[0]["comps"]) != len(comps):
+        # legal baseline may ALSO split components across several scans
+        # (non-interleaved) — decode through the coefficient store (r6;
+        # was an honest reject)
+        return _decode_sequential_luma(width, height, comps, qtables,
+                                       prog_scans)
+    scan_comps = prog_scans[0]["comps"]
+    htables = prog_scans[0]["htables"]
+    restart_interval = prog_scans[0]["dri"]
+    scan_data = prog_scans[0]["data"]
+    if not scan_comps:
         raise ValueError("no scan data")
 
     hmax = max(c["h"] for c in scan_comps)
@@ -500,7 +498,7 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
     lw, lh = mcus_x * 8 * scan_comps[0]["h"], mcus_y * 8 * scan_comps[0]["v"]
     luma = bytearray(lw * lh)
 
-    br = _BitReader(data[scan_start:])
+    br = _BitReader(scan_data)
     prev_dc = {c["id"]: 0 for c in scan_comps}
     mcu_count = 0
     for my in range(mcus_y):
@@ -591,20 +589,8 @@ def _refine_nonzero(block: list[int], br: _BitReader, k0: int, se: int,
 def _decode_progressive_luma(width: int, height: int, comps: list[dict],
                              qtables: dict, scans: list[dict]
                              ) -> tuple[int, int, bytes]:
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-    store: dict[int, dict] = {}
-    for c in comps:
-        pw, ph = mcus_x * c["h"], mcus_y * c["v"]  # MCU-padded block grid
-        cw_px = -(-width * c["h"] // hmax)          # actual comp dimensions
-        ch_px = -(-height * c["v"] // vmax)
-        store[c["id"]] = {
-            "blocks": [[0] * 64 for _ in range(pw * ph)],
-            "pw": pw, "ph": ph,
-            "aw": -(-cw_px // 8), "ah": -(-ch_px // 8),
-        }
+    store = _coeff_store(width, height, comps)
+    mcus_x, mcus_y = store["_mcus"]
     luma_id = comps[0]["id"]
 
     for scan in scans:
@@ -751,14 +737,43 @@ def _decode_progressive_luma(width: int, height: int, comps: list[dict],
                 continue
             raise
 
-    # dequantize + IDCT the luma blocks, assemble + crop like baseline
+    return _reconstruct_luma(width, height, comps, qtables, store)
+
+
+def _coeff_store(width: int, height: int, comps: list[dict]) -> dict:
+    """Per-component quantized-coefficient block grids (MCU-padded) plus
+    the actual (non-interleaved-scan) grid dimensions."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    store: dict[int, dict] = {"_mcus": (mcus_x, mcus_y)}
+    for c in comps:
+        pw, ph = mcus_x * c["h"], mcus_y * c["v"]
+        cw_px = -(-width * c["h"] // hmax)
+        ch_px = -(-height * c["v"] // vmax)
+        store[c["id"]] = {
+            "blocks": [[0] * 64 for _ in range(pw * ph)],
+            "pw": pw, "ph": ph,
+            "aw": -(-cw_px // 8), "ah": -(-ch_px // 8),
+        }
+    return store
+
+
+def _reconstruct_luma(width: int, height: int, comps: list[dict],
+                      qtables: dict, store: dict) -> tuple[int, int, bytes]:
+    """Dequantize + IDCT the luma component's coefficient store, assemble
+    the plane and crop to (width, height) — shared by the progressive and
+    sequential multi-scan decoders."""
     c = comps[0]
+    hmax = max(x["h"] for x in comps)
+    vmax = max(x["v"] for x in comps)
     qt = qtables.get(c["tq"])
     if qt is None:
         raise ValueError("missing quantization table")
-    st = store[luma_id]
-    lw, lh = st["pw"] * 8, st["ph"] * 8
-    luma = bytearray(lw * lh)
+    st = store[c["id"]]
+    lw = st["pw"] * 8
+    luma = bytearray(lw * st["ph"] * 8)
     for by in range(st["ph"]):
         for bx in range(st["pw"]):
             block = st["blocks"][by * st["pw"] + bx]
@@ -786,6 +801,91 @@ def _decode_progressive_luma(width: int, height: int, comps: list[dict],
             for x in range(width):
                 out[orow + x] = luma[row + int(x * sx)]
     return width, height, bytes(out)
+
+
+def _decode_baseline_block(br: _BitReader, dct: dict, act: dict,
+                           block: list[int], pred: int) -> int:
+    """One full baseline block (DC diff + AC runs) into a NATURAL-order
+    quantized-coefficient list; returns the new DC predictor."""
+    cat = _read_symbol(br, dct)
+    pred += _extend(br.bits(cat), cat) if cat else 0
+    block[0] = pred
+    i = 1
+    while i < 64:
+        sym = _read_symbol(br, act)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, cat = sym >> 4, sym & 0xF
+        i += run
+        if i > 63:
+            raise ValueError("AC index overflow")
+        block[ZIGZAG[i]] = _extend(br.bits(cat), cat)
+        i += 1
+    return pred
+
+
+def _decode_sequential_luma(width: int, height: int, comps: list[dict],
+                            qtables: dict, scans: list[dict]
+                            ) -> tuple[int, int, bytes]:
+    """Baseline NON-INTERLEAVED (multi-scan) decode: each scan carries full
+    DC+AC blocks for a component subset; single-component scans raster the
+    component's actual grid, interleaved scans follow MCU order. Chroma-
+    only scans are independent entropy segments and are skipped (luma out,
+    as everywhere in this decoder)."""
+    store = _coeff_store(width, height, comps)
+    mcus_x, mcus_y = store["_mcus"]
+    luma_id = comps[0]["id"]
+    for scan in scans:
+        scomps = scan["comps"]
+        if all(c["id"] != luma_id for c in scomps):
+            continue
+        br = _BitReader(scan["data"])
+        dri = scan["dri"]
+        preds = {c["id"]: 0 for c in scomps}
+        tabs = {}
+        for c in scomps:
+            dct = scan["htables"].get((0, c["td"]))
+            act = scan["htables"].get((1, c["ta"]))
+            if not (dct and act):
+                raise ValueError("missing tables")
+            tabs[c["id"]] = (dct, act)
+        unit = 0
+        if len(scomps) == 1:
+            c = scomps[0]
+            st = store[c["id"]]
+            dct, act = tabs[c["id"]]
+            for by in range(st["ah"]):
+                for bx in range(st["aw"]):
+                    if dri and unit and unit % dri == 0:
+                        br.restart()
+                        preds = {c["id"]: 0}
+                    unit += 1
+                    preds[c["id"]] = _decode_baseline_block(
+                        br, dct, act, st["blocks"][by * st["pw"] + bx],
+                        preds[c["id"]],
+                    )
+        else:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if dri and unit and unit % dri == 0:
+                        br.restart()
+                        preds = {c["id"]: 0 for c in scomps}
+                    unit += 1
+                    for c in scomps:
+                        st = store[c["id"]]
+                        dct, act = tabs[c["id"]]
+                        for bv in range(c["v"]):
+                            for bh in range(c["h"]):
+                                idx = ((my * c["v"] + bv) * st["pw"]
+                                       + mx * c["h"] + bh)
+                                preds[c["id"]] = _decode_baseline_block(
+                                    br, dct, act, st["blocks"][idx],
+                                    preds[c["id"]],
+                                )
+    return _reconstruct_luma(width, height, comps, qtables, store)
 
 
 def _ycbcr_planes(rgb: bytes, width: int, height: int, subsample: bool):
@@ -838,10 +938,13 @@ def _block_at(plane, pw, ph, bx0, by0):
 
 
 def encode_color_jpeg(rgb: bytes, width: int, height: int,
-                      quality: int = 75, subsample: bool = True) -> bytes:
+                      quality: int = 75, subsample: bool = True,
+                      interleaved: bool = True) -> bytes:
     """Encode interleaved 8-bit RGB as baseline YCbCr JPEG — 4:2:0 when
     ``subsample`` (the scanner default) else 4:4:4. Fixture-side twin of
-    decode_jpeg_luma's color support."""
+    decode_jpeg_luma's color support. ``interleaved=False`` emits three
+    sequential single-component scans (the legal non-interleaved baseline
+    layout some encoders produce — r6 decoder coverage)."""
     if len(rgb) != 3 * width * height:
         raise ValueError("pixel buffer does not match dimensions")
     planes = _ycbcr_planes(rgb, width, height, subsample)
@@ -859,49 +962,63 @@ def encode_color_jpeg(rgb: bytes, width: int, height: int,
     mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
     block_at = _block_at
 
-    bw = _BitWriter()
-    prev_dc = [0, 0, 0]
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci, (plane, pw, ph, h, v) in enumerate(planes):
-                qt = qt_l if ci == 0 else qt_c
-                dcc = dc_l if ci == 0 else dc_c
-                acc = ac_l if ci == 0 else ac_c
-                for bv in range(v):
-                    for bh in range(h):
-                        blk = block_at(plane, pw, ph,
-                                       (mx * h + bh) * 8, (my * v + bv) * 8)
-                        coef = _fdct(blk)
-                        quant = [int(round(coef[ZIGZAG[i]] / qt[i]))
-                                 for i in range(64)]
-                        diff = quant[0] - prev_dc[ci]
-                        prev_dc[ci] = quant[0]
-                        cat = _category(diff)
-                        code, ln = dcc[cat]
-                        bw.write(code, ln)
-                        if cat:
-                            bw.write(diff if diff >= 0
-                                     else diff + (1 << cat) - 1, cat)
-                        run = 0
-                        for i in range(1, 64):
-                            vq = quant[i]
-                            if vq == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                code, ln = acc[0xF0]
-                                bw.write(code, ln)
-                                run -= 16
-                            cat = _category(vq)
-                            code, ln = acc[(run << 4) | cat]
-                            bw.write(code, ln)
-                            bw.write(vq if vq >= 0
-                                     else vq + (1 << cat) - 1, cat)
-                            run = 0
-                        if run:
-                            code, ln = acc[0x00]
-                            bw.write(code, ln)
-    scan = bw.flush()
+    def emit_block(bw, ci, plane, pw, ph, bx0, by0, prev):
+        qt = qt_l if ci == 0 else qt_c
+        dcc = dc_l if ci == 0 else dc_c
+        acc = ac_l if ci == 0 else ac_c
+        coef = _fdct(block_at(plane, pw, ph, bx0, by0))
+        quant = [int(round(coef[ZIGZAG[i]] / qt[i])) for i in range(64)]
+        diff = quant[0] - prev
+        cat = _category(diff)
+        code, ln = dcc[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        run = 0
+        for i in range(1, 64):
+            vq = quant[i]
+            if vq == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = acc[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            cat = _category(vq)
+            code, ln = acc[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(vq if vq >= 0 else vq + (1 << cat) - 1, cat)
+            run = 0
+        if run:
+            code, ln = acc[0x00]
+            bw.write(code, ln)
+        return quant[0]
+
+    scans: list[tuple[list[int], bytes]] = []  # (SOS comp spec, data)
+    if interleaved:
+        bw = _BitWriter()
+        prev_dc = [0, 0, 0]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (plane, pw, ph, h, v) in enumerate(planes):
+                    for bv in range(v):
+                        for bh in range(h):
+                            prev_dc[ci] = emit_block(
+                                bw, ci, plane, pw, ph,
+                                (mx * h + bh) * 8, (my * v + bv) * 8,
+                                prev_dc[ci],
+                            )
+        scans.append(([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0], bw.flush()))
+    else:
+        for ci, (plane, pw, ph, h, v) in enumerate(planes):
+            bw = _BitWriter()
+            prev = 0
+            for by in range(-(-ph // 8)):
+                for bx in range(-(-pw // 8)):
+                    prev = emit_block(bw, ci, plane, pw, ph,
+                                      bx * 8, by * 8, prev)
+            tt = 0x00 if ci == 0 else 0x11
+            scans.append(([1, ci + 1, tt, 0, 63, 0], bw.flush()))
 
     y_hv = (planes[0][3] << 4) | planes[0][4]
     out = bytearray(b"\xff\xd8")
@@ -919,9 +1036,9 @@ def encode_color_jpeg(rgb: bytes, width: int, height: int,
         b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C)
     out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(AC_VALS_C)) + \
         b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C)
-    out += b"\xff\xda" + struct.pack(">H", 12) + \
-        bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
-    out += scan
+    for spec, data in scans:
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(spec)) + bytes(spec)
+        out += data
     out += b"\xff\xd9"
     return bytes(out)
 

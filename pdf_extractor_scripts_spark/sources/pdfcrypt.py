@@ -99,6 +99,26 @@ def owner_entry(owner_password: bytes, user_password: bytes, r: int = 2) -> byte
     return data
 
 
+def recover_user_password(owner_password: bytes, o_entry: bytes,
+                          r: int) -> bytes:
+    """Algorithm 7 prefix (R2-R4): decrypt /O under the owner-password key
+    to recover the PADDED user password — how a reader opens a file whose
+    OWNER password it knows (PyPDF2's .decrypt('') tries this with the
+    empty string after the user-password check fails)."""
+    digest = hashlib.md5(_pad(owner_password)).digest()
+    n = 5 if r == 2 else 16
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest).digest()
+    key = digest[:n]
+    data = o_entry[:32]
+    if r == 2:
+        return rc4(key, data)
+    for i in range(19, -1, -1):  # inverse of the 20 encryption passes
+        data = rc4(bytes(b ^ i for b in key), data)
+    return data
+
+
 def user_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
     """Algorithm 4 (R2) / 5 (R3): the /U entry for a given file key."""
     if r == 2:

@@ -441,6 +441,8 @@ class PdfDocument:
                 + ") — standard handler only: RC4 V1/V2 R2-R3, V4/R4 "
                 "RC4 or AESV2, V5 R5-R6 AESV3"
             )
+        from .pdfcrypt import recover_user_password
+
         o = self.get(enc.get("O")) or b""
         u = self.get(enc.get("U")) or b""
         p = int(self.get(enc.get("P", -1)))
@@ -448,9 +450,17 @@ class PdfDocument:
         id0 = self.get(ids[0]) if ids else b""
         key = derive_file_key(b"", o, p, id0, r, length, encrypt_metadata)
         if not verify_user_password(key, u, id0, r):
-            raise PdfEncryptedError(
-                "password-protected — empty user password rejected"
-            )
+            # the OWNER route (Algorithm 7): an empty owner password
+            # recovers the user password from /O — PyPDF2's .decrypt('')
+            # tries exactly this after the user check fails
+            upw = recover_user_password(b"", o, r)
+            key = derive_file_key(upw, o, p, id0, r, length,
+                                  encrypt_metadata)
+            if not verify_user_password(key, u, id0, r):
+                raise PdfEncryptedError(
+                    "password-protected — empty user and owner passwords "
+                    "rejected"
+                )
         self._enc_key = key
         self._enc_method = method
 
@@ -1345,6 +1355,7 @@ def build_pdf(
     pages: list[list[tuple]], compress: bool = True, xref_stream: bool = False,
     content_filter: str | None = None, image_filter: str = "Flate",
     encrypted: bool | str = False, user_password: bytes = b"",
+    owner_password: bytes | None = None,
 ) -> bytes:
     """Build a PDF file from ordered paint events.
 
@@ -1386,7 +1397,9 @@ def build_pdf(
             b"pdf_extractor_scripts_spark aes256 fixture key"
         ).digest()
         u, ue, o, oe, perms = make_r6_entries(
-            user_password, user_password, file_key, p=-1, r=r
+            user_password,
+            user_password if owner_password is None else owner_password,
+            file_key, p=-1, r=r,
         )
         enc_dict = (
             b"<< /Filter /Standard /V 5 /R %d /Length 256 "
@@ -1408,7 +1421,10 @@ def build_pdf(
         }[encrypted]
         em = encrypted != "v4-rc4-nometa"
         file_id = hashlib.md5(b"pdf_extractor_scripts_spark fixture id").digest()
-        o_entry = owner_entry(user_password, user_password, r=min(r, 3))
+        o_entry = owner_entry(
+            user_password if owner_password is None else owner_password,
+            user_password, r=min(r, 3),
+        )
         file_key = derive_file_key(user_password, o_entry, -1, file_id, r=r,
                                    length=length, encrypt_metadata=em)
         u_entry = user_entry(file_key, file_id, r)

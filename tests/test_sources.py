@@ -758,3 +758,29 @@ def test_content_events_narrowed_error_handling():
 
     with pytest.raises(ValueError):
         content_events(b"BT +-. 0 Td (X) Tj ET", set())
+
+
+def test_empty_owner_password_opens_user_locked_rc4_and_aes():
+    """Algorithm 7 (r6): a file whose USER password is set but whose OWNER
+    password is empty opens transparently — the owner route recovers the
+    user password from /O (RC4 R2/R3 and AESV2 R4; AES-256 already walks
+    /O//OE). Files where BOTH passwords are nonempty stay locked."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        PdfEncryptedError,
+        build_pdf,
+        parse_pdf_spans,
+    )
+
+    pages = [[("text", "OWNER ROUTE 7")]]
+    want = [s["text"] for s in parse_pdf_spans(build_pdf(pages), "d.pdf")
+            if s["kind"] == "text"]
+    for mode in (True, "rc4-128", "aesv2", "aesv3"):
+        pdf = build_pdf(pages, encrypted=mode, user_password=b"usersecret",
+                        owner_password=b"")
+        got = [s["text"] for s in parse_pdf_spans(pdf, "d.pdf")
+               if s["kind"] == "text"]
+        assert got == want, mode
+        locked = build_pdf(pages, encrypted=mode, user_password=b"usersecret",
+                           owner_password=b"ownersecret")
+        with pytest.raises(PdfEncryptedError, match="password"):
+            parse_pdf_spans(locked, "d.pdf")

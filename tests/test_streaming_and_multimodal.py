@@ -469,15 +469,15 @@ def test_jpeg_codec_color_subsampling_and_restart():
     assert mae < 8, mae
 
 
-def test_jpeg_dqt_is_spec_zigzag_order_and_multiscan_rejects():
-    """ADVICE r5 pins: (1) the DQT segment carries the Annex K table in
-    ZIGZAG order — entry i must equal the scaled base table at natural
-    index ZIGZAG[i], so any spec-conforming decoder reconstructs the same
-    quantization matrix this codec used; (2) a baseline file whose first
-    SOS covers fewer components than the frame (non-interleaved
-    multi-scan) is an honest ValueError reject, not scrambled pixels."""
-    import struct as _struct
-
+def test_jpeg_dqt_is_spec_zigzag_order_and_noninterleaved_decodes():
+    """ADVICE r5 pins, upgraded r6: (1) the DQT segment carries the Annex K
+    table in ZIGZAG order — entry i must equal the scaled base table at
+    natural index ZIGZAG[i], so any spec-conforming decoder reconstructs
+    the same quantization matrix this codec used; (2) a legal baseline
+    file that splits components across several scans (non-interleaved) now
+    DECODES — luma bit-identical to the interleaved encoding of the same
+    pixels (same coefficients, different scan layout) — instead of the r5
+    honest reject (and far instead of the pre-r5 silent scramble)."""
     from pdf_extractor_scripts_spark.operators.jpegcodec import (
         QTABLE_BASE,
         ZIGZAG,
@@ -500,14 +500,15 @@ def test_jpeg_dqt_is_spec_zigzag_order_and_multiscan_rejects():
     assert dqt != [max(1, min(255, (b * scale + 50) // 100))
                    for b in QTABLE_BASE]
 
-    # synthesize a non-interleaved first scan: 3-component SOF0 but SOS
-    # with ns=1 (component 1 only)
-    color = encode_color_jpeg(bytes(27), 3, 3, quality=85, subsample=False)
-    s = color.find(b"\xff\xda")
-    bad = color[:s] + b"\xff\xda" + _struct.pack(">H", 8) + \
-        bytes([1, 1, 0x00, 0, 63, 0]) + color[s + 14:]
-    with pytest.raises(ValueError, match="non-interleaved"):
-        decode_jpeg_luma(bad)
+    W, H = 21, 13
+    rgb = bytes(((x * 11 + y * 3 + c * 7) % 256)
+                for y in range(H) for x in range(W) for c in range(3))
+    for sub in (False, True):
+        inter = encode_color_jpeg(rgb, W, H, quality=85, subsample=sub)
+        noni = encode_color_jpeg(rgb, W, H, quality=85, subsample=sub,
+                                 interleaved=False)
+        assert noni.count(b"\xff\xda") == 3  # three sequential scans
+        assert decode_jpeg_luma(noni) == decode_jpeg_luma(inter), sub
 
 
 def test_ccitt_g4_codec_vectors_roundtrip_and_rejects():
