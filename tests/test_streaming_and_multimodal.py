@@ -707,3 +707,67 @@ def test_progressive_jpeg_decodes_exactly_like_baseline():
 
     with pytest.raises(ValueError):  # arithmetic-coded SOF9
         decode_jpeg_luma(jp.replace(b"\xff\xc2", b"\xff\xc9", 1))
+
+
+def test_distributed_pdf_media_decode_auto_dispatch(spark, tmpdir):
+    """r6: the end-to-end DISTRIBUTED media path — binaryFile scan →
+    media_from_pdfs (payload + codec + /DecodeParms extraction, Arrow map)
+    → decode_pdf_media (per-codec auto-dispatched REAL decoders: JPEG for
+    /DCTDecode, Group 3/4 for /CCITTFaxDecode) — returns real pixel
+    statistics on executors identical to local decode, and honest
+    decoded=False accounting for corrupt payloads. Zero shuffle in either
+    stage."""
+    from pdf_extractor_scripts_spark.operators.ccittcodec import ccitt_decoder
+    from pdf_extractor_scripts_spark.operators.jpegcodec import (
+        jpeg_pixel_stats,
+    )
+    from pdf_extractor_scripts_spark.operators.multimodal import (
+        decode_pdf_media,
+        media_from_pdfs,
+    )
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        pdf_media_payloads,
+    )
+    from pdf_extractor_scripts_spark.sources.spans import read_binary_docs
+
+    pages = [[("text", "SCAN"), ("image",)]]
+    cases = {
+        "dct.pdf": build_pdf(pages, image_filter="DCT-real"),
+        "ccitt.pdf": build_pdf(pages, image_filter="CCITT-real"),
+        "fake.pdf": build_pdf(pages, image_filter="DCT"),  # fake JPEG bytes
+        "flate.pdf": build_pdf(pages),  # byte filter → decoded 1px payload
+    }
+    import os as _os
+
+    for name, b in cases.items():
+        with open(_os.path.join(tmpdir, name), "wb") as f:
+            f.write(b)
+
+    media = media_from_pdfs(read_binary_docs(spark, tmpdir))
+    # the media_ref embeds the doc path: img://<path>/<name>/page/idx —
+    # key rows by file name
+    feats = {}
+    for r in decode_pdf_media(media).collect():
+        for name in cases:
+            if name in r["media_ref"]:
+                feats[name] = r
+
+    local_dct = jpeg_pixel_stats(
+        pdf_media_payloads(cases["dct.pdf"], "d")[0]["payload"]
+    )
+    dct = feats["dct.pdf"]
+    assert dct["decoded"] and dct["filter"] == "DCTDecode"
+    assert all(abs(a - b) < 1e-4 for a, b in zip(dct["feature"], local_dct))
+
+    pl = pdf_media_payloads(cases["ccitt.pdf"], "d")[0]
+    local_cc = ccitt_decoder(pl["params"])(pl["payload"])
+    cc = feats["ccitt.pdf"]
+    assert cc["decoded"] and cc["filter"] == "CCITTFaxDecode"
+    assert all(abs(a - b) < 1e-4 for a, b in zip(cc["feature"], local_cc))
+
+    fake = feats["fake.pdf"]  # dispatches to JPEG, fails honestly
+    assert not fake["decoded"] and fake["error"]
+
+    fl = feats["flate.pdf"]  # byte filter: payload is decoded pixels, no
+    assert not fl["decoded"]  # image-codec decoder claims it
