@@ -196,13 +196,17 @@ def media_from_pdfs(binary_docs: DataFrame) -> DataFrame:
 def auto_pixel_decoder(filter_name: str, params: dict):
     """Per-codec engine dispatch: a ``bytes -> [w, h, mean, std, p_dark]``
     decoder for the codecs the pure-stdlib tier really decodes (baseline +
-    progressive JPEG under /DCTDecode; every /K class of /CCITTFaxDecode),
-    or None — the caller counts the payload as carried-not-decoded
-    (JPX/JBIG2 passthrough, inline images)."""
+    progressive JPEG under /DCTDecode; every /K class of /CCITTFaxDecode;
+    generic-region /JBIG2Decode), or None — the caller counts the payload
+    as carried-not-decoded (JPX passthrough, inline images)."""
     if "DCTDecode" in filter_name:
         from .jpegcodec import jpeg_pixel_stats
 
         return jpeg_pixel_stats
+    if "JBIG2Decode" in filter_name:
+        from .jbig2codec import jbig2_pixel_stats
+
+        return jbig2_pixel_stats
     if "CCITTFaxDecode" in filter_name:
         from .ccittcodec import ccitt_decoder
 

@@ -1511,6 +1511,19 @@ def build_pdf(
                 )
                 img_data = encode_gray_jpeg(grad, iw, ih, quality=85)
                 fname = b"DCTDecode"
+            elif image_filter == "JBIG2-real":
+                # a REAL embedded-JBIG2 payload (stdlib codec): page info +
+                # MQ-coded generic region — self-describing, no DecodeParms
+                from ..operators.jbig2codec import encode_jbig2_embedded
+
+                iw = ih = 16
+                strokes = bytes(
+                    0 if (3 <= y <= 5 and x % 4 < 2)
+                    or (9 <= y <= 11 and (x // 2) % 3 == 0) else 255
+                    for y in range(ih) for x in range(iw)
+                )
+                img_data = encode_jbig2_embedded(strokes, iw, ih)
+                fname = b"JBIG2Decode"
             elif image_filter == "CCITT-real":
                 # a REAL Group 4 fax payload (stdlib codec) — the layout
                 # scanned B/W invoices actually use; G4 is not
@@ -1533,6 +1546,8 @@ def build_pdf(
                 bpc = 1
                 parms = (b" /DecodeParms << /K -1 /Columns %d /Rows %d >>"
                          % (iw, ih))
+            elif fname == b"JBIG2Decode":
+                bpc, parms = 1, b""  # embedded stream is self-describing
             else:
                 bpc, parms = 8, b""
             objects[inum] = (

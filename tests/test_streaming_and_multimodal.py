@@ -771,3 +771,101 @@ def test_distributed_pdf_media_decode_auto_dispatch(spark, tmpdir):
 
     fl = feats["flate.pdf"]  # byte filter: payload is decoded pixels, no
     assert not fl["decoded"]  # image-codec decoder claims it
+
+
+def test_jbig2_generic_region_codec_roundtrip_and_rejects():
+    """r6 stretch: pure-stdlib JBIG2 generic-region codec. The MQ
+    arithmetic coder round-trips adversarial bit sequences (carry/stuffing
+    paths included), generic regions round-trip losslessly for templates
+    0-3 with and without TPGDON, the embedded (PDF) segment layer decodes
+    page-info + immediate generic regions in both MQ and MMR(=T.6) forms,
+    and symbol-dictionary streams reject honestly."""
+    import random
+    import struct as _struct
+
+    from pdf_extractor_scripts_spark.operators import jbig2codec as jb
+
+    random.seed(5)
+    for trial in range(12):
+        n_ctx = random.choice([1, 4, 16])
+        mode = random.random()
+        bits = []
+        for _ in range(random.randrange(1, 3000)):
+            if mode < 0.3:
+                b = 0
+            elif mode < 0.6:
+                b = 1 if random.random() < 0.05 else 0
+            else:
+                b = random.randrange(2)
+            bits.append((random.randrange(n_ctx), b))
+        enc = jb.MQEncoder()
+        ectx = [0] * n_ctx
+        for cx, b in bits:
+            enc.encode_bit(ectx, cx, b)
+        dec = jb.MQDecoder(enc.flush())
+        dctx = [0] * n_ctx
+        assert all(dec.read_bit(dctx, cx) == b for cx, b in bits), trial
+
+    random.seed(9)
+    for template in (0, 1, 2, 3):
+        for tpgdon in (False, True):
+            W, H = 23, 17
+            bm = [[1 if random.random() < 0.3 else 0 for _ in range(W)]
+                  for _ in range(H)]
+            bm[5] = list(bm[4])  # identical rows exercise TPGDON copies
+            data = jb.encode_generic_region(bm, template, tpgdon)
+            got = jb.decode_generic_region(data, W, H, template, tpgdon)
+            assert got == bm, (template, tpgdon)
+
+    W, H = 32, 24
+    px = bytes(0 if (4 <= y <= 6 and x % 5 < 2)
+               or (12 <= y <= 14 and (x // 3) % 2 == 0) else 255
+               for y in range(H) for x in range(W))
+    for mmr in (False, True):
+        emb = jb.encode_jbig2_embedded(px, W, H, mmr=mmr)
+        assert jb.decode_jbig2_embedded(emb) == (W, H, px), mmr
+    assert jb.jbig2_pixel_stats(jb.encode_jbig2_embedded(px, W, H))[:2] == \
+        [float(W), float(H)]
+
+    bad = _struct.pack(">IBBBI", 0, 0, 0, 1, 4) + b"\x00" * 4
+    with pytest.raises(ValueError, match="symbol|unsupported"):
+        jb.decode_jbig2_embedded(bad)
+
+
+def test_jbig2_pdf_fixture_through_distributed_decode(spark, tmpdir):
+    """r6: a PDF whose page image is a REAL embedded-JBIG2 payload flows
+    binaryFile → media_from_pdfs → decode_pdf_media with the
+    auto-dispatched stdlib decoder — executor stats equal local decode."""
+    from pdf_extractor_scripts_spark.operators.jbig2codec import (
+        jbig2_pixel_stats,
+    )
+    from pdf_extractor_scripts_spark.operators.multimodal import (
+        decode_pdf_media,
+        media_from_pdfs,
+    )
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        parse_pdf_spans,
+        pdf_media_payloads,
+    )
+    from pdf_extractor_scripts_spark.sources.spans import read_binary_docs
+
+    pages = [[("text", "SCAN"), ("image",)]]
+    pdf = build_pdf(pages, image_filter="JBIG2-real")
+    # span parse identical to any other image layout
+    want = parse_pdf_spans(build_pdf(pages), "misc/s.pdf")
+    assert parse_pdf_spans(pdf, "misc/s.pdf") == want
+    pl = pdf_media_payloads(pdf, "misc/s.pdf")
+    assert pl[0]["filter"] == "JBIG2Decode"
+    local = jbig2_pixel_stats(pl[0]["payload"])
+    assert local[:2] == [16.0, 16.0]
+
+    import os as _os
+
+    with open(_os.path.join(tmpdir, "jbig2.pdf"), "wb") as f:
+        f.write(pdf)
+    feat = decode_pdf_media(
+        media_from_pdfs(read_binary_docs(spark, tmpdir))
+    ).first()
+    assert feat["decoded"] and feat["filter"] == "JBIG2Decode"
+    assert all(abs(a - b) < 1e-4 for a, b in zip(feat["feature"], local))
