@@ -1,0 +1,878 @@
+"""Pure-stdlib JPEG 2000 (/JPXDecode) codec — lossless 5/3 subset.
+
+The last PDF image-codec family after DCT, CCITT and JBIG2. Scope: the
+reversible path a lossless scanner/archiver emits — JPEG 2000 codestream
+(SOC/SIZ/COD/QCD/SOT/SOD/EOC), single tile, 5/3 reversible wavelet, no
+quantization, one quality layer, LRCP progression, default precincts,
+code-blocks up to 64×64, 1 or 3 components (no MCT — components coded
+independently). Irreversible 9/7, multiple tiles/layers, and JP2
+box-wrapped files raise ValueError (the honest reject; PDF may embed the
+raw codestream, which is what this reads and writes).
+
+Design note: the EBCOT tier-1 coefficient coder, the tag trees and the
+packet headers are implemented ONCE as shared traversals over a
+"port" that either consumes known bits (encode) or produces them
+(decode) — the encoder and decoder cannot structurally diverge, and a
+round-trip exercises every code path both ways. The MQ arithmetic coder
+is shared with the JBIG2 module (same ITU-T T.88/T.800 coder).
+
+Validation: encoder↔decoder round-trips (bit-exact lossless) over
+adversarial images; no external conformance vectors are available in
+this sandbox (documented, as with JBIG2).
+
+Everything here implements the published ITU-T T.800 specification.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .jbig2codec import MQDecoder, MQEncoder
+
+# ---------------------------------------------------------------------------
+# 5/3 reversible DWT (T.800 Annex F lifting, symmetric extension)
+# ---------------------------------------------------------------------------
+
+
+def _fwd53(x: list[int]) -> tuple[list[int], list[int]]:
+    n = len(x)
+    if n == 1:
+        return [x[0]], []
+
+    def X(i: int) -> int:  # whole-sample symmetric extension
+        if i < 0:
+            i = -i
+        if i >= n:
+            i = 2 * n - 2 - i
+        return x[i]
+
+    hi = [
+        x[2 * i + 1] - ((X(2 * i) + X(2 * i + 2)) >> 1)
+        for i in range((n - 1) // 2 + (1 if n % 2 == 0 else 0))
+    ]
+
+    def H(i: int) -> int:
+        if i < 0:
+            i = -i - 1
+        if i >= len(hi):
+            i = 2 * len(hi) - 1 - i
+        return hi[i]
+
+    lo = [
+        x[2 * i] + ((H(i - 1) + H(i) + 2) >> 2)
+        for i in range((n + 1) // 2)
+    ]
+    return lo, hi
+
+
+def _inv53(lo: list[int], hi: list[int]) -> list[int]:
+    n = len(lo) + len(hi)
+    if n == 1:
+        return [lo[0]]
+
+    def H(i: int) -> int:
+        if i < 0:
+            i = -i - 1
+        if i >= len(hi):
+            i = 2 * len(hi) - 1 - i
+        return hi[i]
+
+    out = [0] * n
+    for i in range(len(lo)):
+        out[2 * i] = lo[i] - ((H(i - 1) + H(i) + 2) >> 2)
+
+    def X(i: int) -> int:  # mirror on the INTERLEAVED grid (even slots)
+        if i < 0:
+            i = -i
+        if i >= n:
+            i = 2 * n - 2 - i
+        return out[i]
+
+    for i in range(len(hi)):
+        out[2 * i + 1] = hi[i] + ((X(2 * i) + X(2 * i + 2)) >> 1)
+    return out
+
+
+def dwt2_forward(rows: list[list[int]], levels: int):
+    """2-D 5/3 forward DWT → (LL rows, [per level (HL, LH, HH) rows]),
+    finest level first in the returned list (matching codestream order is
+    handled by the caller)."""
+    bands = []
+    cur = rows
+    for _ in range(levels):
+        h = len(cur)
+        w = len(cur[0])
+        lo_rows, hi_rows = [], []
+        for r in cur:  # horizontal
+            lo, hi = _fwd53(r)
+            lo_rows.append(lo)
+            hi_rows.append(hi)
+        # vertical on each half
+        def vert(mat):
+            if not mat or not mat[0]:
+                return [], []
+            wj = len(mat[0])
+            los, his = [], []
+            cols_lo, cols_hi = [], []
+            for c in range(wj):
+                lo, hi = _fwd53([mat[y][c] for y in range(len(mat))])
+                cols_lo.append(lo)
+                cols_hi.append(hi)
+            nlo = len(cols_lo[0])
+            nhi = len(cols_hi[0])
+            los = [[cols_lo[c][y] for c in range(wj)] for y in range(nlo)]
+            his = [[cols_hi[c][y] for c in range(wj)] for y in range(nhi)]
+            return los, his
+
+        ll, lh = vert(lo_rows)
+        hl, hh = vert(hi_rows)
+        bands.append((hl, lh, hh))
+        cur = ll
+        if len(cur) == 0 or len(cur[0]) == 0:
+            break
+    return cur, bands
+
+
+def dwt2_inverse(ll: list[list[int]], bands) -> list[list[int]]:
+    cur = ll
+    for hl, lh, hh in reversed(bands):
+        def vert_inv(lo_mat, hi_mat):
+            if not lo_mat and not hi_mat:
+                return []
+            wj = len(lo_mat[0]) if lo_mat else len(hi_mat[0])
+            out_cols = []
+            for c in range(wj):
+                lo = [lo_mat[y][c] for y in range(len(lo_mat))]
+                hi = [hi_mat[y][c] for y in range(len(hi_mat))]
+                out_cols.append(_inv53(lo, hi))
+            n = len(out_cols[0])
+            return [[out_cols[c][y] for c in range(wj)] for y in range(n)]
+
+        left = vert_inv(cur, lh)    # low-horizontal half
+        right = vert_inv(hl, hh)    # high-horizontal half
+        rows = []
+        for y in range(len(left)):
+            lo = left[y]
+            hi = right[y] if y < len(right) else []
+            rows.append(_inv53(lo, hi))
+        cur = rows
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# Shared-traversal ports: one code path drives both encode and decode
+# ---------------------------------------------------------------------------
+class _MQPort:
+    """EBCOT bit port over the shared MQ coder (T.800 == T.88 coder)."""
+
+    def __init__(self, enc: MQEncoder | None = None,
+                 dec: MQDecoder | None = None):
+        self.enc = enc
+        self.dec = dec
+        # 19 contexts; T.800 initial states: ZC0=4, RL=3, UNIFORM=46
+        self.cx = [0] * 19
+        self.cx[0] = 4 << 1
+        self.cx[17] = 3 << 1
+        self.cx[18] = 46 << 1
+
+    @property
+    def encoding(self) -> bool:
+        return self.enc is not None
+
+    def code(self, ctx: int, bit: int | None = None) -> int:
+        if self.dec is not None:
+            return self.dec.read_bit(self.cx, ctx)
+        self.enc.encode_bit(self.cx, ctx, bit)
+        return bit
+
+
+class _HdrPort:
+    """Raw-bit packet-header port with 0xFF stuffing (B.10.1)."""
+
+    def __init__(self, data: bytes | None = None):
+        self.data = data  # None → writing
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+        self.pos = 0  # reader bit position helpers
+        self.cur = 0
+        self.avail = 0
+        self.last = 0
+
+    @property
+    def encoding(self) -> bool:
+        return self.data is None
+
+    def code(self, bit: int | None = None) -> int:
+        if self.data is None:
+            self.acc = (self.acc << 1) | bit
+            self.n += 1
+            room = 7 if self.last == 0xFF else 8
+            if self.n == room:
+                self.last = self.acc
+                self.out.append(self.acc)
+                self.acc = 0
+                self.n = 0
+            return bit
+        if self.avail == 0:
+            room = 7 if self.last == 0xFF else 8
+            self.last = self.data[self.pos]
+            self.cur = self.last
+            self.pos += 1
+            self.avail = room
+        self.avail -= 1
+        return (self.cur >> self.avail) & 1
+
+    def bits(self, k: int, value: int | None = None) -> int:
+        v = 0
+        for i in range(k):
+            b = None if value is None else (value >> (k - 1 - i)) & 1
+            v = (v << 1) | self.code(b)
+        return v
+
+    def finish(self) -> bytes:
+        """Writer: flush (0-pad); returns header bytes."""
+        if self.n:
+            room = 7 if self.last == 0xFF else 8
+            self.out.append(self.acc << (room - self.n))
+        elif self.last == 0xFF:
+            self.out.append(0)  # a 0xFF must not end the header
+        return bytes(self.out)
+
+    def finish_read(self) -> int:
+        """Reader: byte offset just past the header."""
+        if self.last == 0xFF and self.avail == 0:
+            self.pos += 1  # the stuffed byte after a trailing 0xFF
+        return self.pos
+
+
+class _TagTree:
+    def __init__(self, w: int, h: int):
+        self.dims = []
+        while True:
+            self.dims.append((w, h))
+            if w == 1 and h == 1:
+                break
+            w = (w + 1) // 2
+            h = (h + 1) // 2
+        self.value = [[0] * (w_ * h_) for (w_, h_) in self.dims]
+        self.known = [[False] * (w_ * h_) for (w_, h_) in self.dims]
+        self.target = None  # encoder: min-reduced true values
+
+    def set_leaves(self, leaves: list[int]) -> None:
+        """Encoder: leaf values (raster) → min-reduce every level."""
+        self.target = [list(leaves)]
+        for lvl in range(1, len(self.dims)):
+            pw, ph = self.dims[lvl - 1]
+            w_, h_ = self.dims[lvl]
+            prev = self.target[lvl - 1]
+            cur = []
+            for j in range(h_):
+                for i in range(w_):
+                    vals = [
+                        prev[jj * pw + ii]
+                        for jj in (2 * j, 2 * j + 1) if jj < ph
+                        for ii in (2 * i, 2 * i + 1) if ii < pw
+                    ]
+                    cur.append(min(vals))
+            self.target.append(cur)
+
+    def proc(self, port: _HdrPort, i: int, j: int, threshold: int) -> bool:
+        """Code/decode the path for leaf (i, j) against ``threshold``;
+        True iff the leaf value is known to be < threshold."""
+        lo = 0
+        for lvl in range(len(self.dims) - 1, -1, -1):
+            w_, _ = self.dims[lvl]
+            idx = (j >> lvl) * w_ + (i >> lvl)
+            val, kn = self.value[lvl], self.known[lvl]
+            if val[idx] < lo:
+                val[idx] = lo
+            while not kn[idx] and val[idx] < threshold:
+                if port.encoding:
+                    if self.target[lvl][idx] > val[idx]:
+                        port.code(0)
+                        val[idx] += 1
+                    else:
+                        port.code(1)
+                        kn[idx] = True
+                else:
+                    if port.code():
+                        kn[idx] = True
+                    else:
+                        val[idx] += 1
+            lo = val[idx]
+            if not kn[idx]:
+                return False  # bounded below by threshold, not resolved
+        return True
+
+    def leaf_value(self, i: int, j: int) -> int:
+        return self.value[0][j * self.dims[0][0] + i]
+
+
+# ---------------------------------------------------------------------------
+# EBCOT tier-1: the three coding passes over bitplanes (T.800 Annex D)
+# ---------------------------------------------------------------------------
+_SC_TABLE = {
+    (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+    (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+    (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+}
+
+
+def _zc_ctx(band: int, h: int, v: int, d: int) -> int:
+    if band == 1:  # HL: horizontally high-pass — swap roles
+        h, v = v, h
+    if band != 2:  # LL / LH / (HL swapped)
+        if h == 2:
+            return 8
+        if h == 1:
+            return 7 if v >= 1 else (6 if d >= 1 else 5)
+        if v == 2:
+            return 4
+        if v == 1:
+            return 3
+        return 2 if d >= 2 else d
+    hv = h + v
+    if d >= 3:
+        return 8
+    if d == 2:
+        return 7 if hv >= 1 else 6
+    if d == 1:
+        return 5 if hv >= 2 else 3 + hv
+    return 2 if hv >= 2 else hv
+
+
+def _t1_block(port: _MQPort, w: int, h: int, band: int, nplanes: int,
+              mag: list[int], sgn: list[int]) -> None:
+    """Shared tier-1 traversal: encode (mag/sgn known) or decode (filled
+    in place) ``nplanes`` magnitude bitplanes of one code-block."""
+    n = w * h
+    sig = [0] * n
+    eta = [0] * n
+    visited = bytearray(n)
+    enc = port.encoding
+
+    def nb_sums(x: int, y: int):
+        hs = vs = ds = 0
+        if x > 0 and sig[y * w + x - 1]:
+            hs += 1
+        if x + 1 < w and sig[y * w + x + 1]:
+            hs += 1
+        if y > 0 and sig[(y - 1) * w + x]:
+            vs += 1
+        if y + 1 < h and sig[(y + 1) * w + x]:
+            vs += 1
+        for dx, dy in ((-1, -1), (1, -1), (-1, 1), (1, 1)):
+            xx, yy = x + dx, y + dy
+            if 0 <= xx < w and 0 <= yy < h and sig[yy * w + xx]:
+                ds += 1
+        return hs, vs, ds
+
+    def sc_code(x: int, y: int, i: int) -> None:
+        hc = vc = 0
+        if x > 0 and sig[y * w + x - 1]:
+            hc += 1 - 2 * sgn[y * w + x - 1]
+        if x + 1 < w and sig[y * w + x + 1]:
+            hc += 1 - 2 * sgn[y * w + x + 1]
+        if y > 0 and sig[(y - 1) * w + x]:
+            vc += 1 - 2 * sgn[(y - 1) * w + x]
+        if y + 1 < h and sig[(y + 1) * w + x]:
+            vc += 1 - 2 * sgn[(y + 1) * w + x]
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        ctx, xorbit = _SC_TABLE[(hc, vc)]
+        if enc:
+            port.code(ctx, sgn[i] ^ xorbit)
+        else:
+            sgn[i] = port.code(ctx) ^ xorbit
+
+    def spp(p: int) -> None:
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    i = y * w + x
+                    if sig[i]:
+                        continue
+                    hs, vs, ds = nb_sums(x, y)
+                    if hs + vs + ds == 0:
+                        continue
+                    ctx = _zc_ctx(band, hs, vs, ds)
+                    bit = port.code(ctx, (mag[i] >> p) & 1 if enc else None)
+                    visited[i] = 1
+                    if bit:
+                        sc_code(x, y, i)
+                        sig[i] = 1
+                        if not enc:
+                            mag[i] |= 1 << p
+
+    def mrp(p: int) -> None:
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    i = y * w + x
+                    if not sig[i] or visited[i]:
+                        continue
+                    if eta[i]:
+                        ctx = 16
+                    else:
+                        hs, vs, ds = nb_sums(x, y)
+                        ctx = 15 if hs + vs + ds else 14
+                    bit = port.code(ctx, (mag[i] >> p) & 1 if enc else None)
+                    if not enc and bit:
+                        mag[i] |= 1 << p
+                    eta[i] = 1
+
+    def cup(p: int) -> None:
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                y = y0
+                # run-length shortcut: a full 4-stripe column, all four
+                # insignificant, unvisited and context-0
+                if y0 + 4 <= h:
+                    idxs = [(y0 + k) * w + x for k in range(4)]
+                    if all(
+                        not sig[i] and not visited[i] for i in idxs
+                    ) and all(
+                        sum(nb_sums(x, y0 + k)) == 0 for k in range(4)
+                    ):
+                        rl_bit = (
+                            (1 if any((mag[i] >> p) & 1 for i in idxs)
+                             else 0)
+                            if enc else None
+                        )
+                        if not port.code(17, rl_bit):
+                            continue  # all four stay insignificant
+                        if enc:
+                            r = next(k for k in range(4)
+                                     if (mag[idxs[k]] >> p) & 1)
+                            port.code(18, (r >> 1) & 1)
+                            port.code(18, r & 1)
+                        else:
+                            r = (port.code(18) << 1) | port.code(18)
+                        i = idxs[r]
+                        sc_code(x, y0 + r, i)
+                        sig[i] = 1
+                        if not enc:
+                            mag[i] |= 1 << p
+                        y = y0 + r + 1
+                for y in range(y, min(y0 + 4, h)):
+                    i = y * w + x
+                    if sig[i] or visited[i]:
+                        continue
+                    hs, vs, ds = nb_sums(x, y)
+                    ctx = _zc_ctx(band, hs, vs, ds)
+                    bit = port.code(ctx, (mag[i] >> p) & 1 if enc else None)
+                    if bit:
+                        sc_code(x, y, i)
+                        sig[i] = 1
+                        if not enc:
+                            mag[i] |= 1 << p
+
+    for p in range(nplanes - 1, -1, -1):
+        if p != nplanes - 1:
+            spp(p)
+            mrp(p)
+        cup(p)
+        visited = bytearray(n)
+
+
+# ---------------------------------------------------------------------------
+# Codestream geometry + packets (T.800 Annex A/B: single tile, 1 layer,
+# LRCP, default precincts)
+# ---------------------------------------------------------------------------
+_CBLK = 64  # code-block side (exponent 6; SPcod value 4)
+_GUARD = 2
+
+
+def _band_geometry(w: int, h: int, levels: int):
+    """Subband dims per resolution, matching dwt2_forward's splits.
+    Returns (ll_dims, per_iteration[{HL,LH,HH}: (w, h)])."""
+    cw, ch = w, h
+    per_level = []
+    for _ in range(levels):
+        lw, hw = (cw + 1) // 2, cw // 2
+        lv, hv = (ch + 1) // 2, ch // 2
+        per_level.append({"HL": (hw, lv), "LH": (lw, hv), "HH": (hw, hv)})
+        cw, ch = lw, lv
+    return (cw, ch), per_level
+
+
+def _blocks_of(bw: int, bh: int):
+    """Code-block rectangles (x0, y0, w, h) raster order + grid dims."""
+    if bw == 0 or bh == 0:
+        return [], 0, 0
+    nbx = -(-bw // _CBLK)
+    nby = -(-bh // _CBLK)
+    out = []
+    for j in range(nby):
+        for i in range(nbx):
+            x0, y0 = i * _CBLK, j * _CBLK
+            out.append((x0, y0, min(_CBLK, bw - x0), min(_CBLK, bh - y0)))
+    return out, nbx, nby
+
+
+_BAND_TYPE = {"LL": 0, "LH": 0, "HL": 1, "HH": 2}
+
+
+def _res_bands(r: int, levels: int, ll_dims, per_level):
+    """Subbands of resolution r as (name, (w, h), level_index)."""
+    if r == 0:
+        return [("LL", ll_dims, None)]
+    li = levels - r
+    d = per_level[li]
+    return [("HL", d["HL"], li), ("LH", d["LH"], li), ("HH", d["HH"], li)]
+
+
+def _code_npasses(port: _HdrPort, n: int | None = None) -> int:
+    """Coding-pass count codeword (Table B.4), shared traversal."""
+    enc = port.encoding
+    if enc:
+        if n == 1:
+            port.code(0)
+        elif n == 2:
+            port.code(1)
+            port.code(0)
+        elif n <= 5:
+            port.code(1)
+            port.code(1)
+            port.bits(2, n - 3)
+        elif n <= 36:
+            port.code(1)
+            port.code(1)
+            port.bits(2, 3)
+            port.bits(5, n - 6)
+        else:
+            port.code(1)
+            port.code(1)
+            port.bits(2, 3)
+            port.bits(5, 31)
+            port.bits(7, n - 37)
+        return n
+    if not port.code():
+        return 1
+    if not port.code():
+        return 2
+    v = port.bits(2)
+    if v < 3:
+        return 3 + v
+    v = port.bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + port.bits(7)
+
+
+def _packet(port: _HdrPort, band_list, mb_of, blocks_data=None):
+    """Shared packet-header traversal for one (resolution, component)
+    packet. Encode: ``blocks_data`` = {(band, idx): (nplanes, data)} —
+    emits header bits and returns the body. Decode: returns
+    [(band, block_idx, nplanes, length)] to be sliced from the body."""
+    enc = port.encoding
+    out = [] if not enc else bytearray()
+    any_data = enc and any(v[0] > 0 for v in blocks_data.values())
+    nonempty = port.code(1 if any_data else 0) if enc else port.code()
+    if not nonempty:
+        return out
+    for name, (bw, bh), _li in band_list:
+        blks, nbx, nby = _blocks_of(bw, bh)
+        if not blks:
+            continue
+        mb = mb_of(name)
+        incl = _TagTree(nbx, nby)
+        zb = _TagTree(nbx, nby)
+        if enc:
+            incl.set_leaves([
+                0 if blocks_data[(name, k)][0] > 0 else 1
+                for k in range(len(blks))
+            ])
+            zb.set_leaves([
+                mb - blocks_data[(name, k)][0] for k in range(len(blks))
+            ])
+        lblocks = [3] * len(blks)
+        for k in range(len(blks)):
+            i, j = k % nbx, k // nbx
+            included = incl.proc(port, i, j, 1)
+            if not included:
+                continue
+            t = 1
+            while not zb.proc(port, i, j, t):
+                t += 1
+            zbk = zb.leaf_value(i, j)
+            nplanes = mb - zbk
+            npasses = _code_npasses(
+                port, 3 * nplanes - 2 if enc else None
+            )
+            nbits_extra = npasses.bit_length() - 1
+            if enc:
+                data = blocks_data[(name, k)][1]
+                need = max(1, len(data).bit_length())
+                while lblocks[k] + nbits_extra < need:
+                    port.code(1)
+                    lblocks[k] += 1
+                port.code(0)
+                port.bits(lblocks[k] + nbits_extra, len(data))
+                out += data
+            else:
+                while port.code():
+                    lblocks[k] += 1
+                length = port.bits(lblocks[k] + nbits_extra)
+                out.append((name, k, nplanes, length))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Top level: markers + tile assembly
+# ---------------------------------------------------------------------------
+def _subband_rows(name, li, ll, bands):
+    if name == "LL":
+        return ll
+    return bands[li][{"HL": 0, "LH": 1, "HH": 2}[name]]
+
+
+def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
+               levels: int = 2) -> bytes:
+    """8-bit samples (gray, or RGB interleaved with ``ncomp=3``) →
+    lossless JPEG 2000 codestream (single tile, 5/3 reversible, 1 layer,
+    LRCP)."""
+    if len(pixels) != width * height * ncomp:
+        raise ValueError("pixel buffer does not match dimensions")
+    levels = max(1, min(levels, 6))
+    ll_dims, per_level = _band_geometry(width, height, levels)
+
+    # per component: DWT → per-band coefficient rows
+    comp_bands = []
+    for c in range(ncomp):
+        rows = [
+            [pixels[(y * width + x) * ncomp + c] - 128 for x in range(width)]
+            for y in range(height)
+        ]
+        ll, bands = dwt2_forward(rows, levels)
+        comp_bands.append((ll, bands))
+
+    # global per-band-name max bitplanes → QCD exponents (shared by comps)
+    maxnp: dict[str, int] = {}
+    t1_cache: dict = {}
+    for c in range(ncomp):
+        ll, bands = comp_bands[c]
+        for r in range(levels + 1):
+            for name, (bw, bh), li in _res_bands(r, levels, ll_dims,
+                                                 per_level):
+                rows = _subband_rows(name, li, ll, bands)
+                for k, (x0, y0, cw, ch) in enumerate(_blocks_of(bw, bh)[0]):
+                    mag = [abs(rows[y0 + y][x0 + x])
+                           for y in range(ch) for x in range(cw)]
+                    sgn = [1 if rows[y0 + y][x0 + x] < 0 else 0
+                           for y in range(ch) for x in range(cw)]
+                    npl = max((m.bit_length() for m in mag), default=0)
+                    key = (c, r, name, k)
+                    t1_cache[key] = (cw, ch, mag, sgn, npl)
+                    band_key = name if name == "LL" else f"{name}{li}"
+                    maxnp[band_key] = max(maxnp.get(band_key, 0), npl)
+
+    def mb_key(name, li):
+        return name if name == "LL" else f"{name}{li}"
+
+    eps = {k: max(0, v - _GUARD + 1) for k, v in maxnp.items()}
+    mb = {k: e + _GUARD - 1 for k, e in eps.items()}
+
+    # tier-1 encode every block
+    coded: dict = {}
+    for key, (cw, ch, mag, sgn, npl) in t1_cache.items():
+        _c, _r, name, _k = key
+        if npl == 0:
+            coded[key] = (0, b"")
+            continue
+        enc = MQEncoder()
+        _t1_block(_MQPort(enc=enc), cw, ch, _BAND_TYPE[name], npl, mag, sgn)
+        coded[key] = (npl, enc.flush())
+
+    # packets in LRCP order
+    body = bytearray()
+    for r in range(levels + 1):
+        for c in range(ncomp):
+            band_list = _res_bands(r, levels, ll_dims, per_level)
+            blocks_data = {}
+            for name, (bw, bh), li in band_list:
+                for k in range(len(_blocks_of(bw, bh)[0])):
+                    blocks_data[(name, k)] = coded[(c, r, name, k)]
+            port = _HdrPort()
+            pkt_body = _packet(
+                port,
+                band_list,
+                lambda name, bl=band_list: mb[mb_key(
+                    name, next(li for n, _d, li in bl if n == name)
+                )],
+                blocks_data,
+            )
+            body += port.finish()
+            body += pkt_body
+
+    # markers
+    out = bytearray(b"\xff\x4f")  # SOC
+    siz = struct.pack(">HHIIIIIIIIH", 38 + 3 * ncomp, 0, width, height,
+                      0, 0, width, height, 0, 0, ncomp)
+    out += b"\xff\x51" + siz + b"\x07\x01\x01" * ncomp
+    out += b"\xff\x52" + struct.pack(">HBBHBBBBBB", 12, 0, 0, 1, 0,
+                                     levels, 4, 4, 0, 1)
+    nbands = 3 * levels + 1
+    qcd = bytearray([0x40])  # guard=2, no quantization (reversible)
+    qcd.append(eps.get("LL", 0) << 3)
+    for li in range(levels - 1, -1, -1):  # resolution order r=1..N
+        for nm in ("HL", "LH", "HH"):
+            qcd.append(eps.get(f"{nm}{li}", 0) << 3)
+    out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + bytes(qcd)
+    psot = 12 + 2 + len(body)
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + body
+    out += b"\xff\xd9"  # EOC
+    assert len(qcd) == 1 + nbands
+    return bytes(out)
+
+
+def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
+    """Lossless 5/3 JPEG 2000 codestream → (width, height, ncomp,
+    interleaved 8-bit samples)."""
+    if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  ":
+        raise ValueError(
+            "JP2 box container unsupported — embed the raw codestream"
+        )
+    if data[:2] != b"\xff\x4f":
+        raise ValueError("not a JPEG 2000 codestream (no SOC)")
+    pos = 2
+    width = height = ncomp = None
+    levels = cblk_ok = transform = None
+    eps_list: list[int] = []
+    guard = 2
+    body = None
+    while pos + 2 <= len(data):
+        marker = data[pos:pos + 2]
+        pos += 2
+        if marker == b"\xff\xd9":  # EOC
+            break
+        if marker == b"\xff\x93":  # SOD: body runs to EOC
+            body = data[pos:-2] if data.endswith(b"\xff\xd9") else data[pos:]
+            break
+        ln = struct.unpack_from(">H", data, pos)[0]
+        seg = data[pos + 2 : pos + ln]
+        if marker == b"\xff\x51":  # SIZ
+            (_rsiz, width, height, _xo, _yo, xt, yt, _xto, _yto,
+             ncomp) = struct.unpack_from(">HIIIIIIIIH", data, pos + 2)
+            if (xt, yt) != (width, height):
+                raise ValueError("multi-tile JPEG 2000 unsupported")
+            for c in range(ncomp):
+                ssiz = seg[36 + 3 * c]
+                if ssiz != 0x07:
+                    raise ValueError("only 8-bit unsigned components")
+        elif marker == b"\xff\x52":  # COD
+            scod, prog, layers, mct, lv, cw, ch_, style, tr = \
+                struct.unpack_from(">BBHBBBBBB", data, pos + 2)
+            if scod != 0 or prog != 0 or layers != 1 or mct != 0:
+                raise ValueError("unsupported COD (need LRCP/1 layer/no MCT)")
+            if cw != 4 or ch_ != 4 or style != 0 or tr != 1:
+                raise ValueError(
+                    "unsupported COD (need 64x64 blocks, style 0, 5/3)"
+                )
+            levels = lv
+        elif marker == b"\xff\x5c":  # QCD
+            sqcd = seg[0]
+            if sqcd & 0x1F:
+                raise ValueError("quantized (lossy) JPEG 2000 unsupported")
+            guard = sqcd >> 5
+            eps_list = [b >> 3 for b in seg[1:]]
+        elif marker == b"\xff\x90":  # SOT
+            pass  # single tile: Psot runs to EOC
+        pos += ln
+    if None in (width, height, ncomp, levels) or body is None:
+        raise ValueError("incomplete JPEG 2000 codestream")
+
+    ll_dims, per_level = _band_geometry(width, height, levels)
+    eps = {"LL": eps_list[0]}
+    i = 1
+    for li in range(levels - 1, -1, -1):
+        for nm in ("HL", "LH", "HH"):
+            eps[f"{nm}{li}"] = eps_list[i]
+            i += 1
+    mb = {k: e + guard - 1 for k, e in eps.items()}
+
+    # packets in LRCP order
+    comp_store: dict = {}
+    bpos = 0
+    for r in range(levels + 1):
+        for c in range(ncomp):
+            band_list = _res_bands(r, levels, ll_dims, per_level)
+            port = _HdrPort(body[bpos:])
+            entries = _packet(
+                port,
+                band_list,
+                lambda name, bl=band_list: mb[
+                    name if name == "LL" else
+                    f"{name}{next(li for n, _d, li in bl if n == name)}"
+                ],
+            )
+            bpos += port.finish_read()
+            for name, k, nplanes, length in entries:
+                seg = body[bpos : bpos + length]
+                bpos += length
+                li = next(li for n, _d, li in band_list if n == name)
+                bw, bh = next(d for n, d, _li in band_list if n == name)
+                blks = _blocks_of(bw, bh)[0]
+                x0, y0, cw, ch_ = blks[k]
+                mag = [0] * (cw * ch_)
+                sgn = [0] * (cw * ch_)
+                _t1_block(_MQPort(dec=MQDecoder(seg)), cw, ch_,
+                          _BAND_TYPE[name], nplanes, mag, sgn)
+                comp_store.setdefault(c, {}).setdefault(
+                    (r, name), {}
+                )[k] = (x0, y0, cw, ch_, mag, sgn)
+
+    out = bytearray(width * height * ncomp)
+    for c in range(ncomp):
+        store = comp_store.get(c, {})
+
+        def band_rows(r, name):
+            bw, bh = next(
+                d for n, d, _li in
+                _res_bands(r, levels, ll_dims, per_level) if n == name
+            )
+            rows = [[0] * bw for _ in range(bh)]
+            for x0, y0, cw, ch_, mag, sgn in store.get((r, name), {}).values():
+                for y in range(ch_):
+                    for x in range(cw):
+                        v = mag[y * cw + x]
+                        rows[y0 + y][x0 + x] = -v if sgn[y * cw + x] else v
+            return rows
+
+        ll = band_rows(0, "LL")
+        bands = [None] * levels
+        for r in range(1, levels + 1):
+            li = levels - r
+            bands[li] = (band_rows(r, "HL"), band_rows(r, "LH"),
+                         band_rows(r, "HH"))
+        rows = dwt2_inverse(ll, bands)
+        for y in range(height):
+            for x in range(width):
+                v = rows[y][x] + 128
+                out[(y * width + x) * ncomp + c] = (
+                    0 if v < 0 else (255 if v > 255 else v)
+                )
+    return width, height, ncomp, bytes(out)
+
+
+def jpx_pixel_stats(payload: bytes) -> list[float]:
+    """A real ``decode_media`` decoder for /JPXDecode payloads:
+    [width, height, mean, std, p_dark] over the luma (gray, or BT.601 from
+    RGB) — the shared feature shape."""
+    import math
+
+    w, h, nc, px = decode_jpx(payload)
+    if nc == 3:
+        luma = [
+            0.299 * px[3 * i] + 0.587 * px[3 * i + 1] + 0.114 * px[3 * i + 2]
+            for i in range(w * h)
+        ]
+    else:
+        luma = list(px)
+    n = max(len(luma), 1)
+    mean = sum(luma) / n
+    var = sum((p - mean) ** 2 for p in luma) / n
+    dark = sum(1 for p in luma if p < 64) / n
+    return [float(w), float(h), mean, math.sqrt(var), dark]

@@ -195,10 +195,11 @@ def media_from_pdfs(binary_docs: DataFrame) -> DataFrame:
 
 def auto_pixel_decoder(filter_name: str, params: dict):
     """Per-codec engine dispatch: a ``bytes -> [w, h, mean, std, p_dark]``
-    decoder for the codecs the pure-stdlib tier really decodes (baseline +
-    progressive JPEG under /DCTDecode; every /K class of /CCITTFaxDecode;
-    generic-region /JBIG2Decode), or None — the caller counts the payload
-    as carried-not-decoded (JPX passthrough, inline images)."""
+    decoder for the codecs the pure-stdlib tier really decodes — baseline
+    + progressive JPEG under /DCTDecode, every /K class of
+    /CCITTFaxDecode, generic-region /JBIG2Decode, and lossless-5/3
+    /JPXDecode: ALL FOUR PDF image-codec families — or None for payloads
+    with no decoder (inline images), counted as carried-not-decoded."""
     if "DCTDecode" in filter_name:
         from .jpegcodec import jpeg_pixel_stats
 
@@ -207,6 +208,10 @@ def auto_pixel_decoder(filter_name: str, params: dict):
         from .jbig2codec import jbig2_pixel_stats
 
         return jbig2_pixel_stats
+    if "JPXDecode" in filter_name:
+        from .jpxcodec import jpx_pixel_stats
+
+        return jpx_pixel_stats
     if "CCITTFaxDecode" in filter_name:
         from .ccittcodec import ccitt_decoder
 

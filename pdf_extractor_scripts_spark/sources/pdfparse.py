@@ -1511,6 +1511,18 @@ def build_pdf(
                 )
                 img_data = encode_gray_jpeg(grad, iw, ih, quality=85)
                 fname = b"DCTDecode"
+            elif image_filter == "JPX-real":
+                # a REAL lossless JPEG 2000 codestream (stdlib codec) —
+                # self-describing, no DecodeParms
+                from ..operators.jpxcodec import encode_jpx
+
+                iw = ih = 16
+                grad = bytes(
+                    min(255, 30 + 9 * ((x * 2 + y) % 24))
+                    for y in range(ih) for x in range(iw)
+                )
+                img_data = encode_jpx(grad, iw, ih, 1, levels=2)
+                fname = b"JPXDecode"
             elif image_filter == "JBIG2-real":
                 # a REAL embedded-JBIG2 payload (stdlib codec): page info +
                 # MQ-coded generic region — self-describing, no DecodeParms

@@ -869,3 +869,73 @@ def test_jbig2_pdf_fixture_through_distributed_decode(spark, tmpdir):
     ).first()
     assert feat["decoded"] and feat["filter"] == "JBIG2Decode"
     assert all(abs(a - b) < 1e-4 for a, b in zip(feat["feature"], local))
+
+
+def test_jpx_lossless_codec_roundtrip_and_rejects():
+    """r6 stretch: pure-stdlib JPEG 2000 codec (lossless 5/3 subset) — the
+    LAST PDF image-codec family. Shared encode/decode traversals (EBCOT
+    tier-1, tag trees, packet headers) round-trip BIT-EXACTLY: gray and
+    RGB, odd sizes, multiple decomposition levels, images larger than one
+    code-block, flat images (excluded blocks), document-like strokes.
+    JP2 box containers and lossy/unsupported codestreams reject
+    honestly."""
+    import random
+
+    from pdf_extractor_scripts_spark.operators import jpxcodec as jx
+
+    random.seed(4)
+    for (W, H, NC, L) in [(16, 16, 1, 2), (17, 13, 1, 2), (33, 21, 1, 3),
+                          (5, 3, 1, 1), (100, 80, 1, 3), (21, 17, 3, 2)]:
+        px = bytes(random.randrange(256) for _ in range(W * H * NC))
+        data = jx.encode_jpx(px, W, H, NC, levels=L)
+        assert data[:2] == b"\xff\x4f"  # raw codestream (SOC)
+        assert jx.decode_jpx(data) == (W, H, NC, px), (W, H, NC, L)
+
+    # document-like content compresses and stays lossless
+    W, H = 64, 48
+    px = bytes(0 if (8 <= y <= 12 and x % 6 < 2)
+               or (30 <= y <= 34 and (x // 4) % 2 == 0) else 255
+               for y in range(H) for x in range(W))
+    data = jx.encode_jpx(px, W, H, 1, levels=3)
+    assert len(data) < W * H // 2 and jx.decode_jpx(data)[3] == px
+    # a flat image: every code-block excluded via the inclusion tag tree
+    flat = bytes([200]) * (32 * 32)
+    assert jx.decode_jpx(jx.encode_jpx(flat, 32, 32, 1, 2))[3] == flat
+    assert jx.jpx_pixel_stats(data)[:2] == [float(W), float(H)]
+
+    with pytest.raises(ValueError, match="JP2 box"):
+        jx.decode_jpx(b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"x" * 16)
+    with pytest.raises(ValueError):
+        jx.decode_jpx(b"\xff\x4e not a codestream")
+
+
+def test_all_four_pdf_image_codec_families_decode_distributed(spark, tmpdir):
+    """r6 capstone: every PDF image-codec family — /DCTDecode (JPEG),
+    /CCITTFaxDecode (G3/G4), /JBIG2Decode and /JPXDecode (JPEG 2000) —
+    decodes to REAL pixels through the one distributed media path
+    (binaryFile → media_from_pdfs → decode_pdf_media), each payload
+    produced by the matching pure-stdlib fixture encoder."""
+    import os as _os
+
+    from pdf_extractor_scripts_spark.operators.multimodal import (
+        decode_pdf_media,
+        media_from_pdfs,
+    )
+    from pdf_extractor_scripts_spark.sources.pdfparse import build_pdf
+    from pdf_extractor_scripts_spark.sources.spans import read_binary_docs
+
+    pages = [[("text", "SCAN"), ("image",)]]
+    for name, mode in [("dct.pdf", "DCT-real"), ("ccitt.pdf", "CCITT-real"),
+                       ("jbig2.pdf", "JBIG2-real"), ("jpx.pdf", "JPX-real")]:
+        with open(_os.path.join(tmpdir, name), "wb") as f:
+            f.write(build_pdf(pages, image_filter=mode))
+    rows = decode_pdf_media(
+        media_from_pdfs(read_binary_docs(spark, tmpdir))
+    ).collect()
+    assert len(rows) == 4
+    by_filter = {r["filter"]: r for r in rows}
+    assert set(by_filter) == {"DCTDecode", "CCITTFaxDecode", "JBIG2Decode",
+                              "JPXDecode"}
+    for r in rows:
+        assert r["decoded"], r["filter"]
+        assert r["feature"][:2] == [16.0, 16.0], r["filter"]
