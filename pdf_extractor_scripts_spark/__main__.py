@@ -12,6 +12,10 @@ processors — SURVEY.md §3) collapse into one job:
     --mode batch       full pipeline + checkpoint/lineage/metrics + resume
     --mode single-doc  one document's extracted spans to stdout (--doc-id)
     --mode synthetic   run over the deterministic fixture corpus (--n-docs)
+    --mode media       distributed media decode audit over a PDF tree:
+                       per-codec real pixel decode (DCT/CCITT/JBIG2/JPX)
+                       with decoded/undecoded accounting; --output writes
+                       the feature rows as parquet
 
     --input-format spans   (default) bucketed spans parquet table
     --input-format pdf     a directory of *.pdf files: binaryFile scan →
@@ -40,7 +44,8 @@ def _session(app: str):
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pdf_extractor_scripts_spark")
-    p.add_argument("--mode", choices=["batch", "analyze", "single-doc", "synthetic"],
+    p.add_argument("--mode", choices=["batch", "analyze", "single-doc",
+                                      "synthetic", "media"],
                    default="batch")
     p.add_argument("--input", help="spans table path (parquet/Iceberg) or, "
                    "with --input-format pdf, a directory of PDF files")
@@ -62,6 +67,26 @@ def main(argv: list[str] | None = None) -> int:
     spark = _session(f"pdf-extract-{args.mode}")
     from .plans.pipeline import run_pipeline, run_with_checkpoint
     from .operators.detect import with_assembled_text, with_vendor, with_route
+
+    if args.mode == "media":
+        # the distributed media path: payload + codec extraction, then
+        # per-codec real decode (all four PDF image-codec families) with
+        # honest accounting — the pre-OCR image audit a curation run does
+        if not args.input:
+            p.error("--input (a directory of PDF files) required")
+        from .operators.multimodal import decode_pdf_media, media_from_pdfs
+        from .sources.spans import read_binary_docs
+
+        feats = decode_pdf_media(
+            media_from_pdfs(read_binary_docs(spark, args.input))
+        )
+        if args.output:
+            feats.write.mode("overwrite").parquet(args.output)
+            feats = spark.read.parquet(args.output)  # don't decode twice
+        feats.groupBy("filter", "decoded").count() \
+            .orderBy("filter", "decoded").show(20, truncate=False)
+        spark.stop()
+        return 0
 
     if args.mode == "synthetic":
         from .fixtures import corpus_df_dist
