@@ -4,10 +4,11 @@ The last PDF image-codec family after DCT, CCITT and JBIG2. Scope: the
 reversible path a lossless scanner/archiver emits — JPEG 2000 codestream
 (SOC/SIZ/COD/QCD/SOT/SOD/EOC), single tile, 5/3 reversible wavelet, no
 quantization, one quality layer, LRCP progression, default precincts,
-code-blocks up to 64×64, 1 or 3 components (no MCT — components coded
-independently). Irreversible 9/7, multiple tiles/layers, and JP2
-box-wrapped files raise ValueError (the honest reject; PDF may embed the
-raw codestream, which is what this reads and writes).
+code-blocks up to 64×64, 1 or 3 components with the reversible color
+transform (RCT/MCT — what real encoders emit for RGB), raw codestreams
+AND JP2 box containers (both layouts PDF /JPXDecode streams use).
+Irreversible 9/7 and multiple tiles/layers raise ValueError — the
+honest reject.
 
 Design note: the EBCOT tier-1 coefficient coder, the tag trees and the
 packet headers are implemented ONCE as shared traversals over a
@@ -629,22 +630,39 @@ def _subband_rows(name, li, ll, bands):
 
 
 def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
-               levels: int = 2) -> bytes:
+               levels: int = 2, mct: bool = True,
+               jp2: bool = False) -> bytes:
     """8-bit samples (gray, or RGB interleaved with ``ncomp=3``) →
     lossless JPEG 2000 codestream (single tile, 5/3 reversible, 1 layer,
-    LRCP)."""
+    LRCP). For RGB, ``mct`` applies the reversible color transform (RCT —
+    what real encoders emit; components 1-2 become 9-bit signed). ``jp2``
+    wraps the codestream in a minimal JP2 box container (signature/ftyp/
+    jp2h/jp2c) — the OTHER layout PDF /JPXDecode streams use."""
     if len(pixels) != width * height * ncomp:
         raise ValueError("pixel buffer does not match dimensions")
     levels = max(1, min(levels, 6))
+    mct = mct and ncomp == 3
     ll_dims, per_level = _band_geometry(width, height, levels)
 
-    # per component: DWT → per-band coefficient rows
+    # per component: level shift (+ RCT for color) → DWT → band rows
+    n = width * height
+    if mct:
+        planes = [[0] * n for _ in range(3)]
+        for i in range(n):
+            r = pixels[3 * i] - 128
+            g = pixels[3 * i + 1] - 128
+            b = pixels[3 * i + 2] - 128
+            planes[0][i] = (r + 2 * g + b) >> 2  # Y
+            planes[1][i] = b - g                 # U
+            planes[2][i] = r - g                 # V
+    else:
+        planes = [
+            [pixels[i * ncomp + c] - 128 for i in range(n)]
+            for c in range(ncomp)
+        ]
     comp_bands = []
     for c in range(ncomp):
-        rows = [
-            [pixels[(y * width + x) * ncomp + c] - 128 for x in range(width)]
-            for y in range(height)
-        ]
+        rows = [planes[c][y * width : (y + 1) * width] for y in range(height)]
         ll, bands = dwt2_forward(rows, levels)
         comp_bands.append((ll, bands))
 
@@ -710,9 +728,12 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     out = bytearray(b"\xff\x4f")  # SOC
     siz = struct.pack(">HHIIIIIIIIH", 38 + 3 * ncomp, 0, width, height,
                       0, 0, width, height, 0, 0, ncomp)
-    out += b"\xff\x51" + siz + b"\x07\x01\x01" * ncomp
-    out += b"\xff\x52" + struct.pack(">HBBHBBBBBB", 12, 0, 0, 1, 0,
-                                     levels, 4, 4, 0, 1)
+    out += b"\xff\x51" + siz
+    for c in range(ncomp):
+        # RCT chroma components are 9-bit signed (0x88); else 8-bit
+        out += (b"\x88" if mct and c > 0 else b"\x07") + b"\x01\x01"
+    out += b"\xff\x52" + struct.pack(">HBBHBBBBBB", 12, 0, 0, 1,
+                                     1 if mct else 0, levels, 4, 4, 0, 1)
     nbands = 3 * levels + 1
     qcd = bytearray([0x40])  # guard=2, no quantization (reversible)
     qcd.append(eps.get("LL", 0) << 3)
@@ -725,19 +746,53 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     out += b"\xff\x93" + body
     out += b"\xff\xd9"  # EOC
     assert len(qcd) == 1 + nbands
-    return bytes(out)
+    if not jp2:
+        return bytes(out)
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ihdr = box(b"ihdr", struct.pack(">IIHBBBB", height, width, ncomp,
+                                    7, 7, 0, 0))
+    colr = box(b"colr", b"\x01\x00\x00" + struct.pack(
+        ">I", 16 if ncomp == 3 else 17))  # sRGB / greyscale
+    return (
+        box(b"jP  ", b"\x0d\x0a\x87\x0a")
+        + box(b"ftyp", b"jp2 \x00\x00\x00\x00jp2 ")
+        + box(b"jp2h", ihdr + colr)
+        + box(b"jp2c", bytes(out))
+    )
 
 
 def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
     """Lossless 5/3 JPEG 2000 codestream → (width, height, ncomp,
     interleaved 8-bit samples)."""
     if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  ":
-        raise ValueError(
-            "JP2 box container unsupported — embed the raw codestream"
-        )
+        # JP2 box container: walk the top-level boxes for the jp2c
+        # codestream box (the header boxes duplicate SIZ information)
+        pos = 0
+        stream = None
+        while pos + 8 <= len(data):
+            ln, btype = struct.unpack_from(">I4s", data, pos)
+            if ln == 1:  # 64-bit extended length
+                ln = struct.unpack_from(">Q", data, pos + 8)[0]
+                payload = data[pos + 16 : pos + ln]
+            elif ln == 0:  # box runs to EOF
+                payload = data[pos + 8 :]
+                ln = len(data) - pos
+            else:
+                payload = data[pos + 8 : pos + ln]
+            if btype == b"jp2c":
+                stream = payload
+                break
+            pos += max(ln, 8)
+        if stream is None:
+            raise ValueError("JP2 container has no jp2c codestream box")
+        data = stream
     if data[:2] != b"\xff\x4f":
         raise ValueError("not a JPEG 2000 codestream (no SOC)")
     pos = 2
+    mct = 0
     width = height = ncomp = None
     levels = cblk_ok = transform = None
     eps_list: list[int] = []
@@ -760,13 +815,17 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("multi-tile JPEG 2000 unsupported")
             for c in range(ncomp):
                 ssiz = seg[36 + 3 * c]
-                if ssiz != 0x07:
-                    raise ValueError("only 8-bit unsigned components")
+                # 8-bit unsigned, or 9-bit signed RCT chroma (comps 1-2)
+                if ssiz != 0x07 and not (c > 0 and ssiz == 0x88):
+                    raise ValueError("only 8-bit unsigned components "
+                                     "(or RCT 9-bit signed chroma)")
         elif marker == b"\xff\x52":  # COD
             scod, prog, layers, mct, lv, cw, ch_, style, tr = \
                 struct.unpack_from(">BBHBBBBBB", data, pos + 2)
-            if scod != 0 or prog != 0 or layers != 1 or mct != 0:
-                raise ValueError("unsupported COD (need LRCP/1 layer/no MCT)")
+            if scod != 0 or prog != 0 or layers != 1 or mct not in (0, 1):
+                raise ValueError("unsupported COD (need LRCP, 1 layer)")
+            if mct and ncomp != 3:
+                raise ValueError("MCT requires 3 components")
             if cw != 4 or ch_ != 4 or style != 0 or tr != 1:
                 raise ValueError(
                     "unsupported COD (need 64x64 blocks, style 0, 5/3)"
@@ -824,7 +883,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                     (r, name), {}
                 )[k] = (x0, y0, cw, ch_, mag, sgn)
 
-    out = bytearray(width * height * ncomp)
+    planes = []
     for c in range(ncomp):
         store = comp_store.get(c, {})
 
@@ -847,13 +906,23 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
             li = levels - r
             bands[li] = (band_rows(r, "HL"), band_rows(r, "LH"),
                          band_rows(r, "HH"))
-        rows = dwt2_inverse(ll, bands)
-        for y in range(height):
-            for x in range(width):
-                v = rows[y][x] + 128
-                out[(y * width + x) * ncomp + c] = (
-                    0 if v < 0 else (255 if v > 255 else v)
-                )
+        planes.append(dwt2_inverse(ll, bands))
+
+    out = bytearray(width * height * ncomp)
+    for y in range(height):
+        for x in range(width):
+            if mct:  # inverse RCT, then level shift
+                yv = planes[0][y][x]
+                u = planes[1][y][x]
+                v_ = planes[2][y][x]
+                g = yv - ((u + v_) >> 2)
+                vals = (v_ + g, g, u + g)
+            else:
+                vals = tuple(planes[c][y][x] for c in range(ncomp))
+            base = (y * width + x) * ncomp
+            for c in range(ncomp):
+                v = vals[c] + 128
+                out[base + c] = 0 if v < 0 else (255 if v > 255 else v)
     return width, height, ncomp, bytes(out)
 
 

@@ -891,6 +891,25 @@ def test_jpx_lossless_codec_roundtrip_and_rejects():
         assert data[:2] == b"\xff\x4f"  # raw codestream (SOC)
         assert jx.decode_jpx(data) == (W, H, NC, px), (W, H, NC, L)
 
+    # RCT color transform (the real-encoder default, MCT=1): lossless and
+    # materially smaller on correlated color than independent components
+    W, H = 32, 32
+    rgb = bytearray()
+    for y in range(H):
+        for x in range(W):
+            base = (x * 3 + y * 5) % 200
+            rgb += bytes((base + 30, base + 20, base + 10))
+    d_rct = jx.encode_jpx(bytes(rgb), W, H, 3, mct=True)
+    d_ind = jx.encode_jpx(bytes(rgb), W, H, 3, mct=False)
+    assert jx.decode_jpx(d_rct)[3] == bytes(rgb)
+    assert len(d_rct) < len(d_ind)
+
+    # both PDF /JPXDecode layouts: raw codestream AND JP2 box container
+    px2 = bytes(random.randrange(256) for _ in range(20 * 14))
+    wrapped = jx.encode_jpx(px2, 20, 14, 1, jp2=True)
+    assert wrapped[:4] == b"\x00\x00\x00\x0c" and b"jp2c" in wrapped
+    assert jx.decode_jpx(wrapped) == (20, 14, 1, px2)
+
     # document-like content compresses and stays lossless
     W, H = 64, 48
     px = bytes(0 if (8 <= y <= 12 and x % 6 < 2)
@@ -903,8 +922,8 @@ def test_jpx_lossless_codec_roundtrip_and_rejects():
     assert jx.decode_jpx(jx.encode_jpx(flat, 32, 32, 1, 2))[3] == flat
     assert jx.jpx_pixel_stats(data)[:2] == [float(W), float(H)]
 
-    with pytest.raises(ValueError, match="JP2 box"):
-        jx.decode_jpx(b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"x" * 16)
+    with pytest.raises(ValueError, match="jp2c"):  # empty JP2 shell
+        jx.decode_jpx(b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"\x00" * 16)
     with pytest.raises(ValueError):
         jx.decode_jpx(b"\xff\x4e not a codestream")
 
