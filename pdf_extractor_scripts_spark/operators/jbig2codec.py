@@ -17,6 +17,13 @@ over adversarial bit sequences and by structural properties (terminal
 the TPGDON pseudo-contexts (0x9B25/0x0795/0x00E5/0x0195) follow the
 published spec ordering, so nominal-AT streams are interoperable.
 
+Scale note: pure-Python arithmetic decoding costs microseconds per pixel
+— fine for the invoice-class page images these fixtures model, and the
+cost is per-executor CPU inside the same map task (no plan change); a
+deployment ingesting full-page 300-DPI JBIG2 scans would swap the MQ +
+region loops for a C-backed implementation behind the same function
+signatures, exactly like the RC4/AES notes in sources/pdfcrypt.py.
+
 Everything here implements the published ITU-T T.88 specification.
 """
 

@@ -21,6 +21,12 @@ Validation: encoder↔decoder round-trips (bit-exact lossless) over
 adversarial images; no external conformance vectors are available in
 this sandbox (documented, as with JBIG2).
 
+Scale note: as with the JBIG2 module, pure-Python EBCOT is sized for the
+invoice-class page images the fixtures model; the cost is per-executor
+CPU inside the same map task, and a deployment decoding full-page
+JPEG 2000 scans swaps the tier-1 loops for a C-backed implementation
+behind the same signatures.
+
 Everything here implements the published ITU-T T.800 specification.
 """
 
@@ -141,6 +147,8 @@ def dwt2_inverse(ll: list[list[int]], bands) -> list[list[int]]:
             if not lo_mat and not hi_mat:
                 return []
             wj = len(lo_mat[0]) if lo_mat else len(hi_mat[0])
+            if wj == 0:  # zero-width half (1-pixel-wide level): keep the
+                return [[] for _ in range(len(lo_mat) + len(hi_mat))]
             out_cols = []
             for c in range(wj):
                 lo = [lo_mat[y][c] for y in range(len(lo_mat))]

@@ -958,3 +958,38 @@ def test_all_four_pdf_image_codec_families_decode_distributed(spark, tmpdir):
     for r in rows:
         assert r["decoded"], r["filter"]
         assert r["feature"][:2] == [16.0, 16.0], r["filter"]
+
+
+def test_codec_degenerate_sizes_roundtrip():
+    """Edge sweep: 1-pixel-wide/tall and tiny images round-trip through
+    every codec family (JPX hits zero-width subbands; JBIG2 both MQ and
+    MMR; JPEG pads to one block)."""
+    import random
+
+    from pdf_extractor_scripts_spark.operators import (
+        jbig2codec as jb,
+        jpxcodec as jx,
+    )
+    from pdf_extractor_scripts_spark.operators.jpegcodec import (
+        decode_gray_jpeg,
+        encode_gray_jpeg,
+    )
+
+    random.seed(8)
+    for (W, H) in [(1, 1), (1, 5), (5, 1), (2, 2), (1, 64), (64, 1)]:
+        px = bytes(random.randrange(256) for _ in range(W * H))
+        for L in (1, 2):
+            assert jx.decode_jpx(
+                jx.encode_jpx(px, W, H, 1, levels=L)
+            ) == (W, H, 1, px), (W, H, L)
+    for (W, H) in [(1, 1), (1, 7), (9, 1), (2, 3)]:
+        px = bytes(0 if random.random() < 0.4 else 255 for _ in range(W * H))
+        for mmr in (False, True):
+            assert jb.decode_jbig2_embedded(
+                jb.encode_jbig2_embedded(px, W, H, mmr=mmr)
+            ) == (W, H, px), (W, H, mmr)
+    for (W, H) in [(1, 1), (3, 2), (8, 1)]:
+        px = bytes(random.randrange(256) for _ in range(W * H))
+        assert decode_gray_jpeg(
+            encode_gray_jpeg(px, W, H, quality=95)
+        )[:2] == (W, H)
