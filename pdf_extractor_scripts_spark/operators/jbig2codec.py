@@ -373,6 +373,10 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
             page_w, page_h = struct.unpack_from(">II", body, 0)
             if page_h == 0xFFFFFFFF:
                 raise ValueError("striped unknown-height JBIG2 page")
+            if page_w * page_h > 100_000_000:
+                # corrupt-header guard: refuse absurd dimensions BEFORE
+                # allocating (a flipped byte must not OOM an executor)
+                raise ValueError("implausible JBIG2 page dimensions")
             flags = body[16]
             default = (flags >> 2) & 1
             page = [[default] * page_w for _ in range(page_h)]
@@ -381,6 +385,8 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
             if page is None:
                 raise ValueError("JBIG2 region before page info")
             rw, rh, rx, ry = struct.unpack_from(">IIII", body, 0)
+            if rw * rh > 100_000_000:
+                raise ValueError("implausible JBIG2 region dimensions")
             gflags = body[17]
             mmr = gflags & 1
             template = (gflags >> 1) & 3

@@ -831,6 +831,22 @@ def test_jbig2_generic_region_codec_roundtrip_and_rejects():
     with pytest.raises(ValueError, match="symbol|unsupported"):
         jb.decode_jbig2_embedded(bad)
 
+    # corrupt-header guard: absurd page/region dimensions must reject
+    # BEFORE any allocation (a flipped size byte must not OOM an executor)
+    def seg(num, typ, body):
+        return (_struct.pack(">IB", num, typ) + b"\x00\x01"
+                + _struct.pack(">I", len(body)) + body)
+
+    huge_page = seg(0, 48, _struct.pack(">II", 100_000, 100_000)
+                    + b"\x00" * 11)
+    with pytest.raises(ValueError, match="implausible"):
+        jb.decode_jbig2_embedded(huge_page)
+    ok_page = seg(0, 48, _struct.pack(">II", 8, 8) + b"\x00" * 11)
+    huge_region = seg(1, 38, _struct.pack(">IIII", 100_000, 100_000, 0, 0)
+                      + b"\x00" * 4)
+    with pytest.raises(ValueError, match="implausible"):
+        jb.decode_jbig2_embedded(ok_page + huge_region)
+
 
 def test_jbig2_pdf_fixture_through_distributed_decode(spark, tmpdir):
     """r6: a PDF whose page image is a REAL embedded-JBIG2 payload flows
