@@ -274,6 +274,20 @@ def _consume_eol(bits: _Bits) -> bool:
     return False
 
 
+_MAX_PIXELS = 100_000_000  # corrupt-header guard, shared across codecs
+
+
+def _check_ccitt_dims(columns: int, rows: int | None) -> None:
+    # refuse absurd declared dimensions BEFORE decoding (a flipped byte
+    # in the PDF /Columns or /Rows must not OOM an executor); make-up
+    # codes amplify ~1600x, so decoded size is ALSO capped in the loop
+    if columns <= 0:
+        raise ValueError("Columns must be positive")
+    if columns > 1_000_000 or (rows is not None
+                               and columns * max(rows, 0) > _MAX_PIXELS):
+        raise ValueError("implausible CCITT dimensions")
+
+
 def decode_g4(data: bytes, columns: int, rows: int | None = None,
               byte_align: bool = False) -> tuple[int, int, bytes]:
     """Group 4 (T.6 MMR) → (width, height, 8-bit gray pixels; 0 = black).
@@ -283,8 +297,7 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
     line for the first row is the imaginary all-white line (T.6 §2.2.1).
     ``byte_align`` = PDF /EncodedByteAlign: each coded row starts on a
     byte boundary."""
-    if columns <= 0:
-        raise ValueError("Columns must be positive")
+    _check_ccitt_dims(columns, rows)
     bits = _Bits(data)
     out = bytearray()
     ref: list[int] = []  # changing-element positions; even idx → to-black
@@ -299,6 +312,8 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
             break
         cur = _decode_2d_row(bits, ref, columns)
         out += _render_row(cur, columns)
+        if len(out) > _MAX_PIXELS:
+            raise ValueError("implausible CCITT image size")
         height += 1
         ref = cur
     if rows is not None and height < rows:
@@ -314,8 +329,7 @@ def decode_g3(data: bytes, columns: int, rows: int | None = None,
     REQUIRED row delimiters for k > 0 and optional for k = 0 (both layouts
     occur in the wild); ≥2 consecutive EOLs (RTC) or data exhaustion ends
     the image. ``byte_align`` = PDF /EncodedByteAlign."""
-    if columns <= 0:
-        raise ValueError("Columns must be positive")
+    _check_ccitt_dims(columns, rows)
     bits = _Bits(data)
     out = bytearray()
     ref: list[int] = []
@@ -346,6 +360,8 @@ def decode_g3(data: bytes, columns: int, rows: int | None = None,
         else:
             cur = _decode_2d_row(bits, ref, columns)
         out += _render_row(cur, columns)
+        if len(out) > _MAX_PIXELS:
+            raise ValueError("implausible CCITT image size")
         height += 1
         ref = cur
     if rows is not None and height < rows:

@@ -424,6 +424,11 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             height, width = struct.unpack(">HH", seg[1:5])
+            if width * height > 100_000_000:
+                # corrupt-header guard: refuse absurd SOF dimensions
+                # BEFORE allocating (a flipped byte must not OOM an
+                # executor)
+                raise ValueError("implausible JPEG frame dimensions")
             ncomp = seg[5]
             if ncomp not in (1, 3):
                 raise ValueError(f"{ncomp}-component JPEG unsupported")

@@ -821,6 +821,11 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
              ncomp) = struct.unpack_from(">HIIIIIIIIH", data, pos + 2)
             if (xt, yt) != (width, height):
                 raise ValueError("multi-tile JPEG 2000 unsupported")
+            if width * height * max(ncomp, 1) > 100_000_000:
+                # corrupt-header guard: refuse absurd SIZ dimensions
+                # BEFORE allocating (a flipped byte must not OOM an
+                # executor)
+                raise ValueError("implausible JPEG 2000 dimensions")
             for c in range(ncomp):
                 ssiz = seg[36 + 3 * c]
                 # 8-bit unsigned, or 9-bit signed RCT chroma (comps 1-2)

@@ -944,6 +944,44 @@ def test_jpx_lossless_codec_roundtrip_and_rejects():
         jx.decode_jpx(b"\xff\x4e not a codestream")
 
 
+def test_codec_dimension_bomb_guards():
+    """Corrupt-header hardening across every codec family: a flipped size
+    byte must reject up front as a ValueError (counted per-payload by
+    decode_pdf_media), never attempt a multi-gigabyte allocation on an
+    executor. JBIG2's twin lives in its own reject test."""
+    import struct as _struct
+
+    from pdf_extractor_scripts_spark.operators import (
+        ccittcodec as cc,
+        jpegcodec as jc,
+        jpxcodec as jx,
+    )
+
+    # JPEG: patch a valid tiny frame's SOF dims to 65535x65535
+    jp = bytearray(jc.encode_gray_jpeg(bytes(64), 8, 8))
+    sof = jp.index(b"\xff\xc0")
+    jp[sof + 5 : sof + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="implausible"):
+        jc.decode_gray_jpeg(bytes(jp))
+
+    # JPX: patch a valid codestream's SIZ image AND tile dims to 2^16 sq
+    d = bytearray(jx.encode_jpx(bytes(64), 8, 8, 1, levels=1))
+    siz = d.index(b"\xff\x51")
+    big = _struct.pack(">II", 65536, 65536)
+    d[siz + 6 : siz + 14] = big    # Xsiz, Ysiz
+    d[siz + 22 : siz + 30] = big   # XTsiz, YTsiz (keep single-tile shape)
+    with pytest.raises(ValueError, match="implausible"):
+        jx.decode_jpx(bytes(d))
+
+    # CCITT: declared dims straight from the PDF params dict
+    with pytest.raises(ValueError, match="implausible"):
+        cc.decode_g4(b"\x00", 2_000_000)
+    with pytest.raises(ValueError, match="implausible"):
+        cc.decode_g3(b"\x00", 1000, rows=200_000)
+    with pytest.raises(ValueError, match="implausible"):
+        cc.decode_ccitt(b"\x00", -1, 1000, rows=200_000)
+
+
 def test_all_four_pdf_image_codec_families_decode_distributed(spark, tmpdir):
     """r6 capstone: every PDF image-codec family — /DCTDecode (JPEG),
     /CCITTFaxDecode (G3/G4), /JBIG2Decode and /JPXDecode (JPEG 2000) —
