@@ -1,14 +1,15 @@
-"""Pure-stdlib JBIG2 GENERIC-REGION codec (ITU-T T.88 subset).
+"""Pure-stdlib JBIG2 codec (ITU-T T.88 subset).
 
 /JBIG2Decode is the remaining scanned-B/W codec family after Group 3/4:
-PDF embeds T.88 segment streams. This module implements the tractable,
-fully-specified core — the MQ arithmetic coder (T.88 Annex E), generic
-region decoding (templates 0-3, TPGDON typical prediction, §6.2), the
-MMR variant (which IS T.6 — reused from ``ccittcodec``), and the embedded
-segment layer (page info + immediate generic regions) — plus an encoder
-twin for fixtures. Symbol-dictionary/text/halftone/refinement region
-types raise ValueError: the honest reject (those are the text-compression
-layers; a region-level scan image decodes right here).
+PDF embeds T.88 segment streams. This module implements the MQ
+arithmetic coder (T.88 Annex E), generic region decoding (templates 0-3,
+TPGDON typical prediction, §6.2), the MMR variant (which IS T.6 — reused
+from ``ccittcodec``), the integer arithmetic procedures (Annex A), the
+SYMBOL-DICTIONARY + TEXT-REGION layer (§6.5/§6.4 arithmetic subset —
+the dominant wild form: textual pages stored as reused glyph bitmaps
+plus coded placements), and the embedded segment layer — plus encoder
+twins for fixtures. Halftone/refinement/Huffman-table variants raise
+ValueError: the honest reject.
 
 Validation note: no external JBIG2 conformance vectors are available in
 this sandbox, so the MQ coder is pinned by encoder↔decoder round-trips
@@ -251,16 +252,13 @@ def _template_coords(template: int, at=None):
     return coords
 
 
-def decode_generic_region(data: bytes, width: int, height: int,
-                          template: int = 0, tpgdon: bool = True,
-                          at=None) -> list[list[int]]:
-    """MQ-coded generic region → bitmap rows of 0/1 (1 = black)."""
-    if template not in _TEMPLATES:
-        raise ValueError(f"bad generic template {template}")
+def _decode_generic_bitmap(dec: MQDecoder, contexts: list, width: int,
+                           height: int, template: int, tpgdon: bool,
+                           at=None) -> list[list[int]]:
+    """Core generic-region decode over an EXISTING decoder + GB context
+    array — symbol dictionaries share one MQ/context state across every
+    symbol bitmap (T.88 §6.5.5), so the state must be caller-owned."""
     coords = _template_coords(template, at)
-    nbits = len(coords)
-    contexts = [0] * (1 << nbits)
-    dec = MQDecoder(data)
     bitmap = [[0] * width for _ in range(height)]
     ltp = 0
     for y in range(height):
@@ -283,14 +281,13 @@ def decode_generic_region(data: bytes, width: int, height: int,
     return bitmap
 
 
-def encode_generic_region(bitmap: list[list[int]], template: int = 0,
-                          tpgdon: bool = True, at=None) -> bytes:
-    """Encoder twin of ``decode_generic_region``."""
+def _encode_generic_bitmap(enc: MQEncoder, contexts: list,
+                           bitmap: list[list[int]], template: int,
+                           tpgdon: bool, at=None) -> None:
+    """Encoder twin of ``_decode_generic_bitmap`` (shared-state core)."""
     height = len(bitmap)
     width = len(bitmap[0]) if height else 0
     coords = _template_coords(template, at)
-    contexts = [0] * (1 << len(coords))
-    enc = MQEncoder()
     ltp = 0
     for y in range(height):
         if tpgdon:
@@ -309,7 +306,362 @@ def encode_generic_region(bitmap: list[list[int]], template: int = 0,
                 else:
                     cx <<= 1
             enc.encode_bit(contexts, cx, row[x])
+
+
+def decode_generic_region(data: bytes, width: int, height: int,
+                          template: int = 0, tpgdon: bool = True,
+                          at=None) -> list[list[int]]:
+    """MQ-coded generic region → bitmap rows of 0/1 (1 = black)."""
+    if template not in _TEMPLATES:
+        raise ValueError(f"bad generic template {template}")
+    contexts = [0] * (1 << len(_template_coords(template, at)))
+    return _decode_generic_bitmap(MQDecoder(data), contexts, width, height,
+                                  template, tpgdon, at)
+
+
+def encode_generic_region(bitmap: list[list[int]], template: int = 0,
+                          tpgdon: bool = True, at=None) -> bytes:
+    """Encoder twin of ``decode_generic_region``."""
+    contexts = [0] * (1 << len(_template_coords(template, at)))
+    enc = MQEncoder()
+    _encode_generic_bitmap(enc, contexts, bitmap, template, tpgdon, at)
     return enc.flush()
+
+
+# ---------------------------------------------------------------------------
+# Integer arithmetic coding (T.88 Annex A) — the IAx / IAID procedures that
+# symbol dictionaries and text regions are built from. Encoder and decoder
+# are ONE traversal over a bit port (the JPX/MQ lesson: separately-written
+# halves diverge), with the context-tree update shared in `step`.
+# ---------------------------------------------------------------------------
+_OOB = object()  # the out-of-band marker (S=1, V=0): "end of this run"
+# magnitude classes: (value bits, offset); prefix = i ones then a 0 (i < 5)
+_INT_RANGES = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436))
+
+
+def _dec_port(dec: MQDecoder):
+    def port(ctxs, cx, known=None):
+        return dec.read_bit(ctxs, cx)
+    return port
+
+
+def _enc_port(enc: MQEncoder):
+    def port(ctxs, cx, known):
+        enc.encode_bit(ctxs, cx, known)
+        return known
+    return port
+
+
+def _int_arith(port, ctxs: list, value=None):
+    """T.88 A.2 integer decoding procedure and its encoder mirror.
+
+    ``value=None`` decodes (returns an int or ``_OOB``); otherwise encodes
+    ``value`` (an int, or ``_OOB``) and returns it. ``ctxs`` is the
+    procedure's own 512-entry context tree (IADH, IADW, IAEX, ...)."""
+    prev = [1]
+
+    def step(known=None):
+        bit = port(ctxs, prev[0], known)
+        p = (prev[0] << 1) | bit
+        prev[0] = p if prev[0] < 256 else ((p & 511) | 256)
+        return bit
+
+    if value is None:
+        s = step()
+        i = 0
+        while i < 5 and step():
+            i += 1
+        nbits, off = _INT_RANGES[i]
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | step()
+        v += off
+        if s and v == 0:
+            return _OOB
+        return -v if s else v
+    if value is _OOB:
+        s, v = 1, 0
+    elif value < 0:
+        s, v = 1, -value
+    else:
+        s, v = 0, value
+    if v >= 4436 + (1 << 32):
+        raise ValueError("integer out of arithmetic-coding range")
+    step(s)
+    i = 0
+    while i < 5 and v >= _INT_RANGES[i][1] + (1 << _INT_RANGES[i][0]):
+        i += 1
+    for _ in range(i):
+        step(1)
+    if i < 5:
+        step(0)
+    nbits, off = _INT_RANGES[i]
+    rem = v - off
+    for k in range(nbits - 1, -1, -1):
+        step((rem >> k) & 1)
+    return value
+
+
+def _id_arith(port, ctxs: list, symcodelen: int, value=None):
+    """T.88 A.3 IAID procedure (fixed-length symbol-ID tree) and mirror.
+    ``ctxs`` must have ``1 << (symcodelen + 1)`` entries."""
+    prev = 1
+    if value is None:
+        for _ in range(symcodelen):
+            bit = port(ctxs, prev)
+            prev = (prev << 1) | bit
+        return prev - (1 << symcodelen)
+    for k in range(symcodelen - 1, -1, -1):
+        bit = (value >> k) & 1
+        port(ctxs, prev, bit)
+        prev = (prev << 1) | bit
+    return value
+
+
+# ---------------------------------------------------------------------------
+# Symbol dictionary (T.88 §6.5) + text region (§6.4) — the arithmetic
+# subset real scanners emit: SDHUFF=0, REFAGG=0, SBHUFF=0, REFINE=0,
+# TRANSPOSED=0. This is the layer that makes textual JBIG2 (the dominant
+# form in scanned-PDF practice: pages stored as reused glyph bitmaps plus
+# placements) decode for real rather than reject.
+# ---------------------------------------------------------------------------
+_MAX_SYM_SIDE = 10_000  # corrupt-header guards, same policy as page dims
+_MAX_SYMS = 10_000
+_MAX_INSTANCES = 1_000_000
+
+
+def _decode_symbol_dict(body: bytes, insyms: list) -> list:
+    """Symbol dictionary segment data → exported symbol bitmaps."""
+    flags = struct.unpack_from(">H", body, 0)[0]
+    if flags & 1:
+        raise ValueError("Huffman symbol dictionaries unsupported")
+    if (flags >> 1) & 1:
+        raise ValueError("refinement/aggregate symbol coding unsupported")
+    template = (flags >> 10) & 3
+    p = 2
+    at = []
+    for _ in range(4 if template == 0 else 1):
+        ax, ay = struct.unpack_from(">bb", body, p)
+        at.append((ax, ay))
+        p += 2
+    numex, numnew = struct.unpack_from(">II", body, p)
+    p += 8
+    if numex > _MAX_SYMS or numnew > _MAX_SYMS:
+        raise ValueError("implausible JBIG2 symbol counts")
+    dec = MQDecoder(body[p:])
+    port = _dec_port(dec)
+    iadh, iadw, iaex = [0] * 512, [0] * 512, [0] * 512
+    gb = [0] * (1 << len(_template_coords(template, at)))
+    newsyms: list = []
+    hcheight = 0
+    while len(newsyms) < numnew:
+        dh = _int_arith(port, iadh)
+        if dh is _OOB:
+            raise ValueError("OOB where a height-class delta was expected")
+        hcheight += dh
+        if not 0 < hcheight <= _MAX_SYM_SIDE:
+            raise ValueError("implausible symbol height")
+        symwidth = 0
+        while True:
+            dw = _int_arith(port, iadw)
+            if dw is _OOB:
+                break
+            symwidth += dw
+            if not 0 < symwidth <= _MAX_SYM_SIDE:
+                raise ValueError("implausible symbol width")
+            if len(newsyms) >= numnew:
+                raise ValueError("more symbols coded than declared")
+            newsyms.append(_decode_generic_bitmap(
+                dec, gb, symwidth, hcheight, template, False, at))
+    # export flags (§6.5.10): alternating not-exported/exported run lengths
+    allsyms = list(insyms) + newsyms
+    exported: list = []
+    i, curflag = 0, 0
+    while i < len(allsyms):
+        run = _int_arith(port, iaex)
+        if run is _OOB or run < 0 or i + run > len(allsyms):
+            raise ValueError("bad symbol export run length")
+        if curflag:
+            exported.extend(allsyms[i:i + run])
+        i += run
+        curflag ^= 1
+    if len(exported) != numex:
+        raise ValueError("symbol export count mismatch")
+    return exported
+
+
+def _encode_symbol_dict(symbols: list, template: int = 0) -> bytes:
+    """Encoder twin: all ``symbols`` (bitmaps sorted by height by the
+    caller) become new symbols in one dictionary, all exported."""
+    at = _NOMINAL_AT[template][: 4 if template == 0 else 1]
+    enc = MQEncoder()
+    port = _enc_port(enc)
+    iadh, iadw, iaex = [0] * 512, [0] * 512, [0] * 512
+    gb = [0] * (1 << len(_template_coords(template, at)))
+    hcheight = 0
+    i = 0
+    while i < len(symbols):
+        h = len(symbols[i])
+        _int_arith(port, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(symbols) and len(symbols[i]) == h:
+            w = len(symbols[i][0])
+            _int_arith(port, iadw, w - symwidth)
+            symwidth = w
+            _encode_generic_bitmap(enc, gb, symbols[i], template, False, at)
+            i += 1
+        _int_arith(port, iadw, _OOB)
+    _int_arith(port, iaex, 0)            # run of not-exported: none
+    _int_arith(port, iaex, len(symbols))  # run of exported: all
+    flags = template << 10
+    at_bytes = b"".join(struct.pack(">bb", ax, ay) for ax, ay in at)
+    return (struct.pack(">H", flags) + at_bytes
+            + struct.pack(">II", len(symbols), len(symbols)) + enc.flush())
+
+
+def _corner_anchor(refcorner: int, hi: int, curs: int, ti: int):
+    """(x0, y0) of a symbol's top-left given the strip S/T anchor. S always
+    anchors the LEFT edge pre-advance (§6.4.5 viii-x: right corners
+    advance CURS by WI-1 before the corner lands, left corners after, so
+    x0 = pre-advance CURS either way); T anchors top for TL/TR, bottom
+    for BL/BR (refcorner: 0=BL 1=TL 2=BR 3=TR)."""
+    y0 = ti if refcorner in (1, 3) else ti - hi + 1
+    return curs, y0
+
+
+def _decode_text_region(body: bytes, syms: list):
+    """Text region segment data → (region-info tuple, bitmap rows)."""
+    rw, rh, rx, ry = struct.unpack_from(">IIII", body, 0)
+    if rw * rh > 100_000_000:
+        raise ValueError("implausible JBIG2 region dimensions")
+    flags = struct.unpack_from(">H", body, 17)[0]
+    if flags & 1:
+        raise ValueError("Huffman text regions unsupported")
+    if (flags >> 1) & 1:
+        raise ValueError("refinement text regions unsupported")
+    if (flags >> 6) & 1:
+        raise ValueError("transposed text regions unsupported")
+    logsbstrips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    combop = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32
+    numinst = struct.unpack_from(">I", body, 19)[0]
+    if numinst > _MAX_INSTANCES:
+        raise ValueError("implausible JBIG2 instance count")
+    if combop > 2:
+        raise ValueError("XNOR text composition unsupported")
+    if not syms:
+        raise ValueError("text region with no referred symbols")
+    sbstrips = 1 << logsbstrips
+    symcodelen = max(1, (len(syms) - 1).bit_length())
+    region = [[defpixel] * rw for _ in range(rh)]
+    dec = MQDecoder(body[23:])
+    port = _dec_port(dec)
+    iadt, iafs, iads, iait = ([0] * 512 for _ in range(4))
+    iaid = [0] * (1 << (symcodelen + 1))
+    stript = -_int_arith(port, iadt) * sbstrips
+    firsts = 0
+    ninst = 0
+    strips_left = 2 * numinst + 64  # corrupt-stream loop bound
+    while ninst < numinst:
+        strips_left -= 1
+        if strips_left < 0:
+            raise ValueError("JBIG2 text region fails to converge")
+        stript += _int_arith(port, iadt) * sbstrips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                firsts += _int_arith(port, iafs)
+                curs = firsts
+                first = False
+            else:
+                ids = _int_arith(port, iads)
+                if ids is _OOB:
+                    break
+                curs += ids + dsoffset
+            if ninst >= numinst:
+                raise ValueError("more instances coded than declared")
+            curt = _int_arith(port, iait) if sbstrips > 1 else 0
+            ti = stript + curt
+            sid = _id_arith(port, iaid, symcodelen)
+            if sid >= len(syms):
+                raise ValueError("symbol id out of range")
+            bm = syms[sid]
+            hi = len(bm)
+            wi = len(bm[0]) if hi else 0
+            x0, y0 = _corner_anchor(refcorner, hi, curs, ti)
+            for y in range(hi):
+                py = y0 + y
+                if not 0 <= py < rh:
+                    continue
+                rrow, brow = region[py], bm[y]
+                for x in range(wi):
+                    px = x0 + x
+                    if 0 <= px < rw:
+                        if combop == 0:
+                            rrow[px] |= brow[x]
+                        elif combop == 1:
+                            rrow[px] &= brow[x]
+                        else:
+                            rrow[px] ^= brow[x]
+            curs += wi - 1
+            ninst += 1
+    return (rw, rh, rx, ry), region
+
+
+def _encode_text_region(width: int, height: int, syms: list,
+                        placements: list, logsbstrips: int = 0,
+                        refcorner: int = 1) -> bytes:
+    """Encoder twin: ``placements`` are (symbol index, x, y) with (x, y)
+    the symbol's TOP-LEFT page position; strips/corners re-derive the
+    coded S/T exactly as the decoder will consume them."""
+    sbstrips = 1 << logsbstrips
+    symcodelen = max(1, (len(syms) - 1).bit_length())
+    inst = []
+    for sid, x, y in placements:
+        bm = syms[sid]
+        hi, wi = len(bm), len(bm[0])
+        t = y if refcorner in (1, 3) else y + hi - 1
+        inst.append((t // sbstrips * sbstrips, t % sbstrips, x, sid, wi))
+    inst.sort(key=lambda r: (r[0], r[2]))
+    enc = MQEncoder()
+    port = _enc_port(enc)
+    iadt, iafs, iads, iait = ([0] * 512 for _ in range(4))
+    iaid = [0] * (1 << (symcodelen + 1))
+    _int_arith(port, iadt, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    i = 0
+    while i < len(inst):
+        base = inst[i][0]
+        _int_arith(port, iadt, (base - stript) // sbstrips)
+        stript = base
+        first = True
+        curs = 0
+        while i < len(inst) and inst[i][0] == base:
+            _, curt, x, sid, wi = inst[i]
+            if first:
+                _int_arith(port, iafs, x - firsts)
+                firsts = x
+                first = False
+            else:
+                _int_arith(port, iads, x - curs)
+            curs = x
+            if sbstrips > 1:
+                _int_arith(port, iait, curt)
+            _id_arith(port, iaid, symcodelen, sid)
+            curs += wi - 1
+            i += 1
+        _int_arith(port, iads, _OOB)
+    flags = (logsbstrips << 2) | (refcorner << 4)
+    return (struct.pack(">IIII", width, height, 0, 0) + b"\x00"
+            + struct.pack(">H", flags)
+            + struct.pack(">I", len(placements)) + enc.flush())
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +673,9 @@ _SEG_END_OF_FILE = 51
 _SEG_GENERIC_IMMEDIATE = 38
 _SEG_GENERIC_IMMEDIATE_LOSSLESS = 39
 _SEG_GENERIC_INTERMEDIATE = 36
+_SEG_SYMBOL_DICT = 0
+_SEG_TEXT_IMMEDIATE = 6
+_SEG_TEXT_IMMEDIATE_LOSSLESS = 7
 
 
 def _parse_segment_header(data: bytes, pos: int):
@@ -337,6 +692,14 @@ def _parse_segment_header(data: bytes, pos: int):
         pos += 1
     # referred-to segment numbers: size depends on THIS segment's number
     ref_size = 1 if num <= 256 else (2 if num <= 65536 else 4)
+    refs = []
+    for i in range(count):
+        if ref_size == 1:
+            refs.append(data[pos + i])
+        elif ref_size == 2:
+            refs.append(struct.unpack_from(">H", data, pos + 2 * i)[0])
+        else:
+            refs.append(struct.unpack_from(">I", data, pos + 4 * i)[0])
     pos += count * ref_size
     if page_assoc_4:
         page = struct.unpack_from(">I", data, pos)[0]
@@ -346,7 +709,7 @@ def _parse_segment_header(data: bytes, pos: int):
         pos += 1
     length = struct.unpack_from(">I", data, pos)[0]
     pos += 4
-    return {"num": num, "type": seg_type, "page": page,
+    return {"num": num, "type": seg_type, "page": page, "refs": refs,
             "length": length, "data_start": pos}
 
 
@@ -354,11 +717,15 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
     """Embedded (PDF /JBIG2Decode) stream → (width, height, 8-bit gray
     pixels; 0 = black). Supports page-info + immediate generic regions
     (MQ templates 0-3 with/without TPGDON, and the MMR=1 variant via the
-    Group 4 decoder). Symbol/text/halftone/refinement segments raise —
-    the honest reject."""
+    Group 4 decoder) AND the arithmetic symbol-dictionary + text-region
+    layer (SDHUFF=0/REFAGG=0 dictionaries, SBHUFF=0/REFINE=0/
+    TRANSPOSED=0 regions, all four reference corners, multi-pixel
+    strips) — the form real scanners emit for textual pages. Halftone/
+    refinement/Huffman segments raise — the honest reject."""
     pos = 0
     page_w = page_h = None
     page: list[list[int]] | None = None
+    sym_dicts: dict[int, list] = {}  # segment number → exported symbols
     while pos < len(data):
         if pos + 11 > len(data):
             break
@@ -423,15 +790,44 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
                     px = rx + x
                     if px < page_w and brow[x]:
                         prow[px] = 1
+        elif t == _SEG_SYMBOL_DICT:
+            insyms: list = []
+            for r in seg["refs"]:
+                insyms.extend(sym_dicts.get(r, ()))
+            try:
+                sym_dicts[seg["num"]] = _decode_symbol_dict(body, insyms)
+            except (struct.error, IndexError) as e:
+                raise ValueError(
+                    f"corrupt JBIG2 symbol dictionary: {e}") from e
+        elif t in (_SEG_TEXT_IMMEDIATE, _SEG_TEXT_IMMEDIATE_LOSSLESS):
+            if page is None:
+                raise ValueError("JBIG2 region before page info")
+            syms: list = []
+            for r in seg["refs"]:
+                syms.extend(sym_dicts.get(r, ()))
+            if not syms:  # tolerate writers with sloppy referred-to lists
+                for exported in sym_dicts.values():
+                    syms.extend(exported)
+            try:
+                (rw, rh, rx, ry), bm = _decode_text_region(body, syms)
+            except (struct.error, IndexError) as e:
+                raise ValueError(f"corrupt JBIG2 text region: {e}") from e
+            for y in range(rh):
+                py = ry + y
+                if py >= page_h:
+                    break
+                prow = page[py]
+                brow = bm[y]
+                for x in range(rw):
+                    px = rx + x
+                    if px < page_w and brow[x]:
+                        prow[px] = 1
         elif t in (_SEG_END_OF_PAGE, _SEG_END_OF_FILE, 50):
             pass  # end-of-page/file, end-of-stripe
         else:
-            # 0 = symbol dictionary, 4-7 = text regions, 16/20-23 =
-            # pattern/halftone, 40-43 = refinement: the text-compression
-            # layers — honest reject
-            raise ValueError(
-                f"JBIG2 segment type {t} unsupported (generic regions only)"
-            )
+            # 4 = intermediate text, 16/20-23 = pattern/halftone,
+            # 40-43 = refinement, 53 = Huffman tables — honest reject
+            raise ValueError(f"JBIG2 segment type {t} unsupported")
         pos = end
     if page is None:
         raise ValueError("no JBIG2 page information segment")
@@ -445,8 +841,12 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
 
 
 def _segment_header(num: int, seg_type: int, page: int,
-                    length: int) -> bytes:
-    return struct.pack(">IBBBI", num, seg_type, 0x00, page, length)
+                    length: int, refs: tuple = ()) -> bytes:
+    if len(refs) > 4 or num > 256:
+        raise ValueError("fixture writer: short-form headers only")
+    return (struct.pack(">IB", num, seg_type)
+            + bytes([len(refs) << 5]) + bytes(refs)
+            + struct.pack(">BI", page, length))
 
 
 def encode_jbig2_embedded(pixels: bytes, width: int, height: int,
@@ -485,6 +885,57 @@ def encode_jbig2_embedded(pixels: bytes, width: int, height: int,
     out += region_body
     out += _segment_header(2, _SEG_END_OF_PAGE, 1, 0)
     return bytes(out)
+
+
+def encode_jbig2_text_page(width: int, height: int, glyphs: list,
+                           placements: list, template: int = 0,
+                           logsbstrips: int = 0,
+                           refcorner: int = 1) -> bytes:
+    """Embedded JBIG2 stream for a TEXTUAL page: page info + one
+    arithmetic symbol dictionary (every glyph exported) + one immediate
+    lossless text region referring to it. ``glyphs`` are 0/1 row-list
+    bitmaps; ``placements`` are (glyph index, x, y) with (x, y) the
+    glyph's top-left on the page — the fixture twin for the dominant
+    real-world /JBIG2Decode form (reused glyphs + placements)."""
+    order = sorted(range(len(glyphs)), key=lambda i: (len(glyphs[i]), i))
+    dict_syms = [glyphs[i] for i in order]
+    newid = {orig: k for k, orig in enumerate(order)}
+    sd_body = _encode_symbol_dict(dict_syms, template)
+    tr_body = _encode_text_region(
+        width, height, dict_syms,
+        [(newid[g], x, y) for g, x, y in placements],
+        logsbstrips, refcorner)
+    page_body = (struct.pack(">IIII", width, height, 0, 0)
+                 + b"\x01" + b"\x00\x00")
+    out = bytearray()
+    out += _segment_header(0, _SEG_PAGE_INFO, 1, len(page_body))
+    out += page_body
+    out += _segment_header(1, _SEG_SYMBOL_DICT, 1, len(sd_body))
+    out += sd_body
+    out += _segment_header(2, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1,
+                           len(tr_body), refs=(1,))
+    out += tr_body
+    out += _segment_header(3, _SEG_END_OF_PAGE, 1, 0)
+    return bytes(out)
+
+
+def render_text_page(width: int, height: int, glyphs: list,
+                     placements: list) -> bytes:
+    """Reference rasterizer for ``encode_jbig2_text_page`` inputs: the
+    8-bit gray page (0 = black) the decode must reproduce exactly."""
+    page = bytearray(b"\xff" * (width * height))
+    for g, x0, y0 in placements:
+        bm = glyphs[g]
+        for y, row in enumerate(bm):
+            py = y0 + y
+            if not 0 <= py < height:
+                continue
+            base = py * width
+            for x, bit in enumerate(row):
+                px = x0 + x
+                if bit and 0 <= px < width:
+                    page[base + px] = 0
+    return bytes(page)
 
 
 def jbig2_pixel_stats(payload: bytes) -> list[float]:

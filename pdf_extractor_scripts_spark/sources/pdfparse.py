@@ -1536,6 +1536,22 @@ def build_pdf(
                 )
                 img_data = encode_jbig2_embedded(strokes, iw, ih)
                 fname = b"JBIG2Decode"
+            elif image_filter == "JBIG2-text-real":
+                # a REAL symbol-coded JBIG2 payload: arithmetic symbol
+                # dictionary + text region — the dominant wild form
+                # (reused glyph bitmaps plus placements)
+                from ..operators.jbig2codec import encode_jbig2_text_page
+
+                iw = ih = 16
+                glyphs = [
+                    [[1, 1, 1], [1, 0, 1], [1, 0, 1], [1, 1, 1]],  # "o"
+                    [[1, 0], [1, 0], [1, 0], [1, 1]],              # "l"
+                    [[1, 1, 1], [0, 1, 0], [0, 1, 0]],             # "t"
+                ]
+                placed = [(0, 1, 2), (1, 5, 2), (2, 8, 3),
+                          (0, 1, 9), (2, 5, 10), (1, 9, 9)]
+                img_data = encode_jbig2_text_page(iw, ih, glyphs, placed)
+                fname = b"JBIG2Decode"
             elif image_filter == "CCITT-real":
                 # a REAL Group 4 fax payload (stdlib codec) — the layout
                 # scanned B/W invoices actually use; G4 is not

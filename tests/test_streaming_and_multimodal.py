@@ -828,8 +828,11 @@ def test_jbig2_generic_region_codec_roundtrip_and_rejects():
         [float(W), float(H)]
 
     bad = _struct.pack(">IBBBI", 0, 0, 0, 1, 4) + b"\x00" * 4
-    with pytest.raises(ValueError, match="symbol|unsupported"):
+    with pytest.raises(ValueError, match="corrupt|symbol|unsupported"):
         jb.decode_jbig2_embedded(bad)
+    halftone = _struct.pack(">IBBBI", 0, 22, 0, 1, 4) + b"\x00" * 4
+    with pytest.raises(ValueError, match="unsupported"):
+        jb.decode_jbig2_embedded(halftone)
 
     # corrupt-header guard: absurd page/region dimensions must reject
     # BEFORE any allocation (a flipped size byte must not OOM an executor)
@@ -879,6 +882,112 @@ def test_jbig2_pdf_fixture_through_distributed_decode(spark, tmpdir):
     import os as _os
 
     with open(_os.path.join(tmpdir, "jbig2.pdf"), "wb") as f:
+        f.write(pdf)
+    feat = decode_pdf_media(
+        media_from_pdfs(read_binary_docs(spark, tmpdir))
+    ).first()
+    assert feat["decoded"] and feat["filter"] == "JBIG2Decode"
+    assert all(abs(a - b) < 1e-4 for a, b in zip(feat["feature"], local))
+
+
+def test_jbig2_symbol_text_codec_roundtrip_and_rejects():
+    """Symbol-dictionary + text-region JBIG2 (T.88 §6.4/§6.5 arithmetic
+    subset) — the form real scanners emit for textual pages: reused glyph
+    bitmaps placed via coded S/T deltas. Round-trips exactly across every
+    strip size (SBSTRIPS 1/2/4) and reference corner (BL/TL/BR/TR),
+    with multiple height classes, overlapping placements (negative IADS
+    deltas), and a single-glyph dictionary (the SBSYMCODELEN=1 floor);
+    Huffman/refinement/transposed variants and broken export runs reject
+    honestly."""
+    import random
+    import struct as _struct
+
+    from pdf_extractor_scripts_spark.operators import jbig2codec as jb
+
+    random.seed(11)
+    glyphs = []
+    for _ in range(8):
+        w, h = random.randrange(3, 9), random.randrange(4, 10)
+        glyphs.append([[1 if random.random() < 0.45 else 0
+                        for _ in range(w)] for _ in range(h)])
+    W, H = 120, 60
+    placements, x, y = [], 2, 3
+    for _ in range(40):
+        g = random.randrange(8)
+        placements.append((g, x, y))
+        x += len(glyphs[g][0]) + random.randrange(1, 4)
+        if x > W - 12:
+            x, y = 2, y + 12
+    placements.append((0, 3, 4))  # overlap: negative S delta in-strip
+    want = jb.render_text_page(W, H, glyphs, placements)
+    for ls in (0, 1, 2):
+        for rc in (0, 1, 2, 3):
+            data = jb.encode_jbig2_text_page(W, H, glyphs, placements,
+                                             logsbstrips=ls, refcorner=rc)
+            assert jb.decode_jbig2_embedded(data) == (W, H, want), (ls, rc)
+    # the symbol-coded form beats the generic region of the same page
+    # even at this tiny fixture scale — the reason the wild uses it
+    generic = jb.encode_jbig2_embedded(want, W, H)
+    assert len(data) < len(generic), (len(data), len(generic))
+
+    # single-glyph dictionary exercises the SBSYMCODELEN = max(1, ...) floor
+    one = jb.encode_jbig2_text_page(20, 10, [glyphs[0]], [(0, 2, 1)])
+    assert jb.decode_jbig2_embedded(one) == (
+        20, 10, jb.render_text_page(20, 10, [glyphs[0]], [(0, 2, 1)]))
+
+    # rejects: Huffman dictionary / refinement dictionary / transposed or
+    # Huffman text regions — flag bits flipped on otherwise-valid streams
+    base = jb.encode_jbig2_text_page(W, H, glyphs, placements)
+    seg = jb._parse_segment_header(base, 0)          # page info
+    sd = jb._parse_segment_header(base, seg["data_start"] + seg["length"])
+    tr = jb._parse_segment_header(base, sd["data_start"] + sd["length"])
+    for off, mask, msg in [
+        (sd["data_start"] + 1, 0x01, "Huffman"),     # SDHUFF
+        (sd["data_start"] + 1, 0x02, "refinement"),  # SDREFAGG
+        (tr["data_start"] + 18, 0x01, "Huffman"),    # SBHUFF
+        (tr["data_start"] + 18, 0x02, "refinement"), # REFINE
+        (tr["data_start"] + 18, 0x40, "transposed"), # TRANSPOSED
+    ]:
+        mut = bytearray(base)
+        mut[off] |= mask
+        with pytest.raises(ValueError, match=msg):
+            jb.decode_jbig2_embedded(bytes(mut))
+    # absurd declared symbol count (corrupt-header guard)
+    mut = bytearray(base)
+    cnt_off = sd["data_start"] + 2 + 8  # flags + 4 AT pairs → SDNUMEXSYMS
+    mut[cnt_off:cnt_off + 8] = _struct.pack(">II", 2 ** 31, 2 ** 31)
+    with pytest.raises(ValueError, match="implausible"):
+        jb.decode_jbig2_embedded(bytes(mut))
+
+
+def test_jbig2_text_pdf_through_distributed_decode(spark, tmpdir):
+    """A PDF whose page image is SYMBOL-CODED JBIG2 flows through the
+    same distributed media path and decodes to the rendered glyph page."""
+    import os as _os
+
+    from pdf_extractor_scripts_spark.operators.jbig2codec import (
+        decode_jbig2_embedded,
+        jbig2_pixel_stats,
+    )
+    from pdf_extractor_scripts_spark.operators.multimodal import (
+        decode_pdf_media,
+        media_from_pdfs,
+    )
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        pdf_media_payloads,
+    )
+    from pdf_extractor_scripts_spark.sources.spans import read_binary_docs
+
+    pdf = build_pdf([[("text", "SCAN"), ("image",)]],
+                    image_filter="JBIG2-text-real")
+    pl = pdf_media_payloads(pdf, "misc/s.pdf")
+    assert pl[0]["filter"] == "JBIG2Decode"
+    w, h, px = decode_jbig2_embedded(pl[0]["payload"])
+    assert (w, h) == (16, 16) and 0 in px  # real black glyph pixels
+    local = jbig2_pixel_stats(pl[0]["payload"])
+
+    with open(_os.path.join(tmpdir, "jbig2_text.pdf"), "wb") as f:
         f.write(pdf)
     feat = decode_pdf_media(
         media_from_pdfs(read_binary_docs(spark, tmpdir))
