@@ -193,13 +193,72 @@ def media_from_pdfs(binary_docs: DataFrame) -> DataFrame:
     return binary_docs.mapInPandas(batches, schema=PDF_MEDIA_SCHEMA)
 
 
+# byte filters ``pdf_media_payloads`` fully undoes at parse: a filter
+# chain of ONLY these means the payload already IS the raw samples
+_BYTE_FILTERS = {"", "FlateDecode", "Fl", "LZWDecode", "LZW",
+                 "ASCII85Decode", "A85", "ASCIIHexDecode", "AHx",
+                 "RunLengthDecode", "RL"}
+
+
+def raw_image_decoder(params: dict):
+    """Decoder for byte-filter-only image XObjects (the dominant form in
+    born-digital PDFs: a Flate-compressed raw bitmap): the declared
+    /Width /Height /BitsPerComponent /ColorSpace give the sample layout.
+    Supports 1/8-bit DeviceGray and 8-bit DeviceRGB (luma-reduced);
+    returns None when the metadata is missing or the layout is
+    unsupported, so the payload stays carried-not-decoded."""
+    import math
+
+    try:  # the distributed params column is a string map — coerce
+        w, h = int(params["width"]), int(params["height"])
+        bpc = int(params.get("bpc", 8))
+    except (KeyError, TypeError, ValueError):
+        return None
+    cs = str(params.get("colorspace", "DeviceGray"))
+    if w <= 0 or h <= 0 or w * h > 100_000_000:
+        return None
+    if cs == "DeviceGray" and bpc in (1, 8):
+        ncomp = 1
+    elif cs == "DeviceRGB" and bpc == 8:
+        ncomp = 3
+    else:
+        return None
+    rowbytes = (w * ncomp * bpc + 7) // 8
+
+    def stats(payload: bytes) -> list[float]:
+        if len(payload) < rowbytes * h:
+            raise ValueError("raw image payload shorter than declared")
+        if bpc == 1:
+            # per PDF /Decode default [0 1]: sample 0 = black
+            luma = [255 if (payload[y * rowbytes + (x >> 3)]
+                            >> (7 - (x & 7))) & 1 else 0
+                    for y in range(h) for x in range(w)]
+        elif ncomp == 1:
+            luma = [payload[y * rowbytes + x]
+                    for y in range(h) for x in range(w)]
+        else:
+            luma = [(299 * payload[o] + 587 * payload[o + 1]
+                     + 114 * payload[o + 2]) // 1000
+                    for y in range(h) for x in range(w)
+                    for o in (y * rowbytes + 3 * x,)]
+        n = len(luma)
+        mean = sum(luma) / n
+        var = sum((p - mean) ** 2 for p in luma) / n
+        dark = sum(1 for p in luma if p < 64) / n
+        return [float(w), float(h), mean, math.sqrt(var), dark]
+
+    return stats
+
+
 def auto_pixel_decoder(filter_name: str, params: dict):
     """Per-codec engine dispatch: a ``bytes -> [w, h, mean, std, p_dark]``
     decoder for the codecs the pure-stdlib tier really decodes — baseline
     + progressive JPEG under /DCTDecode, every /K class of
-    /CCITTFaxDecode, generic-region /JBIG2Decode, and lossless-5/3
-    /JPXDecode: ALL FOUR PDF image-codec families — or None for payloads
-    with no decoder (inline images), counted as carried-not-decoded."""
+    /CCITTFaxDecode, generic + symbol-coded /JBIG2Decode, lossless-5/3
+    /JPXDecode (ALL FOUR PDF image-codec families), and byte-filter-only
+    raw bitmaps (Flate/LZW/... — already undone at parse) — or None for
+    payloads with no decoder (inline images, exotic layouts), counted as
+    carried-not-decoded."""
     if "DCTDecode" in filter_name:
         from .jpegcodec import jpeg_pixel_stats
 
@@ -224,6 +283,10 @@ def auto_pixel_decoder(filter_name: str, params: dict):
                 "True", "true", "1", True,
             )
         return ccitt_decoder(p)
+    if filter_name != "Inline" and all(
+        part in _BYTE_FILTERS for part in filter_name.split("/")
+    ):
+        return raw_image_decoder(params)
     return None
 
 

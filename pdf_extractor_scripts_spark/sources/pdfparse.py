@@ -1250,6 +1250,13 @@ def pdf_media_payloads(data: bytes, doc_id: str) -> list[dict]:
                 v = doc.get(obj.attrs.get(k, default))
                 if v is not None:
                     params[k.lower()] = int(v)
+            # raw (byte-filter-only) images need sample geometry to decode
+            bpc = doc.get(obj.attrs.get("BitsPerComponent"))
+            if bpc is not None:
+                params["bpc"] = int(bpc)
+            cs = doc.get(obj.attrs.get("ColorSpace"))
+            if isinstance(cs, (str, Name)):
+                params["colorspace"] = str(cs)
             out.append({
                 "media_ref": f"img://{doc_id}/{p + 1}/{img_i}",
                 "payload": _decode_stream(obj),
@@ -1552,6 +1559,17 @@ def build_pdf(
                           (0, 1, 9), (2, 5, 10), (1, 9, 9)]
                 img_data = encode_jbig2_text_page(iw, ih, glyphs, placed)
                 fname = b"JBIG2Decode"
+            elif image_filter == "Flate-real":
+                # a raw 8-bit gray bitmap under /FlateDecode — the most
+                # common image form in born-digital PDFs; the byte filter
+                # is undone at parse, so the payload IS the samples
+                iw = ih = 16
+                grad = bytes(
+                    min(255, 25 + 10 * ((x + 2 * y) % 20))
+                    for y in range(ih) for x in range(iw)
+                )
+                img_data = zlib.compress(grad)
+                fname = b"FlateDecode"
             elif image_filter == "CCITT-real":
                 # a REAL Group 4 fax payload (stdlib codec) — the layout
                 # scanned B/W invoices actually use; G4 is not

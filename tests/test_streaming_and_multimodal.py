@@ -996,6 +996,61 @@ def test_jbig2_text_pdf_through_distributed_decode(spark, tmpdir):
     assert all(abs(a - b) < 1e-4 for a, b in zip(feat["feature"], local))
 
 
+def test_raw_flate_image_decodes_distributed(spark, tmpdir):
+    """Byte-filter-only image XObjects (a Flate-compressed raw bitmap —
+    the dominant image form in born-digital PDFs) decode through the
+    distributed media path: the parse already undid the byte filter, so
+    the declared /Width /Height /BitsPerComponent /ColorSpace give the
+    layout. 1-bit packed rows, 8-bit gray and RGB-luma all supported;
+    short payloads and exotic layouts stay counted-not-decoded."""
+    import os as _os
+
+    from pdf_extractor_scripts_spark.operators.multimodal import (
+        decode_pdf_media,
+        media_from_pdfs,
+        raw_image_decoder,
+    )
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        pdf_media_payloads,
+    )
+    from pdf_extractor_scripts_spark.sources.spans import read_binary_docs
+
+    # unit: 1-bit packed (rows pad to byte boundaries), 0 = black
+    dec1 = raw_image_decoder({"width": 10, "height": 2, "bpc": 1,
+                              "colorspace": "DeviceGray"})
+    # row 0: all black (bits 0), row 1: all white (bits 1)
+    st = dec1(bytes([0x00, 0x00, 0xFF, 0xFF]))
+    assert st[:2] == [10.0, 2.0] and abs(st[4] - 0.5) < 1e-9
+    # unit: RGB luma reduction
+    dec3 = raw_image_decoder({"width": 2, "height": 1, "bpc": 8,
+                              "colorspace": "DeviceRGB"})
+    st = dec3(bytes([255, 0, 0, 0, 255, 0]))
+    assert abs(st[2] - (76 + 149) / 2) < 1.0  # .299/.587 luma weights
+    # rejects: short payload raises (counted); exotic layouts decline
+    with pytest.raises(ValueError, match="shorter"):
+        dec3(b"\x00\x00\x00")
+    assert raw_image_decoder({"width": 4, "height": 4, "bpc": 4,
+                              "colorspace": "DeviceGray"}) is None
+    assert raw_image_decoder({"colorspace": "DeviceGray"}) is None
+
+    pdf = build_pdf([[("text", "RAW"), ("image",)]],
+                    image_filter="Flate-real")
+    pl = pdf_media_payloads(pdf, "misc/r.pdf")
+    assert pl[0]["filter"] == "FlateDecode"
+    assert pl[0]["params"]["bpc"] == 8
+    local = raw_image_decoder(dict(pl[0]["params"]))(pl[0]["payload"])
+    assert local[:2] == [16.0, 16.0]
+
+    with open(_os.path.join(tmpdir, "raw.pdf"), "wb") as f:
+        f.write(pdf)
+    feat = decode_pdf_media(
+        media_from_pdfs(read_binary_docs(spark, tmpdir))
+    ).first()
+    assert feat["decoded"] and feat["filter"] == "FlateDecode"
+    assert all(abs(a - b) < 1e-4 for a, b in zip(feat["feature"], local))
+
+
 def test_jpx_lossless_codec_roundtrip_and_rejects():
     """r6 stretch: pure-stdlib JPEG 2000 codec (lossless 5/3 subset) — the
     LAST PDF image-codec family. Shared encode/decode traversals (EBCOT
