@@ -100,10 +100,69 @@ def _inv53(lo: list[int], hi: list[int]) -> list[int]:
     return out
 
 
-def dwt2_forward(rows: list[list[int]], levels: int):
-    """2-D 5/3 forward DWT → (LL rows, [per level (HL, LH, HH) rows]),
-    finest level first in the returned list (matching codestream order is
-    handled by the caller)."""
+# 9/7 irreversible filter (T.800 Table F.4 lifting constants). Scaling
+# convention: low × 1/K, high × K on analysis (mirrored on synthesis) —
+# encoder and decoder share the constants, so round-trips are exact up to
+# float noise regardless of which of the two common conventions external
+# encoders pick for their own streams.
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _lift97(y: list[float], inverse: bool) -> None:
+    """In-place 9/7 lifting over the interleaved signal with whole-sample
+    symmetric extension (the 5/3 lesson: mirror on the INTERLEAVED
+    grid). Scaling is applied by the callers."""
+    n = len(y)
+
+    def e(i: int) -> int:
+        if i < 0:
+            i = -i
+        if i >= n:
+            i = 2 * n - 2 - i
+        return i
+
+    steps = [(1, _A97), (0, _B97), (1, _G97), (0, _D97)]
+    if inverse:
+        steps = [(par, -c) for par, c in reversed(steps)]
+    for par, c in steps:
+        for i in range(par, n, 2):
+            y[i] += c * (y[e(i - 1)] + y[e(i + 1)])
+
+
+def _fwd97(x: list) -> tuple[list[float], list[float]]:
+    n = len(x)
+    if n == 1:
+        return [float(x[0])], []
+    y = [float(v) for v in x]
+    _lift97(y, inverse=False)
+    lo = [y[i] / _K97 for i in range(0, n, 2)]
+    hi = [y[i] * _K97 for i in range(1, n, 2)]
+    return lo, hi
+
+
+def _inv97(lo: list[float], hi: list[float]) -> list[float]:
+    n = len(lo) + len(hi)
+    if n == 1:
+        return [lo[0]]
+    y = [0.0] * n
+    for i, v in enumerate(lo):
+        y[2 * i] = v * _K97
+    for i, v in enumerate(hi):
+        y[2 * i + 1] = v / _K97
+    _lift97(y, inverse=True)
+    return y
+
+
+def dwt2_forward(rows: list[list[int]], levels: int,
+                 irreversible: bool = False):
+    """2-D forward DWT (5/3 reversible, or 9/7 irreversible floats) →
+    (LL rows, [per level (HL, LH, HH) rows]), finest level first in the
+    returned list (matching codestream order is handled by the caller)."""
+    fwd = _fwd97 if irreversible else _fwd53
     bands = []
     cur = rows
     for _ in range(levels):
@@ -111,7 +170,7 @@ def dwt2_forward(rows: list[list[int]], levels: int):
         w = len(cur[0])
         lo_rows, hi_rows = [], []
         for r in cur:  # horizontal
-            lo, hi = _fwd53(r)
+            lo, hi = fwd(r)
             lo_rows.append(lo)
             hi_rows.append(hi)
         # vertical on each half
@@ -122,7 +181,7 @@ def dwt2_forward(rows: list[list[int]], levels: int):
             los, his = [], []
             cols_lo, cols_hi = [], []
             for c in range(wj):
-                lo, hi = _fwd53([mat[y][c] for y in range(len(mat))])
+                lo, hi = fwd([mat[y][c] for y in range(len(mat))])
                 cols_lo.append(lo)
                 cols_hi.append(hi)
             nlo = len(cols_lo[0])
@@ -140,7 +199,9 @@ def dwt2_forward(rows: list[list[int]], levels: int):
     return cur, bands
 
 
-def dwt2_inverse(ll: list[list[int]], bands) -> list[list[int]]:
+def dwt2_inverse(ll: list[list[int]], bands,
+                 irreversible: bool = False) -> list[list[int]]:
+    inv = _inv97 if irreversible else _inv53
     cur = ll
     for hl, lh, hh in reversed(bands):
         def vert_inv(lo_mat, hi_mat):
@@ -153,7 +214,7 @@ def dwt2_inverse(ll: list[list[int]], bands) -> list[list[int]]:
             for c in range(wj):
                 lo = [lo_mat[y][c] for y in range(len(lo_mat))]
                 hi = [hi_mat[y][c] for y in range(len(hi_mat))]
-                out_cols.append(_inv53(lo, hi))
+                out_cols.append(inv(lo, hi))
             n = len(out_cols[0])
             return [[out_cols[c][y] for c in range(wj)] for y in range(n)]
 
@@ -163,7 +224,7 @@ def dwt2_inverse(ll: list[list[int]], bands) -> list[list[int]]:
         for y in range(len(left)):
             lo = left[y]
             hi = right[y] if y < len(right) else []
-            rows.append(_inv53(lo, hi))
+            rows.append(inv(lo, hi))
         cur = rows
     return cur
 
@@ -637,24 +698,72 @@ def _subband_rows(name, li, ll, bands):
     return bands[li][{"HL": 0, "LH": 1, "HH": 2}[name]]
 
 
+_BAND_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}  # T.800 Table E.1
+
+
+def _quant_step(name: str, quality: int) -> float:
+    """Per-band-type quantization step for the lossy path: finer for the
+    energy-carrying LL, coarser for HH detail — the classic shape.
+    Calibrated so quality 80 lands near MAE 0.5 / ~25% smaller than the
+    5/3 lossless stream on document-like content."""
+    base = max(0.05, (101 - quality) / 10.0)
+    return base * {"LL": 0.125, "HL": 0.5, "LH": 0.5, "HH": 1.0}[name]
+
+
+def _step_to_eps_mant(delta: float, name: str) -> tuple[int, int]:
+    """Δb → (εb, μb) per T.800 E-3: Δb = 2^(Rb−εb) × (1 + μb/2^11),
+    with Rb = 8 + band log2-gain."""
+    import math
+
+    rb = 8 + _BAND_GAIN[name]
+    e = math.floor(math.log2(delta))
+    mant = round((delta / (2.0 ** e) - 1.0) * 2048)
+    if mant > 2047:
+        mant = 0
+        e += 1
+    eps = rb - e
+    if not 0 <= eps <= 31:
+        raise ValueError("quantization step out of signalling range")
+    return eps, mant
+
+
+def _eps_mant_to_step(eps: int, mant: int, name: str) -> float:
+    rb = 8 + _BAND_GAIN[name]
+    return (2.0 ** (rb - eps)) * (1.0 + mant / 2048.0)
+
+
 def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                levels: int = 2, mct: bool = True,
-               jp2: bool = False) -> bytes:
+               jp2: bool = False, irreversible: bool = False,
+               quality: int = 80) -> bytes:
     """8-bit samples (gray, or RGB interleaved with ``ncomp=3``) →
-    lossless JPEG 2000 codestream (single tile, 5/3 reversible, 1 layer,
-    LRCP). For RGB, ``mct`` applies the reversible color transform (RCT —
-    what real encoders emit; components 1-2 become 9-bit signed). ``jp2``
-    wraps the codestream in a minimal JP2 box container (signature/ftyp/
-    jp2h/jp2c) — the OTHER layout PDF /JPXDecode streams use."""
+    JPEG 2000 codestream (single tile, 1 layer, LRCP). Default is the
+    lossless 5/3 reversible path; ``irreversible=True`` emits the LOSSY
+    9/7 form (floating DWT + scalar-expounded quantization, QCD style 2)
+    that real-world /JPXDecode streams predominantly use, with
+    ``quality`` (1-100) setting the per-band step. For RGB, ``mct``
+    applies the matching color transform (RCT reversible / ICT
+    irreversible). ``jp2`` wraps the codestream in a minimal JP2 box
+    container (signature/ftyp/jp2h/jp2c) — the OTHER layout PDF
+    /JPXDecode streams use."""
     if len(pixels) != width * height * ncomp:
         raise ValueError("pixel buffer does not match dimensions")
     levels = max(1, min(levels, 6))
     mct = mct and ncomp == 3
     ll_dims, per_level = _band_geometry(width, height, levels)
 
-    # per component: level shift (+ RCT for color) → DWT → band rows
+    # per component: level shift (+ RCT/ICT for color) → DWT → band rows
     n = width * height
-    if mct:
+    if mct and irreversible:  # ICT (T.800 G.2): floating YCbCr
+        planes = [[0.0] * n for _ in range(3)]
+        for i in range(n):
+            r = pixels[3 * i] - 128
+            g = pixels[3 * i + 1] - 128
+            b = pixels[3 * i + 2] - 128
+            planes[0][i] = 0.299 * r + 0.587 * g + 0.114 * b
+            planes[1][i] = -0.168736 * r - 0.331264 * g + 0.5 * b
+            planes[2][i] = 0.5 * r - 0.418688 * g - 0.081312 * b
+    elif mct:
         planes = [[0] * n for _ in range(3)]
         for i in range(n):
             r = pixels[3 * i] - 128
@@ -671,7 +780,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     comp_bands = []
     for c in range(ncomp):
         rows = [planes[c][y * width : (y + 1) * width] for y in range(height)]
-        ll, bands = dwt2_forward(rows, levels)
+        ll, bands = dwt2_forward(rows, levels, irreversible)
         comp_bands.append((ll, bands))
 
     # global per-band-name max bitplanes → QCD exponents (shared by comps)
@@ -683,9 +792,14 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
             for name, (bw, bh), li in _res_bands(r, levels, ll_dims,
                                                  per_level):
                 rows = _subband_rows(name, li, ll, bands)
+                delta = _quant_step(name, quality) if irreversible else None
                 for k, (x0, y0, cw, ch) in enumerate(_blocks_of(bw, bh)[0]):
-                    mag = [abs(rows[y0 + y][x0 + x])
-                           for y in range(ch) for x in range(cw)]
+                    if irreversible:
+                        mag = [int(abs(rows[y0 + y][x0 + x]) / delta)
+                               for y in range(ch) for x in range(cw)]
+                    else:
+                        mag = [abs(rows[y0 + y][x0 + x])
+                               for y in range(ch) for x in range(cw)]
                     sgn = [1 if rows[y0 + y][x0 + x] < 0 else 0
                            for y in range(ch) for x in range(cw)]
                     npl = max((m.bit_length() for m in mag), default=0)
@@ -697,8 +811,22 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     def mb_key(name, li):
         return name if name == "LL" else f"{name}{li}"
 
-    eps = {k: max(0, v - _GUARD + 1) for k, v in maxnp.items()}
-    mb = {k: e + _GUARD - 1 for k, e in eps.items()}
+    if irreversible:
+        # εb/μb signal the step; the guard must cover the coded planes
+        # (Mb = G + εb − 1 ≥ nplanes, Equation E-2)
+        eps, mant = {}, {}
+        for k in maxnp:
+            eps[k], mant[k] = _step_to_eps_mant(
+                _quant_step(k.rstrip("0123456789"), quality),
+                k.rstrip("0123456789"))
+        guard = max([2] + [maxnp[k] - eps[k] + 1 for k in maxnp])
+        if guard > 7:
+            raise ValueError("quantized magnitudes exceed guard range")
+        mb = {k: e + guard - 1 for k, e in eps.items()}
+    else:
+        guard = _GUARD
+        eps = {k: max(0, v - _GUARD + 1) for k, v in maxnp.items()}
+        mb = {k: e + _GUARD - 1 for k, e in eps.items()}
 
     # tier-1 encode every block
     coded: dict = {}
@@ -738,22 +866,31 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                       0, 0, width, height, 0, 0, ncomp)
     out += b"\xff\x51" + siz
     for c in range(ncomp):
-        # RCT chroma components are 9-bit signed (0x88); else 8-bit
-        out += (b"\x88" if mct and c > 0 else b"\x07") + b"\x01\x01"
-    out += b"\xff\x52" + struct.pack(">HBBHBBBBBB", 12, 0, 0, 1,
-                                     1 if mct else 0, levels, 4, 4, 0, 1)
+        # RCT chroma components are 9-bit signed (0x88); else 8-bit.
+        # ICT (lossy) components stay 8-bit unsigned originals.
+        out += (b"\x88" if mct and c > 0 and not irreversible
+                else b"\x07") + b"\x01\x01"
+    out += b"\xff\x52" + struct.pack(
+        ">HBBHBBBBBB", 12, 0, 0, 1, 1 if mct else 0, levels, 4, 4, 0,
+        0 if irreversible else 1)
     nbands = 3 * levels + 1
-    qcd = bytearray([0x40])  # guard=2, no quantization (reversible)
-    qcd.append(eps.get("LL", 0) << 3)
-    for li in range(levels - 1, -1, -1):  # resolution order r=1..N
-        for nm in ("HL", "LH", "HH"):
-            qcd.append(eps.get(f"{nm}{li}", 0) << 3)
+    band_order = ["LL"] + [f"{nm}{li}" for li in range(levels - 1, -1, -1)
+                           for nm in ("HL", "LH", "HH")]
+    if irreversible:  # scalar expounded (style 2): 16-bit (εb, μb) pairs
+        qcd = bytearray([(guard << 5) | 2])
+        for k in band_order:
+            qcd += struct.pack(">H", (eps.get(k, 0) << 11) | mant.get(k, 0))
+        assert len(qcd) == 1 + 2 * nbands
+    else:
+        qcd = bytearray([guard << 5])  # no quantization (reversible)
+        for k in band_order:
+            qcd.append(eps.get(k, 0) << 3)
+        assert len(qcd) == 1 + nbands
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + bytes(qcd)
     psot = 12 + 2 + len(body)
     out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
     out += b"\xff\x93" + body
     out += b"\xff\xd9"  # EOC
-    assert len(qcd) == 1 + nbands
     if not jp2:
         return bytes(out)
 
@@ -773,8 +910,10 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
 
 
 def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
-    """Lossless 5/3 JPEG 2000 codestream → (width, height, ncomp,
-    interleaved 8-bit samples)."""
+    """JPEG 2000 codestream → (width, height, ncomp, interleaved 8-bit
+    samples). Covers BOTH coding paths: lossless 5/3 reversible (±RCT)
+    and lossy 9/7 irreversible (±ICT) with scalar-expounded
+    dequantization — the dominant real-world /JPXDecode form."""
     if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  ":
         # JP2 box container: walk the top-level boxes for the jp2c
         # codestream box (the header boxes duplicate SIZ information)
@@ -804,6 +943,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
     width = height = ncomp = None
     levels = cblk_ok = transform = None
     eps_list: list[int] = []
+    mant_list: list[int] | None = None
     guard = 2
     body = None
     while pos + 2 <= len(data):
@@ -839,29 +979,46 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("unsupported COD (need LRCP, 1 layer)")
             if mct and ncomp != 3:
                 raise ValueError("MCT requires 3 components")
-            if cw != 4 or ch_ != 4 or style != 0 or tr != 1:
+            if cw != 4 or ch_ != 4 or style != 0 or tr not in (0, 1):
                 raise ValueError(
-                    "unsupported COD (need 64x64 blocks, style 0, 5/3)"
+                    "unsupported COD (need 64x64 blocks, style 0)"
                 )
-            levels = lv
+            levels, transform = lv, tr
         elif marker == b"\xff\x5c":  # QCD
             sqcd = seg[0]
-            if sqcd & 0x1F:
-                raise ValueError("quantized (lossy) JPEG 2000 unsupported")
+            qstyle = sqcd & 0x1F
             guard = sqcd >> 5
-            eps_list = [b >> 3 for b in seg[1:]]
+            if qstyle == 0:       # no quantization (reversible 5/3)
+                eps_list = [b >> 3 for b in seg[1:]]
+            elif qstyle == 2:     # scalar expounded: 16-bit (εb, μb) pairs
+                vals = [struct.unpack_from(">H", seg, 1 + 2 * i)[0]
+                        for i in range((len(seg) - 1) // 2)]
+                eps_list = [v >> 11 for v in vals]
+                mant_list = [v & 0x7FF for v in vals]
+            else:
+                raise ValueError(
+                    "scalar-derived quantization (QCD style 1) unsupported"
+                )
         elif marker == b"\xff\x90":  # SOT
             pass  # single tile: Psot runs to EOC
         pos += ln
     if None in (width, height, ncomp, levels) or body is None:
         raise ValueError("incomplete JPEG 2000 codestream")
+    irreversible = transform == 0
+    if irreversible and mant_list is None:
+        raise ValueError("9/7 codestream without expounded quantization")
+    if not irreversible and mant_list is not None:
+        raise ValueError("5/3 codestream with scalar quantization")
 
     ll_dims, per_level = _band_geometry(width, height, levels)
     eps = {"LL": eps_list[0]}
+    mant = {"LL": mant_list[0]} if irreversible else {}
     i = 1
     for li in range(levels - 1, -1, -1):
         for nm in ("HL", "LH", "HH"):
             eps[f"{nm}{li}"] = eps_list[i]
+            if irreversible:
+                mant[f"{nm}{li}"] = mant_list[i]
             i += 1
     mb = {k: e + guard - 1 for k, e in eps.items()}
 
@@ -905,6 +1062,21 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                 d for n, d, _li in
                 _res_bands(r, levels, ll_dims, per_level) if n == name
             )
+            if irreversible:  # dequantize: ±(q + 0.5)Δb midpoint (E.1.1)
+                li = levels - r if r else None
+                key = "LL" if name == "LL" else f"{name}{li}"
+                delta = _eps_mant_to_step(eps[key], mant[key], name)
+                rows = [[0.0] * bw for _ in range(bh)]
+                for x0, y0, cw, ch_, mag, sgn in store.get(
+                        (r, name), {}).values():
+                    for y in range(ch_):
+                        for x in range(cw):
+                            q = mag[y * cw + x]
+                            if q:
+                                v = (q + 0.5) * delta
+                                rows[y0 + y][x0 + x] = (
+                                    -v if sgn[y * cw + x] else v)
+                return rows
             rows = [[0] * bw for _ in range(bh)]
             for x0, y0, cw, ch_, mag, sgn in store.get((r, name), {}).values():
                 for y in range(ch_):
@@ -919,12 +1091,19 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
             li = levels - r
             bands[li] = (band_rows(r, "HL"), band_rows(r, "LH"),
                          band_rows(r, "HH"))
-        planes.append(dwt2_inverse(ll, bands))
+        planes.append(dwt2_inverse(ll, bands, irreversible))
 
     out = bytearray(width * height * ncomp)
     for y in range(height):
         for x in range(width):
-            if mct:  # inverse RCT, then level shift
+            if mct and irreversible:  # inverse ICT (G.3), then shift
+                yv = planes[0][y][x]
+                cb = planes[1][y][x]
+                cr = planes[2][y][x]
+                vals = (yv + 1.402 * cr,
+                        yv - 0.344136 * cb - 0.714136 * cr,
+                        yv + 1.772 * cb)
+            elif mct:  # inverse RCT, then level shift
                 yv = planes[0][y][x]
                 u = planes[1][y][x]
                 v_ = planes[2][y][x]
@@ -935,6 +1114,8 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
             base = (y * width + x) * ncomp
             for c in range(ncomp):
                 v = vals[c] + 128
+                if irreversible:
+                    v = int(v + 0.5) if v >= 0 else -int(-v + 0.5)
                 out[base + c] = 0 if v < 0 else (255 if v > 255 else v)
     return width, height, ncomp, bytes(out)
 

@@ -1530,6 +1530,19 @@ def build_pdf(
                 )
                 img_data = encode_jpx(grad, iw, ih, 1, levels=2)
                 fname = b"JPXDecode"
+            elif image_filter == "JPX-lossy-real":
+                # the dominant real-world /JPXDecode form: LOSSY 9/7
+                # irreversible with scalar-expounded quantization
+                from ..operators.jpxcodec import encode_jpx
+
+                iw = ih = 16
+                grad = bytes(
+                    min(255, 30 + 9 * ((x * 2 + y) % 24))
+                    for y in range(ih) for x in range(iw)
+                )
+                img_data = encode_jpx(grad, iw, ih, 1, levels=2,
+                                      irreversible=True, quality=85)
+                fname = b"JPXDecode"
             elif image_filter == "JBIG2-real":
                 # a REAL embedded-JBIG2 payload (stdlib codec): page info +
                 # MQ-coded generic region — self-describing, no DecodeParms

@@ -769,8 +769,9 @@ def test_distributed_pdf_media_decode_auto_dispatch(spark, tmpdir):
     fake = feats["fake.pdf"]  # dispatches to JPEG, fails honestly
     assert not fake["decoded"] and fake["error"]
 
-    fl = feats["flate.pdf"]  # byte filter: payload is decoded pixels, no
-    assert not fl["decoded"]  # image-codec decoder claims it
+    fl = feats["flate.pdf"]  # byte filter: payload IS the raw samples —
+    assert fl["decoded"]  # the r6 raw decoder claims it (1×1 gray 0x80)
+    assert fl["feature"] == [1.0, 1.0, 128.0, 0.0, 0.0]
 
 
 def test_jbig2_generic_region_codec_roundtrip_and_rejects():
@@ -1108,6 +1109,80 @@ def test_jpx_lossless_codec_roundtrip_and_rejects():
         jx.decode_jpx(b"\xff\x4e not a codestream")
 
 
+def test_jpx_lossy_97_codec_roundtrip_and_rejects():
+    """Lossy 9/7 irreversible JPEG 2000 — the form real-world /JPXDecode
+    streams predominantly use: floating 9/7 DWT (Table F.4 lifting),
+    scalar-expounded quantization (QCD style 2, Equation E-3
+    dequantization), ICT for color. Error is bounded and monotone in
+    quality, the stream beats the lossless twin at moderate quality on
+    gray content, and mismatched transform/quantization combinations
+    reject honestly."""
+    from pdf_extractor_scripts_spark.operators import jpxcodec as jx
+
+    def mae(a, b):
+        return sum(abs(x - y) for x, y in zip(a, b)) / len(a)
+
+    W, H = 40, 32
+    px = bytes(min(255, max(0, int(120 + 60 * (x / W + y / H)
+                                   + (x * y) % 7)))
+               for y in range(H) for x in range(W))
+    lossless = jx.encode_jpx(px, W, H, 1, levels=3)
+    prev_err = None
+    for q in (50, 70, 80, 90):
+        d = jx.encode_jpx(px, W, H, 1, levels=3, irreversible=True,
+                          quality=q)
+        assert d == jx.encode_jpx(px, W, H, 1, levels=3,
+                                  irreversible=True, quality=q)
+        w, h, nc, out = jx.decode_jpx(d)
+        assert (w, h, nc) == (W, H, 1)
+        err = mae(px, out)
+        assert err < 2.0, (q, err)
+        if prev_err is not None:
+            assert err <= prev_err + 1e-9, (q, err, prev_err)
+        prev_err = err
+        if q <= 80:
+            assert len(d) < len(lossless), (q, len(d), len(lossless))
+
+    # color via the irreversible color transform (ICT)
+    rgb = bytearray()
+    for y in range(H):
+        for x in range(W):
+            rgb += bytes((min(255, 40 + x * 4), min(255, 60 + y * 5),
+                          (x * y) % 200))
+    d = jx.encode_jpx(bytes(rgb), W, H, 3, levels=2, irreversible=True,
+                      quality=85)
+    w, h, nc, out = jx.decode_jpx(d)
+    assert (w, h, nc) == (W, H, 3) and mae(rgb, out) < 1.5
+    # odd sizes / 1-wide degenerate geometry survive the float path
+    for (ww, hh) in [(17, 13), (1, 9), (5, 3)]:
+        tiny = bytes((x * 31 + y * 17) % 256
+                     for y in range(hh) for x in range(ww))
+        ww_, hh_, _, out = jx.decode_jpx(jx.encode_jpx(
+            tiny, ww, hh, 1, levels=2, irreversible=True, quality=90))
+        assert (ww_, hh_) == (ww, hh) and mae(tiny, out) < 4.0, (ww, hh)
+
+    # rejects: a 9/7 stream whose QCD claims no quantization, and a 5/3
+    # stream with scalar pairs — flip the COD transform byte each way
+    good = jx.encode_jpx(px, W, H, 1, levels=2)
+    cod = good.index(b"\xff\x52")
+    mut = bytearray(good)
+    mut[cod + 2 + 11] = 0  # SGcod transform byte 5/3 → 9/7
+    with pytest.raises(ValueError, match="without expounded"):
+        jx.decode_jpx(bytes(mut))
+    lossy = jx.encode_jpx(px, W, H, 1, levels=2, irreversible=True)
+    cod = lossy.index(b"\xff\x52")
+    mut = bytearray(lossy)
+    mut[cod + 2 + 11] = 1  # 9/7 → 5/3
+    with pytest.raises(ValueError, match="scalar quantization"):
+        jx.decode_jpx(bytes(mut))
+    # scalar-derived (style 1) stays an honest reject
+    qcd = lossy.index(b"\xff\x5c")
+    mut = bytearray(lossy)
+    mut[qcd + 4] = (mut[qcd + 4] & 0xE0) | 1
+    with pytest.raises(ValueError, match="derived"):
+        jx.decode_jpx(bytes(mut))
+
+
 def test_codec_dimension_bomb_guards():
     """Corrupt-header hardening across every codec family: a flipped size
     byte must reject up front as a ValueError (counted per-payload by
@@ -1163,16 +1238,18 @@ def test_all_four_pdf_image_codec_families_decode_distributed(spark, tmpdir):
 
     pages = [[("text", "SCAN"), ("image",)]]
     for name, mode in [("dct.pdf", "DCT-real"), ("ccitt.pdf", "CCITT-real"),
-                       ("jbig2.pdf", "JBIG2-real"), ("jpx.pdf", "JPX-real")]:
+                       ("jbig2.pdf", "JBIG2-real"), ("jpx.pdf", "JPX-real"),
+                       ("jpx-lossy.pdf", "JPX-lossy-real")]:
         with open(_os.path.join(tmpdir, name), "wb") as f:
             f.write(build_pdf(pages, image_filter=mode))
     rows = decode_pdf_media(
         media_from_pdfs(read_binary_docs(spark, tmpdir))
     ).collect()
-    assert len(rows) == 4
+    assert len(rows) == 5
     by_filter = {r["filter"]: r for r in rows}
     assert set(by_filter) == {"DCTDecode", "CCITTFaxDecode", "JBIG2Decode",
                               "JPXDecode"}
+    assert sum(r["filter"] == "JPXDecode" for r in rows) == 2
     for r in rows:
         assert r["decoded"], r["filter"]
         assert r["feature"][:2] == [16.0, 16.0], r["filter"]
