@@ -1,14 +1,18 @@
-"""Pure-stdlib JPEG 2000 (/JPXDecode) codec — lossless 5/3 subset.
+"""Pure-stdlib JPEG 2000 (/JPXDecode) codec — 5/3 lossless + 9/7 lossy.
 
-The last PDF image-codec family after DCT, CCITT and JBIG2. Scope: the
-reversible path a lossless scanner/archiver emits — JPEG 2000 codestream
-(SOC/SIZ/COD/QCD/SOT/SOD/EOC), single tile, 5/3 reversible wavelet, no
-quantization, one quality layer, LRCP progression, default precincts,
-code-blocks up to 64×64, 1 or 3 components with the reversible color
-transform (RCT/MCT — what real encoders emit for RGB), raw codestreams
-AND JP2 box containers (both layouts PDF /JPXDecode streams use).
-Irreversible 9/7 and multiple tiles/layers raise ValueError — the
-honest reject.
+The last PDF image-codec family after DCT, CCITT and JBIG2. Scope:
+JPEG 2000 codestream (SOC/SIZ/COD/QCD/SOT/SOD/EOC), one quality
+layer, LRCP progression, default precincts, code-blocks up to 64×64,
+1 or 3 components, single-tile OR a 2^levels-aligned multi-tile grid
+(each tile its own tile-part — how real encoders bound working memory
+on large scans); BOTH coding paths — the 5/3 reversible wavelet with
+no quantization (±RCT color, what a lossless scanner/archiver emits)
+AND the 9/7 irreversible wavelet with scalar quantization, expounded
+(style 2) or derived (style 1) signalling and ±ICT color — the
+dominant real-world lossy form. Raw codestreams AND JP2 box
+containers (both layouts PDF /JPXDecode streams use). Multiple
+layers, per-tile header overrides and unaligned tile grids raise
+ValueError — the honest reject.
 
 Design note: the EBCOT tier-1 coefficient coder, the tag trees and the
 packet headers are implemented ONCE as shared traversals over a
@@ -735,22 +739,44 @@ def _eps_mant_to_step(eps: int, mant: int, name: str) -> float:
 def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                levels: int = 2, mct: bool = True,
                jp2: bool = False, irreversible: bool = False,
-               quality: int = 80) -> bytes:
+               quality: int = 80, derived: bool = False,
+               tiles: "int | tuple[int, int] | None" = None) -> bytes:
     """8-bit samples (gray, or RGB interleaved with ``ncomp=3``) →
     JPEG 2000 codestream (single tile, 1 layer, LRCP). Default is the
     lossless 5/3 reversible path; ``irreversible=True`` emits the LOSSY
-    9/7 form (floating DWT + scalar-expounded quantization, QCD style 2)
-    that real-world /JPXDecode streams predominantly use, with
-    ``quality`` (1-100) setting the per-band step. For RGB, ``mct``
-    applies the matching color transform (RCT reversible / ICT
-    irreversible). ``jp2`` wraps the codestream in a minimal JP2 box
-    container (signature/ftyp/jp2h/jp2c) — the OTHER layout PDF
-    /JPXDecode streams use."""
+    9/7 form (floating DWT + scalar quantization) that real-world
+    /JPXDecode streams predominantly use, with ``quality`` (1-100)
+    setting the per-band step. Quantization signalling is scalar
+    expounded (QCD style 2, one (εb, μb) pair per band) by default;
+    ``derived=True`` signals scalar derived (style 1: ONE pair, band
+    steps derived by Equation E-5 εb = ε0 − N_L + n_b) — the compact
+    form some real encoders emit. For RGB, ``mct`` applies the matching
+    color transform (RCT reversible / ICT irreversible). ``jp2`` wraps
+    the codestream in a minimal JP2 box container
+    (signature/ftyp/jp2h/jp2c) — the OTHER layout PDF /JPXDecode
+    streams use. ``tiles`` partitions the image into a grid of
+    XTsiz×YTsiz tiles (one int = square), each coded as its own
+    tile-part — how real encoders bound working memory on large
+    scans."""
     if len(pixels) != width * height * ncomp:
         raise ValueError("pixel buffer does not match dimensions")
+    if derived and not irreversible:
+        raise ValueError("derived quantization requires the 9/7 path")
     levels = max(1, min(levels, 6))
     mct = mct and ncomp == 3
-    ll_dims, per_level = _band_geometry(width, height, levels)
+    if tiles is None:
+        xt, yt = width, height
+    else:
+        xt, yt = (tiles, tiles) if isinstance(tiles, int) else tiles
+        if xt < 1 or yt < 1:
+            raise ValueError("tile dimensions must be positive")
+    ntx = (width + xt - 1) // xt
+    nty = (height + yt - 1) // yt
+    if (ntx > 1 and xt % (1 << levels)) or \
+            (nty > 1 and yt % (1 << levels)):
+        # see decode_jpx: only 2^levels-aligned grids keep tile-local
+        # band geometry equal to the spec's absolute-coordinate form
+        raise ValueError("tile grid unaligned to decomposition levels")
 
     # per component: level shift (+ RCT/ICT for color) → DWT → band rows
     n = width * height
@@ -777,36 +803,61 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
             [pixels[i * ncomp + c] - 128 for i in range(n)]
             for c in range(ncomp)
         ]
-    comp_bands = []
-    for c in range(ncomp):
-        rows = [planes[c][y * width : (y + 1) * width] for y in range(height)]
-        ll, bands = dwt2_forward(rows, levels, irreversible)
-        comp_bands.append((ll, bands))
+    if derived:
+        eps0, mu0 = _step_to_eps_mant(_quant_step("LL", quality), "LL")
+        if eps0 - levels + 1 < 0:
+            raise ValueError(
+                "derived quantization step out of signalling range"
+            )
 
-    # global per-band-name max bitplanes → QCD exponents (shared by comps)
+    def _band_step(name: str, li) -> float:
+        """Quantization step for band (name, li): expounded uses the
+        per-band-type step directly; derived replays Equation E-5
+        (εb = ε0 − N_L + n_b, μb = μ0, n_b = li + 1) so encoder and
+        decoder compute identical steps from the single signalled pair."""
+        if not derived:
+            return _quant_step(name, quality)
+        if name == "LL":
+            return _eps_mant_to_step(eps0, mu0, "LL")
+        return _eps_mant_to_step(eps0 - levels + li + 1, mu0, name)
+
+    # per-tile DWT + quantize + bitplane depth. Quantization signalling
+    # (QCD) lives in the MAIN header and is shared by every tile, so the
+    # per-band max bitplanes — which size the guard bits — are GLOBAL
+    # across tiles; only the geometry and coefficients are per-tile.
+    tile_grid = [(txi * xt, tyi * yt,
+                  min(xt, width - txi * xt), min(yt, height - tyi * yt))
+                 for tyi in range(nty) for txi in range(ntx)]
     maxnp: dict[str, int] = {}
-    t1_cache: dict = {}
-    for c in range(ncomp):
-        ll, bands = comp_bands[c]
-        for r in range(levels + 1):
-            for name, (bw, bh), li in _res_bands(r, levels, ll_dims,
-                                                 per_level):
-                rows = _subband_rows(name, li, ll, bands)
-                delta = _quant_step(name, quality) if irreversible else None
-                for k, (x0, y0, cw, ch) in enumerate(_blocks_of(bw, bh)[0]):
-                    if irreversible:
-                        mag = [int(abs(rows[y0 + y][x0 + x]) / delta)
+    tile_caches = []
+    for (tx0, ty0, tw, th) in tile_grid:
+        ll_dims, per_level = _band_geometry(tw, th, levels)
+        t1_cache: dict = {}
+        for c in range(ncomp):
+            rows = [planes[c][(ty0 + y) * width + tx0 :
+                              (ty0 + y) * width + tx0 + tw]
+                    for y in range(th)]
+            ll, bands = dwt2_forward(rows, levels, irreversible)
+            for r in range(levels + 1):
+                for name, (bw, bh), li in _res_bands(r, levels, ll_dims,
+                                                     per_level):
+                    rows_b = _subband_rows(name, li, ll, bands)
+                    delta = _band_step(name, li) if irreversible else None
+                    for k, (x0, y0, cw, ch) in enumerate(
+                            _blocks_of(bw, bh)[0]):
+                        if irreversible:
+                            mag = [int(abs(rows_b[y0 + y][x0 + x]) / delta)
+                                   for y in range(ch) for x in range(cw)]
+                        else:
+                            mag = [abs(rows_b[y0 + y][x0 + x])
+                                   for y in range(ch) for x in range(cw)]
+                        sgn = [1 if rows_b[y0 + y][x0 + x] < 0 else 0
                                for y in range(ch) for x in range(cw)]
-                    else:
-                        mag = [abs(rows[y0 + y][x0 + x])
-                               for y in range(ch) for x in range(cw)]
-                    sgn = [1 if rows[y0 + y][x0 + x] < 0 else 0
-                           for y in range(ch) for x in range(cw)]
-                    npl = max((m.bit_length() for m in mag), default=0)
-                    key = (c, r, name, k)
-                    t1_cache[key] = (cw, ch, mag, sgn, npl)
-                    band_key = name if name == "LL" else f"{name}{li}"
-                    maxnp[band_key] = max(maxnp.get(band_key, 0), npl)
+                        npl = max((m.bit_length() for m in mag), default=0)
+                        t1_cache[(c, r, name, k)] = (cw, ch, mag, sgn, npl)
+                        band_key = name if name == "LL" else f"{name}{li}"
+                        maxnp[band_key] = max(maxnp.get(band_key, 0), npl)
+        tile_caches.append((ll_dims, per_level, t1_cache))
 
     def mb_key(name, li):
         return name if name == "LL" else f"{name}{li}"
@@ -816,9 +867,14 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         # (Mb = G + εb − 1 ≥ nplanes, Equation E-2)
         eps, mant = {}, {}
         for k in maxnp:
-            eps[k], mant[k] = _step_to_eps_mant(
-                _quant_step(k.rstrip("0123456789"), quality),
-                k.rstrip("0123456789"))
+            name = k.rstrip("0123456789")
+            if derived:
+                eps[k] = (eps0 if k == "LL"
+                          else eps0 - levels + int(k[len(name):]) + 1)
+                mant[k] = mu0
+            else:
+                eps[k], mant[k] = _step_to_eps_mant(
+                    _quant_step(name, quality), name)
         guard = max([2] + [maxnp[k] - eps[k] + 1 for k in maxnp])
         if guard > 7:
             raise ValueError("quantized magnitudes exceed guard range")
@@ -828,42 +884,45 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         eps = {k: max(0, v - _GUARD + 1) for k, v in maxnp.items()}
         mb = {k: e + _GUARD - 1 for k, e in eps.items()}
 
-    # tier-1 encode every block
-    coded: dict = {}
-    for key, (cw, ch, mag, sgn, npl) in t1_cache.items():
-        _c, _r, name, _k = key
-        if npl == 0:
-            coded[key] = (0, b"")
-            continue
-        enc = MQEncoder()
-        _t1_block(_MQPort(enc=enc), cw, ch, _BAND_TYPE[name], npl, mag, sgn)
-        coded[key] = (npl, enc.flush())
+    # tier-1 encode + LRCP packets, one body per tile
+    tile_bodies = []
+    for (ll_dims, per_level, t1_cache) in tile_caches:
+        coded: dict = {}
+        for key, (cw, ch, mag, sgn, npl) in t1_cache.items():
+            _c, _r, name, _k = key
+            if npl == 0:
+                coded[key] = (0, b"")
+                continue
+            enc = MQEncoder()
+            _t1_block(_MQPort(enc=enc), cw, ch, _BAND_TYPE[name], npl,
+                      mag, sgn)
+            coded[key] = (npl, enc.flush())
 
-    # packets in LRCP order
-    body = bytearray()
-    for r in range(levels + 1):
-        for c in range(ncomp):
-            band_list = _res_bands(r, levels, ll_dims, per_level)
-            blocks_data = {}
-            for name, (bw, bh), li in band_list:
-                for k in range(len(_blocks_of(bw, bh)[0])):
-                    blocks_data[(name, k)] = coded[(c, r, name, k)]
-            port = _HdrPort()
-            pkt_body = _packet(
-                port,
-                band_list,
-                lambda name, bl=band_list: mb[mb_key(
-                    name, next(li for n, _d, li in bl if n == name)
-                )],
-                blocks_data,
-            )
-            body += port.finish()
-            body += pkt_body
+        body = bytearray()
+        for r in range(levels + 1):
+            for c in range(ncomp):
+                band_list = _res_bands(r, levels, ll_dims, per_level)
+                blocks_data = {}
+                for name, (bw, bh), li in band_list:
+                    for k in range(len(_blocks_of(bw, bh)[0])):
+                        blocks_data[(name, k)] = coded[(c, r, name, k)]
+                port = _HdrPort()
+                pkt_body = _packet(
+                    port,
+                    band_list,
+                    lambda name, bl=band_list: mb[mb_key(
+                        name, next(li for n, _d, li in bl if n == name)
+                    )],
+                    blocks_data,
+                )
+                body += port.finish()
+                body += pkt_body
+        tile_bodies.append(bytes(body))
 
     # markers
     out = bytearray(b"\xff\x4f")  # SOC
     siz = struct.pack(">HHIIIIIIIIH", 38 + 3 * ncomp, 0, width, height,
-                      0, 0, width, height, 0, 0, ncomp)
+                      0, 0, xt, yt, 0, 0, ncomp)
     out += b"\xff\x51" + siz
     for c in range(ncomp):
         # RCT chroma components are 9-bit signed (0x88); else 8-bit.
@@ -876,7 +935,10 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     nbands = 3 * levels + 1
     band_order = ["LL"] + [f"{nm}{li}" for li in range(levels - 1, -1, -1)
                            for nm in ("HL", "LH", "HH")]
-    if irreversible:  # scalar expounded (style 2): 16-bit (εb, μb) pairs
+    if derived:  # scalar derived (style 1): ONE 16-bit (ε0, μ0) pair
+        qcd = bytearray([(guard << 5) | 1])
+        qcd += struct.pack(">H", (eps0 << 11) | mu0)
+    elif irreversible:  # scalar expounded (style 2): 16-bit (εb, μb) pairs
         qcd = bytearray([(guard << 5) | 2])
         for k in band_order:
             qcd += struct.pack(">H", (eps.get(k, 0) << 11) | mant.get(k, 0))
@@ -887,9 +949,10 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
             qcd.append(eps.get(k, 0) << 3)
         assert len(qcd) == 1 + nbands
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + bytes(qcd)
-    psot = 12 + 2 + len(body)
-    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-    out += b"\xff\x93" + body
+    for t, body in enumerate(tile_bodies):
+        psot = 12 + 2 + len(body)
+        out += b"\xff\x90" + struct.pack(">HHIBB", 10, t, psot, 0, 1)
+        out += b"\xff\x93" + body
     out += b"\xff\xd9"  # EOC
     if not jp2:
         return bytes(out)
@@ -912,8 +975,9 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
 def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
     """JPEG 2000 codestream → (width, height, ncomp, interleaved 8-bit
     samples). Covers BOTH coding paths: lossless 5/3 reversible (±RCT)
-    and lossy 9/7 irreversible (±ICT) with scalar-expounded
-    dequantization — the dominant real-world /JPXDecode form."""
+    and lossy 9/7 irreversible (±ICT) with scalar-expounded (style 2)
+    or scalar-derived (style 1) dequantization — the dominant
+    real-world /JPXDecode forms."""
     if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  ":
         # JP2 box container: walk the top-level boxes for the jp2c
         # codestream box (the header boxes duplicate SIZ information)
@@ -944,23 +1008,26 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
     levels = cblk_ok = transform = None
     eps_list: list[int] = []
     mant_list: list[int] | None = None
+    derived_pair: tuple[int, int] | None = None
     guard = 2
-    body = None
+    xt = yt = None
+    tile_parts: dict[int, bytearray] = {}
     while pos + 2 <= len(data):
         marker = data[pos:pos + 2]
         pos += 2
         if marker == b"\xff\xd9":  # EOC
             break
-        if marker == b"\xff\x93":  # SOD: body runs to EOC
-            body = data[pos:-2] if data.endswith(b"\xff\xd9") else data[pos:]
-            break
+        if marker == b"\xff\x93":  # SOD is only legal inside a tile-part
+            raise ValueError("SOD without a preceding SOT")
         ln = struct.unpack_from(">H", data, pos)[0]
         seg = data[pos + 2 : pos + ln]
         if marker == b"\xff\x51":  # SIZ
-            (_rsiz, width, height, _xo, _yo, xt, yt, _xto, _yto,
+            (_rsiz, width, height, xo, yo, xt, yt, xto, yto,
              ncomp) = struct.unpack_from(">HIIIIIIIIH", data, pos + 2)
-            if (xt, yt) != (width, height):
-                raise ValueError("multi-tile JPEG 2000 unsupported")
+            if (xo, yo, xto, yto) != (0, 0, 0, 0):
+                raise ValueError("nonzero image/tile offsets unsupported")
+            if xt == 0 or yt == 0:
+                raise ValueError("zero tile size")
             if width * height * max(ncomp, 1) > 100_000_000:
                 # corrupt-header guard: refuse absurd SIZ dimensions
                 # BEFORE allocating (a flipped byte must not OOM an
@@ -990,6 +1057,13 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
             guard = sqcd >> 5
             if qstyle == 0:       # no quantization (reversible 5/3)
                 eps_list = [b >> 3 for b in seg[1:]]
+            elif qstyle == 1:     # scalar derived: ONE (ε0, μ0) pair
+                if len(seg) != 3:
+                    raise ValueError(
+                        "malformed derived QCD (expected one step pair)"
+                    )
+                v = struct.unpack_from(">H", seg, 1)[0]
+                derived_pair = (v >> 11, v & 0x7FF)
             elif qstyle == 2:     # scalar expounded: 16-bit (εb, μb) pairs
                 vals = [struct.unpack_from(">H", seg, 1 + 2 * i)[0]
                         for i in range((len(seg) - 1) // 2)]
@@ -997,101 +1071,165 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                 mant_list = [v & 0x7FF for v in vals]
             else:
                 raise ValueError(
-                    "scalar-derived quantization (QCD style 1) unsupported"
+                    "unsupported QCD quantization style"
                 )
-        elif marker == b"\xff\x90":  # SOT
-            pass  # single tile: Psot runs to EOC
+        elif marker == b"\xff\x90":  # SOT: one tile-part follows
+            if len(seg) != 8:
+                raise ValueError("malformed SOT segment")
+            isot, psot, _tpsot, _tnsot = struct.unpack(">HIBB", seg)
+            sot_start = pos - 2
+            if data[pos + ln : pos + ln + 2] != b"\xff\x93":
+                # per-tile COD/QCD overrides are out of scope
+                raise ValueError("tile-part header markers unsupported")
+            if psot == 0:  # last tile-part: runs to EOC
+                end = (len(data) - 2 if data.endswith(b"\xff\xd9")
+                       else len(data))
+            else:
+                end = sot_start + psot
+                if end > len(data):
+                    raise ValueError("tile-part length beyond stream end")
+            # multiple tile-parts of one tile concatenate in order
+            tile_parts.setdefault(isot, bytearray()).extend(
+                data[pos + ln + 2 : end]
+            )
+            pos = end
+            continue
         pos += ln
-    if None in (width, height, ncomp, levels) or body is None:
+    if None in (width, height, ncomp, levels) or not tile_parts:
         raise ValueError("incomplete JPEG 2000 codestream")
+    ntx = (width + xt - 1) // xt
+    nty = (height + yt - 1) // yt
+    if (ntx > 1 and xt % (1 << levels)) or \
+            (nty > 1 and yt % (1 << levels)):
+        # Tile band geometry (B.5) uses ABSOLUTE grid coordinates; a
+        # tile origin that is even at every decomposition level makes
+        # the tile-local DWT identical to the absolute one. Real
+        # encoders use power-of-two tiles (512/1024), which satisfy
+        # this; anything else is out of scope — honest reject. Checked
+        # before tile-part accounting so a bad grid is reported as a
+        # grid problem, not as phantom missing tiles.
+        raise ValueError("tile grid unaligned to decomposition levels")
+    if set(tile_parts) != set(range(ntx * nty)):
+        raise ValueError("missing or spurious tile-part indices")
     irreversible = transform == 0
-    if irreversible and mant_list is None:
-        raise ValueError("9/7 codestream without expounded quantization")
-    if not irreversible and mant_list is not None:
+    if irreversible and mant_list is None and derived_pair is None:
+        raise ValueError(
+            "9/7 codestream without expounded or derived quantization"
+        )
+    if not irreversible and (mant_list is not None
+                             or derived_pair is not None):
         raise ValueError("5/3 codestream with scalar quantization")
 
-    ll_dims, per_level = _band_geometry(width, height, levels)
-    eps = {"LL": eps_list[0]}
-    mant = {"LL": mant_list[0]} if irreversible else {}
-    i = 1
-    for li in range(levels - 1, -1, -1):
-        for nm in ("HL", "LH", "HH"):
-            eps[f"{nm}{li}"] = eps_list[i]
-            if irreversible:
-                mant[f"{nm}{li}"] = mant_list[i]
-            i += 1
+    if derived_pair is not None:
+        # Equation E-5: εb = ε0 − N_L + n_b, μb = μ0 (n_b = li + 1)
+        e0, m0 = derived_pair
+        eps = {"LL": e0}
+        mant = {"LL": m0}
+        for li in range(levels - 1, -1, -1):
+            for nm in ("HL", "LH", "HH"):
+                eps[f"{nm}{li}"] = e0 - levels + li + 1
+                mant[f"{nm}{li}"] = m0
+        if min(eps.values()) < 0:
+            raise ValueError(
+                "derived quantization step out of signalling range"
+            )
+    else:
+        eps = {"LL": eps_list[0]}
+        mant = {"LL": mant_list[0]} if irreversible else {}
+        i = 1
+        for li in range(levels - 1, -1, -1):
+            for nm in ("HL", "LH", "HH"):
+                eps[f"{nm}{li}"] = eps_list[i]
+                if irreversible:
+                    mant[f"{nm}{li}"] = mant_list[i]
+                i += 1
     mb = {k: e + guard - 1 for k, e in eps.items()}
 
-    # packets in LRCP order
-    comp_store: dict = {}
-    bpos = 0
-    for r in range(levels + 1):
+    # per-tile: packets in LRCP order → tier-1 decode → inverse DWT,
+    # stitched into the full-image component planes (the main-header
+    # QCD/guard values are shared; only geometry is per-tile)
+    planes = [[[0] * width for _ in range(height)] for _ in range(ncomp)]
+    for t in range(ntx * nty):
+        tx0 = (t % ntx) * xt
+        ty0 = (t // ntx) * yt
+        tw = min(xt, width - tx0)
+        th = min(yt, height - ty0)
+        ll_dims, per_level = _band_geometry(tw, th, levels)
+        body = bytes(tile_parts[t])
+        comp_store: dict = {}
+        bpos = 0
+        for r in range(levels + 1):
+            for c in range(ncomp):
+                band_list = _res_bands(r, levels, ll_dims, per_level)
+                port = _HdrPort(body[bpos:])
+                entries = _packet(
+                    port,
+                    band_list,
+                    lambda name, bl=band_list: mb[
+                        name if name == "LL" else
+                        f"{name}{next(li for n, _d, li in bl if n == name)}"
+                    ],
+                )
+                bpos += port.finish_read()
+                for name, k, nplanes, length in entries:
+                    seg = body[bpos : bpos + length]
+                    bpos += length
+                    band_list_r = _res_bands(r, levels, ll_dims, per_level)
+                    bw, bh = next(d for n, d, _li in band_list_r
+                                  if n == name)
+                    blks = _blocks_of(bw, bh)[0]
+                    x0, y0, cw, ch_ = blks[k]
+                    mag = [0] * (cw * ch_)
+                    sgn = [0] * (cw * ch_)
+                    _t1_block(_MQPort(dec=MQDecoder(seg)), cw, ch_,
+                              _BAND_TYPE[name], nplanes, mag, sgn)
+                    comp_store.setdefault(c, {}).setdefault(
+                        (r, name), {}
+                    )[k] = (x0, y0, cw, ch_, mag, sgn)
+
         for c in range(ncomp):
-            band_list = _res_bands(r, levels, ll_dims, per_level)
-            port = _HdrPort(body[bpos:])
-            entries = _packet(
-                port,
-                band_list,
-                lambda name, bl=band_list: mb[
-                    name if name == "LL" else
-                    f"{name}{next(li for n, _d, li in bl if n == name)}"
-                ],
-            )
-            bpos += port.finish_read()
-            for name, k, nplanes, length in entries:
-                seg = body[bpos : bpos + length]
-                bpos += length
-                li = next(li for n, _d, li in band_list if n == name)
-                bw, bh = next(d for n, d, _li in band_list if n == name)
-                blks = _blocks_of(bw, bh)[0]
-                x0, y0, cw, ch_ = blks[k]
-                mag = [0] * (cw * ch_)
-                sgn = [0] * (cw * ch_)
-                _t1_block(_MQPort(dec=MQDecoder(seg)), cw, ch_,
-                          _BAND_TYPE[name], nplanes, mag, sgn)
-                comp_store.setdefault(c, {}).setdefault(
-                    (r, name), {}
-                )[k] = (x0, y0, cw, ch_, mag, sgn)
+            store = comp_store.get(c, {})
 
-    planes = []
-    for c in range(ncomp):
-        store = comp_store.get(c, {})
-
-        def band_rows(r, name):
-            bw, bh = next(
-                d for n, d, _li in
-                _res_bands(r, levels, ll_dims, per_level) if n == name
-            )
-            if irreversible:  # dequantize: ±(q + 0.5)Δb midpoint (E.1.1)
-                li = levels - r if r else None
-                key = "LL" if name == "LL" else f"{name}{li}"
-                delta = _eps_mant_to_step(eps[key], mant[key], name)
-                rows = [[0.0] * bw for _ in range(bh)]
+            def band_rows(r, name):
+                bw, bh = next(
+                    d for n, d, _li in
+                    _res_bands(r, levels, ll_dims, per_level) if n == name
+                )
+                if irreversible:  # dequantize: ±(q + 0.5)Δb midpoint (E.1.1)
+                    li = levels - r if r else None
+                    key = "LL" if name == "LL" else f"{name}{li}"
+                    delta = _eps_mant_to_step(eps[key], mant[key], name)
+                    rows = [[0.0] * bw for _ in range(bh)]
+                    for x0, y0, cw, ch_, mag, sgn in store.get(
+                            (r, name), {}).values():
+                        for y in range(ch_):
+                            for x in range(cw):
+                                q = mag[y * cw + x]
+                                if q:
+                                    v = (q + 0.5) * delta
+                                    rows[y0 + y][x0 + x] = (
+                                        -v if sgn[y * cw + x] else v)
+                    return rows
+                rows = [[0] * bw for _ in range(bh)]
                 for x0, y0, cw, ch_, mag, sgn in store.get(
                         (r, name), {}).values():
                     for y in range(ch_):
                         for x in range(cw):
-                            q = mag[y * cw + x]
-                            if q:
-                                v = (q + 0.5) * delta
-                                rows[y0 + y][x0 + x] = (
-                                    -v if sgn[y * cw + x] else v)
+                            v = mag[y * cw + x]
+                            rows[y0 + y][x0 + x] = (
+                                -v if sgn[y * cw + x] else v)
                 return rows
-            rows = [[0] * bw for _ in range(bh)]
-            for x0, y0, cw, ch_, mag, sgn in store.get((r, name), {}).values():
-                for y in range(ch_):
-                    for x in range(cw):
-                        v = mag[y * cw + x]
-                        rows[y0 + y][x0 + x] = -v if sgn[y * cw + x] else v
-            return rows
 
-        ll = band_rows(0, "LL")
-        bands = [None] * levels
-        for r in range(1, levels + 1):
-            li = levels - r
-            bands[li] = (band_rows(r, "HL"), band_rows(r, "LH"),
-                         band_rows(r, "HH"))
-        planes.append(dwt2_inverse(ll, bands, irreversible))
+            ll = band_rows(0, "LL")
+            bands = [None] * levels
+            for r in range(1, levels + 1):
+                li = levels - r
+                bands[li] = (band_rows(r, "HL"), band_rows(r, "LH"),
+                             band_rows(r, "HH"))
+            tile_plane = dwt2_inverse(ll, bands, irreversible)
+            dst = planes[c]
+            for y in range(th):
+                dst[ty0 + y][tx0 : tx0 + tw] = tile_plane[y][:tw]
 
     out = bytearray(width * height * ncomp)
     for y in range(height):

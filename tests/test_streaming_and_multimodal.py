@@ -1175,11 +1175,105 @@ def test_jpx_lossy_97_codec_roundtrip_and_rejects():
     mut[cod + 2 + 11] = 1  # 9/7 → 5/3
     with pytest.raises(ValueError, match="scalar quantization"):
         jx.decode_jpx(bytes(mut))
-    # scalar-derived (style 1) stays an honest reject
+    # scalar-DERIVED signalling (style 1: one pair, Equation E-5 band
+    # steps): round-trips with comparable error and a smaller QCD
+    for q in (70, 90):
+        dv = jx.encode_jpx(px, W, H, 1, levels=3, irreversible=True,
+                           quality=q, derived=True)
+        ex = jx.encode_jpx(px, W, H, 1, levels=3, irreversible=True,
+                           quality=q)
+        w, h, nc, out = jx.decode_jpx(dv)
+        assert (w, h, nc) == (W, H, 1) and mae(px, out) < 2.5, q
+        qcd_d = dv.index(b"\xff\x5c")
+        qcd_e = ex.index(b"\xff\x5c")
+        import struct as _st
+        assert _st.unpack_from(">H", dv, qcd_d + 2)[0] == 5   # 1 pair
+        assert _st.unpack_from(">H", ex, qcd_e + 2)[0] == 3 + 2 * 10
+    with pytest.raises(ValueError, match="9/7 path"):
+        jx.encode_jpx(px, W, H, 1, levels=2, derived=True)
+    # flipping an expounded stream's style bits to "derived" leaves a
+    # multi-pair body behind a one-pair promise — malformed, rejected
     qcd = lossy.index(b"\xff\x5c")
     mut = bytearray(lossy)
     mut[qcd + 4] = (mut[qcd + 4] & 0xE0) | 1
     with pytest.raises(ValueError, match="derived"):
+        jx.decode_jpx(bytes(mut))
+    # a derived 5/3 stream is contradictory: flip the COD transform byte
+    dv = jx.encode_jpx(px, W, H, 1, levels=2, irreversible=True,
+                       quality=85, derived=True)
+    cod = dv.index(b"\xff\x52")
+    mut = bytearray(dv)
+    mut[cod + 2 + 11] = 1  # 9/7 → 5/3
+    with pytest.raises(ValueError, match="scalar quantization"):
+        jx.decode_jpx(bytes(mut))
+
+
+def test_jpx_multi_tile_roundtrip_and_rejects():
+    """r6: multi-tile JPEG 2000 — each tile its own tile-part, how real
+    encoders bound working memory on large scans. Lossless grids stay
+    BIT-EXACT across tile boundaries; the lossy 9/7 path holds its error
+    bound per tile; unaligned grids (tile origin odd at some
+    decomposition level — where tile-local band geometry would diverge
+    from the spec's absolute form) and duplicate/missing tile-part
+    indices reject honestly."""
+    import random
+
+    from pdf_extractor_scripts_spark.operators import jpxcodec as jx
+
+    random.seed(11)
+
+    def mae(a, b):
+        return sum(abs(x - y) for x, y in zip(a, b)) / len(a)
+
+    # lossless gray: 5×3 tile grid over a 40×24 image, bit-exact
+    W, H = 40, 24
+    px = bytes(random.randrange(256) for _ in range(W * H))
+    data = jx.encode_jpx(px, W, H, 1, levels=2, tiles=8)
+    assert data.count(b"\xff\x90") == 5 * 3  # one SOT per tile
+    assert jx.decode_jpx(data) == (W, H, 1, px)
+    # single-tile twin decodes identically but packs one tile-part
+    single = jx.encode_jpx(px, W, H, 1, levels=2)
+    assert single.count(b"\xff\x90") == 1
+    assert jx.decode_jpx(single)[3] == px
+
+    # lossless RGB + RCT with ragged edge tiles (33 % 16, 17 % 8)
+    W, H = 33, 17
+    rgb = bytes(random.randrange(256) for _ in range(W * H * 3))
+    data = jx.encode_jpx(rgb, W, H, 3, levels=3, tiles=(16, 8))
+    assert data.count(b"\xff\x90") == 3 * 3
+    assert jx.decode_jpx(data) == (W, H, 3, rgb)
+    # JP2 box container layout carries tiled codestreams too
+    wrapped = jx.encode_jpx(px, 40, 24, 1, levels=2, tiles=8, jp2=True)
+    assert jx.decode_jpx(wrapped)[3] == px
+
+    # lossy 9/7: smooth gradient decodes within the same error bound
+    # tiled as untiled (tile boundaries add no gross artifacts)
+    W, H = 48, 32
+    smooth = bytes(min(255, 40 + 2 * x + 3 * y)
+                   for y in range(H) for x in range(W))
+    for q in (85, 95):
+        tiled = jx.encode_jpx(smooth, W, H, 1, levels=2,
+                              irreversible=True, quality=q, tiles=16)
+        w, h, nc, out = jx.decode_jpx(tiled)
+        assert (w, h, nc) == (W, H, 1) and mae(smooth, out) < 2.5, q
+
+    # unaligned grid: 6 % 2**2 != 0 — tile-local geometry would diverge
+    with pytest.raises(ValueError, match="unaligned"):
+        jx.encode_jpx(px, 40, 24, 1, levels=2, tiles=6)
+    data = jx.encode_jpx(px, 40, 24, 1, levels=2, tiles=8)
+    mut = bytearray(data)
+    siz = mut.index(b"\xff\x51")
+    # XTsiz sits after marker(2)+Lsiz(2)+Rsiz(2)+Xsiz(4)+Ysiz(4)
+    # +XOsiz(4)+YOsiz(4) = siz+22
+    mut[siz + 22 : siz + 26] = (6).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="unaligned"):
+        jx.decode_jpx(bytes(mut))  # decoder enforces it independently
+
+    # duplicate tile-part index: second SOT re-labeled as tile 0
+    mut = bytearray(data)
+    second = mut.index(b"\xff\x90", mut.index(b"\xff\x90") + 2)
+    mut[second + 4 : second + 6] = b"\x00\x00"
+    with pytest.raises(ValueError, match="missing or spurious"):
         jx.decode_jpx(bytes(mut))
 
 
