@@ -1530,6 +1530,19 @@ def build_pdf(
                 )
                 img_data = encode_jpx(grad, iw, ih, 1, levels=2)
                 fname = b"JPXDecode"
+            elif image_filter == "JPX-tiled-real":
+                # a multi-tile lossless codestream (one SOT tile-part per
+                # tile) — how real encoders bound working memory on large
+                # scans; 2×2 grid of 16px tiles, 16 % 2**levels == 0
+                from ..operators.jpxcodec import encode_jpx
+
+                iw = ih = 32
+                grad = bytes(
+                    min(255, 30 + 9 * ((x * 2 + y) % 24))
+                    for y in range(ih) for x in range(iw)
+                )
+                img_data = encode_jpx(grad, iw, ih, 1, levels=2, tiles=16)
+                fname = b"JPXDecode"
             elif image_filter == "JPX-lossy-real":
                 # the dominant real-world /JPXDecode form: LOSSY 9/7
                 # irreversible with scalar-expounded quantization

@@ -1333,20 +1333,24 @@ def test_all_four_pdf_image_codec_families_decode_distributed(spark, tmpdir):
     pages = [[("text", "SCAN"), ("image",)]]
     for name, mode in [("dct.pdf", "DCT-real"), ("ccitt.pdf", "CCITT-real"),
                        ("jbig2.pdf", "JBIG2-real"), ("jpx.pdf", "JPX-real"),
-                       ("jpx-lossy.pdf", "JPX-lossy-real")]:
+                       ("jpx-lossy.pdf", "JPX-lossy-real"),
+                       ("jpx-tiled.pdf", "JPX-tiled-real")]:
         with open(_os.path.join(tmpdir, name), "wb") as f:
             f.write(build_pdf(pages, image_filter=mode))
     rows = decode_pdf_media(
         media_from_pdfs(read_binary_docs(spark, tmpdir))
     ).collect()
-    assert len(rows) == 5
+    assert len(rows) == 6
     by_filter = {r["filter"]: r for r in rows}
     assert set(by_filter) == {"DCTDecode", "CCITTFaxDecode", "JBIG2Decode",
                               "JPXDecode"}
-    assert sum(r["filter"] == "JPXDecode" for r in rows) == 2
+    assert sum(r["filter"] == "JPXDecode" for r in rows) == 3
     for r in rows:
         assert r["decoded"], r["filter"]
-        assert r["feature"][:2] == [16.0, 16.0], r["filter"]
+        # the tiled JPX fixture is 32×32 (2×2 grid of 16px tiles);
+        # everything else is a 16×16 image
+        assert r["feature"][:2] in ([16.0, 16.0], [32.0, 32.0]), r["filter"]
+    assert sum(r["feature"][:2] == [32.0, 32.0] for r in rows) == 1
 
 
 def test_codec_degenerate_sizes_roundtrip():
