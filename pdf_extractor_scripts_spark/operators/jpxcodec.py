@@ -635,6 +635,19 @@ def _code_npasses(port: _HdrPort, n: int | None = None) -> int:
     return 37 + port.bits(7)
 
 
+def _prog_pairs(prog: int, levels: int, ncomp: int):
+    """(resolution, component) packet order for the five T.800 Table A-16
+    progression orders in the 1-layer, whole-tile-precinct regime, where
+    the layer and precinct axes are singletons: LRCP (0), RLCP (1) and
+    RPCL (2) all reduce to resolution-major order; PCRL (3) and CPRL (4)
+    to component-major."""
+    if prog in (0, 1, 2):
+        return [(r, c) for r in range(levels + 1) for c in range(ncomp)]
+    if prog in (3, 4):
+        return [(r, c) for c in range(ncomp) for r in range(levels + 1)]
+    raise ValueError("unknown progression order")
+
+
 def _packet(port: _HdrPort, band_list, mb_of, blocks_data=None):
     """Shared packet-header traversal for one (resolution, component)
     packet. Encode: ``blocks_data`` = {(band, idx): (nplanes, data)} —
@@ -740,7 +753,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                levels: int = 2, mct: bool = True,
                jp2: bool = False, irreversible: bool = False,
                quality: int = 80, derived: bool = False,
-               tiles: "int | tuple[int, int] | None" = None) -> bytes:
+               tiles: "int | tuple[int, int] | None" = None,
+               prog: int = 0) -> bytes:
     """8-bit samples (gray, or RGB interleaved with ``ncomp=3``) →
     JPEG 2000 codestream (single tile, 1 layer, LRCP). Default is the
     lossless 5/3 reversible path; ``irreversible=True`` emits the LOSSY
@@ -757,11 +771,16 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     streams use. ``tiles`` partitions the image into a grid of
     XTsiz×YTsiz tiles (one int = square), each coded as its own
     tile-part — how real encoders bound working memory on large
-    scans."""
+    scans. ``prog`` picks the COD progression order (0 LRCP, 1 RLCP,
+    2 RPCL, 3 PCRL, 4 CPRL); with one layer and whole-tile precincts
+    the five orders collapse to two distinct packet sequences
+    (resolution-major vs component-major), both emitted and decoded."""
     if len(pixels) != width * height * ncomp:
         raise ValueError("pixel buffer does not match dimensions")
     if derived and not irreversible:
         raise ValueError("derived quantization requires the 9/7 path")
+    if prog not in (0, 1, 2, 3, 4):
+        raise ValueError("unknown progression order")
     levels = max(1, min(levels, 6))
     mct = mct and ncomp == 3
     if tiles is None:
@@ -899,8 +918,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
             coded[key] = (npl, enc.flush())
 
         body = bytearray()
-        for r in range(levels + 1):
-            for c in range(ncomp):
+        for r, c in _prog_pairs(prog, levels, ncomp):
                 band_list = _res_bands(r, levels, ll_dims, per_level)
                 blocks_data = {}
                 for name, (bw, bh), li in band_list:
@@ -930,7 +948,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         out += (b"\x88" if mct and c > 0 and not irreversible
                 else b"\x07") + b"\x01\x01"
     out += b"\xff\x52" + struct.pack(
-        ">HBBHBBBBBB", 12, 0, 0, 1, 1 if mct else 0, levels, 4, 4, 0,
+        ">HBBHBBBBBB", 12, 0, prog, 1, 1 if mct else 0, levels, 4, 4, 0,
         0 if irreversible else 1)
     nbands = 3 * levels + 1
     band_order = ["LL"] + [f"{nm}{li}" for li in range(levels - 1, -1, -1)
@@ -1042,8 +1060,10 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == b"\xff\x52":  # COD
             scod, prog, layers, mct, lv, cw, ch_, style, tr = \
                 struct.unpack_from(">BBHBBBBBB", data, pos + 2)
-            if scod != 0 or prog != 0 or layers != 1 or mct not in (0, 1):
-                raise ValueError("unsupported COD (need LRCP, 1 layer)")
+            if scod != 0 or prog > 4 or layers != 1 or mct not in (0, 1):
+                raise ValueError(
+                    "unsupported COD (need a T.800 progression, 1 layer)"
+                )
             if mct and ncomp != 3:
                 raise ValueError("MCT requires 3 components")
             if cw != 4 or ch_ != 4 or style != 0 or tr not in (0, 1):
@@ -1158,8 +1178,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         body = bytes(tile_parts[t])
         comp_store: dict = {}
         bpos = 0
-        for r in range(levels + 1):
-            for c in range(ncomp):
+        for r, c in _prog_pairs(prog, levels, ncomp):
                 band_list = _res_bands(r, levels, ll_dims, per_level)
                 port = _HdrPort(body[bpos:])
                 entries = _packet(

@@ -1277,6 +1277,52 @@ def test_jpx_multi_tile_roundtrip_and_rejects():
         jx.decode_jpx(bytes(mut))
 
 
+def test_jpx_progression_orders():
+    """r6: all five T.800 progression orders decode. With one layer and
+    whole-tile precincts the packet SET is identical and only its order
+    varies — LRCP/RLCP/RPCL are resolution-major (bodies byte-identical,
+    only the COD byte differs), PCRL/CPRL component-major. Orders
+    compose with tiling and the lossy path; prog > 4 rejects."""
+    import random
+
+    import pytest
+
+    from pdf_extractor_scripts_spark.operators import jpxcodec as jx
+
+    random.seed(3)
+    W, H = 21, 13
+    rgb = bytes(random.randrange(256) for _ in range(W * H * 3))
+    streams = [jx.encode_jpx(rgb, W, H, 3, levels=2, prog=p)
+               for p in range(5)]
+    for p, d in enumerate(streams):
+        assert jx.decode_jpx(d) == (W, H, 3, rgb), p
+    # COD prog byte: marker(2) + Lcod(2) + Scod(1)
+    i0 = streams[0].index(b"\xff\x52") + 5
+    for p in (1, 2):
+        assert streams[p][:i0] == streams[0][:i0]
+        assert streams[p][i0 + 1:] == streams[0][i0 + 1:]
+        assert streams[p][i0] == p
+    assert streams[4][i0 + 1:] != streams[0][i0 + 1:]
+    assert streams[4][i0 + 1:] == streams[3][i0 + 1:]
+
+    # lossy + tiles + progression compose, same error bound
+    smooth = bytes(min(255, 40 + 2 * x + 3 * y)
+                   for y in range(32) for x in range(32))
+    for p in (2, 4):
+        d = jx.encode_jpx(smooth, 32, 32, 1, levels=2, irreversible=True,
+                          quality=90, tiles=16, prog=p)
+        w, h, nc, out = jx.decode_jpx(d)
+        m = sum(abs(a - b) for a, b in zip(smooth, out)) / len(smooth)
+        assert (w, h, nc) == (32, 32, 1) and m < 2.5, (p, m)
+
+    with pytest.raises(ValueError, match="progression"):
+        jx.encode_jpx(rgb, W, H, 3, levels=2, prog=5)
+    mut = bytearray(streams[0])
+    mut[i0] = 5
+    with pytest.raises(ValueError, match="progression"):
+        jx.decode_jpx(bytes(mut))
+
+
 def test_codec_dimension_bomb_guards():
     """Corrupt-header hardening across every codec family: a flipped size
     byte must reject up front as a ValueError (counted per-payload by
