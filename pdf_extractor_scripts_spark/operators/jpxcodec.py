@@ -1,18 +1,20 @@
 """Pure-stdlib JPEG 2000 (/JPXDecode) codec — 5/3 lossless + 9/7 lossy.
 
 The last PDF image-codec family after DCT, CCITT and JBIG2. Scope:
-JPEG 2000 codestream (SOC/SIZ/COD/QCD/SOT/SOD/EOC), one quality
-layer, LRCP progression, default precincts, code-blocks up to 64×64,
-1 or 3 components, single-tile OR a 2^levels-aligned multi-tile grid
-(each tile its own tile-part — how real encoders bound working memory
-on large scans); BOTH coding paths — the 5/3 reversible wavelet with
-no quantization (±RCT color, what a lossless scanner/archiver emits)
-AND the 9/7 irreversible wavelet with scalar quantization, expounded
-(style 2) or derived (style 1) signalling and ±ICT color — the
-dominant real-world lossy form. Raw codestreams AND JP2 box
-containers (both layouts PDF /JPXDecode streams use). Multiple
-layers, per-tile header overrides and unaligned tile grids raise
-ValueError — the honest reject.
+JPEG 2000 codestream (SOC/SIZ/COD/QCD/SOT/SOD/EOC), MULTIPLE quality
+layers (incremental tag-tree inclusion + Lblock state across packets;
+rate-truncated delivery honoured via a coding-pass budget), all five
+progression orders (LRCP/RLCP/RPCL/PCRL/CPRL), default precincts,
+code-blocks up to 64×64, 1 or 3 components, single-tile OR a
+2^levels-aligned multi-tile grid (each tile its own tile-part — how
+real encoders bound working memory on large scans); BOTH coding paths
+— the 5/3 reversible wavelet with no quantization (±RCT color, what a
+lossless scanner/archiver emits) AND the 9/7 irreversible wavelet
+with scalar quantization, expounded (style 2) or derived (style 1)
+signalling and ±ICT color — the dominant real-world lossy form. Raw
+codestreams AND JP2 box containers (both layouts PDF /JPXDecode
+streams use). Per-tile header overrides and unaligned tile grids
+raise ValueError — the honest reject.
 
 Design note: the EBCOT tier-1 coefficient coder, the tag trees and the
 packet headers are implemented ONCE as shared traversals over a
@@ -417,9 +419,13 @@ def _zc_ctx(band: int, h: int, v: int, d: int) -> int:
 
 
 def _t1_block(port: _MQPort, w: int, h: int, band: int, nplanes: int,
-              mag: list[int], sgn: list[int]) -> None:
+              mag: list[int], sgn: list[int],
+              max_passes: "int | None" = None) -> None:
     """Shared tier-1 traversal: encode (mag/sgn known) or decode (filled
-    in place) ``nplanes`` magnitude bitplanes of one code-block."""
+    in place) ``nplanes`` magnitude bitplanes of one code-block.
+    ``max_passes`` stops after that many coding passes — how a decoder
+    honours a rate-truncated (layered) stream that delivered fewer than
+    the full 3*nplanes-2 passes."""
     n = w * h
     sig = [0] * n
     eta = [0] * n
@@ -542,11 +548,22 @@ def _t1_block(port: _MQPort, w: int, h: int, band: int, nplanes: int,
                         if not enc:
                             mag[i] |= 1 << p
 
+    left = (3 * nplanes - 2 if max_passes is None
+            else min(max_passes, 3 * nplanes - 2))
     for p in range(nplanes - 1, -1, -1):
         if p != nplanes - 1:
+            if left <= 0:
+                return
             spp(p)
+            left -= 1
+            if left <= 0:
+                return
             mrp(p)
+            left -= 1
+        if left <= 0:
+            return
         cup(p)
+        left -= 1
         visited = bytearray(n)
 
 
@@ -635,27 +652,48 @@ def _code_npasses(port: _HdrPort, n: int | None = None) -> int:
     return 37 + port.bits(7)
 
 
-def _prog_pairs(prog: int, levels: int, ncomp: int):
-    """(resolution, component) packet order for the five T.800 Table A-16
-    progression orders in the 1-layer, whole-tile-precinct regime, where
-    the layer and precinct axes are singletons: LRCP (0), RLCP (1) and
-    RPCL (2) all reduce to resolution-major order; PCRL (3) and CPRL (4)
-    to component-major."""
-    if prog in (0, 1, 2):
-        return [(r, c) for r in range(levels + 1) for c in range(ncomp)]
+def _prog_triples(prog: int, levels: int, ncomp: int, layers: int):
+    """(layer, resolution, component) packet order for the five T.800
+    Table A-16 progression orders in the whole-tile-precinct regime
+    (the precinct axis is a singleton): LRCP (0) is layer-major, RLCP
+    (1) resolution-then-layer, RPCL (2) resolution-then-component, and
+    PCRL (3) / CPRL (4) both component-major."""
+    L, R, C = range(layers), range(levels + 1), range(ncomp)
+    if prog == 0:
+        return [(l, r, c) for l in L for r in R for c in C]
+    if prog == 1:
+        return [(l, r, c) for r in R for l in L for c in C]
+    if prog == 2:
+        return [(l, r, c) for r in R for c in C for l in L]
     if prog in (3, 4):
-        return [(r, c) for c in range(ncomp) for r in range(levels + 1)]
+        return [(l, r, c) for c in C for r in R for l in L]
     raise ValueError("unknown progression order")
 
 
-def _packet(port: _HdrPort, band_list, mb_of, blocks_data=None):
-    """Shared packet-header traversal for one (resolution, component)
-    packet. Encode: ``blocks_data`` = {(band, idx): (nplanes, data)} —
-    emits header bits and returns the body. Decode: returns
-    [(band, block_idx, nplanes, length)] to be sliced from the body."""
+class _PrecinctState:
+    """Per-(resolution, component) packet state that persists ACROSS
+    layers: the incremental inclusion / zero-bitplane tag trees and the
+    per-block included flag + Lblock counter (T.800 B.10)."""
+
+    def __init__(self):
+        self.trees = {}   # band name -> (inclusion tree, zero-bp tree)
+        self.blocks = {}  # (band, k) -> [included: bool, lblock: int]
+
+
+def _packet(port: _HdrPort, band_list, mb_of, state: _PrecinctState,
+            layer: int, blocks_data=None):
+    """Shared packet-header traversal for ONE (layer, resolution,
+    component) packet. Encode: ``blocks_data`` = {(band, idx):
+    (first_inc, nplanes, npasses_l, chunk)} — emits header bits and
+    returns the body bytes. Decode: returns [(band, idx,
+    nplanes | None, npasses, length)]; nplanes is set on a block's
+    first inclusion only. Inclusion is tag-tree-coded against
+    threshold layer+1 for not-yet-included blocks and a single raw bit
+    for already-included ones; tag trees and Lblock counters carry
+    over between layers via ``state``."""
     enc = port.encoding
     out = [] if not enc else bytearray()
-    any_data = enc and any(v[0] > 0 for v in blocks_data.values())
+    any_data = enc and any(v[2] > 0 for v in blocks_data.values())
     nonempty = port.code(1 if any_data else 0) if enc else port.code()
     if not nonempty:
         return out
@@ -664,45 +702,60 @@ def _packet(port: _HdrPort, band_list, mb_of, blocks_data=None):
         if not blks:
             continue
         mb = mb_of(name)
-        incl = _TagTree(nbx, nby)
-        zb = _TagTree(nbx, nby)
-        if enc:
-            incl.set_leaves([
-                0 if blocks_data[(name, k)][0] > 0 else 1
-                for k in range(len(blks))
-            ])
-            zb.set_leaves([
-                mb - blocks_data[(name, k)][0] for k in range(len(blks))
-            ])
-        lblocks = [3] * len(blks)
+        if name not in state.trees:
+            incl, zb = _TagTree(nbx, nby), _TagTree(nbx, nby)
+            if enc:
+                # leaf = first-inclusion layer; blocks with no data get
+                # a sentinel no threshold ever exceeds
+                incl.set_leaves([
+                    blocks_data[(name, k)][0]
+                    if blocks_data[(name, k)][0] is not None else 1 << 16
+                    for k in range(len(blks))
+                ])
+                zb.set_leaves([
+                    mb - (blocks_data[(name, k)][1] or 0)
+                    for k in range(len(blks))
+                ])
+            state.trees[name] = (incl, zb)
+        incl, zb = state.trees[name]
         for k in range(len(blks)):
+            st = state.blocks.setdefault((name, k), [False, 3])
             i, j = k % nbx, k // nbx
-            included = incl.proc(port, i, j, 1)
-            if not included:
-                continue
-            t = 1
-            while not zb.proc(port, i, j, t):
-                t += 1
-            zbk = zb.leaf_value(i, j)
-            nplanes = mb - zbk
+            first = not st[0]
+            if first:
+                if not incl.proc(port, i, j, layer + 1):
+                    continue  # not included yet (or never)
+                t = 1
+                while not zb.proc(port, i, j, t):
+                    t += 1
+                nplanes = mb - zb.leaf_value(i, j)
+                st[0] = True
+            else:
+                contributes = (
+                    port.code(1 if blocks_data[(name, k)][2] > 0 else 0)
+                    if enc else port.code()
+                )
+                if not contributes:
+                    continue
+                nplanes = None
             npasses = _code_npasses(
-                port, 3 * nplanes - 2 if enc else None
+                port, blocks_data[(name, k)][2] if enc else None
             )
             nbits_extra = npasses.bit_length() - 1
             if enc:
-                data = blocks_data[(name, k)][1]
+                data = blocks_data[(name, k)][3]
                 need = max(1, len(data).bit_length())
-                while lblocks[k] + nbits_extra < need:
+                while st[1] + nbits_extra < need:
                     port.code(1)
-                    lblocks[k] += 1
+                    st[1] += 1
                 port.code(0)
-                port.bits(lblocks[k] + nbits_extra, len(data))
+                port.bits(st[1] + nbits_extra, len(data))
                 out += data
             else:
                 while port.code():
-                    lblocks[k] += 1
-                length = port.bits(lblocks[k] + nbits_extra)
-                out.append((name, k, nplanes, length))
+                    st[1] += 1
+                length = port.bits(st[1] + nbits_extra)
+                out.append((name, k, nplanes, npasses, length))
     return out
 
 
@@ -754,9 +807,9 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                jp2: bool = False, irreversible: bool = False,
                quality: int = 80, derived: bool = False,
                tiles: "int | tuple[int, int] | None" = None,
-               prog: int = 0) -> bytes:
+               prog: int = 0, layers: int = 1) -> bytes:
     """8-bit samples (gray, or RGB interleaved with ``ncomp=3``) →
-    JPEG 2000 codestream (single tile, 1 layer, LRCP). Default is the
+    JPEG 2000 codestream. Default is the
     lossless 5/3 reversible path; ``irreversible=True`` emits the LOSSY
     9/7 form (floating DWT + scalar quantization) that real-world
     /JPXDecode streams predominantly use, with ``quality`` (1-100)
@@ -772,15 +825,19 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     XTsiz×YTsiz tiles (one int = square), each coded as its own
     tile-part — how real encoders bound working memory on large
     scans. ``prog`` picks the COD progression order (0 LRCP, 1 RLCP,
-    2 RPCL, 3 PCRL, 4 CPRL); with one layer and whole-tile precincts
-    the five orders collapse to two distinct packet sequences
-    (resolution-major vs component-major), both emitted and decoded."""
+    2 RPCL, 3 PCRL, 4 CPRL). ``layers`` splits every code-block's
+    coding passes across that many quality layers (first inclusion
+    staggered by block index, codeword bytes split proportionally) —
+    the layered form real rate-controlled encoders emit; full delivery
+    reassembles losslessly regardless of the split."""
     if len(pixels) != width * height * ncomp:
         raise ValueError("pixel buffer does not match dimensions")
     if derived and not irreversible:
         raise ValueError("derived quantization requires the 9/7 path")
     if prog not in (0, 1, 2, 3, 4):
         raise ValueError("unknown progression order")
+    if not 1 <= layers <= 1024:
+        raise ValueError("implausible quality-layer count")
     levels = max(1, min(levels, 6))
     mct = mct and ncomp == 3
     if tiles is None:
@@ -903,7 +960,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         eps = {k: max(0, v - _GUARD + 1) for k, v in maxnp.items()}
         mb = {k: e + _GUARD - 1 for k, e in eps.items()}
 
-    # tier-1 encode + LRCP packets, one body per tile
+    # tier-1 encode + layered packets, one body per tile
     tile_bodies = []
     for (ll_dims, per_level, t1_cache) in tile_caches:
         coded: dict = {}
@@ -917,20 +974,56 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                       mag, sgn)
             coded[key] = (npl, enc.flush())
 
+        # layer plan per code-block: first-inclusion layer (staggered by
+        # block index, the tag-tree-exercising shape real rate control
+        # produces), per-layer coding-pass counts (even split over the
+        # layers from first inclusion on; remainder to the earliest so a
+        # first inclusion always carries >= 1 pass), and the matching
+        # byte split of the MQ codeword (proportional to cumulative
+        # passes — any split reassembles losslessly on full delivery)
+        plan: dict = {}
+        for key, (npl, data) in coded.items():
+            if npl == 0:
+                plan[key] = (None, [0] * layers, [b""] * layers)
+                continue
+            npasses = 3 * npl - 2
+            first = key[3] % layers
+            slots = layers - first
+            base, rem = divmod(npasses, slots)
+            counts = [0] * first + [
+                base + (1 if s < rem else 0) for s in range(slots)
+            ]
+            cuts, cum = [0], 0
+            for s in range(slots):
+                cum += counts[first + s]
+                cuts.append(round(len(data) * cum / npasses))
+            chunks = [b""] * first + [
+                data[cuts[s]:cuts[s + 1]] for s in range(slots)
+            ]
+            plan[key] = (first, counts, chunks)
+
         body = bytearray()
-        for r, c in _prog_pairs(prog, levels, ncomp):
+        prec_states: dict = {}
+        for l, r, c in _prog_triples(prog, levels, ncomp, layers):
                 band_list = _res_bands(r, levels, ll_dims, per_level)
                 blocks_data = {}
                 for name, (bw, bh), li in band_list:
                     for k in range(len(_blocks_of(bw, bh)[0])):
-                        blocks_data[(name, k)] = coded[(c, r, name, k)]
+                        key = (c, r, name, k)
+                        first, counts, chunks = plan[key]
+                        blocks_data[(name, k)] = (
+                            first, coded[key][0], counts[l], chunks[l]
+                        )
                 port = _HdrPort()
+                state = prec_states.setdefault((r, c), _PrecinctState())
                 pkt_body = _packet(
                     port,
                     band_list,
                     lambda name, bl=band_list: mb[mb_key(
                         name, next(li for n, _d, li in bl if n == name)
                     )],
+                    state,
+                    l,
                     blocks_data,
                 )
                 body += port.finish()
@@ -948,8 +1041,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         out += (b"\x88" if mct and c > 0 and not irreversible
                 else b"\x07") + b"\x01\x01"
     out += b"\xff\x52" + struct.pack(
-        ">HBBHBBBBBB", 12, 0, prog, 1, 1 if mct else 0, levels, 4, 4, 0,
-        0 if irreversible else 1)
+        ">HBBHBBBBBB", 12, 0, prog, layers, 1 if mct else 0, levels,
+        4, 4, 0, 0 if irreversible else 1)
     nbands = 3 * levels + 1
     band_order = ["LL"] + [f"{nm}{li}" for li in range(levels - 1, -1, -1)
                            for nm in ("HL", "LH", "HH")]
@@ -1060,10 +1153,12 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == b"\xff\x52":  # COD
             scod, prog, layers, mct, lv, cw, ch_, style, tr = \
                 struct.unpack_from(">BBHBBBBBB", data, pos + 2)
-            if scod != 0 or prog > 4 or layers != 1 or mct not in (0, 1):
+            if scod != 0 or prog > 4 or mct not in (0, 1):
                 raise ValueError(
-                    "unsupported COD (need a T.800 progression, 1 layer)"
+                    "unsupported COD (need a T.800 progression)"
                 )
+            if not 1 <= layers <= 1024:
+                raise ValueError("implausible quality-layer count")
             if mct and ncomp != 3:
                 raise ValueError("MCT requires 3 components")
             if cw != 4 or ch_ != 4 or style != 0 or tr not in (0, 1):
@@ -1165,9 +1260,10 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                 i += 1
     mb = {k: e + guard - 1 for k, e in eps.items()}
 
-    # per-tile: packets in LRCP order → tier-1 decode → inverse DWT,
-    # stitched into the full-image component planes (the main-header
-    # QCD/guard values are shared; only geometry is per-tile)
+    # per-tile: packets in progression order → per-block accumulation
+    # across layers → tier-1 decode → inverse DWT, stitched into the
+    # full-image component planes (the main-header QCD/guard values are
+    # shared; only geometry is per-tile)
     planes = [[[0] * width for _ in range(height)] for _ in range(ncomp)]
     for t in range(ntx * nty):
         tx0 = (t % ntx) * xt
@@ -1177,10 +1273,14 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         ll_dims, per_level = _band_geometry(tw, th, levels)
         body = bytes(tile_parts[t])
         comp_store: dict = {}
+        prec_states: dict = {}
+        # (c, r, band, k) -> [nplanes, total passes, codeword chunks]
+        acc: dict = {}
         bpos = 0
-        for r, c in _prog_pairs(prog, levels, ncomp):
+        for l, r, c in _prog_triples(prog, levels, ncomp, layers):
                 band_list = _res_bands(r, levels, ll_dims, per_level)
                 port = _HdrPort(body[bpos:])
+                state = prec_states.setdefault((r, c), _PrecinctState())
                 entries = _packet(
                     port,
                     band_list,
@@ -1188,11 +1288,22 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                         name if name == "LL" else
                         f"{name}{next(li for n, _d, li in bl if n == name)}"
                     ],
+                    state,
+                    l,
                 )
                 bpos += port.finish_read()
-                for name, k, nplanes, length in entries:
-                    seg = body[bpos : bpos + length]
+                for name, k, nplanes, npasses, length in entries:
+                    a = acc.setdefault((c, r, name, k),
+                                       [None, 0, bytearray()])
+                    if nplanes is not None:
+                        a[0] = nplanes
+                    a[1] += npasses
+                    a[2] += body[bpos : bpos + length]
                     bpos += length
+        # every layer of a code-block delivered: concatenate the chunks
+        # and run tier-1 once, honouring the delivered pass count (a
+        # rate-truncated stream carries fewer than 3*nplanes-2 passes)
+        for (c, r, name, k), (nplanes, npasses, data) in acc.items():
                     band_list_r = _res_bands(r, levels, ll_dims, per_level)
                     bw, bh = next(d for n, d, _li in band_list_r
                                   if n == name)
@@ -1200,8 +1311,9 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                     x0, y0, cw, ch_ = blks[k]
                     mag = [0] * (cw * ch_)
                     sgn = [0] * (cw * ch_)
-                    _t1_block(_MQPort(dec=MQDecoder(seg)), cw, ch_,
-                              _BAND_TYPE[name], nplanes, mag, sgn)
+                    _t1_block(_MQPort(dec=MQDecoder(bytes(data))), cw, ch_,
+                              _BAND_TYPE[name], nplanes, mag, sgn,
+                              max_passes=npasses)
                     comp_store.setdefault(c, {}).setdefault(
                         (r, name), {}
                     )[k] = (x0, y0, cw, ch_, mag, sgn)

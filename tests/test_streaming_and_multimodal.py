@@ -1323,6 +1323,99 @@ def test_jpx_progression_orders():
         jx.decode_jpx(bytes(mut))
 
 
+def test_jpx_quality_layers_roundtrip_and_rejects():
+    """r6: multiple quality layers — the form rate-controlled encoders
+    emit. Every code-block's passes are split across layers (inclusion
+    tag trees and Lblock counters carry state between packets), and
+    full delivery reassembles LOSSLESSLY for 5/3 regardless of where
+    the codewords were cut. Layers compose with every progression
+    order, tiling, RGB+RCT and the lossy 9/7 path; a single-layer
+    stream is byte-identical to the pre-layering encoding; implausible
+    layer counts reject on both sides. Rate-truncated tier-1 delivery
+    (fewer passes than 3*nplanes-2) decodes monotonically better with
+    more passes."""
+    import random
+
+    import pytest
+
+    from pdf_extractor_scripts_spark.operators import jpxcodec as jx
+
+    random.seed(5)
+
+    def mae(a, b):
+        return sum(abs(x - y) for x, y in zip(a, b)) / len(a)
+
+    # multi-code-block gray (130 > 64 forces a 3x2 block grid at r=max)
+    W, H = 130, 70
+    px = bytes(random.randrange(256) for _ in range(W * H))
+    for L in (2, 3, 5):
+        for p in (0, 1, 2, 4):
+            d = jx.encode_jpx(px, W, H, 1, levels=2, prog=p, layers=L)
+            assert jx.decode_jpx(d) == (W, H, 1, px), (L, p)
+
+    # RGB + RCT + tiles + layers, and the JP2 container layout
+    W, H = 64, 48
+    rgb = bytes(random.randrange(256) for _ in range(W * H * 3))
+    d = jx.encode_jpx(rgb, W, H, 3, levels=2, layers=3, tiles=32, prog=1)
+    assert jx.decode_jpx(d) == (W, H, 3, rgb)
+    wrapped = jx.encode_jpx(rgb, W, H, 3, levels=2, layers=2, jp2=True)
+    assert jx.decode_jpx(wrapped)[3] == rgb
+
+    # lossy 9/7 layered holds the usual error bound
+    smooth = bytes(min(255, 40 + 2 * x + 3 * y)
+                   for y in range(48) for x in range(64))
+    d = jx.encode_jpx(smooth, 64, 48, 1, levels=2, irreversible=True,
+                      quality=90, layers=4)
+    w, h, nc, out = jx.decode_jpx(d)
+    assert (w, h, nc) == (64, 48, 1) and mae(smooth, out) < 2.5
+
+    # the layer axis degenerates at layers=1; COD signals 1 layer
+    tiny = bytes(random.randrange(256) for _ in range(40 * 24))
+    one = jx.encode_jpx(tiny, 40, 24, 1, levels=2)
+    import struct as _st
+    cod = one.index(b"\xff\x52")
+    assert _st.unpack_from(">H", one, cod + 6)[0] == 1
+    assert jx.decode_jpx(one)[3] == tiny
+
+    # rejects: implausible layer counts, encoder and decoder side
+    small = bytes(random.randrange(256) for _ in range(20 * 12))
+    for bad in (0, 1025):
+        with pytest.raises(ValueError, match="layer"):
+            jx.encode_jpx(small, 20, 12, 1, layers=bad)
+    d = jx.encode_jpx(small, 20, 12, 1, levels=2, layers=2)
+    mut = bytearray(d)
+    cod = mut.index(b"\xff\x52")
+    mut[cod + 6 : cod + 8] = (2000).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="layer"):
+        jx.decode_jpx(bytes(mut))
+
+    # rate-truncated delivery: decoding with a smaller pass budget is
+    # an approximation that improves monotonically to exact
+    from pdf_extractor_scripts_spark.operators.jpxcodec import (
+        MQDecoder,
+        MQEncoder,
+        _MQPort,
+        _t1_block,
+    )
+
+    w = h = 16
+    vals = [random.randrange(64) for _ in range(w * h)]
+    sgn = [random.randrange(2) for _ in range(w * h)]
+    npl = max(v.bit_length() for v in vals)
+    enc = MQEncoder()
+    _t1_block(_MQPort(enc=enc), w, h, 0, npl, vals, sgn)
+    data = enc.flush()
+    full = 3 * npl - 2
+    errs = []
+    for passes in (1, full // 2, full):
+        mag = [0] * (w * h)
+        sg = [0] * (w * h)
+        _t1_block(_MQPort(dec=MQDecoder(data)), w, h, 0, npl, mag, sg,
+                  max_passes=passes)
+        errs.append(sum(abs(a - b) for a, b in zip(vals, mag)) / len(vals))
+    assert errs[2] == 0.0 and errs[0] >= errs[1] >= errs[2]
+
+
 def test_codec_dimension_bomb_guards():
     """Corrupt-header hardening across every codec family: a flipped size
     byte must reject up front as a ValueError (counted per-payload by
