@@ -4,7 +4,8 @@ The last PDF image-codec family after DCT, CCITT and JBIG2. Scope:
 JPEG 2000 codestream (SOC/SIZ/COD/QCD/SOT/SOD/EOC), MULTIPLE quality
 layers (incremental tag-tree inclusion + Lblock state across packets;
 rate-truncated delivery honoured via a coding-pass budget), all five
-progression orders (LRCP/RLCP/RPCL/PCRL/CPRL), default precincts,
+progression orders (LRCP/RLCP/RPCL/PCRL/CPRL), SOP/EPH
+resynchronization markers, default precincts,
 code-blocks up to 64×64, 1 or 3 components, single-tile OR a
 2^levels-aligned multi-tile grid (each tile its own tile-part — how
 real encoders bound working memory on large scans); BOTH coding paths
@@ -807,7 +808,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                jp2: bool = False, irreversible: bool = False,
                quality: int = 80, derived: bool = False,
                tiles: "int | tuple[int, int] | None" = None,
-               prog: int = 0, layers: int = 1) -> bytes:
+               prog: int = 0, layers: int = 1,
+               sop: bool = False, eph: bool = False) -> bytes:
     """8-bit samples (gray, or RGB interleaved with ``ncomp=3``) →
     JPEG 2000 codestream. Default is the
     lossless 5/3 reversible path; ``irreversible=True`` emits the LOSSY
@@ -829,7 +831,10 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     coding passes across that many quality layers (first inclusion
     staggered by block index, codeword bytes split proportionally) —
     the layered form real rate-controlled encoders emit; full delivery
-    reassembles losslessly regardless of the split."""
+    reassembles losslessly regardless of the split. ``sop``/``eph``
+    emit the resynchronization markers (Scod bits 1/2: an SOP marker
+    with a running sequence number before every packet, an EPH marker
+    after every packet header) that kakadu-class encoders produce."""
     if len(pixels) != width * height * ncomp:
         raise ValueError("pixel buffer does not match dimensions")
     if derived and not irreversible:
@@ -1004,6 +1009,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
 
         body = bytearray()
         prec_states: dict = {}
+        pkt_seq = 0
         for l, r, c in _prog_triples(prog, levels, ncomp, layers):
                 band_list = _res_bands(r, levels, ll_dims, per_level)
                 blocks_data = {}
@@ -1026,7 +1032,13 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                     l,
                     blocks_data,
                 )
+                if sop:  # SOP: ff91, Lsop=4, packet sequence number
+                    body += b"\xff\x91\x00\x04" + struct.pack(
+                        ">H", pkt_seq & 0xFFFF)
+                    pkt_seq += 1
                 body += port.finish()
+                if eph:  # EPH terminates the packet header
+                    body += b"\xff\x92"
                 body += pkt_body
         tile_bodies.append(bytes(body))
 
@@ -1041,7 +1053,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         out += (b"\x88" if mct and c > 0 and not irreversible
                 else b"\x07") + b"\x01\x01"
     out += b"\xff\x52" + struct.pack(
-        ">HBBHBBBBBB", 12, 0, prog, layers, 1 if mct else 0, levels,
+        ">HBBHBBBBBB", 12, (2 if sop else 0) | (4 if eph else 0),
+        prog, layers, 1 if mct else 0, levels,
         4, 4, 0, 0 if irreversible else 1)
     nbands = 3 * levels + 1
     band_order = ["LL"] + [f"{nm}{li}" for li in range(levels - 1, -1, -1)
@@ -1153,10 +1166,13 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == b"\xff\x52":  # COD
             scod, prog, layers, mct, lv, cw, ch_, style, tr = \
                 struct.unpack_from(">BBHBBBBBB", data, pos + 2)
-            if scod != 0 or prog > 4 or mct not in (0, 1):
+            if scod & ~0x06 or prog > 4 or mct not in (0, 1):
+                # Scod bits 1/2 (SOP/EPH resync markers) are handled;
+                # bit 0 (custom precincts) is not
                 raise ValueError(
                     "unsupported COD (need a T.800 progression)"
                 )
+            sop, eph = bool(scod & 0x02), bool(scod & 0x04)
             if not 1 <= layers <= 1024:
                 raise ValueError("implausible quality-layer count")
             if mct and ncomp != 3:
@@ -1277,7 +1293,17 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         # (c, r, band, k) -> [nplanes, total passes, codeword chunks]
         acc: dict = {}
         bpos = 0
+        pkt_seq = 0
         for l, r, c in _prog_triples(prog, levels, ncomp, layers):
+                if sop:
+                    # ff91 0004 Nsop before every packet; the sequence
+                    # number's origin (per-tile vs per-codestream)
+                    # varies between real encoders, so only the marker
+                    # structure is validated
+                    if body[bpos : bpos + 4] != b"\xff\x91\x00\x04":
+                        raise ValueError("missing SOP marker")
+                    pkt_seq += 1
+                    bpos += 6
                 band_list = _res_bands(r, levels, ll_dims, per_level)
                 port = _HdrPort(body[bpos:])
                 state = prec_states.setdefault((r, c), _PrecinctState())
@@ -1292,6 +1318,10 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                     l,
                 )
                 bpos += port.finish_read()
+                if eph:  # ff92 terminates every packet header
+                    if body[bpos : bpos + 2] != b"\xff\x92":
+                        raise ValueError("missing EPH marker")
+                    bpos += 2
                 for name, k, nplanes, npasses, length in entries:
                     a = acc.setdefault((c, r, name, k),
                                        [None, 0, bytearray()])

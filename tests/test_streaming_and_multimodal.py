@@ -1416,6 +1416,46 @@ def test_jpx_quality_layers_roundtrip_and_rejects():
     assert errs[2] == 0.0 and errs[0] >= errs[1] >= errs[2]
 
 
+def test_jpx_sop_eph_markers():
+    """r6: SOP/EPH resynchronization markers (Scod bits 1/2) — the
+    packet-boundary markers kakadu-class encoders emit. Streams with
+    either or both round-trip bit-exact (alone, and composed with
+    layers, tiling and RGB); a clobbered EPH rejects; Scod bit 0
+    (custom precincts) stays an honest reject."""
+    import random
+
+    import pytest
+
+    from pdf_extractor_scripts_spark.operators import jpxcodec as jx
+
+    random.seed(6)
+    W, H = 40, 24
+    px = bytes(random.randrange(256) for _ in range(W * H))
+    for sop in (False, True):
+        for eph in (False, True):
+            d = jx.encode_jpx(px, W, H, 1, levels=2, layers=2,
+                              sop=sop, eph=eph)
+            assert jx.decode_jpx(d) == (W, H, 1, px), (sop, eph)
+            # 2 layers x 3 resolutions = 6 packets
+            assert d.count(b"\xff\x91\x00\x04") == (6 if sop else 0)
+            assert (b"\xff\x92" in d) == eph
+
+    rgb = bytes(random.randrange(256) for _ in range(32 * 16 * 3))
+    d = jx.encode_jpx(rgb, 32, 16, 3, levels=2, tiles=16,
+                      sop=True, eph=True)
+    assert jx.decode_jpx(d) == (32, 16, 3, rgb)
+
+    d = jx.encode_jpx(px, W, H, 1, levels=2, eph=True)
+    i = d.index(b"\xff\x92")
+    with pytest.raises(ValueError, match="EPH"):
+        jx.decode_jpx(d[:i] + b"\x00\x00" + d[i + 2:])
+    cod = d.index(b"\xff\x52")
+    mut = bytearray(d)
+    mut[cod + 4] |= 1  # custom precincts
+    with pytest.raises(ValueError, match="unsupported COD"):
+        jx.decode_jpx(bytes(mut))
+
+
 def test_codec_dimension_bomb_guards():
     """Corrupt-header hardening across every codec family: a flipped size
     byte must reject up front as a ValueError (counted per-payload by
