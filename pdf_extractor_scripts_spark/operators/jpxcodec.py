@@ -1204,6 +1204,16 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(
                     "unsupported QCD quantization style"
                 )
+        elif marker in (b"\xff\x53", b"\xff\x5d", b"\xff\x5e",
+                        b"\xff\x5f", b"\xff\x60", b"\xff\x61"):
+            # markers that CHANGE decoding semantics (COC/QCC per-
+            # component overrides, RGN ROI shifts, POC progression
+            # changes, PPM/PPT packed packet headers) must not be
+            # skipped — silently ignoring them scrambles pixels
+            raise ValueError(
+                "unsupported codestream marker alters decoding "
+                "(COC/QCC/RGN/POC/PPM/PPT)"
+            )
         elif marker == b"\xff\x90":  # SOT: one tile-part follows
             if len(seg) != 8:
                 raise ValueError("malformed SOT segment")

@@ -1456,6 +1456,37 @@ def test_jpx_sop_eph_markers():
         jx.decode_jpx(bytes(mut))
 
 
+def test_jpx_semantic_markers_reject_benign_skip():
+    """r6: main-header markers that ALTER decoding (COC/QCC per-
+    component overrides, RGN ROI shifts, POC progression changes,
+    PPM/PPT packed headers) reject honestly instead of being silently
+    skipped into scrambled pixels; informational markers (COM, TLM)
+    are skipped and the stream still decodes bit-exact."""
+    import random
+    import struct
+
+    import pytest
+
+    from pdf_extractor_scripts_spark.operators import jpxcodec as jx
+
+    random.seed(2)
+    W, H = 24, 16
+    px = bytes(random.randrange(256) for _ in range(W * H))
+    d = jx.encode_jpx(px, W, H, 1, levels=2)
+    qcd = d.index(b"\xff\x5c")
+
+    com = b"\xff\x64" + struct.pack(">HH", 9, 1) + b"hello"
+    assert jx.decode_jpx(d[:qcd] + com + d[qcd:]) == (W, H, 1, px)
+    tlm = b"\xff\x55" + struct.pack(">HBB", 4, 0, 0x40)
+    assert jx.decode_jpx(d[:qcd] + tlm + d[qcd:]) == (W, H, 1, px)
+
+    for mk in (b"\xff\x53", b"\xff\x5d", b"\xff\x5e", b"\xff\x5f",
+               b"\xff\x60", b"\xff\x61"):
+        seg = mk + struct.pack(">H", 4) + b"\x00\x22"
+        with pytest.raises(ValueError, match="alters decoding"):
+            jx.decode_jpx(d[:qcd] + seg + d[qcd:])
+
+
 def test_codec_dimension_bomb_guards():
     """Corrupt-header hardening across every codec family: a flipped size
     byte must reject up front as a ValueError (counted per-payload by
