@@ -524,6 +524,120 @@ def scaling_ingest() -> None:
             f"{p['n']}→{p['4n']}: {p['per_round']}" for p in stats) + "\n")
 
 
+def scaling_media() -> None:
+    """Media-decode scaling (r6): the distributed per-codec image decode
+    stage (decode_pdf_media) at N vs 4N task slots over a mixed corpus
+    of REAL payloads from every PDF image-codec family — the pure-CPU
+    map stage whose cost the codec modules document as per-executor
+    work. Same interleaved min-of-rounds protocol as --scaling; appends
+    to BENCH/BASELINE.md and BENCH/media_scaling.json."""
+    import random as _random
+
+    scale = float(os.environ.get("SPARK_GRAFT_MEDIA_SCALE", "2"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+    pairs = [(4, 16)]
+    levels = sorted({n for p in pairs for n in p})
+
+    from pdf_extractor_scripts_spark.operators import (
+        ccittcodec as cc,
+        jbig2codec as jb,
+        jpxcodec as jx,
+    )
+    from pdf_extractor_scripts_spark.operators.jpegcodec import (
+        encode_color_jpeg,
+        encode_gray_jpeg,
+    )
+    from pdf_extractor_scripts_spark.operators.multimodal import (
+        decode_pdf_media,
+    )
+
+    rng = _random.Random(1)
+    W, H = 96, 64
+    gray = bytes(min(255, 30 + (x * 2 + y) % 200)
+                 for y in range(H) for x in range(W))
+    rgb = bytes(rng.randrange(256) for _ in range(W * H * 3))
+    bw = bytes(1 if (x // 7 + y // 5) % 2 else 0
+               for y in range(H) for x in range(W))
+    # counts weighted by measured per-decode cost (~0.7ms CCITT/JBIG2,
+    # ~50ms JPEG, ~125ms JPX at 96x64) so the mix is CPU-meaningful and
+    # the 4-slot wall clears the box's noise window at the default scale
+    corpus = [
+        ("DCTDecode", encode_gray_jpeg(gray, W, H, quality=85), 800),
+        ("DCTDecode", encode_color_jpeg(rgb, W, H, quality=85), 800),
+        ("CCITTFaxDecode", cc.encode_g4(bw, W, H), 20000),
+        ("JBIG2Decode", jb.encode_jbig2_embedded(bw, W, H), 20000),
+        ("JPXDecode", jx.encode_jpx(gray, W, H, 1, levels=2), 400),
+        ("JPXDecode", jx.encode_jpx(gray, W, H, 1, levels=2,
+                                    irreversible=True, quality=85,
+                                    layers=3), 400),
+    ]
+    ccitt_params = {"K": "-1", "Columns": str(W), "Rows": str(H)}
+    rows = []
+    for i, (filt, payload, count) in enumerate(corpus):
+        params = ccitt_params if filt == "CCITTFaxDecode" else {}
+        for k in range(int(count * scale)):
+            rows.append((f"m{i}#{k}", bytearray(payload), filt, params))
+    rng.shuffle(rows)  # interleave heavy and light rows across partitions
+    n_images = len(rows)
+
+    spark = make_session(32)
+    df = spark.createDataFrame(
+        rows,
+        "media_ref string, payload binary, filter string, "
+        "params map<string,string>",
+    ).repartition(256).localCheckpoint(eager=True)
+    _force(decode_pdf_media(df.limit(64)))  # python-worker warmup
+    times: dict[int, list[float]] = {n: [] for n in levels}
+    for _ in range(rounds):
+        for n in levels:
+            t0 = time.time()
+            _force(decode_pdf_media(df.coalesce(n)))
+            times[n].append(time.time() - t0)
+    decoded = decode_pdf_media(df).groupBy("filter", "decoded").count()
+    audit = {f"{r['filter']}:{r['decoded']}": r["count"]
+             for r in decoded.collect()}
+    spark.stop()
+    assert all(k.endswith(":True") for k in audit), audit
+
+    control = _cpu_control(levels)
+    stats = _pair_stats_for(times, pairs, control)
+    best = {n: min(ts) for n, ts in times.items()}
+    thr = {n: round(n_images / best[n], 1) for n in levels}
+    out = {
+        "metric": "media-decode scaling N->4N (all codec families, "
+                  "interleaved)",
+        "value": stats[0]["efficiency"],
+        "unit": "efficiency",
+        "images": n_images,
+        "image_size": f"{W}x{H}",
+        "best_wall_sec": {str(n): round(best[n], 2) for n in levels},
+        "throughput_images_per_sec": {str(n): thr[n] for n in levels},
+        "decoded_audit": audit,
+        "pairs": stats,
+    }
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/media_scaling.json", "w") as f:
+        json.dump(out, f, indent=1)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n### Media-decode scaling ({n_images} images {W}x{H}, all "
+            f"four codec families, rounds={rounds}, interleaved)\n\n"
+            "| task slots (N) | best wall sec | images/sec |\n|---|---|---|\n"
+        )
+        for n in levels:
+            f.write(f"| {n} | {round(best[n], 2)} | {thr[n]} |\n")
+        f.write("\n| pair | decode eff | hardware ceiling | normalized |\n"
+                "|---|---|---|---|\n")
+        for p in stats:
+            f.write(
+                f"| {p['n']}→{p['4n']} | {p['efficiency']} | "
+                f"{p['hardware_ceiling']} | {p['normalized']} |\n"
+            )
+        f.write("\nPer-round pair ratios: " + "; ".join(
+            f"{p['n']}→{p['4n']}: {p['per_round']}" for p in stats) + "\n")
+
+
 def scaling() -> None:
     """North-rule scaling evidence: the SAME extraction job at parallelism N
     and 4N on the SAME materialized input.
@@ -854,6 +968,8 @@ def skew() -> None:
 if __name__ == "__main__":
     if "--scaling-ingest" in sys.argv:
         scaling_ingest()
+    elif "--media-scaling" in sys.argv:
+        scaling_media()
     elif "--scaling" in sys.argv:
         scaling()
     elif "--skew" in sys.argv:
