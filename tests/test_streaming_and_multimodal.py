@@ -1487,6 +1487,45 @@ def test_jpx_semantic_markers_reject_benign_skip():
             jx.decode_jpx(d[:qcd] + seg + d[qcd:])
 
 
+def test_jpx_option_space_fuzz():
+    """r6: bounded deterministic fuzz across the full encoder option
+    space — layers x progression x tiling x SOP/EPH x color x levels on
+    random images with ragged sizes. Every lossless combination must
+    round-trip BIT-EXACT; this is the cross-feature interaction net the
+    per-feature tests can't weave."""
+    import random
+
+    from pdf_extractor_scripts_spark.operators import jpxcodec as jx
+
+    rng = random.Random(99)
+    for trial in range(24):
+        levels = rng.choice([1, 2, 3])
+        ncomp = rng.choice([1, 3])
+        align = 1 << levels
+        if rng.random() < 0.5:
+            tiles = None
+            W = rng.randrange(5, 70)
+            H = rng.randrange(5, 70)
+        else:
+            tiles = align * rng.choice([1, 2, 4])
+            # 2-4 tiles per axis, ragged edges allowed
+            W = tiles + rng.randrange(1, 2 * tiles + 1)
+            H = tiles + rng.randrange(1, 2 * tiles + 1)
+        px = bytes(rng.randrange(256) for _ in range(W * H * ncomp))
+        kw = dict(
+            levels=levels,
+            tiles=tiles,
+            layers=rng.choice([1, 2, 4]),
+            prog=rng.randrange(5),
+            sop=rng.random() < 0.5,
+            eph=rng.random() < 0.5,
+            mct=rng.random() < 0.7,
+            jp2=rng.random() < 0.3,
+        )
+        data = jx.encode_jpx(px, W, H, ncomp, **kw)
+        assert jx.decode_jpx(data) == (W, H, ncomp, px), (trial, W, H, kw)
+
+
 def test_codec_dimension_bomb_guards():
     """Corrupt-header hardening across every codec family: a flipped size
     byte must reject up front as a ValueError (counted per-payload by
