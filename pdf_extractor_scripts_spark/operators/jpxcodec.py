@@ -4,8 +4,11 @@ The last PDF image-codec family after DCT, CCITT and JBIG2. Scope:
 JPEG 2000 codestream (SOC/SIZ/COD/QCD/SOT/SOD/EOC), MULTIPLE quality
 layers (incremental tag-tree inclusion + Lblock state across packets;
 rate-truncated delivery honoured via a coding-pass budget), all five
-progression orders (LRCP/RLCP/RPCL/PCRL/CPRL), SOP/EPH
-resynchronization markers, default precincts,
+progression orders (LRCP/RLCP/RPCL/PCRL/CPRL) including the
+position-based precinct iteration, SOP/EPH resynchronization markers,
+default AND custom precincts (Scod bit 0: per-resolution spatial
+packet partitioning with per-precinct tag trees and precinct-capped
+code-block sizes — the kakadu-class large-scan form),
 code-blocks up to 64×64, 1 or 3 components, single-tile OR a
 2^levels-aligned multi-tile grid (each tile its own tile-part — how
 real encoders bound working memory on large scans); BOTH coding paths
@@ -14,8 +17,8 @@ lossless scanner/archiver emits) AND the 9/7 irreversible wavelet
 with scalar quantization, expounded (style 2) or derived (style 1)
 signalling and ±ICT color — the dominant real-world lossy form. Raw
 codestreams AND JP2 box containers (both layouts PDF /JPXDecode
-streams use). Per-tile header overrides and unaligned tile grids
-raise ValueError — the honest reject.
+streams use). Per-tile header overrides, component subsampling and
+unaligned tile grids raise ValueError — the honest reject.
 
 Design note: the EBCOT tier-1 coefficient coder, the tag trees and the
 packet headers are implemented ONCE as shared traversals over a
@@ -589,17 +592,17 @@ def _band_geometry(w: int, h: int, levels: int):
     return (cw, ch), per_level
 
 
-def _blocks_of(bw: int, bh: int):
+def _blocks_of(bw: int, bh: int, cbw: int = _CBLK, cbh: int = _CBLK):
     """Code-block rectangles (x0, y0, w, h) raster order + grid dims."""
     if bw == 0 or bh == 0:
         return [], 0, 0
-    nbx = -(-bw // _CBLK)
-    nby = -(-bh // _CBLK)
+    nbx = -(-bw // cbw)
+    nby = -(-bh // cbh)
     out = []
     for j in range(nby):
         for i in range(nbx):
-            x0, y0 = i * _CBLK, j * _CBLK
-            out.append((x0, y0, min(_CBLK, bw - x0), min(_CBLK, bh - y0)))
+            x0, y0 = i * cbw, j * cbh
+            out.append((x0, y0, min(cbw, bw - x0), min(cbh, bh - y0)))
     return out, nbx, nby
 
 
@@ -653,22 +656,90 @@ def _code_npasses(port: _HdrPort, n: int | None = None) -> int:
     return 37 + port.bits(7)
 
 
-def _prog_triples(prog: int, levels: int, ncomp: int, layers: int):
-    """(layer, resolution, component) packet order for the five T.800
-    Table A-16 progression orders in the whole-tile-precinct regime
-    (the precinct axis is a singleton): LRCP (0) is layer-major, RLCP
-    (1) resolution-then-layer, RPCL (2) resolution-then-component, and
-    PCRL (3) / CPRL (4) both component-major."""
-    L, R, C = range(layers), range(levels + 1), range(ncomp)
-    if prog == 0:
-        return [(l, r, c) for l in L for r in R for c in C]
-    if prog == 1:
-        return [(l, r, c) for r in R for l in L for c in C]
-    if prog == 2:
-        return [(l, r, c) for r in R for c in C for l in L]
-    if prog in (3, 4):
-        return [(l, r, c) for c in C for r in R for l in L]
-    raise ValueError("unknown progression order")
+_PP_DEFAULT = 15  # implicit precinct exponent when Scod bit 0 is clear
+
+
+def _tile_layout(tw: int, th: int, levels: int, prec):
+    """Per-resolution precinct / code-block geometry (T.800 B.6/B.7,
+    tile origin 0). ``prec[r]`` = (PPx, PPy) log2 precinct size in
+    RESOLUTION-r coordinates (the spec default regime is (15, 15)
+    everywhere, which reduces to one whole-tile precinct and 64×64
+    blocks). Returns a list over r of dicts:
+
+      npx, npy — precinct grid dims on the resolution grid
+      fx, fy   — precinct footprint in IMAGE coordinates (for the
+                 position-based progression orders)
+      bands    — {name: (li, bw, bh, blocks)} with ``blocks`` the
+                 band-global raster list of (x0, y0, w, h) rects at the
+                 EFFECTIVE code-block size min(64, precinct-in-band)
+      precs    — per precinct p (raster): {name: (nbx, nby, gids)} —
+                 the local block grid and the global ids it covers
+                 (bands with no samples in the precinct are absent)
+    """
+    ll_dims, per_level = _band_geometry(tw, th, levels)
+    out = []
+    for r in range(levels + 1):
+        sc = 1 << (levels - r)
+        rw, rh = -(-tw // sc), -(-th // sc)
+        ppx, ppy = prec[r]
+        npx = -(-rw // (1 << ppx)) if rw else 0
+        npy = -(-rh // (1 << ppy)) if rh else 0
+        shift = 1 if r else 0
+        ppbx, ppby = ppx - shift, ppy - shift  # band-coord precinct log2
+        cbex, cbey = min(6, ppbx), min(6, ppby)
+        bands = {}
+        precs = [{} for _ in range(npx * npy)]
+        for name, (bw, bh), li in _res_bands(r, levels, ll_dims,
+                                             per_level):
+            blocks, nbx, _nby = _blocks_of(bw, bh, 1 << cbex, 1 << cbey)
+            bands[name] = (li, bw, bh, blocks)
+            if not blocks:
+                continue
+            for p in range(npx * npy):
+                py, px = divmod(p, npx)
+                x0p, x1p = px << ppbx, min((px + 1) << ppbx, bw)
+                y0p, y1p = py << ppby, min((py + 1) << ppby, bh)
+                if x0p >= bw or y0p >= bh:
+                    continue
+                i0, i1 = x0p >> cbex, -(-x1p // (1 << cbex))
+                j0, j1 = y0p >> cbey, -(-y1p // (1 << cbey))
+                gids = [j * nbx + i
+                        for j in range(j0, j1) for i in range(i0, i1)]
+                precs[p][name] = (i1 - i0, j1 - j0, gids)
+        out.append({"npx": npx, "npy": npy,
+                    "fx": (1 << ppx) * sc, "fy": (1 << ppy) * sc,
+                    "bands": bands, "precs": precs})
+    return out
+
+
+def _prog_quads(prog: int, levels: int, ncomp: int, layers: int, layout):
+    """(layer, resolution, component, precinct) packet order for the
+    five T.800 Table A-16 progression orders: LRCP (0) is layer-major,
+    RLCP (1) resolution-then-layer, RPCL (2) resolution-then-position,
+    PCRL (3) position-major and CPRL (4) component-major. Position
+    orders compare precinct origins in IMAGE coordinates (footprints
+    differ per resolution), which with a singleton precinct reduces to
+    the whole-tile orders."""
+    if prog not in (0, 1, 2, 3, 4):
+        raise ValueError("unknown progression order")
+    key = {
+        0: lambda l, r, c, yp, xp: (l, r, c, yp, xp),
+        1: lambda l, r, c, yp, xp: (r, l, c, yp, xp),
+        2: lambda l, r, c, yp, xp: (r, yp, xp, c, l),
+        3: lambda l, r, c, yp, xp: (yp, xp, c, r, l),
+        4: lambda l, r, c, yp, xp: (c, yp, xp, r, l),
+    }[prog]
+    quads = []
+    for r in range(levels + 1):
+        la = layout[r]
+        for p in range(la["npx"] * la["npy"]):
+            py, px = divmod(p, la["npx"])
+            yp, xp = py * la["fy"], px * la["fx"]
+            for c in range(ncomp):
+                for l in range(layers):
+                    quads.append((key(l, r, c, yp, xp), (l, r, c, p)))
+    quads.sort(key=lambda q: q[0])
+    return [q[1] for q in quads]
 
 
 class _PrecinctState:
@@ -684,9 +755,11 @@ class _PrecinctState:
 def _packet(port: _HdrPort, band_list, mb_of, state: _PrecinctState,
             layer: int, blocks_data=None):
     """Shared packet-header traversal for ONE (layer, resolution,
-    component) packet. Encode: ``blocks_data`` = {(band, idx):
-    (first_inc, nplanes, npasses_l, chunk)} — emits header bits and
-    returns the body bytes. Decode: returns [(band, idx,
+    component, precinct) packet. ``band_list`` holds (band, nbx, nby)
+    precinct-LOCAL block grids; block indices here are local raster
+    positions within the precinct. Encode: ``blocks_data`` = {(band,
+    idx): (first_inc, nplanes, npasses_l, chunk)} — emits header bits
+    and returns the body bytes. Decode: returns [(band, idx,
     nplanes | None, npasses, length)]; nplanes is set on a block's
     first inclusion only. Inclusion is tag-tree-coded against
     threshold layer+1 for not-yet-included blocks and a single raw bit
@@ -698,9 +771,9 @@ def _packet(port: _HdrPort, band_list, mb_of, state: _PrecinctState,
     nonempty = port.code(1 if any_data else 0) if enc else port.code()
     if not nonempty:
         return out
-    for name, (bw, bh), _li in band_list:
-        blks, nbx, nby = _blocks_of(bw, bh)
-        if not blks:
+    for name, nbx, nby in band_list:
+        nblk = nbx * nby
+        if not nblk:
             continue
         mb = mb_of(name)
         if name not in state.trees:
@@ -711,15 +784,15 @@ def _packet(port: _HdrPort, band_list, mb_of, state: _PrecinctState,
                 incl.set_leaves([
                     blocks_data[(name, k)][0]
                     if blocks_data[(name, k)][0] is not None else 1 << 16
-                    for k in range(len(blks))
+                    for k in range(nblk)
                 ])
                 zb.set_leaves([
                     mb - (blocks_data[(name, k)][1] or 0)
-                    for k in range(len(blks))
+                    for k in range(nblk)
                 ])
             state.trees[name] = (incl, zb)
         incl, zb = state.trees[name]
-        for k in range(len(blks)):
+        for k in range(nblk):
             st = state.blocks.setdefault((name, k), [False, 3])
             i, j = k % nbx, k // nbx
             first = not st[0]
@@ -809,7 +882,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                quality: int = 80, derived: bool = False,
                tiles: "int | tuple[int, int] | None" = None,
                prog: int = 0, layers: int = 1,
-               sop: bool = False, eph: bool = False) -> bytes:
+               sop: bool = False, eph: bool = False,
+               precincts=None) -> bytes:
     """8-bit samples (gray, or RGB interleaved with ``ncomp=3``) →
     JPEG 2000 codestream. Default is the
     lossless 5/3 reversible path; ``irreversible=True`` emits the LOSSY
@@ -834,7 +908,13 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     reassembles losslessly regardless of the split. ``sop``/``eph``
     emit the resynchronization markers (Scod bits 1/2: an SOP marker
     with a running sequence number before every packet, an EPH marker
-    after every packet header) that kakadu-class encoders produce."""
+    after every packet header) that kakadu-class encoders produce.
+    ``precincts`` signals CUSTOM precincts (Scod bit 0): one log2
+    exponent (square, every resolution) or a per-resolution list of
+    exponents / (PPx, PPy) pairs indexed by r — packets then partition
+    spatially within each resolution (per-precinct tag trees, the
+    effective code-block size capped by the precinct), the form
+    kakadu-class encoders emit for large scans."""
     if len(pixels) != width * height * ncomp:
         raise ValueError("pixel buffer does not match dimensions")
     if derived and not irreversible:
@@ -844,6 +924,19 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     if not 1 <= layers <= 1024:
         raise ValueError("implausible quality-layer count")
     levels = max(1, min(levels, 6))
+    if precincts is None:
+        prec = [(_PP_DEFAULT, _PP_DEFAULT)] * (levels + 1)
+    else:
+        if isinstance(precincts, int):
+            precincts = [precincts] * (levels + 1)
+        if len(precincts) != levels + 1:
+            raise ValueError("need one precinct size per resolution")
+        prec = [(p, p) if isinstance(p, int) else tuple(p)
+                for p in precincts]
+        for r, (px_, py_) in enumerate(prec):
+            lo = 0 if r == 0 else 1
+            if not (lo <= px_ <= 15 and lo <= py_ <= 15):
+                raise ValueError("precinct exponent out of range")
     mct = mct and ncomp == 3
     if tiles is None:
         xt, yt = width, height
@@ -912,7 +1005,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     maxnp: dict[str, int] = {}
     tile_caches = []
     for (tx0, ty0, tw, th) in tile_grid:
-        ll_dims, per_level = _band_geometry(tw, th, levels)
+        layout = _tile_layout(tw, th, levels, prec)
         t1_cache: dict = {}
         for c in range(ncomp):
             rows = [planes[c][(ty0 + y) * width + tx0 :
@@ -920,12 +1013,11 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                     for y in range(th)]
             ll, bands = dwt2_forward(rows, levels, irreversible)
             for r in range(levels + 1):
-                for name, (bw, bh), li in _res_bands(r, levels, ll_dims,
-                                                     per_level):
+                for name, (li, bw, bh, blocks) in \
+                        layout[r]["bands"].items():
                     rows_b = _subband_rows(name, li, ll, bands)
                     delta = _band_step(name, li) if irreversible else None
-                    for k, (x0, y0, cw, ch) in enumerate(
-                            _blocks_of(bw, bh)[0]):
+                    for k, (x0, y0, cw, ch) in enumerate(blocks):
                         if irreversible:
                             mag = [int(abs(rows_b[y0 + y][x0 + x]) / delta)
                                    for y in range(ch) for x in range(cw)]
@@ -938,7 +1030,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                         t1_cache[(c, r, name, k)] = (cw, ch, mag, sgn, npl)
                         band_key = name if name == "LL" else f"{name}{li}"
                         maxnp[band_key] = max(maxnp.get(band_key, 0), npl)
-        tile_caches.append((ll_dims, per_level, t1_cache))
+        tile_caches.append((layout, t1_cache))
 
     def mb_key(name, li):
         return name if name == "LL" else f"{name}{li}"
@@ -967,7 +1059,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
 
     # tier-1 encode + layered packets, one body per tile
     tile_bodies = []
-    for (ll_dims, per_level, t1_cache) in tile_caches:
+    for (layout, t1_cache) in tile_caches:
         coded: dict = {}
         for key, (cw, ch, mag, sgn, npl) in t1_cache.items():
             _c, _r, name, _k = key
@@ -1010,23 +1102,27 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         body = bytearray()
         prec_states: dict = {}
         pkt_seq = 0
-        for l, r, c in _prog_triples(prog, levels, ncomp, layers):
-                band_list = _res_bands(r, levels, ll_dims, per_level)
+        for l, r, c, p in _prog_quads(prog, levels, ncomp, layers,
+                                      layout):
+                la = layout[r]
+                band_list = []
                 blocks_data = {}
-                for name, (bw, bh), li in band_list:
-                    for k in range(len(_blocks_of(bw, bh)[0])):
-                        key = (c, r, name, k)
-                        first, counts, chunks = plan[key]
-                        blocks_data[(name, k)] = (
-                            first, coded[key][0], counts[l], chunks[l]
+                for name, (nbx, nby, gids) in la["precs"][p].items():
+                    band_list.append((name, nbx, nby))
+                    for lk, gk in enumerate(gids):
+                        first, counts, chunks = plan[(c, r, name, gk)]
+                        blocks_data[(name, lk)] = (
+                            first, coded[(c, r, name, gk)][0],
+                            counts[l], chunks[l]
                         )
                 port = _HdrPort()
-                state = prec_states.setdefault((r, c), _PrecinctState())
+                state = prec_states.setdefault((r, c, p),
+                                               _PrecinctState())
                 pkt_body = _packet(
                     port,
                     band_list,
-                    lambda name, bl=band_list: mb[mb_key(
-                        name, next(li for n, _d, li in bl if n == name)
+                    lambda name, bands=la["bands"]: mb[mb_key(
+                        name, bands[name][0]
                     )],
                     state,
                     l,
@@ -1052,10 +1148,15 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         # ICT (lossy) components stay 8-bit unsigned originals.
         out += (b"\x88" if mct and c > 0 and not irreversible
                 else b"\x07") + b"\x01\x01"
+    custom_prec = precincts is not None
+    scod = (1 if custom_prec else 0) | (2 if sop else 0) | \
+        (4 if eph else 0)
     out += b"\xff\x52" + struct.pack(
-        ">HBBHBBBBBB", 12, (2 if sop else 0) | (4 if eph else 0),
+        ">HBBHBBBBBB", 12 + (levels + 1 if custom_prec else 0), scod,
         prog, layers, 1 if mct else 0, levels,
         4, 4, 0, 0 if irreversible else 1)
+    if custom_prec:  # one PPx|PPy<<4 byte per resolution (Table A-21)
+        out += bytes(px_ | (py_ << 4) for px_, py_ in prec)
     nbands = 3 * levels + 1
     band_order = ["LL"] + [f"{nm}{li}" for li in range(levels - 1, -1, -1)
                            for nm in ("HL", "LH", "HH")]
@@ -1129,7 +1230,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
     pos = 2
     mct = 0
     width = height = ncomp = None
-    levels = cblk_ok = transform = None
+    levels = cblk_ok = transform = prec_list = None
     eps_list: list[int] = []
     mant_list: list[int] | None = None
     derived_pair: tuple[int, int] | None = None
@@ -1166,9 +1267,9 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == b"\xff\x52":  # COD
             scod, prog, layers, mct, lv, cw, ch_, style, tr = \
                 struct.unpack_from(">BBHBBBBBB", data, pos + 2)
-            if scod & ~0x06 or prog > 4 or mct not in (0, 1):
-                # Scod bits 1/2 (SOP/EPH resync markers) are handled;
-                # bit 0 (custom precincts) is not
+            if scod & ~0x07 or prog > 4 or mct not in (0, 1):
+                # Scod bits 0/1/2 (custom precincts, SOP/EPH resync
+                # markers) are all handled
                 raise ValueError(
                     "unsupported COD (need a T.800 progression)"
                 )
@@ -1181,6 +1282,18 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(
                     "unsupported COD (need 64x64 blocks, style 0)"
                 )
+            if scod & 0x01:  # custom precincts: PPx|PPy<<4 per res
+                if len(seg) < 10 + lv + 1:  # 10 fixed SPcod bytes first
+                    raise ValueError("COD truncates precinct sizes")
+                prec_list = [(b & 0x0F, b >> 4) for b in
+                             seg[10 : 10 + lv + 1]]
+                for r, (px_, py_) in enumerate(prec_list):
+                    if r and (px_ == 0 or py_ == 0):
+                        raise ValueError(
+                            "zero precinct exponent above resolution 0"
+                        )
+            else:
+                prec_list = [(_PP_DEFAULT, _PP_DEFAULT)] * (lv + 1)
             levels, transform = lv, tr
         elif marker == b"\xff\x5c":  # QCD
             sqcd = seg[0]
@@ -1296,15 +1409,16 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         ty0 = (t // ntx) * yt
         tw = min(xt, width - tx0)
         th = min(yt, height - ty0)
-        ll_dims, per_level = _band_geometry(tw, th, levels)
+        layout = _tile_layout(tw, th, levels, prec_list)
         body = bytes(tile_parts[t])
         comp_store: dict = {}
         prec_states: dict = {}
-        # (c, r, band, k) -> [nplanes, total passes, codeword chunks]
+        # (c, r, band, global k) -> [nplanes, passes, codeword chunks]
         acc: dict = {}
         bpos = 0
         pkt_seq = 0
-        for l, r, c in _prog_triples(prog, levels, ncomp, layers):
+        for l, r, c, p in _prog_quads(prog, levels, ncomp, layers,
+                                      layout):
                 if sop:
                     # ff91 0004 Nsop before every packet; the sequence
                     # number's origin (per-tile vs per-codestream)
@@ -1314,15 +1428,19 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                         raise ValueError("missing SOP marker")
                     pkt_seq += 1
                     bpos += 6
-                band_list = _res_bands(r, levels, ll_dims, per_level)
+                la = layout[r]
+                pbands = la["precs"][p]
+                band_list = [(name, nbx, nby)
+                             for name, (nbx, nby, _g) in pbands.items()]
                 port = _HdrPort(body[bpos:])
-                state = prec_states.setdefault((r, c), _PrecinctState())
+                state = prec_states.setdefault((r, c, p),
+                                               _PrecinctState())
                 entries = _packet(
                     port,
                     band_list,
-                    lambda name, bl=band_list: mb[
+                    lambda name, bands=la["bands"]: mb[
                         name if name == "LL" else
-                        f"{name}{next(li for n, _d, li in bl if n == name)}"
+                        f"{name}{bands[name][0]}"
                     ],
                     state,
                     l,
@@ -1333,7 +1451,8 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                         raise ValueError("missing EPH marker")
                     bpos += 2
                 for name, k, nplanes, npasses, length in entries:
-                    a = acc.setdefault((c, r, name, k),
+                    gk = pbands[name][2][k]
+                    a = acc.setdefault((c, r, name, gk),
                                        [None, 0, bytearray()])
                     if nplanes is not None:
                         a[0] = nplanes
@@ -1344,11 +1463,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         # and run tier-1 once, honouring the delivered pass count (a
         # rate-truncated stream carries fewer than 3*nplanes-2 passes)
         for (c, r, name, k), (nplanes, npasses, data) in acc.items():
-                    band_list_r = _res_bands(r, levels, ll_dims, per_level)
-                    bw, bh = next(d for n, d, _li in band_list_r
-                                  if n == name)
-                    blks = _blocks_of(bw, bh)[0]
-                    x0, y0, cw, ch_ = blks[k]
+                    x0, y0, cw, ch_ = layout[r]["bands"][name][3][k]
                     mag = [0] * (cw * ch_)
                     sgn = [0] * (cw * ch_)
                     _t1_block(_MQPort(dec=MQDecoder(bytes(data))), cw, ch_,
@@ -1362,10 +1477,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
             store = comp_store.get(c, {})
 
             def band_rows(r, name):
-                bw, bh = next(
-                    d for n, d, _li in
-                    _res_bands(r, levels, ll_dims, per_level) if n == name
-                )
+                _li_b, bw, bh, _blks = layout[r]["bands"][name]
                 if irreversible:  # dequantize: ±(q + 0.5)Δb midpoint (E.1.1)
                     li = levels - r if r else None
                     key = "LL" if name == "LL" else f"{name}{li}"

@@ -1543,6 +1543,20 @@ def build_pdf(
                 )
                 img_data = encode_jpx(grad, iw, ih, 1, levels=2, tiles=16)
                 fname = b"JPXDecode"
+            elif image_filter == "JPX-precinct-real":
+                # custom precincts + RPCL + SOP/EPH — the kakadu-class
+                # large-scan signalling shape (Scod bits 0/1/2 all set)
+                from ..operators.jpxcodec import encode_jpx
+
+                iw = ih = 32
+                grad = bytes(
+                    min(255, 30 + 9 * ((x * 2 + y) % 24))
+                    for y in range(ih) for x in range(iw)
+                )
+                img_data = encode_jpx(grad, iw, ih, 1, levels=2,
+                                      precincts=3, prog=2,
+                                      sop=True, eph=True)
+                fname = b"JPXDecode"
             elif image_filter == "JPX-lossy-real":
                 # the dominant real-world /JPXDecode form: LOSSY 9/7
                 # irreversible with scalar-expounded quantization

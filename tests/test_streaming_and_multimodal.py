@@ -1451,8 +1451,8 @@ def test_jpx_sop_eph_markers():
         jx.decode_jpx(d[:i] + b"\x00\x00" + d[i + 2:])
     cod = d.index(b"\xff\x52")
     mut = bytearray(d)
-    mut[cod + 4] |= 1  # custom precincts
-    with pytest.raises(ValueError, match="unsupported COD"):
+    mut[cod + 4] |= 1  # claims custom precincts but carries no sizes
+    with pytest.raises(ValueError, match="precinct"):
         jx.decode_jpx(bytes(mut))
 
 
@@ -1487,6 +1487,62 @@ def test_jpx_semantic_markers_reject_benign_skip():
             jx.decode_jpx(d[:qcd] + seg + d[qcd:])
 
 
+def test_jpx_custom_precincts():
+    """r6: custom precincts (Scod bit 0) — spatial packet partitioning
+    with per-precinct tag trees, position-ordered progressions and
+    precinct-capped code-block sizes. Round-trips bit-exact across
+    progressions, layers, tiles and the r0 zero-exponent edge;
+    malformed signalling rejects."""
+    import random
+
+    from pdf_extractor_scripts_spark.operators import jpxcodec as jx
+
+    rng = random.Random(11)
+    for kw in [
+        dict(precincts=3, levels=2),
+        dict(precincts=[(5, 5), (4, 3), (3, 4)], levels=2),
+        dict(precincts=2, levels=1, layers=3),
+        dict(precincts=3, levels=2, prog=2, sop=True, eph=True),
+        dict(precincts=3, levels=2, prog=3),
+        dict(precincts=3, levels=2, prog=4, layers=2, mct=True),
+        dict(precincts=4, levels=3, tiles=16),
+        dict(precincts=[(0, 4), (1, 3), (2, 2)], levels=2),
+    ]:
+        nc = 3 if kw.get("mct") else 1
+        if kw.get("tiles"):
+            W, H = 80, 64
+        else:
+            W, H = rng.randrange(20, 90), rng.randrange(20, 90)
+        px = bytes(rng.randrange(256) for _ in range(W * H * nc))
+        data = jx.encode_jpx(px, W, H, nc, **kw)
+        assert jx.decode_jpx(data) == (W, H, nc, px), kw
+
+    # the lossy path partitions identically
+    W = H = 40
+    px = bytes(rng.randrange(256) for _ in range(W * H))
+    d = jx.encode_jpx(px, W, H, 1, precincts=3, levels=2,
+                      irreversible=True, quality=85)
+    _w, _h, _nc, out = jx.decode_jpx(d)
+    mae = sum(abs(a - b) for a, b in zip(out, px)) / len(px)
+    assert mae < 2.0
+
+    # signalling rejects: encoder range checks, then a codestream whose
+    # COD declares a zero exponent above resolution 0
+    with pytest.raises(ValueError, match="precinct"):
+        jx.encode_jpx(px, W, H, 1, levels=2,
+                      precincts=[(3, 3), (0, 3), (3, 3)])
+    with pytest.raises(ValueError, match="precinct"):
+        jx.encode_jpx(px, W, H, 1, levels=2, precincts=16)
+    with pytest.raises(ValueError, match="per resolution"):
+        jx.encode_jpx(px, W, H, 1, levels=2, precincts=[3, 3])
+    d = jx.encode_jpx(px, W, H, 1, levels=2, precincts=3)
+    cod = d.index(b"\xff\x52")
+    mut = bytearray(d)
+    mut[cod + 15] = 0x30  # r1 precinct byte -> PPx=0
+    with pytest.raises(ValueError, match="zero precinct"):
+        jx.decode_jpx(bytes(mut))
+
+
 def test_jpx_option_space_fuzz():
     """r6: bounded deterministic fuzz across the full encoder option
     space — layers x progression x tiling x SOP/EPH x color x levels on
@@ -1512,6 +1568,15 @@ def test_jpx_option_space_fuzz():
             W = tiles + rng.randrange(1, 2 * tiles + 1)
             H = tiles + rng.randrange(1, 2 * tiles + 1)
         px = bytes(rng.randrange(256) for _ in range(W * H * ncomp))
+        pm = rng.random()
+        if pm < 0.4:
+            precincts = None
+        elif pm < 0.7:
+            precincts = rng.randrange(2, 6)
+        else:
+            precincts = [(rng.randrange(0 if r == 0 else 1, 6),
+                          rng.randrange(0 if r == 0 else 1, 6))
+                         for r in range(levels + 1)]
         kw = dict(
             levels=levels,
             tiles=tiles,
@@ -1521,6 +1586,7 @@ def test_jpx_option_space_fuzz():
             eph=rng.random() < 0.5,
             mct=rng.random() < 0.7,
             jp2=rng.random() < 0.3,
+            precincts=precincts,
         )
         data = jx.encode_jpx(px, W, H, ncomp, **kw)
         assert jx.decode_jpx(data) == (W, H, ncomp, px), (trial, W, H, kw)
@@ -1583,23 +1649,24 @@ def test_all_four_pdf_image_codec_families_decode_distributed(spark, tmpdir):
     for name, mode in [("dct.pdf", "DCT-real"), ("ccitt.pdf", "CCITT-real"),
                        ("jbig2.pdf", "JBIG2-real"), ("jpx.pdf", "JPX-real"),
                        ("jpx-lossy.pdf", "JPX-lossy-real"),
-                       ("jpx-tiled.pdf", "JPX-tiled-real")]:
+                       ("jpx-tiled.pdf", "JPX-tiled-real"),
+                       ("jpx-prec.pdf", "JPX-precinct-real")]:
         with open(_os.path.join(tmpdir, name), "wb") as f:
             f.write(build_pdf(pages, image_filter=mode))
     rows = decode_pdf_media(
         media_from_pdfs(read_binary_docs(spark, tmpdir))
     ).collect()
-    assert len(rows) == 6
+    assert len(rows) == 7
     by_filter = {r["filter"]: r for r in rows}
     assert set(by_filter) == {"DCTDecode", "CCITTFaxDecode", "JBIG2Decode",
                               "JPXDecode"}
-    assert sum(r["filter"] == "JPXDecode" for r in rows) == 3
+    assert sum(r["filter"] == "JPXDecode" for r in rows) == 4
     for r in rows:
         assert r["decoded"], r["filter"]
-        # the tiled JPX fixture is 32×32 (2×2 grid of 16px tiles);
+        # the tiled and custom-precinct JPX fixtures are 32×32;
         # everything else is a 16×16 image
         assert r["feature"][:2] in ([16.0, 16.0], [32.0, 32.0]), r["filter"]
-    assert sum(r["feature"][:2] == [32.0, 32.0] for r in rows) == 1
+    assert sum(r["feature"][:2] == [32.0, 32.0] for r in rows) == 2
 
 
 def test_codec_degenerate_sizes_roundtrip():
