@@ -876,6 +876,59 @@ def _eps_mant_to_step(eps: int, mant: int, name: str) -> float:
     return (2.0 ** (rb - eps)) * (1.0 + mant / 2048.0)
 
 
+def _norm_prec(precincts, levels: int):
+    """Normalize the ``precincts`` writer argument to a per-resolution
+    [(PPx, PPy)] list, validating T.800 ranges (zero only at r0)."""
+    if precincts is None:
+        return [(_PP_DEFAULT, _PP_DEFAULT)] * (levels + 1)
+    if isinstance(precincts, int):
+        precincts = [precincts] * (levels + 1)
+    if len(precincts) != levels + 1:
+        raise ValueError("need one precinct size per resolution")
+    prec = [(p, p) if isinstance(p, int) else tuple(p)
+            for p in precincts]
+    for r, (px_, py_) in enumerate(prec):
+        lo = 0 if r == 0 else 1
+        if not (lo <= px_ <= 15 and lo <= py_ <= 15):
+            raise ValueError("precinct exponent out of range")
+    return prec
+
+
+def _cod_bytes(prog, layers, mct, levels, irreversible, sop, eph, prec):
+    """COD marker segment (shared by the main header and per-tile
+    overrides). Scod bit 0 is signalled iff any precinct differs from
+    the implicit 2^15 default."""
+    custom = any(pp != (_PP_DEFAULT, _PP_DEFAULT) for pp in prec)
+    scod = (1 if custom else 0) | (2 if sop else 0) | (4 if eph else 0)
+    seg = struct.pack(
+        ">HBBHBBBBBB", 12 + (levels + 1 if custom else 0), scod,
+        prog, layers, 1 if mct else 0, levels,
+        4, 4, 0, 0 if irreversible else 1)
+    if custom:  # one PPx|PPy<<4 byte per resolution (Table A-21)
+        seg += bytes(px_ | (py_ << 4) for px_, py_ in prec)
+    return b"\xff\x52" + seg
+
+
+def _qcd_bytes(levels, irreversible, derived, guard, eps, mant, pair):
+    """QCD marker segment (shared by the main header and per-tile
+    overrides)."""
+    band_order = ["LL"] + [f"{nm}{li}" for li in range(levels - 1, -1, -1)
+                           for nm in ("HL", "LH", "HH")]
+    if derived:  # scalar derived (style 1): ONE 16-bit (ε0, μ0) pair
+        qcd = bytearray([(guard << 5) | 1])
+        qcd += struct.pack(">H", (pair[0] << 11) | pair[1])
+    elif irreversible:  # scalar expounded (style 2): 16-bit (εb, μb)
+        qcd = bytearray([(guard << 5) | 2])
+        for k in band_order:
+            qcd += struct.pack(">H",
+                               (eps.get(k, 0) << 11) | mant.get(k, 0))
+    else:
+        qcd = bytearray([guard << 5])  # no quantization (reversible)
+        for k in band_order:
+            qcd.append(eps.get(k, 0) << 3)
+    return b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + bytes(qcd)
+
+
 def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                levels: int = 2, mct: bool = True,
                jp2: bool = False, irreversible: bool = False,
@@ -883,7 +936,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                tiles: "int | tuple[int, int] | None" = None,
                prog: int = 0, layers: int = 1,
                sop: bool = False, eph: bool = False,
-               precincts=None) -> bytes:
+               precincts=None,
+               tile_overrides: "dict[int, dict] | None" = None) -> bytes:
     """8-bit samples (gray, or RGB interleaved with ``ncomp=3``) →
     JPEG 2000 codestream. Default is the
     lossless 5/3 reversible path; ``irreversible=True`` emits the LOSSY
@@ -914,7 +968,11 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     exponents / (PPx, PPy) pairs indexed by r — packets then partition
     spatially within each resolution (per-precinct tag trees, the
     effective code-block size capped by the precinct), the form
-    kakadu-class encoders emit for large scans."""
+    kakadu-class encoders emit for large scans. ``tile_overrides``
+    maps a tile index to per-tile COD/QCD overrides emitted in that
+    tile's tile-part header (keys among prog/layers/sop/eph/precincts
+    and, on the lossy path, quality) — the kakadu per-tile-params
+    form; levels/transform/MCT stay codestream-global."""
     if len(pixels) != width * height * ncomp:
         raise ValueError("pixel buffer does not match dimensions")
     if derived and not irreversible:
@@ -924,19 +982,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     if not 1 <= layers <= 1024:
         raise ValueError("implausible quality-layer count")
     levels = max(1, min(levels, 6))
-    if precincts is None:
-        prec = [(_PP_DEFAULT, _PP_DEFAULT)] * (levels + 1)
-    else:
-        if isinstance(precincts, int):
-            precincts = [precincts] * (levels + 1)
-        if len(precincts) != levels + 1:
-            raise ValueError("need one precinct size per resolution")
-        prec = [(p, p) if isinstance(p, int) else tuple(p)
-                for p in precincts]
-        for r, (px_, py_) in enumerate(prec):
-            lo = 0 if r == 0 else 1
-            if not (lo <= px_ <= 15 and lo <= py_ <= 15):
-                raise ValueError("precinct exponent out of range")
+    prec = _norm_prec(precincts, levels)
     mct = mct and ncomp == 3
     if tiles is None:
         xt, yt = width, height
@@ -951,6 +997,34 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         # see decode_jpx: only 2^levels-aligned grids keep tile-local
         # band geometry equal to the spec's absolute-coordinate form
         raise ValueError("tile grid unaligned to decomposition levels")
+
+    # resolve per-tile coding settings (tile_overrides → tile-part
+    # COD/QCD emission; everything defaults to the main-header values)
+    tovr = tile_overrides or {}
+    if any(not 0 <= t < ntx * nty for t in tovr):
+        raise ValueError("tile override index out of range")
+    tset = []
+    for t in range(ntx * nty):
+        ov = tovr.get(t, {})
+        bad = set(ov) - {"prog", "layers", "sop", "eph", "precincts",
+                         "quality"}
+        if bad:
+            raise ValueError(f"unsupported tile override keys: {bad}")
+        if "quality" in ov and not irreversible:
+            raise ValueError(
+                "per-tile quality override requires the 9/7 path"
+            )
+        tprog = ov.get("prog", prog)
+        tlayers = ov.get("layers", layers)
+        if tprog not in (0, 1, 2, 3, 4) or not 1 <= tlayers <= 1024:
+            raise ValueError("tile override prog/layers out of range")
+        tset.append({
+            "prog": tprog, "layers": tlayers,
+            "sop": ov.get("sop", sop), "eph": ov.get("eph", eph),
+            "prec": (_norm_prec(ov["precincts"], levels)
+                     if "precincts" in ov else prec),
+            "quality": ov.get("quality", quality),
+        })
 
     # per component: level shift (+ RCT/ICT for color) → DWT → band rows
     n = width * height
@@ -977,35 +1051,42 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
             [pixels[i * ncomp + c] - 128 for i in range(n)]
             for c in range(ncomp)
         ]
+    qualities = sorted({ts["quality"] for ts in tset} | {quality})
+    d0 = {}
     if derived:
-        eps0, mu0 = _step_to_eps_mant(_quant_step("LL", quality), "LL")
-        if eps0 - levels + 1 < 0:
-            raise ValueError(
-                "derived quantization step out of signalling range"
-            )
+        for q in qualities:
+            e0, m0 = _step_to_eps_mant(_quant_step("LL", q), "LL")
+            if e0 - levels + 1 < 0:
+                raise ValueError(
+                    "derived quantization step out of signalling range"
+                )
+            d0[q] = (e0, m0)
 
-    def _band_step(name: str, li) -> float:
-        """Quantization step for band (name, li): expounded uses the
-        per-band-type step directly; derived replays Equation E-5
-        (εb = ε0 − N_L + n_b, μb = μ0, n_b = li + 1) so encoder and
-        decoder compute identical steps from the single signalled pair."""
+    def _band_step(name: str, li, q: int) -> float:
+        """Quantization step for band (name, li) at quality q:
+        expounded uses the per-band-type step directly; derived replays
+        Equation E-5 (εb = ε0 − N_L + n_b, μb = μ0, n_b = li + 1) so
+        encoder and decoder compute identical steps from the single
+        signalled pair."""
         if not derived:
-            return _quant_step(name, quality)
+            return _quant_step(name, q)
+        e0, m0 = d0[q]
         if name == "LL":
-            return _eps_mant_to_step(eps0, mu0, "LL")
-        return _eps_mant_to_step(eps0 - levels + li + 1, mu0, name)
+            return _eps_mant_to_step(e0, m0, "LL")
+        return _eps_mant_to_step(e0 - levels + li + 1, m0, name)
 
     # per-tile DWT + quantize + bitplane depth. Quantization signalling
-    # (QCD) lives in the MAIN header and is shared by every tile, so the
-    # per-band max bitplanes — which size the guard bits — are GLOBAL
-    # across tiles; only the geometry and coefficients are per-tile.
+    # (QCD) is shared by every tile at the same quality — the per-band
+    # max bitplanes, which size the guard bits, are tracked per quality
+    # GROUP; a tile with a quality override gets its own QCD.
     tile_grid = [(txi * xt, tyi * yt,
                   min(xt, width - txi * xt), min(yt, height - tyi * yt))
                  for tyi in range(nty) for txi in range(ntx)]
-    maxnp: dict[str, int] = {}
+    maxnp: dict[tuple, int] = {}
     tile_caches = []
-    for (tx0, ty0, tw, th) in tile_grid:
-        layout = _tile_layout(tw, th, levels, prec)
+    for t, (tx0, ty0, tw, th) in enumerate(tile_grid):
+        ts = tset[t]
+        layout = _tile_layout(tw, th, levels, ts["prec"])
         t1_cache: dict = {}
         for c in range(ncomp):
             rows = [planes[c][(ty0 + y) * width + tx0 :
@@ -1016,7 +1097,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                 for name, (li, bw, bh, blocks) in \
                         layout[r]["bands"].items():
                     rows_b = _subband_rows(name, li, ll, bands)
-                    delta = _band_step(name, li) if irreversible else None
+                    delta = (_band_step(name, li, ts["quality"])
+                             if irreversible else None)
                     for k, (x0, y0, cw, ch) in enumerate(blocks):
                         if irreversible:
                             mag = [int(abs(rows_b[y0 + y][x0 + x]) / delta)
@@ -1029,37 +1111,45 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                         npl = max((m.bit_length() for m in mag), default=0)
                         t1_cache[(c, r, name, k)] = (cw, ch, mag, sgn, npl)
                         band_key = name if name == "LL" else f"{name}{li}"
-                        maxnp[band_key] = max(maxnp.get(band_key, 0), npl)
+                        qk = (ts["quality"], band_key)
+                        maxnp[qk] = max(maxnp.get(qk, 0), npl)
         tile_caches.append((layout, t1_cache))
 
     def mb_key(name, li):
         return name if name == "LL" else f"{name}{li}"
 
-    if irreversible:
-        # εb/μb signal the step; the guard must cover the coded planes
-        # (Mb = G + εb − 1 ≥ nplanes, Equation E-2)
-        eps, mant = {}, {}
-        for k in maxnp:
-            name = k.rstrip("0123456789")
-            if derived:
-                eps[k] = (eps0 if k == "LL"
-                          else eps0 - levels + int(k[len(name):]) + 1)
-                mant[k] = mu0
-            else:
-                eps[k], mant[k] = _step_to_eps_mant(
-                    _quant_step(name, quality), name)
-        guard = max([2] + [maxnp[k] - eps[k] + 1 for k in maxnp])
-        if guard > 7:
-            raise ValueError("quantized magnitudes exceed guard range")
-        mb = {k: e + guard - 1 for k, e in eps.items()}
-    else:
-        guard = _GUARD
-        eps = {k: max(0, v - _GUARD + 1) for k, v in maxnp.items()}
-        mb = {k: e + _GUARD - 1 for k, e in eps.items()}
+    grp = {}  # quality -> (eps, mant, guard, mb)
+    for q in qualities:
+        keys = [k for (qq, k) in maxnp if qq == q]
+        if irreversible:
+            # εb/μb signal the step; the guard must cover the coded
+            # planes (Mb = G + εb − 1 ≥ nplanes, Equation E-2)
+            eps, mant = {}, {}
+            for k in keys:
+                name = k.rstrip("0123456789")
+                if derived:
+                    e0, m0 = d0[q]
+                    eps[k] = (e0 if k == "LL"
+                              else e0 - levels + int(k[len(name):]) + 1)
+                    mant[k] = m0
+                else:
+                    eps[k], mant[k] = _step_to_eps_mant(
+                        _quant_step(name, q), name)
+            guard = max([2] + [maxnp[(q, k)] - eps[k] + 1 for k in keys])
+            if guard > 7:
+                raise ValueError("quantized magnitudes exceed guard range")
+        else:
+            guard = _GUARD
+            eps = {k: max(0, maxnp[(q, k)] - _GUARD + 1) for k in keys}
+            mant = {}
+        grp[q] = (eps, mant, guard,
+                  {k: e + guard - 1 for k, e in eps.items()})
 
     # tier-1 encode + layered packets, one body per tile
     tile_bodies = []
-    for (layout, t1_cache) in tile_caches:
+    for t, (layout, t1_cache) in enumerate(tile_caches):
+        ts = tset[t]
+        layers_t, mb = ts["layers"], grp[ts["quality"]][3]
         coded: dict = {}
         for key, (cw, ch, mag, sgn, npl) in t1_cache.items():
             _c, _r, name, _k = key
@@ -1081,11 +1171,11 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         plan: dict = {}
         for key, (npl, data) in coded.items():
             if npl == 0:
-                plan[key] = (None, [0] * layers, [b""] * layers)
+                plan[key] = (None, [0] * layers_t, [b""] * layers_t)
                 continue
             npasses = 3 * npl - 2
-            first = key[3] % layers
-            slots = layers - first
+            first = key[3] % layers_t
+            slots = layers_t - first
             base, rem = divmod(npasses, slots)
             counts = [0] * first + [
                 base + (1 if s < rem else 0) for s in range(slots)
@@ -1102,8 +1192,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         body = bytearray()
         prec_states: dict = {}
         pkt_seq = 0
-        for l, r, c, p in _prog_quads(prog, levels, ncomp, layers,
-                                      layout):
+        for l, r, c, p in _prog_quads(ts["prog"], levels, ncomp,
+                                      layers_t, layout):
                 la = layout[r]
                 band_list = []
                 blocks_data = {}
@@ -1128,12 +1218,12 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                     l,
                     blocks_data,
                 )
-                if sop:  # SOP: ff91, Lsop=4, packet sequence number
+                if ts["sop"]:  # SOP: ff91 Lsop=4, packet seq number
                     body += b"\xff\x91\x00\x04" + struct.pack(
                         ">H", pkt_seq & 0xFFFF)
                     pkt_seq += 1
                 body += port.finish()
-                if eph:  # EPH terminates the packet header
+                if ts["eph"]:  # EPH terminates the packet header
                     body += b"\xff\x92"
                 body += pkt_body
         tile_bodies.append(bytes(body))
@@ -1148,36 +1238,26 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         # ICT (lossy) components stay 8-bit unsigned originals.
         out += (b"\x88" if mct and c > 0 and not irreversible
                 else b"\x07") + b"\x01\x01"
-    custom_prec = precincts is not None
-    scod = (1 if custom_prec else 0) | (2 if sop else 0) | \
-        (4 if eph else 0)
-    out += b"\xff\x52" + struct.pack(
-        ">HBBHBBBBBB", 12 + (levels + 1 if custom_prec else 0), scod,
-        prog, layers, 1 if mct else 0, levels,
-        4, 4, 0, 0 if irreversible else 1)
-    if custom_prec:  # one PPx|PPy<<4 byte per resolution (Table A-21)
-        out += bytes(px_ | (py_ << 4) for px_, py_ in prec)
-    nbands = 3 * levels + 1
-    band_order = ["LL"] + [f"{nm}{li}" for li in range(levels - 1, -1, -1)
-                           for nm in ("HL", "LH", "HH")]
-    if derived:  # scalar derived (style 1): ONE 16-bit (ε0, μ0) pair
-        qcd = bytearray([(guard << 5) | 1])
-        qcd += struct.pack(">H", (eps0 << 11) | mu0)
-    elif irreversible:  # scalar expounded (style 2): 16-bit (εb, μb) pairs
-        qcd = bytearray([(guard << 5) | 2])
-        for k in band_order:
-            qcd += struct.pack(">H", (eps.get(k, 0) << 11) | mant.get(k, 0))
-        assert len(qcd) == 1 + 2 * nbands
-    else:
-        qcd = bytearray([guard << 5])  # no quantization (reversible)
-        for k in band_order:
-            qcd.append(eps.get(k, 0) << 3)
-        assert len(qcd) == 1 + nbands
-    out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + bytes(qcd)
+    out += _cod_bytes(prog, layers, mct, levels, irreversible, sop,
+                      eph, prec)
+    g_eps, g_mant, g_guard, _ = grp[quality]
+    out += _qcd_bytes(levels, irreversible, derived, g_guard, g_eps,
+                      g_mant, d0.get(quality))
     for t, body in enumerate(tile_bodies):
-        psot = 12 + 2 + len(body)
+        ts = tset[t]
+        hdr = b""  # tile-part header overrides (first tile-part only)
+        if (ts["prog"], ts["layers"], ts["sop"], ts["eph"],
+                ts["prec"]) != (prog, layers, sop, eph, prec):
+            hdr += _cod_bytes(ts["prog"], ts["layers"], mct, levels,
+                              irreversible, ts["sop"], ts["eph"],
+                              ts["prec"])
+        if ts["quality"] != quality:
+            t_eps, t_mant, t_guard, _ = grp[ts["quality"]]
+            hdr += _qcd_bytes(levels, irreversible, derived, t_guard,
+                              t_eps, t_mant, d0.get(ts["quality"]))
+        psot = 12 + len(hdr) + 2 + len(body)
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, t, psot, 0, 1)
-        out += b"\xff\x93" + body
+        out += hdr + b"\xff\x93" + body
     out += b"\xff\xd9"  # EOC
     if not jp2:
         return bytes(out)
@@ -1195,6 +1275,104 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         + box(b"jp2h", ihdr + colr)
         + box(b"jp2c", bytes(out))
     )
+
+
+def _parse_cod(seg: bytes, ncomp: int) -> dict:
+    """COD segment body → coding-style dict (shared by the main header
+    and per-tile overrides)."""
+    scod, prog, layers, mct, lv, cw, ch_, style, tr = \
+        struct.unpack_from(">BBHBBBBBB", seg)
+    if scod & ~0x07 or prog > 4 or mct not in (0, 1):
+        # Scod bits 0/1/2 (custom precincts, SOP/EPH resync markers)
+        # are all handled
+        raise ValueError("unsupported COD (need a T.800 progression)")
+    if not 1 <= layers <= 1024:
+        raise ValueError("implausible quality-layer count")
+    if mct and ncomp != 3:
+        raise ValueError("MCT requires 3 components")
+    if cw != 4 or ch_ != 4 or style != 0 or tr not in (0, 1):
+        raise ValueError("unsupported COD (need 64x64 blocks, style 0)")
+    if scod & 0x01:  # custom precincts: PPx|PPy<<4 per res
+        if len(seg) < 10 + lv + 1:  # 10 fixed SPcod bytes first
+            raise ValueError("COD truncates precinct sizes")
+        prec = [(b & 0x0F, b >> 4) for b in seg[10 : 10 + lv + 1]]
+        for r, (px_, py_) in enumerate(prec):
+            if r and (px_ == 0 or py_ == 0):
+                raise ValueError(
+                    "zero precinct exponent above resolution 0"
+                )
+    else:
+        prec = [(_PP_DEFAULT, _PP_DEFAULT)] * (lv + 1)
+    return {"sop": bool(scod & 0x02), "eph": bool(scod & 0x04),
+            "prog": prog, "layers": layers, "mct": mct,
+            "levels": lv, "transform": tr, "prec": prec}
+
+
+def _parse_qcd(seg: bytes) -> dict:
+    """QCD segment body → quantization dict (shared by the main header
+    and per-tile overrides)."""
+    sqcd = seg[0]
+    qstyle = sqcd & 0x1F
+    out = {"guard": sqcd >> 5, "eps_list": [], "mant_list": None,
+           "derived_pair": None}
+    if qstyle == 0:       # no quantization (reversible 5/3)
+        out["eps_list"] = [b >> 3 for b in seg[1:]]
+    elif qstyle == 1:     # scalar derived: ONE (ε0, μ0) pair
+        if len(seg) != 3:
+            raise ValueError(
+                "malformed derived QCD (expected one step pair)"
+            )
+        v = struct.unpack_from(">H", seg, 1)[0]
+        out["derived_pair"] = (v >> 11, v & 0x7FF)
+    elif qstyle == 2:     # scalar expounded: 16-bit (εb, μb) pairs
+        vals = [struct.unpack_from(">H", seg, 1 + 2 * i)[0]
+                for i in range((len(seg) - 1) // 2)]
+        out["eps_list"] = [v >> 11 for v in vals]
+        out["mant_list"] = [v & 0x7FF for v in vals]
+    else:
+        raise ValueError("unsupported QCD quantization style")
+    return out
+
+
+def _resolve_quant(qcd: dict, levels: int, irreversible: bool):
+    """QCD dict → per-band (eps, mant, mb) maps, validating the
+    transform/quantization pairing."""
+    if irreversible and qcd["mant_list"] is None \
+            and qcd["derived_pair"] is None:
+        raise ValueError(
+            "9/7 codestream without expounded or derived quantization"
+        )
+    if not irreversible and (qcd["mant_list"] is not None
+                             or qcd["derived_pair"] is not None):
+        raise ValueError("5/3 codestream with scalar quantization")
+    if qcd["derived_pair"] is not None:
+        # Equation E-5: εb = ε0 − N_L + n_b, μb = μ0 (n_b = li + 1)
+        e0, m0 = qcd["derived_pair"]
+        eps = {"LL": e0}
+        mant = {"LL": m0}
+        for li in range(levels - 1, -1, -1):
+            for nm in ("HL", "LH", "HH"):
+                eps[f"{nm}{li}"] = e0 - levels + li + 1
+                mant[f"{nm}{li}"] = m0
+        if min(eps.values()) < 0:
+            raise ValueError(
+                "derived quantization step out of signalling range"
+            )
+    else:
+        eps_list, mant_list = qcd["eps_list"], qcd["mant_list"]
+        if len(eps_list) < 3 * levels + 1:
+            raise ValueError("QCD signals too few subbands")
+        eps = {"LL": eps_list[0]}
+        mant = {"LL": mant_list[0]} if irreversible else {}
+        i = 1
+        for li in range(levels - 1, -1, -1):
+            for nm in ("HL", "LH", "HH"):
+                eps[f"{nm}{li}"] = eps_list[i]
+                if irreversible:
+                    mant[f"{nm}{li}"] = mant_list[i]
+                i += 1
+    mb = {k: e + qcd["guard"] - 1 for k, e in eps.items()}
+    return eps, mant, mb
 
 
 def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
@@ -1228,15 +1406,12 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] != b"\xff\x4f":
         raise ValueError("not a JPEG 2000 codestream (no SOC)")
     pos = 2
-    mct = 0
     width = height = ncomp = None
-    levels = cblk_ok = transform = prec_list = None
-    eps_list: list[int] = []
-    mant_list: list[int] | None = None
-    derived_pair: tuple[int, int] | None = None
-    guard = 2
+    main_cod = main_qcd = None
     xt = yt = None
     tile_parts: dict[int, bytearray] = {}
+    tile_cod: dict[int, dict] = {}
+    tile_qcd: dict[int, dict] = {}
     while pos + 2 <= len(data):
         marker = data[pos:pos + 2]
         pos += 2
@@ -1265,58 +1440,11 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("only 8-bit unsigned components "
                                      "(or RCT 9-bit signed chroma)")
         elif marker == b"\xff\x52":  # COD
-            scod, prog, layers, mct, lv, cw, ch_, style, tr = \
-                struct.unpack_from(">BBHBBBBBB", data, pos + 2)
-            if scod & ~0x07 or prog > 4 or mct not in (0, 1):
-                # Scod bits 0/1/2 (custom precincts, SOP/EPH resync
-                # markers) are all handled
-                raise ValueError(
-                    "unsupported COD (need a T.800 progression)"
-                )
-            sop, eph = bool(scod & 0x02), bool(scod & 0x04)
-            if not 1 <= layers <= 1024:
-                raise ValueError("implausible quality-layer count")
-            if mct and ncomp != 3:
-                raise ValueError("MCT requires 3 components")
-            if cw != 4 or ch_ != 4 or style != 0 or tr not in (0, 1):
-                raise ValueError(
-                    "unsupported COD (need 64x64 blocks, style 0)"
-                )
-            if scod & 0x01:  # custom precincts: PPx|PPy<<4 per res
-                if len(seg) < 10 + lv + 1:  # 10 fixed SPcod bytes first
-                    raise ValueError("COD truncates precinct sizes")
-                prec_list = [(b & 0x0F, b >> 4) for b in
-                             seg[10 : 10 + lv + 1]]
-                for r, (px_, py_) in enumerate(prec_list):
-                    if r and (px_ == 0 or py_ == 0):
-                        raise ValueError(
-                            "zero precinct exponent above resolution 0"
-                        )
-            else:
-                prec_list = [(_PP_DEFAULT, _PP_DEFAULT)] * (lv + 1)
-            levels, transform = lv, tr
+            if ncomp is None:
+                raise ValueError("COD before SIZ")
+            main_cod = _parse_cod(seg, ncomp)
         elif marker == b"\xff\x5c":  # QCD
-            sqcd = seg[0]
-            qstyle = sqcd & 0x1F
-            guard = sqcd >> 5
-            if qstyle == 0:       # no quantization (reversible 5/3)
-                eps_list = [b >> 3 for b in seg[1:]]
-            elif qstyle == 1:     # scalar derived: ONE (ε0, μ0) pair
-                if len(seg) != 3:
-                    raise ValueError(
-                        "malformed derived QCD (expected one step pair)"
-                    )
-                v = struct.unpack_from(">H", seg, 1)[0]
-                derived_pair = (v >> 11, v & 0x7FF)
-            elif qstyle == 2:     # scalar expounded: 16-bit (εb, μb) pairs
-                vals = [struct.unpack_from(">H", seg, 1 + 2 * i)[0]
-                        for i in range((len(seg) - 1) // 2)]
-                eps_list = [v >> 11 for v in vals]
-                mant_list = [v & 0x7FF for v in vals]
-            else:
-                raise ValueError(
-                    "unsupported QCD quantization style"
-                )
+            main_qcd = _parse_qcd(seg)
         elif marker in (b"\xff\x53", b"\xff\x5d", b"\xff\x5e",
                         b"\xff\x5f", b"\xff\x60", b"\xff\x61"):
             # markers that CHANGE decoding semantics (COC/QCC per-
@@ -1330,11 +1458,31 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == b"\xff\x90":  # SOT: one tile-part follows
             if len(seg) != 8:
                 raise ValueError("malformed SOT segment")
-            isot, psot, _tpsot, _tnsot = struct.unpack(">HIBB", seg)
+            isot, psot, tpsot, _tnsot = struct.unpack(">HIBB", seg)
             sot_start = pos - 2
-            if data[pos + ln : pos + ln + 2] != b"\xff\x93":
-                # per-tile COD/QCD overrides are out of scope
-                raise ValueError("tile-part header markers unsupported")
+            # tile-part headers may carry per-tile COD/QCD overrides
+            # (first tile-part only, T.800 A.4.2) and COM comments;
+            # markers that alter semantics beyond that stay rejects
+            hpos = pos + ln
+            while data[hpos : hpos + 2] != b"\xff\x93":
+                hm = data[hpos : hpos + 2]
+                if hpos + 4 > len(data):
+                    raise ValueError("tile-part header runs off stream")
+                hln = struct.unpack_from(">H", data, hpos + 2)[0]
+                hseg = data[hpos + 4 : hpos + 2 + hln]
+                if hm in (b"\xff\x52", b"\xff\x5c") and tpsot != 0:
+                    raise ValueError(
+                        "COD/QCD override outside the first tile-part"
+                    )
+                if hm == b"\xff\x52":
+                    tile_cod[isot] = _parse_cod(hseg, ncomp)
+                elif hm == b"\xff\x5c":
+                    tile_qcd[isot] = _parse_qcd(hseg)
+                elif hm != b"\xff\x64":  # COM is informational
+                    raise ValueError(
+                        "unsupported tile-part header marker"
+                    )
+                hpos += 2 + hln
             if psot == 0:  # last tile-part: runs to EOC
                 end = (len(data) - 2 if data.endswith(b"\xff\xd9")
                        else len(data))
@@ -1344,13 +1492,25 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("tile-part length beyond stream end")
             # multiple tile-parts of one tile concatenate in order
             tile_parts.setdefault(isot, bytearray()).extend(
-                data[pos + ln + 2 : end]
+                data[hpos + 2 : end]
             )
             pos = end
             continue
         pos += ln
-    if None in (width, height, ncomp, levels) or not tile_parts:
+    if None in (width, height, ncomp) or main_cod is None \
+            or main_qcd is None or not tile_parts:
         raise ValueError("incomplete JPEG 2000 codestream")
+    levels = main_cod["levels"]
+    mct = main_cod["mct"]
+    for t, tc in tile_cod.items():
+        # packet-geometry overrides (progression, layers, precincts,
+        # SOP/EPH) and per-tile quantization are in scope; a per-tile
+        # wavelet/levels/MCT change alters sample semantics — reject
+        if (tc["levels"], tc["transform"], tc["mct"]) != \
+                (levels, main_cod["transform"], mct):
+            raise ValueError(
+                "per-tile COD changes levels/transform/MCT"
+            )
     ntx = (width + xt - 1) // xt
     nty = (height + yt - 1) // yt
     if (ntx > 1 and xt % (1 << levels)) or \
@@ -1365,51 +1525,26 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("tile grid unaligned to decomposition levels")
     if set(tile_parts) != set(range(ntx * nty)):
         raise ValueError("missing or spurious tile-part indices")
-    irreversible = transform == 0
-    if irreversible and mant_list is None and derived_pair is None:
-        raise ValueError(
-            "9/7 codestream without expounded or derived quantization"
-        )
-    if not irreversible and (mant_list is not None
-                             or derived_pair is not None):
-        raise ValueError("5/3 codestream with scalar quantization")
-
-    if derived_pair is not None:
-        # Equation E-5: εb = ε0 − N_L + n_b, μb = μ0 (n_b = li + 1)
-        e0, m0 = derived_pair
-        eps = {"LL": e0}
-        mant = {"LL": m0}
-        for li in range(levels - 1, -1, -1):
-            for nm in ("HL", "LH", "HH"):
-                eps[f"{nm}{li}"] = e0 - levels + li + 1
-                mant[f"{nm}{li}"] = m0
-        if min(eps.values()) < 0:
-            raise ValueError(
-                "derived quantization step out of signalling range"
-            )
-    else:
-        eps = {"LL": eps_list[0]}
-        mant = {"LL": mant_list[0]} if irreversible else {}
-        i = 1
-        for li in range(levels - 1, -1, -1):
-            for nm in ("HL", "LH", "HH"):
-                eps[f"{nm}{li}"] = eps_list[i]
-                if irreversible:
-                    mant[f"{nm}{li}"] = mant_list[i]
-                i += 1
-    mb = {k: e + guard - 1 for k, e in eps.items()}
+    irreversible = main_cod["transform"] == 0
+    _resolve_quant(main_qcd, levels, irreversible)  # validate up front
 
     # per-tile: packets in progression order → per-block accumulation
     # across layers → tier-1 decode → inverse DWT, stitched into the
-    # full-image component planes (the main-header QCD/guard values are
-    # shared; only geometry is per-tile)
+    # full-image component planes (tile-part COD/QCD overrides swap in
+    # per-tile packet geometry and quantization; levels/transform/MCT
+    # are codestream-global)
     planes = [[[0] * width for _ in range(height)] for _ in range(ncomp)]
     for t in range(ntx * nty):
         tx0 = (t % ntx) * xt
         ty0 = (t // ntx) * yt
         tw = min(xt, width - tx0)
         th = min(yt, height - ty0)
-        layout = _tile_layout(tw, th, levels, prec_list)
+        cod = tile_cod.get(t, main_cod)
+        prog, layers = cod["prog"], cod["layers"]
+        sop, eph = cod["sop"], cod["eph"]
+        eps, mant, mb = _resolve_quant(tile_qcd.get(t, main_qcd),
+                                       levels, irreversible)
+        layout = _tile_layout(tw, th, levels, cod["prec"])
         body = bytes(tile_parts[t])
         comp_store: dict = {}
         prec_states: dict = {}
@@ -1417,8 +1552,8 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         acc: dict = {}
         bpos = 0
         pkt_seq = 0
-        for l, r, c, p in _prog_quads(prog, levels, ncomp, layers,
-                                      layout):
+        for l, r, c, p in _prog_quads(prog, levels, ncomp,
+                                      layers, layout):
                 if sop:
                     # ff91 0004 Nsop before every packet; the sequence
                     # number's origin (per-tile vs per-codestream)

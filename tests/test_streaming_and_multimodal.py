@@ -1543,6 +1543,79 @@ def test_jpx_custom_precincts():
         jx.decode_jpx(bytes(mut))
 
 
+def test_jpx_tile_part_overrides():
+    """r6: per-tile COD/QCD overrides in tile-part headers — packet
+    geometry (prog/layers/SOP/EPH/precincts) and quantization vary per
+    tile, the kakadu per-tile-params form. Lossless overrides
+    round-trip bit-exact; a per-tile quality override shows in that
+    tile's error alone; semantic changes (levels) and overrides outside
+    the first tile-part reject."""
+    import random
+
+    from pdf_extractor_scripts_spark.operators import jpxcodec as jx
+
+    rng = random.Random(13)
+    W, H = 64, 32
+    px = bytes(rng.randrange(256) for _ in range(W * H))
+    d = jx.encode_jpx(px, W, H, 1, levels=2, tiles=16, layers=2,
+                      tile_overrides={1: {"prog": 2, "layers": 3},
+                                      3: {"sop": True, "eph": True},
+                                      5: {"precincts": 3, "prog": 3}})
+    assert jx.decode_jpx(d) == (W, H, 1, px)
+
+    rgb = bytes(rng.randrange(256) for _ in range(W * H * 3))
+    d = jx.encode_jpx(rgb, W, H, 3, levels=2, tiles=16, mct=True,
+                      tile_overrides={2: {"prog": 4}})
+    assert jx.decode_jpx(d) == (W, H, 3, rgb)
+
+    # per-tile quality (own QCD in the tile-part header): the q40 tile
+    # is strictly worse, the q95 tile strictly better than base q85
+    d = jx.encode_jpx(px, W, H, 1, levels=2, tiles=16,
+                      irreversible=True, quality=85,
+                      tile_overrides={1: {"quality": 40},
+                                      2: {"quality": 95}})
+    _w, _h, _nc, out = jx.decode_jpx(d)
+
+    def tile_mae(ti):
+        tx0, ty0 = (ti % 4) * 16, (ti // 4) * 16
+        errs = [abs(out[(ty0 + y) * W + tx0 + x]
+                    - px[(ty0 + y) * W + tx0 + x])
+                for y in range(16) for x in range(16)]
+        return sum(errs) / len(errs)
+
+    assert tile_mae(1) > tile_mae(0) > tile_mae(2), \
+        [round(tile_mae(i), 3) for i in range(8)]
+
+    # writer rejects
+    with pytest.raises(ValueError, match="9/7"):
+        jx.encode_jpx(px, W, H, 1, levels=2, tiles=16,
+                      tile_overrides={1: {"quality": 40}})
+    with pytest.raises(ValueError, match="out of range"):
+        jx.encode_jpx(px, W, H, 1, levels=2, tiles=16,
+                      tile_overrides={99: {"prog": 1}})
+    with pytest.raises(ValueError, match="override keys"):
+        jx.encode_jpx(px, W, H, 1, levels=2, tiles=16,
+                      tile_overrides={0: {"levels": 3}})
+
+    # decoder rejects: a tile COD that changes LEVELS alters sample
+    # semantics — patch the tile-part COD's decomposition-level byte
+    d = jx.encode_jpx(px, W, H, 1, levels=2, tiles=16,
+                      tile_overrides={0: {"prog": 1}})
+    main_cod = d.index(b"\xff\x52")
+    tile_cod = d.index(b"\xff\x52", main_cod + 2)
+    mut = bytearray(d)
+    mut[tile_cod + 9] = 3  # SPcod levels byte
+    with pytest.raises(ValueError, match="levels/transform/MCT"):
+        jx.decode_jpx(bytes(mut))
+
+    # decoder rejects: overrides are only legal in the FIRST tile-part
+    sot = d.rindex(b"\xff\x90", 0, tile_cod)
+    mut = bytearray(d)
+    mut[sot + 10] = 1  # TPsot
+    with pytest.raises(ValueError, match="first tile-part"):
+        jx.decode_jpx(bytes(mut))
+
+
 def test_jpx_option_space_fuzz():
     """r6: bounded deterministic fuzz across the full encoder option
     space — layers x progression x tiling x SOP/EPH x color x levels on
@@ -1577,6 +1650,24 @@ def test_jpx_option_space_fuzz():
             precincts = [(rng.randrange(0 if r == 0 else 1, 6),
                           rng.randrange(0 if r == 0 else 1, 6))
                          for r in range(levels + 1)]
+        overrides = None
+        if tiles is not None and rng.random() < 0.5:
+            ntx = -(-W // tiles)
+            nty = -(-H // tiles)
+            overrides = {}
+            for _ in range(rng.randrange(1, 3)):
+                ov = {}
+                if rng.random() < 0.6:
+                    ov["prog"] = rng.randrange(5)
+                if rng.random() < 0.4:
+                    ov["layers"] = rng.choice([1, 2, 3])
+                if rng.random() < 0.3:
+                    ov["sop"] = True
+                if rng.random() < 0.3:
+                    ov["precincts"] = rng.randrange(2, 5)
+                if ov:
+                    overrides[rng.randrange(ntx * nty)] = ov
+            overrides = overrides or None
         kw = dict(
             levels=levels,
             tiles=tiles,
@@ -1587,6 +1678,7 @@ def test_jpx_option_space_fuzz():
             mct=rng.random() < 0.7,
             jp2=rng.random() < 0.3,
             precincts=precincts,
+            tile_overrides=overrides,
         )
         data = jx.encode_jpx(px, W, H, ncomp, **kw)
         assert jx.decode_jpx(data) == (W, H, ncomp, px), (trial, W, H, kw)
