@@ -1478,7 +1478,10 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                     tile_cod[isot] = _parse_cod(hseg, ncomp)
                 elif hm == b"\xff\x5c":
                     tile_qcd[isot] = _parse_qcd(hseg)
-                elif hm != b"\xff\x64":  # COM is informational
+                elif hm not in (b"\xff\x64", b"\xff\x58"):
+                    # COM comments and PLT packet-length indexes are
+                    # informational (packet headers are parsed
+                    # directly); anything else alters decoding
                     raise ValueError(
                         "unsupported tile-part header marker"
                     )

@@ -1615,6 +1615,26 @@ def test_jpx_tile_part_overrides():
     with pytest.raises(ValueError, match="first tile-part"):
         jx.decode_jpx(bytes(mut))
 
+    # informational tile-part markers (PLT packet-length index, COM)
+    # are skipped; POC progression changes reject. Splices must also
+    # grow Psot, which covers the whole tile-part.
+    import struct as _struct
+
+    def splice(seg):
+        mut = bytearray(d)
+        mut[sot + 12 : sot + 12] = seg
+        psot = _struct.unpack_from(">I", mut, sot + 6)[0]
+        _struct.pack_into(">I", mut, sot + 6, psot + len(seg))
+        return bytes(mut)
+
+    plt = b"\xff\x58\x00\x05\x00\x83\x07"  # Zplt=0 + two Iplt bytes
+    assert jx.decode_jpx(splice(plt)) == (W, H, 1, px)
+    com = b"\xff\x64\x00\x07\x00\x01kdu"
+    assert jx.decode_jpx(splice(com)) == (W, H, 1, px)
+    poc = b"\xff\x5f\x00\x09\x00\x00\x00\x01\x03\x01\x00"
+    with pytest.raises(ValueError, match="tile-part header marker"):
+        jx.decode_jpx(splice(poc))
+
 
 def test_jpx_option_space_fuzz():
     """r6: bounded deterministic fuzz across the full encoder option
