@@ -684,6 +684,12 @@ def _tile_layout(tw: int, th: int, levels: int, prec):
         ppx, ppy = prec[r]
         npx = -(-rw // (1 << ppx)) if rw else 0
         npy = -(-rh // (1 << ppy)) if rh else 0
+        if npx * npy > 1 << 20:
+            # corrupt/hostile-header guard: a legal-size image with a
+            # tiny precinct exponent would allocate millions of
+            # precinct records and sort an enormous packet order
+            # BEFORE any packet parsing — refuse up front
+            raise ValueError("implausible precinct count")
         shift = 1 if r else 0
         ppbx, ppby = ppx - shift, ppy - shift  # band-coord precinct log2
         cbex, cbey = min(6, ppbx), min(6, ppby)

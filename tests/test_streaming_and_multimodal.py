@@ -1733,6 +1733,19 @@ def test_codec_dimension_bomb_guards():
     with pytest.raises(ValueError, match="implausible"):
         jx.decode_jpx(bytes(d))
 
+    # JPX precinct bomb: a LEGAL-size image whose COD declares tiny
+    # precincts would allocate millions of precinct records and sort an
+    # enormous packet order before any packet parsing — patch a valid
+    # precinct stream's SIZ to 4096² and its precinct bytes to PP=1
+    d = bytearray(jx.encode_jpx(bytes(64), 8, 8, 1, levels=1,
+                                precincts=[(2, 2), (1, 1)]))
+    siz = d.index(b"\xff\x51")
+    big = _struct.pack(">II", 4096, 4096)
+    d[siz + 6 : siz + 14] = big    # Xsiz, Ysiz (passes the SIZ guard)
+    d[siz + 22 : siz + 30] = big   # XTsiz, YTsiz (single tile)
+    with pytest.raises(ValueError, match="implausible precinct"):
+        jx.decode_jpx(bytes(d))
+
     # CCITT: declared dims straight from the PDF params dict
     with pytest.raises(ValueError, match="implausible"):
         cc.decode_g4(b"\x00", 2_000_000)
