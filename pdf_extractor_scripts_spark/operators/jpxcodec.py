@@ -17,8 +17,12 @@ lossless scanner/archiver emits) AND the 9/7 irreversible wavelet
 with scalar quantization, expounded (style 2) or derived (style 1)
 signalling and ±ICT color — the dominant real-world lossy form. Raw
 codestreams AND JP2 box containers (both layouts PDF /JPXDecode
-streams use). Per-tile header overrides, component subsampling and
-unaligned tile grids raise ValueError — the honest reject.
+streams use), per-tile COD/QCD header overrides (tile-part headers),
+and per-component subsampling (XRsiz/YRsiz 1-4 — the 4:2:0/4:2:2
+scanner forms; box-average down on encode, sample-and-hold up on
+decode). Unaligned tile grids, MCT over subsampled planes and the
+semantic markers listed in decode_jpx raise ValueError — the honest
+reject.
 
 Design note: the EBCOT tier-1 coefficient coder, the tag trees and the
 packet headers are implemented ONCE as shared traversals over a
@@ -659,12 +663,15 @@ def _code_npasses(port: _HdrPort, n: int | None = None) -> int:
 _PP_DEFAULT = 15  # implicit precinct exponent when Scod bit 0 is clear
 
 
-def _tile_layout(tw: int, th: int, levels: int, prec):
+def _tile_layout(tw: int, th: int, levels: int, prec, rs=(1, 1)):
     """Per-resolution precinct / code-block geometry (T.800 B.6/B.7,
-    tile origin 0). ``prec[r]`` = (PPx, PPy) log2 precinct size in
-    RESOLUTION-r coordinates (the spec default regime is (15, 15)
-    everywhere, which reduces to one whole-tile precinct and 64×64
-    blocks). Returns a list over r of dicts:
+    tile origin 0). ``tw``/``th`` are the COMPONENT-grid tile dims (the
+    image dims divided by the component's XRsiz/YRsiz sampling, which
+    ``rs`` carries so the image-coordinate footprints stay true).
+    ``prec[r]`` = (PPx, PPy) log2 precinct size in RESOLUTION-r
+    coordinates (the spec default regime is (15, 15) everywhere, which
+    reduces to one whole-tile precinct and 64×64 blocks). Returns a
+    list over r of dicts:
 
       npx, npy — precinct grid dims on the resolution grid
       fx, fy   — precinct footprint in IMAGE coordinates (for the
@@ -713,19 +720,23 @@ def _tile_layout(tw: int, th: int, levels: int, prec):
                         for j in range(j0, j1) for i in range(i0, i1)]
                 precs[p][name] = (i1 - i0, j1 - j0, gids)
         out.append({"npx": npx, "npy": npy,
-                    "fx": (1 << ppx) * sc, "fy": (1 << ppy) * sc,
+                    "fx": (1 << ppx) * sc * rs[0],
+                    "fy": (1 << ppy) * sc * rs[1],
                     "bands": bands, "precs": precs})
     return out
 
 
-def _prog_quads(prog: int, levels: int, ncomp: int, layers: int, layout):
+def _prog_quads(prog: int, levels: int, ncomp: int, layers: int,
+                layouts):
     """(layer, resolution, component, precinct) packet order for the
     five T.800 Table A-16 progression orders: LRCP (0) is layer-major,
     RLCP (1) resolution-then-layer, RPCL (2) resolution-then-position,
-    PCRL (3) position-major and CPRL (4) component-major. Position
-    orders compare precinct origins in IMAGE coordinates (footprints
-    differ per resolution), which with a singleton precinct reduces to
-    the whole-tile orders."""
+    PCRL (3) position-major and CPRL (4) component-major.
+    ``layouts[c]`` is component c's tile layout (per-component with
+    subsampling, the same object otherwise). Position orders compare
+    precinct origins in IMAGE coordinates (footprints differ per
+    resolution AND per component sampling), which with a singleton
+    precinct reduces to the whole-tile orders."""
     if prog not in (0, 1, 2, 3, 4):
         raise ValueError("unknown progression order")
     key = {
@@ -736,12 +747,12 @@ def _prog_quads(prog: int, levels: int, ncomp: int, layers: int, layout):
         4: lambda l, r, c, yp, xp: (c, yp, xp, r, l),
     }[prog]
     quads = []
-    for r in range(levels + 1):
-        la = layout[r]
-        for p in range(la["npx"] * la["npy"]):
-            py, px = divmod(p, la["npx"])
-            yp, xp = py * la["fy"], px * la["fx"]
-            for c in range(ncomp):
+    for c in range(ncomp):
+        for r in range(levels + 1):
+            la = layouts[c][r]
+            for p in range(la["npx"] * la["npy"]):
+                py, px = divmod(p, la["npx"])
+                yp, xp = py * la["fy"], px * la["fx"]
                 for l in range(layers):
                     quads.append((key(l, r, c, yp, xp), (l, r, c, p)))
     quads.sort(key=lambda q: q[0])
@@ -943,7 +954,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                prog: int = 0, layers: int = 1,
                sop: bool = False, eph: bool = False,
                precincts=None,
-               tile_overrides: "dict[int, dict] | None" = None) -> bytes:
+               tile_overrides: "dict[int, dict] | None" = None,
+               sampling: "list[tuple[int, int]] | None" = None) -> bytes:
     """8-bit samples (gray, or RGB interleaved with ``ncomp=3``) →
     JPEG 2000 codestream. Default is the
     lossless 5/3 reversible path; ``irreversible=True`` emits the LOSSY
@@ -978,7 +990,10 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     maps a tile index to per-tile COD/QCD overrides emitted in that
     tile's tile-part header (keys among prog/layers/sop/eph/precincts
     and, on the lossy path, quality) — the kakadu per-tile-params
-    form; levels/transform/MCT stay codestream-global."""
+    form; levels/transform/MCT stay codestream-global. ``sampling``
+    gives per-component (XRsiz, YRsiz) subsampling factors — full-res
+    input is box-averaged onto each component's grid (4:2:0/4:2:2 YCC,
+    the subsampled-scanner form); incompatible with ``mct``."""
     if len(pixels) != width * height * ncomp:
         raise ValueError("pixel buffer does not match dimensions")
     if derived and not irreversible:
@@ -990,6 +1005,17 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     levels = max(1, min(levels, 6))
     prec = _norm_prec(precincts, levels)
     mct = mct and ncomp == 3
+    if sampling is not None:
+        if mct:
+            raise ValueError("sampling is incompatible with MCT")
+        if len(sampling) != ncomp:
+            raise ValueError("need one sampling factor per component")
+        rs_list = [tuple(s) for s in sampling]
+        if any(not (1 <= xr <= 4 and 1 <= yr <= 4)
+               for xr, yr in rs_list):
+            raise ValueError("sampling factors out of range")
+    else:
+        rs_list = [(1, 1)] * ncomp
     if tiles is None:
         xt, yt = width, height
     else:
@@ -998,11 +1024,15 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
             raise ValueError("tile dimensions must be positive")
     ntx = (width + xt - 1) // xt
     nty = (height + yt - 1) // yt
-    if (ntx > 1 and xt % (1 << levels)) or \
-            (nty > 1 and yt % (1 << levels)):
-        # see decode_jpx: only 2^levels-aligned grids keep tile-local
-        # band geometry equal to the spec's absolute-coordinate form
-        raise ValueError("tile grid unaligned to decomposition levels")
+    for xr, yr in rs_list:
+        # see decode_jpx: only 2^levels-aligned grids (on every
+        # COMPONENT grid) keep tile-local band geometry equal to the
+        # spec's absolute-coordinate form
+        if (ntx > 1 and xt % (xr << levels)) or \
+                (nty > 1 and yt % (yr << levels)):
+            raise ValueError(
+                "tile grid unaligned to decomposition levels"
+            )
 
     # resolve per-tile coding settings (tile_overrides → tile-part
     # COD/QCD emission; everything defaults to the main-header values)
@@ -1057,6 +1087,30 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
             [pixels[i * ncomp + c] - 128 for i in range(n)]
             for c in range(ncomp)
         ]
+    comp_dims = [(-(-width // xr), -(-height // yr))
+                 for xr, yr in rs_list]
+    if sampling is not None:
+        # box-average each component onto its grid (ragged edge cells
+        # average whatever samples exist)
+        ds = []
+        for c, (xr, yr) in enumerate(rs_list):
+            if (xr, yr) == (1, 1):
+                ds.append(planes[c])
+                continue
+            cw_c, ch_c = comp_dims[c]
+            src = planes[c]
+            dst = [0] * (cw_c * ch_c)
+            for cy in range(ch_c):
+                y0, y1 = cy * yr, min((cy + 1) * yr, height)
+                for cx in range(cw_c):
+                    x0, x1 = cx * xr, min((cx + 1) * xr, width)
+                    sval = sum(src[y * width + x]
+                               for y in range(y0, y1)
+                               for x in range(x0, x1))
+                    cnt = (y1 - y0) * (x1 - x0)
+                    dst[cy * cw_c + cx] = (2 * sval + cnt) // (2 * cnt)
+            ds.append(dst)
+        planes = ds
     qualities = sorted({ts["quality"] for ts in tset} | {quality})
     d0 = {}
     if derived:
@@ -1092,12 +1146,20 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     tile_caches = []
     for t, (tx0, ty0, tw, th) in enumerate(tile_grid):
         ts = tset[t]
-        layout = _tile_layout(tw, th, levels, ts["prec"])
+        layouts = []
         t1_cache: dict = {}
         for c in range(ncomp):
-            rows = [planes[c][(ty0 + y) * width + tx0 :
-                              (ty0 + y) * width + tx0 + tw]
-                    for y in range(th)]
+            xr, yr = rs_list[c]
+            cw_c, ch_c = comp_dims[c]
+            tx0_c, ty0_c = tx0 // xr, ty0 // yr
+            tw_c = min(xt // xr if ntx > 1 else cw_c, cw_c - tx0_c)
+            th_c = min(yt // yr if nty > 1 else ch_c, ch_c - ty0_c)
+            layout = _tile_layout(tw_c, th_c, levels, ts["prec"],
+                                  (xr, yr))
+            layouts.append(layout)
+            rows = [planes[c][(ty0_c + y) * cw_c + tx0_c :
+                              (ty0_c + y) * cw_c + tx0_c + tw_c]
+                    for y in range(th_c)]
             ll, bands = dwt2_forward(rows, levels, irreversible)
             for r in range(levels + 1):
                 for name, (li, bw, bh, blocks) in \
@@ -1119,7 +1181,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                         band_key = name if name == "LL" else f"{name}{li}"
                         qk = (ts["quality"], band_key)
                         maxnp[qk] = max(maxnp.get(qk, 0), npl)
-        tile_caches.append((layout, t1_cache))
+        tile_caches.append((layouts, t1_cache))
 
     def mb_key(name, li):
         return name if name == "LL" else f"{name}{li}"
@@ -1153,7 +1215,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
 
     # tier-1 encode + layered packets, one body per tile
     tile_bodies = []
-    for t, (layout, t1_cache) in enumerate(tile_caches):
+    for t, (layouts, t1_cache) in enumerate(tile_caches):
         ts = tset[t]
         layers_t, mb = ts["layers"], grp[ts["quality"]][3]
         coded: dict = {}
@@ -1199,8 +1261,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         prec_states: dict = {}
         pkt_seq = 0
         for l, r, c, p in _prog_quads(ts["prog"], levels, ncomp,
-                                      layers_t, layout):
-                la = layout[r]
+                                      layers_t, layouts):
+                la = layouts[c][r]
                 band_list = []
                 blocks_data = {}
                 for name, (nbx, nby, gids) in la["precs"][p].items():
@@ -1243,7 +1305,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         # RCT chroma components are 9-bit signed (0x88); else 8-bit.
         # ICT (lossy) components stay 8-bit unsigned originals.
         out += (b"\x88" if mct and c > 0 and not irreversible
-                else b"\x07") + b"\x01\x01"
+                else b"\x07") + bytes(rs_list[c])
     out += _cod_bytes(prog, layers, mct, levels, irreversible, sop,
                       eph, prec)
     g_eps, g_mant, g_guard, _ = grp[quality]
@@ -1413,6 +1475,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a JPEG 2000 codestream (no SOC)")
     pos = 2
     width = height = ncomp = None
+    rs_list: list = []
     main_cod = main_qcd = None
     xt = yt = None
     tile_parts: dict[int, bytearray] = {}
@@ -1439,12 +1502,19 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                 # BEFORE allocating (a flipped byte must not OOM an
                 # executor)
                 raise ValueError("implausible JPEG 2000 dimensions")
+            rs_list = []
             for c in range(ncomp):
                 ssiz = seg[36 + 3 * c]
                 # 8-bit unsigned, or 9-bit signed RCT chroma (comps 1-2)
                 if ssiz != 0x07 and not (c > 0 and ssiz == 0x88):
                     raise ValueError("only 8-bit unsigned components "
                                      "(or RCT 9-bit signed chroma)")
+                xr, yr = seg[37 + 3 * c], seg[38 + 3 * c]
+                if not (1 <= xr <= 4 and 1 <= yr <= 4):
+                    raise ValueError(
+                        "component sampling factors out of range"
+                    )
+                rs_list.append((xr, yr))
         elif marker == b"\xff\x52":  # COD
             if ncomp is None:
                 raise ValueError("COD before SIZ")
@@ -1520,18 +1590,27 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(
                 "per-tile COD changes levels/transform/MCT"
             )
+    if mct and rs_list != [(1, 1)] * ncomp:
+        # RCT/ICT mix co-sited samples; mixing planes of different
+        # sizes is undefined here — honest reject (real 4:2:0 JPEG
+        # 2000 signals MCT=0 with an external color transform)
+        raise ValueError("MCT with subsampled components unsupported")
     ntx = (width + xt - 1) // xt
     nty = (height + yt - 1) // yt
-    if (ntx > 1 and xt % (1 << levels)) or \
-            (nty > 1 and yt % (1 << levels)):
+    for xr, yr in rs_list:
         # Tile band geometry (B.5) uses ABSOLUTE grid coordinates; a
-        # tile origin that is even at every decomposition level makes
-        # the tile-local DWT identical to the absolute one. Real
-        # encoders use power-of-two tiles (512/1024), which satisfy
-        # this; anything else is out of scope — honest reject. Checked
-        # before tile-part accounting so a bad grid is reported as a
-        # grid problem, not as phantom missing tiles.
-        raise ValueError("tile grid unaligned to decomposition levels")
+        # tile origin that is even at every decomposition level (on
+        # every COMPONENT grid) makes the tile-local DWT identical to
+        # the absolute one. Real encoders use power-of-two tiles
+        # (512/1024), which satisfy this; anything else is out of
+        # scope — honest reject. Checked before tile-part accounting
+        # so a bad grid is reported as a grid problem, not as phantom
+        # missing tiles.
+        if (ntx > 1 and xt % (xr << levels)) or \
+                (nty > 1 and yt % (yr << levels)):
+            raise ValueError(
+                "tile grid unaligned to decomposition levels"
+            )
     if set(tile_parts) != set(range(ntx * nty)):
         raise ValueError("missing or spurious tile-part indices")
     irreversible = main_cod["transform"] == 0
@@ -1542,18 +1621,28 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
     # full-image component planes (tile-part COD/QCD overrides swap in
     # per-tile packet geometry and quantization; levels/transform/MCT
     # are codestream-global)
-    planes = [[[0] * width for _ in range(height)] for _ in range(ncomp)]
+    comp_dims = [(-(-width // xr), -(-height // yr))
+                 for xr, yr in rs_list]
+    planes = [[[0] * cw_c for _ in range(ch_c)]
+              for cw_c, ch_c in comp_dims]
     for t in range(ntx * nty):
         tx0 = (t % ntx) * xt
         ty0 = (t // ntx) * yt
-        tw = min(xt, width - tx0)
-        th = min(yt, height - ty0)
         cod = tile_cod.get(t, main_cod)
         prog, layers = cod["prog"], cod["layers"]
         sop, eph = cod["sop"], cod["eph"]
         eps, mant, mb = _resolve_quant(tile_qcd.get(t, main_qcd),
                                        levels, irreversible)
-        layout = _tile_layout(tw, th, levels, cod["prec"])
+        layouts = []
+        comp_geo = []
+        for c, (xr, yr) in enumerate(rs_list):
+            cw_c, ch_c = comp_dims[c]
+            tx0_c, ty0_c = tx0 // xr, ty0 // yr
+            tw_c = min(xt // xr if ntx > 1 else cw_c, cw_c - tx0_c)
+            th_c = min(yt // yr if nty > 1 else ch_c, ch_c - ty0_c)
+            layouts.append(_tile_layout(tw_c, th_c, levels,
+                                        cod["prec"], (xr, yr)))
+            comp_geo.append((tx0_c, ty0_c, tw_c, th_c))
         body = bytes(tile_parts[t])
         comp_store: dict = {}
         prec_states: dict = {}
@@ -1562,7 +1651,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         bpos = 0
         pkt_seq = 0
         for l, r, c, p in _prog_quads(prog, levels, ncomp,
-                                      layers, layout):
+                                      layers, layouts):
                 if sop:
                     # ff91 0004 Nsop before every packet; the sequence
                     # number's origin (per-tile vs per-codestream)
@@ -1572,7 +1661,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                         raise ValueError("missing SOP marker")
                     pkt_seq += 1
                     bpos += 6
-                la = layout[r]
+                la = layouts[c][r]
                 pbands = la["precs"][p]
                 band_list = [(name, nbx, nby)
                              for name, (nbx, nby, _g) in pbands.items()]
@@ -1607,7 +1696,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         # and run tier-1 once, honouring the delivered pass count (a
         # rate-truncated stream carries fewer than 3*nplanes-2 passes)
         for (c, r, name, k), (nplanes, npasses, data) in acc.items():
-                    x0, y0, cw, ch_ = layout[r]["bands"][name][3][k]
+                    x0, y0, cw, ch_ = layouts[c][r]["bands"][name][3][k]
                     mag = [0] * (cw * ch_)
                     sgn = [0] * (cw * ch_)
                     _t1_block(_MQPort(dec=MQDecoder(bytes(data))), cw, ch_,
@@ -1621,7 +1710,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
             store = comp_store.get(c, {})
 
             def band_rows(r, name):
-                _li_b, bw, bh, _blks = layout[r]["bands"][name]
+                _li_b, bw, bh, _blks = layouts[c][r]["bands"][name]
                 if irreversible:  # dequantize: ±(q + 0.5)Δb midpoint (E.1.1)
                     li = levels - r if r else None
                     key = "LL" if name == "LL" else f"{name}{li}"
@@ -1654,9 +1743,21 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                 bands[li] = (band_rows(r, "HL"), band_rows(r, "LH"),
                              band_rows(r, "HH"))
             tile_plane = dwt2_inverse(ll, bands, irreversible)
+            tx0_c, ty0_c, tw_c, th_c = comp_geo[c]
             dst = planes[c]
-            for y in range(th):
-                dst[ty0 + y][tx0 : tx0 + tw] = tile_plane[y][:tw]
+            for y in range(th_c):
+                dst[ty0_c + y][tx0_c : tx0_c + tw_c] = tile_plane[y][:tw_c]
+
+    for c, (xr, yr) in enumerate(rs_list):
+        # subsampled components: nearest-neighbour (sample-and-hold)
+        # upsample onto the image grid — T.800 leaves reconstruction
+        # interpolation to the application, and sample-and-hold is the
+        # deterministic baseline every viewer implements
+        if (xr, yr) == (1, 1):
+            continue
+        src = planes[c]
+        planes[c] = [[src[y // yr][x // xr] for x in range(width)]
+                     for y in range(height)]
 
     out = bytearray(width * height * ncomp)
     for y in range(height):

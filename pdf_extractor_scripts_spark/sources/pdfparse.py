@@ -1557,6 +1557,24 @@ def build_pdf(
                                       precincts=3, prog=2,
                                       sop=True, eph=True)
                 fname = b"JPXDecode"
+            elif image_filter == "JPX-sub-real":
+                # 4:2:0 per-component subsampling (XRsiz/YRsiz=2 on the
+                # chroma planes, MCT off) — the subsampled-scanner form
+                from ..operators.jpxcodec import encode_jpx
+
+                iw = ih = 16
+                rgb = bytes(
+                    v
+                    for y in range(ih) for x in range(iw)
+                    for v in (min(255, 30 + 9 * ((x * 2 + y) % 24)),
+                              min(255, 50 + 7 * ((x + 2 * y) % 24)),
+                              (x * y) % 200)
+                )
+                img_data = encode_jpx(rgb, iw, ih, 3, levels=2,
+                                      mct=False,
+                                      sampling=[(1, 1), (2, 2),
+                                                (2, 2)])
+                fname = b"JPXDecode"
             elif image_filter == "JPX-lossy-real":
                 # the dominant real-world /JPXDecode form: LOSSY 9/7
                 # irreversible with scalar-expounded quantization
