@@ -34,10 +34,18 @@ counts genuinely locked files as a distinct parse-fallback reason
 (reference behavior: pdfplumber raises and the fallback chain advances,
 text_pdf_processor.py:661-670).
 
+Text decoding (r6): show-op bytes resolve through the page's /Resources
+/Font — /ToUnicode CMaps (bfchar/bfrange, multi-width codespaces — the
+subset-font layout every modern writer emits), Type0/Identity-H CID hex
+strings (best-effort code-point identity without a ToUnicode), simple-
+font /Encoding (WinAnsiEncoding = cp1252, MacRomanEncoding, /Differences
+glyph-name arrays over an AGL subset + uniXXXX), latin-1 otherwise (the
+pre-r6 behavior, pinned). The reference gets this for free from
+PyPDF2/pdfplumber's font machinery; this is the pure-stdlib equivalent.
+
 Scope (documented simplifications, fine for the invoice-class PDFs the
-reference handles): WinAnsi/ASCII string bytes (latin-1 decode), one text
-line per Td/TD/T*/Tm move (how virtually every line-oriented PDF writer,
-including ours, emits text).
+reference handles): one text line per Td/TD/T*/Tm move (how virtually
+every line-oriented PDF writer, including ours, emits text).
 
 The module also ships a deterministic PDF WRITER (build_pdf) so tests can
 round-trip: fixture lines → real PDF bytes → parse_pdf_spans → identical
@@ -815,6 +823,61 @@ class PdfDocument:
                 out[name] = d
         return out
 
+    def page_fonts(self, page: dict) -> dict:
+        """name → text-decoder callable (bytes → str) for this page's
+        /Resources /Font entries. Decoder priority per PDF 1.7 §9.10.2:
+        /ToUnicode CMap when present (the subset-font form every modern
+        writer emits), else Identity CID best-effort for /Type0, else the
+        simple-font /Encoding (WinAnsi/MacRoman names or a /Differences
+        dict over a base table), else latin-1 — the pre-r6 behavior."""
+        res = self.get(page.get("Resources", {})) or {}
+        fonts = self.get(res.get("Font", {})) or {}
+        out = {}
+        for name, ref in fonts.items():
+            d = self.get(ref)
+            if isinstance(d, _Stream):
+                d = d.attrs
+            if isinstance(d, dict):
+                out[str(name)] = self._font_decoder(d)
+        return out
+
+    def _font_decoder(self, font: dict):
+        tu = self.get(font.get("ToUnicode"))
+        if isinstance(tu, _Stream):
+            cmap, lengths = _parse_tounicode(_decode_stream(tu))
+            if cmap:
+                return _cmap_text_decoder(cmap, lengths)
+        if str(font.get("Subtype")) == "Type0":
+            # Identity-H/V without a usable ToUnicode: two-byte CIDs,
+            # best-effort code-point identity (matches what pdfminer-
+            # class extractors yield on Identity CID fonts)
+            def dec(bs: bytes) -> str:
+                return "".join(
+                    chr(int.from_bytes(bs[i : i + 2], "big"))
+                    for i in range(0, len(bs) - 1, 2)
+                )
+
+            return dec
+        enc = self.get(font.get("Encoding"))
+        if isinstance(enc, dict):
+            table = _base_encoding_table(
+                str(enc.get("BaseEncoding", ""))
+            )
+            code = 0
+            for item in self.get(enc.get("Differences", [])) or []:
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                else:
+                    if 0 <= code <= 255:
+                        table[code] = _glyph_to_unicode(str(item))
+                    code += 1
+            return lambda bs, t=table: "".join(t[b] for b in bs)
+        ename = str(enc) if enc is not None else ""
+        if ename in ("WinAnsiEncoding", "MacRomanEncoding"):
+            table = _base_encoding_table(ename)
+            return lambda bs, t=table: "".join(t[b] for b in bs)
+        return _latin1_text
+
 
 class _Stream:
     __slots__ = ("attrs", "raw")
@@ -1048,18 +1111,200 @@ def _decode_stream(s) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Font text decoding: ToUnicode CMaps, CID fonts, simple-font encodings
+# ---------------------------------------------------------------------------
+# Adobe Glyph List subset: the names real /Differences arrays use for the
+# invoice-class character repertoire (full ASCII + common Latin-1/
+# typographic glyphs). Single-letter names (A-Z, a-z) map to themselves
+# per the AGL; anything else unknown resolves via the uniXXXX/uXXXXXX
+# conventions or U+FFFD. The table is public Adobe AGL data.
+_AGL = {
+    "space": 0x20, "exclam": 0x21, "quotedbl": 0x22, "numbersign": 0x23,
+    "dollar": 0x24, "percent": 0x25, "ampersand": 0x26,
+    "quotesingle": 0x27, "parenleft": 0x28, "parenright": 0x29,
+    "asterisk": 0x2A, "plus": 0x2B, "comma": 0x2C, "hyphen": 0x2D,
+    "period": 0x2E, "slash": 0x2F, "zero": 0x30, "one": 0x31,
+    "two": 0x32, "three": 0x33, "four": 0x34, "five": 0x35, "six": 0x36,
+    "seven": 0x37, "eight": 0x38, "nine": 0x39, "colon": 0x3A,
+    "semicolon": 0x3B, "less": 0x3C, "equal": 0x3D, "greater": 0x3E,
+    "question": 0x3F, "at": 0x40, "bracketleft": 0x5B,
+    "backslash": 0x5C, "bracketright": 0x5D, "asciicircum": 0x5E,
+    "underscore": 0x5F, "grave": 0x60, "braceleft": 0x7B, "bar": 0x7C,
+    "braceright": 0x7D, "asciitilde": 0x7E,
+    "bullet": 0x2022, "emdash": 0x2014, "endash": 0x2013,
+    "quotedblleft": 0x201C, "quotedblright": 0x201D,
+    "quoteleft": 0x2018, "quoteright": 0x2019, "ellipsis": 0x2026,
+    "Euro": 0x20AC, "degree": 0xB0, "cent": 0xA2, "sterling": 0xA3,
+    "yen": 0xA5, "section": 0xA7, "copyright": 0xA9, "registered": 0xAE,
+    "trademark": 0x2122, "plusminus": 0xB1, "multiply": 0xD7,
+    "divide": 0xF7, "exclamdown": 0xA1, "questiondown": 0xBF,
+    "fi": 0xFB01, "fl": 0xFB02, "germandbls": 0xDF,
+    "agrave": 0xE0, "aacute": 0xE1, "acircumflex": 0xE2, "atilde": 0xE3,
+    "adieresis": 0xE4, "aring": 0xE5, "ae": 0xE6, "ccedilla": 0xE7,
+    "egrave": 0xE8, "eacute": 0xE9, "ecircumflex": 0xEA,
+    "edieresis": 0xEB, "igrave": 0xEC, "iacute": 0xED,
+    "icircumflex": 0xEE, "idieresis": 0xEF, "ntilde": 0xF1,
+    "ograve": 0xF2, "oacute": 0xF3, "ocircumflex": 0xF4, "otilde": 0xF5,
+    "odieresis": 0xF6, "oslash": 0xF8, "ugrave": 0xF9, "uacute": 0xFA,
+    "ucircumflex": 0xFB, "udieresis": 0xFC, "yacute": 0xFD,
+    "ydieresis": 0xFF,
+    "Agrave": 0xC0, "Aacute": 0xC1, "Adieresis": 0xC4, "Aring": 0xC5,
+    "AE": 0xC6, "Ccedilla": 0xC7, "Egrave": 0xC8, "Eacute": 0xC9,
+    "Ntilde": 0xD1, "Odieresis": 0xD6, "Oslash": 0xD8,
+    "Udieresis": 0xDC,
+}
+_UNI_TO_GLYPH = {chr(cp): nm for nm, cp in _AGL.items()}
+
+
+def _glyph_to_unicode(name: str) -> str:
+    """Glyph name → text, per the Adobe Glyph List conventions: known AGL
+    names, single-letter self-names, uniXXXX / uXXXX[XX] hex forms;
+    unknown glyphs are U+FFFD (honest loss marker, not silence)."""
+    if name in _AGL:
+        return chr(_AGL[name])
+    if len(name) == 1 and name.isalpha() and ord(name) < 128:
+        return name
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else "�"
+    return "�"
+
+
+def _base_encoding_table(name: str) -> list[str]:
+    """256-entry byte→char table for a named simple-font base encoding.
+    WinAnsiEncoding is cp1252 (undefined cp1252 bytes keep their latin-1
+    identity, matching viewer behavior); MacRomanEncoding is mac_roman;
+    anything else (StandardEncoding / absent) stays latin-1 — the
+    pre-r6 behavior, correct for the fixtures and ASCII-range text."""
+    codec = {"WinAnsiEncoding": "cp1252",
+             "MacRomanEncoding": "mac_roman"}.get(name)
+    if codec is None:
+        return [chr(b) for b in range(256)]
+    table = []
+    for b in range(256):
+        try:
+            table.append(bytes([b]).decode(codec))
+        except UnicodeDecodeError:
+            table.append(chr(b))
+    return table
+
+
+def _utf16be_hex(h: str) -> str:
+    if len(h) % 2:
+        h += "0"
+    return bytes.fromhex(h).decode("utf-16-be", errors="replace")
+
+
+_CMAP_PAIR = re.compile(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_CMAP_TRIPLE = re.compile(
+    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>"
+)
+_CMAP_ARRRANGE = re.compile(
+    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", re.S
+)
+
+
+def _parse_tounicode(data: bytes):
+    """/ToUnicode CMap stream → ((byte_length, code) → text map, sorted
+    code byte-lengths). Covers the forms real subset-font writers emit:
+    begincodespacerange (code token widths), beginbfchar pairs,
+    beginbfrange with an incrementing <dst> or an explicit [..] array
+    (PDF 1.7 §9.10.3). Corrupt range spans reject before allocating."""
+    text = data.decode("latin-1", errors="replace")
+    lengths: set[int] = set()
+    cmap: dict[tuple[int, int], str] = {}
+    for m in re.finditer(r"begincodespacerange(.*?)endcodespacerange",
+                         text, re.S):
+        for h1, _h2 in _CMAP_PAIR.findall(m.group(1)):
+            lengths.add(max(1, len(h1) // 2))
+    for m in re.finditer(r"beginbfchar(.*?)endbfchar", text, re.S):
+        for src, dst in _CMAP_PAIR.findall(m.group(1)):
+            lengths.add(max(1, len(src) // 2))
+            cmap[(max(1, len(src) // 2), int(src, 16))] = \
+                _utf16be_hex(dst)
+    for m in re.finditer(r"beginbfrange(.*?)endbfrange", text, re.S):
+        body = m.group(1)
+        for lo, hi, arr in _CMAP_ARRRANGE.findall(body):
+            blen = max(1, len(lo) // 2)
+            lengths.add(blen)
+            lo_i = int(lo, 16)
+            for i, d in enumerate(re.findall(r"<([0-9A-Fa-f]+)>", arr)):
+                if lo_i + i > int(hi, 16):
+                    break
+                cmap[(blen, lo_i + i)] = _utf16be_hex(d)
+        # strip array ranges so the triple scan can't misread their tails
+        body = _CMAP_ARRRANGE.sub(" ", body)
+        for lo, hi, dst in _CMAP_TRIPLE.findall(body):
+            blen = max(1, len(lo) // 2)
+            lengths.add(blen)
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i - lo_i > 65535:
+                raise ValueError("implausible ToUnicode bfrange span")
+            base = _utf16be_hex(dst)
+            for i in range(hi_i - lo_i + 1):
+                if base:
+                    cmap[(blen, lo_i + i)] = (
+                        base[:-1] + chr(ord(base[-1]) + i)
+                    )
+    if len(cmap) > 1 << 20:
+        raise ValueError("implausible ToUnicode CMap size")
+    return cmap, (sorted(lengths) or [1])
+
+
+def _cmap_text_decoder(cmap, lengths):
+    def dec(bs: bytes) -> str:
+        out = []
+        i, n = 0, len(bs)
+        while i < n:
+            for length in lengths:
+                if i + length <= n:
+                    code = int.from_bytes(bs[i : i + length], "big")
+                    mapped = cmap.get((length, code))
+                    if mapped is not None:
+                        out.append(mapped)
+                        i += length
+                        break
+            else:
+                # unmapped code: widest token that fits, best-effort
+                # code-point identity (what viewers show as notdef)
+                length = min(lengths[-1], n - i)
+                code = int.from_bytes(bs[i : i + length], "big")
+                out.append(chr(code) if code <= 0x10FFFF else "�")
+                i += length
+        return "".join(out)
+
+    return dec
+
+
+def _latin1_text(bs: bytes) -> str:
+    return bs.decode("latin-1")
+
+
+# ---------------------------------------------------------------------------
 # Content-stream tokenization → ordered paint events
 # ---------------------------------------------------------------------------
 def _fmt_num(v: float) -> str:
     return str(int(v)) if v == int(v) else str(v)
 
 
-def content_events(content: bytes, image_names: set[str]) -> list[tuple]:
+def content_events(content: bytes, image_names: set[str],
+                   fonts: dict | None = None,
+                   form_names: set[str] | None = None) -> list[tuple]:
     """Tokenize one page's content stream into ordered paint events:
     ("line", str) — one per Td/TD/T*/Tm text-line move, show-op strings on
     the same line concatenated; ("image", name) — per Do of an image
     XObject; ("rule", "x,y,w,h") — per `re` rectangle (layout hints, L7).
     Event order is the content-stream paint order.
+
+    ``fonts`` (r6) maps /Resources /Font names to text decoders
+    (PdfDocument.page_fonts); the Tf operator switches the active
+    decoder, so CID hex strings and re-encoded simple-font bytes yield
+    real text. Absent fonts (or an unknown Tf name) keep the latin-1
+    decode — the behavior every earlier round pinned.
 
     Error policy (ADVICE r5): TRUNCATION-class lexer errors (unterminated
     string/hex — the shape of a Flate-salvage cut mid-token) end event
@@ -1073,6 +1318,7 @@ def content_events(content: bytes, image_names: set[str]) -> list[tuple]:
     operands: list = []
     cur: list[str] = []
     events: list[tuple] = []
+    cur_dec = _latin1_text
 
     def flush():
         if cur:
@@ -1107,16 +1353,26 @@ def content_events(content: bytes, image_names: set[str]) -> list[tuple]:
             op = val
             if op in (b"Td", b"TD", b"T*", b"Tm"):
                 flush()
+            elif op == b"Tf":
+                if fonts is not None:
+                    for k, v in reversed(operands):
+                        if k == "name":
+                            cur_dec = fonts.get(v, _latin1_text)
+                            break
             elif op == b"Tj":
                 if operands and operands[-1][0] == "str":
-                    cur.append(operands[-1][1].decode("latin-1"))
+                    cur.append(cur_dec(operands[-1][1]))
             elif op in (b"'", b'"'):
                 flush()
                 if operands and operands[-1][0] == "str":
-                    cur.append(operands[-1][1].decode("latin-1"))
+                    cur.append(cur_dec(operands[-1][1]))
             elif op == b"TJ":
                 if operands and operands[-1][0] == "tjarr":
-                    cur.append(b"".join(operands[-1][1]).decode("latin-1"))
+                    # decode each shown chunk separately: multi-byte CID
+                    # tokens never span TJ elements
+                    cur.append(
+                        "".join(cur_dec(s) for s in operands[-1][1])
+                    )
             elif op == b"ET":
                 flush()
             elif op == b"BI":
@@ -1146,6 +1402,11 @@ def content_events(content: bytes, image_names: set[str]) -> list[tuple]:
                     if nm in image_names:
                         flush()
                         events.append(("image", nm))
+                    elif form_names and nm in form_names:
+                        # form XObject placement: the caller expands the
+                        # form's own content stream inline (r6)
+                        flush()
+                        events.append(("form", nm))
             elif op == b"re":
                 nums = [v for k, v in operands if k == "num"]
                 if len(nums) >= 4:
@@ -1181,7 +1442,8 @@ def parse_pdf_spans(data: bytes, doc_id: str) -> list[dict]:
         off += 1
         images = doc.page_image_xobjects(page)
         img_i = 0
-        for ev in content_events(doc.page_content(page), set(images)):
+        for ev in content_events(doc.page_content(page), set(images),
+                                 fonts=doc.page_fonts(page)):
             if ev[0] == "line":
                 spans.append({"kind": "text", "text": ev[1], "media_ref": "",
                               "offset": off})
@@ -1353,16 +1615,66 @@ _CONTENT_ENCODERS = {
 }
 
 
-def _esc(s: str) -> bytes:
-    b = s.encode("latin-1", errors="replace")
+def _esc_bytes(b: bytes) -> bytes:
     return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def _esc(s: str) -> bytes:
+    return _esc_bytes(s.encode("latin-1", errors="replace"))
+
+
+def _writer_glyph_name(ch: str) -> str:
+    """char → glyph name for /Differences emission (AGL name, letter
+    self-name, else uniXXXX) — the exact inverse of _glyph_to_unicode."""
+    if ch in _UNI_TO_GLYPH:
+        return _UNI_TO_GLYPH[ch]
+    if ch.isalpha() and ord(ch) < 128:
+        return ch
+    return "uni%04X" % ord(ch)
+
+
+def _tounicode_cmap(code_of: dict[str, int]) -> bytes:
+    """Deterministic /ToUnicode CMap for the writer's CID font: Adobe-
+    Identity-UCS wrapper, 2-byte codespace, entries split between
+    bfchar and single-code bfrange blocks so a round-trip exercises both
+    parse paths, chunked at the spec's 100-entries-per-block limit."""
+    bfchar = []
+    bfrange = []
+    for ch, code in sorted(code_of.items(), key=lambda kv: kv[1]):
+        dst = hexlify(ch.encode("utf-16-be")).decode("ascii").upper()
+        if code % 2:
+            bfchar.append("<%04X> <%s>" % (code, dst))
+        else:
+            bfrange.append("<%04X> <%04X> <%s>" % (code, code, dst))
+    parts = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) "
+        "/Supplement 0 >> def",
+        "/CMapName /Adobe-Identity-UCS def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<0000> <FFFF>",
+        "endcodespacerange",
+    ]
+    for kind, entries in (("bfchar", bfchar), ("bfrange", bfrange)):
+        for i in range(0, len(entries), 100):
+            chunk = entries[i : i + 100]
+            parts.append("%d begin%s" % (len(chunk), kind))
+            parts.extend(chunk)
+            parts.append("end%s" % kind)
+    parts += ["endcmap",
+              "CMapName currentdict /CMap defineresource pop",
+              "end", "end"]
+    return "\n".join(parts).encode("ascii")
 
 
 def build_pdf(
     pages: list[list[tuple]], compress: bool = True, xref_stream: bool = False,
     content_filter: str | None = None, image_filter: str = "Flate",
     encrypted: bool | str = False, user_password: bytes = b"",
-    owner_password: bytes | None = None,
+    owner_password: bytes | None = None, font_mode: str = "simple",
 ) -> bytes:
     """Build a PDF file from ordered paint events.
 
@@ -1388,6 +1700,16 @@ def build_pdf(
     non-Standard (public-key) /Encrypt dict so tests can exercise the
     PdfEncryptedError reject path; ``user_password`` makes any really-
     encrypted mode a genuinely LOCKED file (empty-password open fails).
+
+    ``font_mode`` (r6) picks the text-encoding layout: "simple" is the
+    latin-1 Helvetica every earlier round used; "winansi" re-encodes
+    text cp1252 under /Encoding /WinAnsiEncoding; "diff" remaps every
+    used char through an /Encoding /Differences glyph-name array;
+    "cid" embeds a /Type0 Identity-H font with first-use-ordered CIDs,
+    hex-string show ops (every third line a split TJ array) and a
+    /ToUnicode CMap — the subset-font layout every modern PDF writer
+    (Word/Chrome/LibreOffice) emits; "mixed" alternates lines between
+    the simple /F1 and the CID /F2 to exercise Tf decoder switching.
     """
     from .pdfcrypt import (
         derive_file_key, make_r6_entries, object_key, object_key_aes,
@@ -1491,8 +1813,63 @@ def build_pdf(
     catalog_num = alloc()
     pages_num = alloc()
     font_num = alloc()
-    objects[font_num] = (b"<< /Type /Font /Subtype /Type1 "
-                         b"/BaseFont /Helvetica >>")
+
+    # font objects per font_mode (charset collected in first-use order
+    # so CID/Differences code assignment is deterministic)
+    code_of: dict[str, int] = {}
+    if font_mode in ("cid", "diff", "mixed"):
+        for events in pages:
+            for ev in events:
+                if ev[0] == "text":
+                    for ch in ev[1]:
+                        if ch not in code_of:
+                            code_of[ch] = len(code_of) + (
+                                0x21 if font_mode == "diff" else 1
+                            )
+    cid_font_num = None
+    if font_mode == "simple" or font_mode == "mixed":
+        objects[font_num] = (b"<< /Type /Font /Subtype /Type1 "
+                             b"/BaseFont /Helvetica >>")
+    elif font_mode == "winansi":
+        objects[font_num] = (b"<< /Type /Font /Subtype /Type1 "
+                             b"/BaseFont /Helvetica "
+                             b"/Encoding /WinAnsiEncoding >>")
+    elif font_mode == "diff":
+        if code_of and max(code_of.values()) > 0xFF:
+            raise ValueError(
+                "font_mode='diff' supports at most 223 distinct chars"
+            )
+        names = b" ".join(
+            b"/" + _writer_glyph_name(ch).encode("ascii")
+            for ch, _c in sorted(code_of.items(), key=lambda kv: kv[1])
+        )
+        objects[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /Differences [ 33 %s ] >> >>" % names
+        )
+    elif font_mode != "cid":
+        raise ValueError(f"unknown font_mode {font_mode!r}")
+    if font_mode in ("cid", "mixed"):
+        desc_num = alloc()
+        tu_num = alloc()
+        cid_font_num = alloc() if font_mode == "mixed" else font_num
+        objects[desc_num] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fixture "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /DW 500 >>"
+        )
+        objects[cid_font_num] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (desc_num, tu_num)
+        )
+        tu_payload = enc_stream(tu_num,
+                                zlib.compress(_tounicode_cmap(code_of)))
+        objects[tu_num] = (
+            b"<< /Filter /FlateDecode /Length %d%s >>\nstream\n%s"
+            b"\nendstream"
+            % (len(tu_payload), _note(tu_num), tu_payload)
+        )
 
     kid_nums = []
     for events in pages:
@@ -1666,6 +2043,7 @@ def build_pdf(
         in_text = False
         first_line = True
         img_i = 0
+        line_i = 0
         for ev in events:
             if ev[0] == "text":
                 if not in_text:
@@ -1674,8 +2052,36 @@ def build_pdf(
                     first_line = True
                 if not first_line:
                     ops.append(b"0 -12 Td")
-                ops.append(b"(%s) Tj" % _esc(ev[1]))
+                use_cid = font_mode == "cid" or (
+                    font_mode == "mixed" and line_i % 2 == 1
+                )
+                if font_mode == "mixed":
+                    ops.append(b"/F2 10 Tf" if use_cid
+                               else b"/F1 10 Tf")
+                if use_cid:
+                    hx = hexlify(b"".join(
+                        code_of[ch].to_bytes(2, "big") for ch in ev[1]
+                    ))
+                    if line_i % 3 == 2 and len(ev[1]) > 1:
+                        # every third line as a split TJ array — pins
+                        # that CID tokens never span TJ elements
+                        k = (len(ev[1]) // 2) * 4
+                        ops.append(b"[<%s> -120 <%s>] TJ"
+                                   % (hx[:k], hx[k:]))
+                    else:
+                        ops.append(b"<%s> Tj" % hx)
+                elif font_mode == "winansi":
+                    ops.append(b"(%s) Tj" % _esc_bytes(
+                        ev[1].encode("cp1252", errors="replace")
+                    ))
+                elif font_mode == "diff":
+                    ops.append(b"(%s) Tj" % _esc_bytes(
+                        bytes(code_of[ch] for ch in ev[1])
+                    ))
+                else:
+                    ops.append(b"(%s) Tj" % _esc(ev[1]))
                 first_line = False
+                line_i += 1
             else:
                 if in_text:
                     ops.append(b"ET")
@@ -1717,11 +2123,14 @@ def build_pdf(
                 b"/Im%d %d 0 R" % (i, n) for i, n in enumerate(img_nums)
             )
             xobj = b"/XObject << %s >>" % entries
+        font_res = b"/F1 %d 0 R" % font_num
+        if font_mode == "mixed":
+            font_res += b" /F2 %d 0 R" % cid_font_num
         pnum = alloc()
         objects[pnum] = (
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 %d 0 R >> %s >> "
-            b"/Contents %d 0 R >>" % (pages_num, font_num, xobj, cnum)
+            b"/Resources << /Font << %s >> %s >> "
+            b"/Contents %d 0 R >>" % (pages_num, font_res, xobj, cnum)
         )
         kid_nums.append(pnum)
 

@@ -784,3 +784,156 @@ def test_empty_owner_password_opens_user_locked_rc4_and_aes():
                            owner_password=b"ownersecret")
         with pytest.raises(PdfEncryptedError, match="password"):
             parse_pdf_spans(locked, "d.pdf")
+
+
+def test_font_modes_roundtrip_all_layouts():
+    """r6 font layer: WinAnsi re-encoding, /Differences glyph-name
+    remaps, Type0 Identity-H CID hex strings with a /ToUnicode CMap, and
+    per-line Tf font switching all decode back to the original text —
+    across classic-xref and XRef-stream/ObjStm layouts and under real
+    encryption. 'simple' stays the pinned latin-1-lossy behavior."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        parse_pdf_spans,
+    )
+
+    text = ["Invoice No 12345", "Total: $1,299.00",
+            "Café déjà vu — naïve", "Mixed CASE line three",
+            "€ 50 – “quoted” … ﬁnal"]
+    pages = [[("text", t) for t in text] + [("rule", "10,20,100,2")],
+             [("text", "Page two line"), ("image",)]]
+    full = text + ["Page two line"]
+
+    def lat1(t):
+        return t.encode("latin-1", "replace").decode("latin-1")
+
+    def w1252(t):  # winansi carries €/–/“” but not the ﬁ ligature
+        return t.encode("cp1252", "replace").decode("cp1252")
+
+    exp_mixed = ([t if i % 2 else lat1(t) for i, t in enumerate(text)]
+                 + [lat1("Page two line")])
+    for mode, exp in [("simple", [lat1(t) for t in full]),
+                      ("winansi", [w1252(t) for t in full]),
+                      ("diff", full),
+                      ("cid", full), ("mixed", exp_mixed)]:
+        for xs in (False, True):
+            data = build_pdf(pages, font_mode=mode, xref_stream=xs)
+            got = [s["text"] for s in parse_pdf_spans(data, "d")
+                   if s["kind"] == "text"]
+            assert got == exp, (mode, xs, got)
+    # ToUnicode stream + hex show ops survive every encryption family
+    for enc in (True, "aesv2", "aesv3"):
+        data = build_pdf(pages, font_mode="cid", encrypted=enc)
+        got = [s["text"] for s in parse_pdf_spans(data, "d")
+               if s["kind"] == "text"]
+        assert got == full, enc
+
+
+def test_font_modes_fixture_corpus_roundtrip():
+    """Every fixture doc round-trips bit-identically through the CID and
+    Differences writers — the span-sequence equality the simple writer
+    has pinned since r1, now under subset-font layouts."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        parse_pdf_spans,
+        spans_to_pdf,
+    )
+
+    for i, d in enumerate(make_corpus(12, seed=7)):
+        mode = ("cid", "diff", "winansi", "mixed")[i % 4]
+        pdf = spans_to_pdf(d["spans"], font_mode=mode)
+        got = parse_pdf_spans(pdf, d["doc_id"])
+        exp = [s for s in d["spans"]
+               if s["kind"] not in ("media_text", "media_text_alt")]
+        key = lambda s: (s["kind"], s["text"], s["media_ref"])
+        assert [key(s) for s in got] == [key(s) for s in exp], \
+            (d["doc_id"], mode)
+
+
+def test_tounicode_cmap_parser_forms():
+    """_parse_tounicode covers the spec forms real subset fonts emit:
+    bfchar, incrementing bfrange, array bfrange, multi-width codespaces,
+    surrogate-pair (astral) targets, ligature multi-char targets — and
+    rejects corrupt range bombs before allocating."""
+    import pytest
+
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        _cmap_text_decoder,
+        _parse_tounicode,
+    )
+
+    cmap_src = b"""
+    /CIDInit /ProcSet findresource begin
+    begincmap
+    2 begincodespacerange
+    <00> <7F>
+    <8000> <FFFF>
+    endcodespacerange
+    2 beginbfchar
+    <41> <0058>
+    <8001> <D83DDE00>
+    endbfchar
+    3 beginbfrange
+    <50> <52> <0061>
+    <8010> <8012> [<0046004600E9> <0042> <0043>]
+    <8020> <8021> <00660069>
+    endbfrange
+    endcmap
+    end
+    """
+    cmap, lengths = _parse_tounicode(cmap_src)
+    assert lengths == [1, 2]
+    dec = _cmap_text_decoder(cmap, lengths)
+    assert dec(b"\x41") == "X"
+    assert dec(b"\x80\x01") == "\U0001F600"          # surrogate pair
+    assert dec(b"\x50\x51\x52") == "abc"             # incrementing range
+    assert dec(b"\x80\x10") == "FFé"                 # array target
+    assert dec(b"\x80\x20\x80\x21") == "fifj"        # range increments last
+    # unmapped 2-byte code falls back to code-point identity
+    assert dec(b"\x90\x00") == "退"
+    with pytest.raises(ValueError, match="bfrange"):
+        _parse_tounicode(
+            b"beginbfrange <0000> <FFFFFF> <0041> endbfrange"
+        )
+
+
+def test_glyph_names_and_simple_encodings():
+    """Glyph-name resolution (AGL subset, letter self-names, uniXXXX /
+    uXXXXXX, honest U+FFFD) and the named simple-font tables (WinAnsi =
+    cp1252 with latin-1 holes, MacRoman)."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        _base_encoding_table,
+        _glyph_to_unicode,
+    )
+
+    assert _glyph_to_unicode("eacute") == "é"
+    assert _glyph_to_unicode("Euro") == "€"
+    assert _glyph_to_unicode("Q") == "Q"
+    assert _glyph_to_unicode("three") == "3"
+    assert _glyph_to_unicode("uni20AC") == "€"
+    assert _glyph_to_unicode("u1F600") == "\U0001F600"
+    assert _glyph_to_unicode("nosuchglyphname") == "�"
+    win = _base_encoding_table("WinAnsiEncoding")
+    assert win[0x80] == "€" and win[0x93] == "“" and win[0x97] == "—"
+    assert win[0x81] == "\x81"  # cp1252 hole keeps latin-1 identity
+    mac = _base_encoding_table("MacRomanEncoding")
+    assert mac[0x8E] == "é" and mac[0xD5] == "’"
+    assert _base_encoding_table("")[0xE9] == "é"  # latin-1 default
+
+
+def test_identity_cid_without_tounicode_best_effort():
+    """A Type0 Identity-H font whose /ToUnicode is absent decodes CIDs as
+    best-effort code points (pdfminer-class behavior) instead of
+    garbling bytes through latin-1."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        parse_pdf_spans,
+    )
+
+    pages = [[("text", "AB"), ("text", "BA")]]
+    data = build_pdf(pages, font_mode="cid", compress=False)
+    # first-use code assignment: A->1, B->2; break the ToUnicode link so
+    # the Identity fallback path runs
+    patched = data.replace(b"/ToUnicode", b"/XoUnicode")
+    got = [s["text"] for s in parse_pdf_spans(patched, "d")
+           if s["kind"] == "text"]
+    assert got == ["\x01\x02", "\x02\x01"]
