@@ -7,7 +7,9 @@ ships in this sandbox, so the parse is built directly on the PDF 1.4 file
 format: classic xref table walk → trailer /Root → /Pages page-tree traversal
 in document order → per-page /Contents stream fetch (FlateDecode via stdlib
 zlib) → content-stream tokenization (BT/ET text blocks; Tj / TJ / ' / " show
-operators; Td/TD/T*/Tm line moves; Do image-XObject placements).
+operators; Td/TD/T*/Tm line moves; Do image-XObject placements; Do form-
+XObject placements expanded inline against the form's own /Resources,
+with cycle/depth guards; /Pages-tree attribute inheritance §7.7.3.4).
 
 Output span grammar matches the corpus fixtures (FIXTURES.md):
   page_break  "=== PAGE {n} ==="            one per page, in order
@@ -791,18 +793,32 @@ class PdfDocument:
         return _parse_value(_CLexer(payload, first + rel))
 
     # -- pages --------------------------------------------------------------
+    # inheritable page attributes, PDF 1.7 §7.7.3.4 Table 30
+    _INHERITABLE = ("Resources", "MediaBox", "CropBox", "Rotate")
+
     def pages(self) -> list[dict]:
         root = self.get(self.trailer["Root"])
         out: list[dict] = []
-        self._walk_pages(self.get(root["Pages"]), out)
+        self._walk_pages(self.get(root["Pages"]), out, {})
         return out
 
-    def _walk_pages(self, node: dict, out: list[dict]) -> None:
+    def _walk_pages(self, node: dict, out: list[dict],
+                    inherited: dict) -> None:
         if node.get("Type") == "Page":
-            out.append(node)
+            missing = {k: v for k, v in inherited.items()
+                       if k not in node}
+            # inheritance (r6): /Resources &c may live on any ancestor
+            # /Pages node (the LibreOffice/TeX layout) — materialize the
+            # nearest ancestor's value onto a COPY so callers see one
+            # flat dict
+            out.append({**node, **missing} if missing else node)
             return
+        inherited = {
+            **inherited,
+            **{k: node[k] for k in self._INHERITABLE if k in node},
+        }
         for kid in self.get(node.get("Kids", [])):
-            self._walk_pages(self.get(kid), out)
+            self._walk_pages(self.get(kid), out, inherited)
 
     def page_content(self, page: dict) -> bytes:
         contents = self.get(page.get("Contents"))
@@ -831,6 +847,9 @@ class PdfDocument:
         simple-font /Encoding (WinAnsi/MacRoman names or a /Differences
         dict over a base table), else latin-1 — the pre-r6 behavior."""
         res = self.get(page.get("Resources", {})) or {}
+        return self._fonts_from_res(res)
+
+    def _fonts_from_res(self, res: dict) -> dict:
         fonts = self.get(res.get("Font", {})) or {}
         out = {}
         for name, ref in fonts.items():
@@ -839,6 +858,55 @@ class PdfDocument:
                 d = d.attrs
             if isinstance(d, dict):
                 out[str(name)] = self._font_decoder(d)
+        return out
+
+    def page_paint_events(self, page: dict) -> list[tuple]:
+        """All paint events for a page in paint order, with form
+        XObjects (/Subtype /Form — the letterhead/stamp containers
+        LibreOffice-class writers emit) expanded inline (r6). Image
+        events carry the RESOLVED image stream (or None for inline
+        BI..EI images) so nested images decode against the form's own
+        /Resources, not the page's."""
+        res = self.get(page.get("Resources", {})) or {}
+        return self._paint_events(self.page_content(page), res, ())
+
+    def _paint_events(self, content: bytes, res: dict,
+                      stack: tuple) -> list[tuple]:
+        xo = self.get(res.get("XObject", {})) or {}
+        images: dict[str, object] = {}
+        forms: dict[str, tuple] = {}
+        for name, ref in xo.items():
+            key = ref.num if isinstance(ref, Ref) else None
+            obj = self.get(ref)
+            if not isinstance(obj, _Stream):
+                continue
+            sub = obj.attrs.get("Subtype")
+            if sub == "Image":
+                images[str(name)] = obj
+            elif sub == "Form":
+                forms[str(name)] = (key if key is not None else id(obj),
+                                    obj)
+        out: list[tuple] = []
+        evs = content_events(content, set(images),
+                             fonts=self._fonts_from_res(res),
+                             form_names=set(forms))
+        for ev in evs:
+            if ev[0] == "image":
+                out.append(("image",
+                            images[ev[1]] if ev[1] is not None else None))
+            elif ev[0] == "form":
+                key, obj = forms[ev[1]]
+                if key in stack or len(stack) >= 8:
+                    # self-referential or absurdly deep form nesting:
+                    # drop the placement instead of looping — corrupt-
+                    # input guard, same policy as the codec bombs
+                    continue
+                sub_res = self.get(obj.attrs.get("Resources")) or res
+                out.extend(self._paint_events(
+                    _decode_stream(obj), sub_res, stack + (key,)
+                ))
+            else:
+                out.append(ev)
         return out
 
     def _font_decoder(self, font: dict):
@@ -1440,10 +1508,8 @@ def parse_pdf_spans(data: bytes, doc_id: str) -> list[dict]:
         spans.append({"kind": "page_break", "text": f"=== PAGE {p + 1} ===",
                       "media_ref": "", "offset": off})
         off += 1
-        images = doc.page_image_xobjects(page)
         img_i = 0
-        for ev in content_events(doc.page_content(page), set(images),
-                                 fonts=doc.page_fonts(page)):
+        for ev in doc.page_paint_events(page):
             if ev[0] == "line":
                 spans.append({"kind": "text", "text": ev[1], "media_ref": "",
                               "offset": off})
@@ -1469,9 +1535,8 @@ def pdf_media_payloads(data: bytes, doc_id: str) -> list[dict]:
     doc = PdfDocument(data)
     out: list[dict] = []
     for p, page in enumerate(doc.pages()):
-        images = doc.page_image_xobjects(page)
         img_i = 0
-        for ev in content_events(doc.page_content(page), set(images)):
+        for ev in doc.page_paint_events(page):
             if ev[0] != "image":
                 continue
             if ev[1] is None:
@@ -1485,9 +1550,10 @@ def pdf_media_payloads(data: bytes, doc_id: str) -> list[dict]:
                 })
                 img_i += 1
                 continue
-            res = doc.get(page.get("Resources", {})) or {}
-            xo = doc.get(res.get("XObject", {})) or {}
-            obj = doc.get(xo[ev[1]])
+            # paint events carry the RESOLVED image stream — correct even
+            # when the placement came from inside a form XObject whose
+            # /Resources differ from the page's
+            obj = ev[1]
             filt = obj.attrs.get("Filter")
             filters = [filt] if isinstance(filt, (str, Name)) else (filt or [])
             # terminal codecs that are NOT self-describing (CCITT G4 has no
@@ -1675,6 +1741,7 @@ def build_pdf(
     content_filter: str | None = None, image_filter: str = "Flate",
     encrypted: bool | str = False, user_password: bytes = b"",
     owner_password: bytes | None = None, font_mode: str = "simple",
+    wrap_in_form: bool = False, resources_on_pages_tree: bool = False,
 ) -> bytes:
     """Build a PDF file from ordered paint events.
 
@@ -1710,6 +1777,13 @@ def build_pdf(
     /ToUnicode CMap — the subset-font layout every modern PDF writer
     (Word/Chrome/LibreOffice) emits; "mixed" alternates lines between
     the simple /F1 and the CID /F2 to exercise Tf decoder switching.
+
+    ``wrap_in_form`` (r6) moves each page's paint ops into a /Subtype
+    /Form XObject carrying its OWN /Resources (fonts and images), the
+    page content reduced to a single Do — the letterhead/stamp layout.
+    ``resources_on_pages_tree`` (r6) hoists /Resources onto the /Pages
+    node so pages inherit it (text/rule documents only — image XObject
+    names are allocated per page and cannot be hoisted).
     """
     from .pdfcrypt import (
         derive_file_key, make_r6_entries, object_key, object_key_aes,
@@ -2103,19 +2177,18 @@ def build_pdf(
             ops.append(b"ET")
         content = b"\n".join(ops)
         cf = content_filter if content_filter else ("Flate" if compress else None)
-        cnum = alloc()
-        if cf is not None:
-            fname, enc = _CONTENT_ENCODERS[cf]
-            payload = enc_stream(cnum, enc(content))
-            # /Length AFTER encryption: RC4 preserves length but AES adds
-            # an IV + padding
-            stream_dict = (b"<< /Filter /%s /Length %d%s >>"
-                           % (fname.encode("ascii"), len(payload),
-                              _note(cnum)))
-        else:
-            payload = enc_stream(cnum, content)
-            stream_dict = b"<< /Length %d%s >>" % (len(payload), _note(cnum))
-        objects[cnum] = b"%s\nstream\n%s\nendstream" % (stream_dict, payload)
+
+        def _stream_parts(num: int, data: bytes) -> tuple[bytes, bytes]:
+            # (dict entries, payload) — /Length AFTER encryption: RC4
+            # preserves length but AES adds an IV + padding
+            if cf is not None:
+                fname, enc = _CONTENT_ENCODERS[cf]
+                payload = enc_stream(num, enc(data))
+                return (b"/Filter /%s /Length %d%s"
+                        % (fname.encode("ascii"), len(payload),
+                           _note(num)), payload)
+            payload = enc_stream(num, data)
+            return (b"/Length %d%s" % (len(payload), _note(num)), payload)
 
         xobj = b""
         if img_nums:
@@ -2126,17 +2199,55 @@ def build_pdf(
         font_res = b"/F1 %d 0 R" % font_num
         if font_mode == "mixed":
             font_res += b" /F2 %d 0 R" % cid_font_num
+        res_body = b"<< /Font << %s >> %s >>" % (font_res, xobj)
+
+        if wrap_in_form:
+            # page paint ops live inside a /Form XObject carrying its
+            # OWN resources; the page content is a single Do
+            fm = alloc()
+            sd, payload = _stream_parts(fm, content)
+            objects[fm] = (
+                b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+                b"/Resources %s %s >>\nstream\n%s\nendstream"
+                % (res_body, sd, payload)
+            )
+            content = b"q /Fm0 Do Q"
+            res_body = b"<< /XObject << /Fm0 %d 0 R >> >>" % fm
+
+        cnum = alloc()
+        sd, payload = _stream_parts(cnum, content)
+        objects[cnum] = b"<< %s >>\nstream\n%s\nendstream" % (sd, payload)
+
         pnum = alloc()
-        objects[pnum] = (
-            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << %s >> %s >> "
-            b"/Contents %d 0 R >>" % (pages_num, font_res, xobj, cnum)
-        )
+        if resources_on_pages_tree:
+            if img_nums or wrap_in_form:
+                raise ValueError(
+                    "resources_on_pages_tree supports text/rule pages "
+                    "only (image XObject names are per-page)"
+                )
+            objects[pnum] = (
+                b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R >>"
+                % (pages_num, cnum)
+            )
+        else:
+            objects[pnum] = (
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+                b"/Resources %s /Contents %d 0 R >>"
+                % (pages_num, res_body, cnum)
+            )
         kid_nums.append(pnum)
 
     kids = b" ".join(b"%d 0 R" % n for n in kid_nums)
-    objects[pages_num] = (b"<< /Type /Pages /Kids [%s] /Count %d >>"
-                          % (kids, len(kid_nums)))
+    tree_extra = b""
+    if resources_on_pages_tree:
+        # inheritable attributes live on the /Pages node; kids carry none
+        fr = b"/F1 %d 0 R" % font_num
+        if font_mode == "mixed":
+            fr += b" /F2 %d 0 R" % cid_font_num
+        tree_extra = (b" /MediaBox [0 0 612 792] "
+                      b"/Resources << /Font << %s >> >>" % fr)
+    objects[pages_num] = (b"<< /Type /Pages /Kids [%s] /Count %d%s >>"
+                          % (kids, len(kid_nums), tree_extra))
     objects[catalog_num] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
 
     # /Info with a literal string — exercises STRING decryption: in the

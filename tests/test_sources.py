@@ -937,3 +937,120 @@ def test_identity_cid_without_tounicode_best_effort():
     got = [s["text"] for s in parse_pdf_spans(patched, "d")
            if s["kind"] == "text"]
     assert got == ["\x01\x02", "\x02\x01"]
+
+
+def test_form_xobjects_and_inherited_resources():
+    """r6: /Subtype /Form XObjects (the letterhead/stamp containers)
+    expand inline in paint order — text, images and rules inside a form
+    surface exactly as page-level ones do, with images resolved against
+    the FORM's own /Resources; /Resources on the /Pages node are
+    inherited by kid pages (PDF 1.7 §7.7.3.4). Both across xref layouts,
+    font modes and real encryption."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        parse_pdf_spans,
+        pdf_media_payloads,
+    )
+
+    text = ["Header line", "Invoice No 777", "Total: $42.00"]
+    pages = [[("text", t) for t in text] + [("image",),
+                                            ("rule", "1,2,3,4")],
+             [("text", "Page two"), ("image",)]]
+    for mode in ("simple", "cid", "winansi"):
+        for xs in (False, True):
+            data = build_pdf(pages, font_mode=mode, wrap_in_form=True,
+                             xref_stream=xs)
+            spans = parse_pdf_spans(data, "d")
+            kinds = [s["kind"] for s in spans]
+            texts = [s["text"] for s in spans if s["kind"] == "text"]
+            assert texts == text + ["Page two"], (mode, xs, texts)
+            assert kinds.count("media") == 2 and kinds.count("rule") == 1
+            pay = pdf_media_payloads(data, "d")
+            assert [p["media_ref"] for p in pay] == [
+                s["media_ref"] for s in spans if s["kind"] == "media"
+            ]
+            assert all(p["filter"] == "FlateDecode" for p in pay)
+    data = build_pdf(pages, font_mode="cid", wrap_in_form=True,
+                     encrypted="aesv2")
+    got = [s["text"] for s in parse_pdf_spans(data, "d")
+           if s["kind"] == "text"]
+    assert got == text + ["Page two"]
+
+    tpages = [[("text", t) for t in text], [("text", "Page two")]]
+    for mode in ("simple", "cid", "diff"):
+        for xs in (False, True):
+            data = build_pdf(tpages, font_mode=mode,
+                             resources_on_pages_tree=True, xref_stream=xs)
+            got = [s["text"] for s in parse_pdf_spans(data, "d")
+                   if s["kind"] == "text"]
+            assert got == text + ["Page two"], (mode, xs, got)
+
+
+def test_nested_and_self_referential_forms():
+    """Handcrafted PDFs: a form nested inside a form decodes both text
+    layers in paint order; a SELF-referential form (corrupt input) drops
+    the recursive placement instead of looping — the same guard policy
+    as the codec dimension bombs."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        parse_pdf_spans,
+    )
+
+    def pdf(objs: dict[int, bytes]) -> bytes:
+        out = bytearray(b"%PDF-1.4\n")
+        offs = {}
+        for n in sorted(objs):
+            offs[n] = len(out)
+            out += b"%d 0 obj\n%s\nendobj\n" % (n, objs[n])
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (max(objs) + 1)
+        for n in sorted(objs):
+            out += b"%010d 00000 n \n" % offs[n]
+        out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
+                b"%%%%EOF\n" % (max(objs) + 1, xref))
+        return bytes(out)
+
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+    def stream(dict_prefix: bytes, body: bytes) -> bytes:
+        return (b"<< %s /Length %d >>\nstream\n%s\nendstream"
+                % (dict_prefix, len(body), body))
+
+    # nested: page -> FmA -> FmB
+    inner = b"BT /F1 10 Tf (inner) Tj ET"
+    outer = b"BT /F1 10 Tf (outer-pre) Tj ET\nq /FmB Do Q\n" \
+            b"BT /F1 10 Tf (outer-post) Tj ET"
+    nested = pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /XObject << /FmA 5 0 R >> >> "
+           b"/Contents 4 0 R >>",
+        4: stream(b"", b"BT /F1 10 Tf (page-pre) Tj ET\nq /FmA Do Q"),
+        5: stream(b"/Type /XObject /Subtype /Form /BBox [0 0 10 10] "
+                  b"/Resources << /Font << /F1 7 0 R >> "
+                  b"/XObject << /FmB 6 0 R >> >>", outer),
+        6: stream(b"/Type /XObject /Subtype /Form /BBox [0 0 10 10] "
+                  b"/Resources << /Font << /F1 7 0 R >> >>", inner),
+        7: font,
+    })
+    got = [s["text"] for s in parse_pdf_spans(nested, "d")
+           if s["kind"] == "text"]
+    assert got == ["page-pre", "outer-pre", "inner", "outer-post"]
+
+    # self-referential: FmA places itself — placement dropped, text kept
+    cyc = pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /XObject << /FmA 5 0 R >> >> "
+           b"/Contents 4 0 R >>",
+        4: stream(b"", b"q /FmA Do Q"),
+        5: stream(b"/Type /XObject /Subtype /Form /BBox [0 0 10 10] "
+                  b"/Resources << /Font << /F1 6 0 R >> "
+                  b"/XObject << /FmA 5 0 R >> >>",
+                  b"BT /F1 10 Tf (once) Tj ET\nq /FmA Do Q"),
+        6: font,
+    })
+    got = [s["text"] for s in parse_pdf_spans(cyc, "d")
+           if s["kind"] == "text"]
+    assert got == ["once"]
