@@ -18,11 +18,14 @@ with scalar quantization, expounded (style 2) or derived (style 1)
 signalling and ±ICT color — the dominant real-world lossy form. Raw
 codestreams AND JP2 box containers (both layouts PDF /JPXDecode
 streams use), per-tile COD/QCD header overrides (tile-part headers),
-and per-component subsampling (XRsiz/YRsiz 1-4 — the 4:2:0/4:2:2
-scanner forms; box-average down on encode, sample-and-hold up on
-decode). Unaligned tile grids, MCT over subsampled planes and the
-semantic markers listed in decode_jpx raise ValueError — the honest
-reject.
+per-COMPONENT COC/QCC main-header overrides (component precinct
+geometry and quantization — the chroma-at-coarser-quality form), and
+per-component subsampling (XRsiz/YRsiz 1-4 — the 4:2:0/4:2:2 scanner
+forms; box-average down on encode, sample-and-hold up on decode).
+Unaligned tile grids, MCT over subsampled planes, COC/QCC combined
+with per-tile overrides (interleaved precedence) and the semantic
+markers listed in decode_jpx (RGN/POC/PPM/PPT) raise ValueError — the
+honest reject.
 
 Design note: the EBCOT tier-1 coefficient coder, the tag trees and the
 packet headers are implemented ONCE as shared traversals over a
@@ -946,6 +949,32 @@ def _qcd_bytes(levels, irreversible, derived, guard, eps, mant, pair):
     return b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + bytes(qcd)
 
 
+def _comp_index_bytes(c: int, ncomp: int) -> bytes:
+    return (struct.pack(">B", c) if ncomp < 257
+            else struct.pack(">H", c))
+
+
+def _coc_bytes(c, ncomp, levels, irreversible, prec):
+    """COC marker segment: component index + Scoc + the SPcod tail
+    without the progression prefix (T.800 A.6.2)."""
+    custom = any(pp != (_PP_DEFAULT, _PP_DEFAULT) for pp in prec)
+    body = (_comp_index_bytes(c, ncomp)
+            + bytes([1 if custom else 0, levels, 4, 4, 0,
+                     0 if irreversible else 1]))
+    if custom:
+        body += bytes(px_ | (py_ << 4) for px_, py_ in prec)
+    return b"\xff\x53" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _qcc_bytes(c, ncomp, levels, irreversible, derived, guard, eps,
+               mant, pair):
+    """QCC marker segment: component index + the QCD body (A.6.5)."""
+    qcd_body = _qcd_bytes(levels, irreversible, derived, guard, eps,
+                          mant, pair)[4:]
+    body = _comp_index_bytes(c, ncomp) + qcd_body
+    return b"\xff\x5d" + struct.pack(">H", 2 + len(body)) + body
+
+
 def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                levels: int = 2, mct: bool = True,
                jp2: bool = False, irreversible: bool = False,
@@ -955,7 +984,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                sop: bool = False, eph: bool = False,
                precincts=None,
                tile_overrides: "dict[int, dict] | None" = None,
-               sampling: "list[tuple[int, int]] | None" = None) -> bytes:
+               sampling: "list[tuple[int, int]] | None" = None,
+               comp_overrides: "dict[int, dict] | None" = None) -> bytes:
     """8-bit samples (gray, or RGB interleaved with ``ncomp=3``) →
     JPEG 2000 codestream. Default is the
     lossless 5/3 reversible path; ``irreversible=True`` emits the LOSSY
@@ -993,7 +1023,14 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     form; levels/transform/MCT stay codestream-global. ``sampling``
     gives per-component (XRsiz, YRsiz) subsampling factors — full-res
     input is box-averaged onto each component's grid (4:2:0/4:2:2 YCC,
-    the subsampled-scanner form); incompatible with ``mct``."""
+    the subsampled-scanner form); incompatible with ``mct``.
+    ``comp_overrides`` maps a component index to per-COMPONENT
+    overrides emitted as main-header COC/QCC segments — keys among
+    precincts (COC) and, on the lossy path, quality (QCC — the
+    chroma-at-coarser-quality form real 4:2:0 encoders emit);
+    incompatible with ``tile_overrides`` (T.800's interleaved
+    precedence between tile COD/QCD and main COC/QCC is out of scope
+    on both codec halves)."""
     if len(pixels) != width * height * ncomp:
         raise ValueError("pixel buffer does not match dimensions")
     if derived and not irreversible:
@@ -1062,6 +1099,37 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
             "quality": ov.get("quality", quality),
         })
 
+    comp_prec: dict[int, list] = {}
+    comp_quality: dict[int, int] = {}
+    if comp_overrides:
+        if tovr:
+            raise ValueError(
+                "comp_overrides and tile_overrides are mutually "
+                "exclusive (COC/QCC vs tile COD/QCD precedence)"
+            )
+        for c, ov in comp_overrides.items():
+            if not 0 <= c < ncomp:
+                raise ValueError("component override index out of range")
+            bad = set(ov) - {"precincts", "quality"}
+            if bad:
+                raise ValueError(
+                    f"unsupported component override keys: {bad}"
+                )
+            if "quality" in ov:
+                if not irreversible:
+                    raise ValueError(
+                        "per-component quality requires the 9/7 path"
+                    )
+                comp_quality[c] = ov["quality"]
+            if "precincts" in ov:
+                comp_prec[c] = _norm_prec(ov["precincts"], levels)
+
+    def _prec_tc(t: int, c: int) -> list:
+        return comp_prec.get(c, tset[t]["prec"])
+
+    def _quality_tc(t: int, c: int) -> int:
+        return comp_quality.get(c, tset[t]["quality"])
+
     # per component: level shift (+ RCT/ICT for color) → DWT → band rows
     n = width * height
     if mct and irreversible:  # ICT (T.800 G.2): floating YCbCr
@@ -1111,7 +1179,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                     dst[cy * cw_c + cx] = (2 * sval + cnt) // (2 * cnt)
             ds.append(dst)
         planes = ds
-    qualities = sorted({ts["quality"] for ts in tset} | {quality})
+    qualities = sorted({ts["quality"] for ts in tset} | {quality}
+                       | set(comp_quality.values()))
     d0 = {}
     if derived:
         for q in qualities:
@@ -1154,7 +1223,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
             tx0_c, ty0_c = tx0 // xr, ty0 // yr
             tw_c = min(xt // xr if ntx > 1 else cw_c, cw_c - tx0_c)
             th_c = min(yt // yr if nty > 1 else ch_c, ch_c - ty0_c)
-            layout = _tile_layout(tw_c, th_c, levels, ts["prec"],
+            layout = _tile_layout(tw_c, th_c, levels, _prec_tc(t, c),
                                   (xr, yr))
             layouts.append(layout)
             rows = [planes[c][(ty0_c + y) * cw_c + tx0_c :
@@ -1165,7 +1234,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                 for name, (li, bw, bh, blocks) in \
                         layout[r]["bands"].items():
                     rows_b = _subband_rows(name, li, ll, bands)
-                    delta = (_band_step(name, li, ts["quality"])
+                    delta = (_band_step(name, li, _quality_tc(t, c))
                              if irreversible else None)
                     for k, (x0, y0, cw, ch) in enumerate(blocks):
                         if irreversible:
@@ -1179,7 +1248,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                         npl = max((m.bit_length() for m in mag), default=0)
                         t1_cache[(c, r, name, k)] = (cw, ch, mag, sgn, npl)
                         band_key = name if name == "LL" else f"{name}{li}"
-                        qk = (ts["quality"], band_key)
+                        qk = (_quality_tc(t, c), band_key)
                         maxnp[qk] = max(maxnp.get(qk, 0), npl)
         tile_caches.append((layouts, t1_cache))
 
@@ -1217,7 +1286,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     tile_bodies = []
     for t, (layouts, t1_cache) in enumerate(tile_caches):
         ts = tset[t]
-        layers_t, mb = ts["layers"], grp[ts["quality"]][3]
+        layers_t = ts["layers"]
         coded: dict = {}
         for key, (cw, ch, mag, sgn, npl) in t1_cache.items():
             _c, _r, name, _k = key
@@ -1279,7 +1348,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                 pkt_body = _packet(
                     port,
                     band_list,
-                    lambda name, bands=la["bands"]: mb[mb_key(
+                    lambda name, bands=la["bands"],
+                    mb=grp[_quality_tc(t, c)][3]: mb[mb_key(
                         name, bands[name][0]
                     )],
                     state,
@@ -1311,6 +1381,15 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     g_eps, g_mant, g_guard, _ = grp[quality]
     out += _qcd_bytes(levels, irreversible, derived, g_guard, g_eps,
                       g_mant, d0.get(quality))
+    for c in sorted(set(comp_prec) | set(comp_quality)):
+        if c in comp_prec:
+            out += _coc_bytes(c, ncomp, levels, irreversible,
+                              comp_prec[c])
+        if c in comp_quality:
+            c_eps, c_mant, c_guard, _ = grp[comp_quality[c]]
+            out += _qcc_bytes(c, ncomp, levels, irreversible, derived,
+                              c_guard, c_eps, c_mant,
+                              d0.get(comp_quality[c]))
     for t, body in enumerate(tile_bodies):
         ts = tset[t]
         hdr = b""  # tile-part header overrides (first tile-part only)
@@ -1376,9 +1455,52 @@ def _parse_cod(seg: bytes, ncomp: int) -> dict:
             "levels": lv, "transform": tr, "prec": prec}
 
 
+def _split_comp_index(seg: bytes, ncomp: int) -> tuple[int, bytes]:
+    """COC/QCC segments lead with the component index (1 byte when the
+    image has < 257 components, else 2 — T.800 A.6.2/A.6.5)."""
+    if ncomp < 257:
+        if not seg:
+            raise ValueError("empty COC/QCC segment")
+        c = seg[0]
+        body = seg[1:]
+    else:
+        c = struct.unpack_from(">H", seg)[0]
+        body = seg[2:]
+    if c >= ncomp:
+        raise ValueError("COC/QCC component index out of range")
+    return c, body
+
+
+def _parse_coc(body: bytes) -> dict:
+    """COC body (after Ccoc) → per-component coding-style dict: Scoc
+    (bit 0 = custom precincts; the progression/layer/SOP/EPH fields are
+    COD-only), then SPcoc = the SPcod tail without the progression
+    prefix (Table A-23)."""
+    if len(body) < 6:
+        raise ValueError("truncated COC segment")
+    scoc, lv, cw, ch_, style, tr = struct.unpack_from(">BBBBBB", body)
+    if scoc & ~0x01:
+        raise ValueError("unsupported COC style flags")
+    if cw != 4 or ch_ != 4 or style != 0 or tr not in (0, 1):
+        raise ValueError("unsupported COC (need 64x64 blocks, style 0)")
+    if scoc & 0x01:
+        if len(body) < 6 + lv + 1:
+            raise ValueError("COC truncates precinct sizes")
+        prec = [(b & 0x0F, b >> 4) for b in body[6 : 6 + lv + 1]]
+        for r, (px_, py_) in enumerate(prec):
+            if r and (px_ == 0 or py_ == 0):
+                raise ValueError(
+                    "zero precinct exponent above resolution 0"
+                )
+    else:
+        prec = [(_PP_DEFAULT, _PP_DEFAULT)] * (lv + 1)
+    return {"levels": lv, "transform": tr, "prec": prec}
+
+
 def _parse_qcd(seg: bytes) -> dict:
-    """QCD segment body → quantization dict (shared by the main header
-    and per-tile overrides)."""
+    """QCD segment body → quantization dict (shared by the main header,
+    per-tile overrides and — after the component-index byte — QCC
+    per-component overrides)."""
     sqcd = seg[0]
     qstyle = sqcd & 0x1F
     out = {"guard": sqcd >> 5, "eps_list": [], "mant_list": None,
@@ -1481,6 +1603,8 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
     tile_parts: dict[int, bytearray] = {}
     tile_cod: dict[int, dict] = {}
     tile_qcd: dict[int, dict] = {}
+    main_coc: dict[int, dict] = {}
+    main_qcc: dict[int, dict] = {}
     while pos + 2 <= len(data):
         marker = data[pos:pos + 2]
         pos += 2
@@ -1521,15 +1645,25 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
             main_cod = _parse_cod(seg, ncomp)
         elif marker == b"\xff\x5c":  # QCD
             main_qcd = _parse_qcd(seg)
-        elif marker in (b"\xff\x53", b"\xff\x5d", b"\xff\x5e",
-                        b"\xff\x5f", b"\xff\x60", b"\xff\x61"):
-            # markers that CHANGE decoding semantics (COC/QCC per-
-            # component overrides, RGN ROI shifts, POC progression
-            # changes, PPM/PPT packed packet headers) must not be
-            # skipped — silently ignoring them scrambles pixels
+        elif marker == b"\xff\x53":  # COC: per-component coding style
+            if ncomp is None:
+                raise ValueError("COC before SIZ")
+            c, body = _split_comp_index(seg, ncomp)
+            main_coc[c] = _parse_coc(body)
+        elif marker == b"\xff\x5d":  # QCC: per-component quantization
+            if ncomp is None:
+                raise ValueError("QCC before SIZ")
+            c, body = _split_comp_index(seg, ncomp)
+            main_qcc[c] = _parse_qcd(body)
+        elif marker in (b"\xff\x5e", b"\xff\x5f", b"\xff\x60",
+                        b"\xff\x61"):
+            # markers that CHANGE decoding semantics (RGN ROI shifts,
+            # POC progression changes, PPM/PPT packed packet headers)
+            # must not be skipped — silently ignoring them scrambles
+            # pixels
             raise ValueError(
                 "unsupported codestream marker alters decoding "
-                "(COC/QCC/RGN/POC/PPM/PPT)"
+                "(RGN/POC/PPM/PPT)"
             )
         elif marker == b"\xff\x90":  # SOT: one tile-part follows
             if len(seg) != 8:
@@ -1590,6 +1724,20 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(
                 "per-tile COD changes levels/transform/MCT"
             )
+    if (tile_cod or tile_qcd) and (main_coc or main_qcc):
+        # T.800 gives tile-part COD/QCD and main-header COC/QCC an
+        # interleaved precedence order; supporting one without the
+        # other is honest, supporting both half-right is not
+        raise ValueError(
+            "COC/QCC combined with per-tile COD/QCD overrides "
+            "(precedence unsupported)"
+        )
+    for c, cc in main_coc.items():
+        # per-component precinct geometry is in scope; a per-component
+        # wavelet/levels change alters sample semantics — reject
+        if (cc["levels"], cc["transform"]) != \
+                (levels, main_cod["transform"]):
+            raise ValueError("COC changes levels/transform")
     if mct and rs_list != [(1, 1)] * ncomp:
         # RCT/ICT mix co-sited samples; mixing planes of different
         # sizes is undefined here — honest reject (real 4:2:0 JPEG
@@ -1615,6 +1763,8 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing or spurious tile-part indices")
     irreversible = main_cod["transform"] == 0
     _resolve_quant(main_qcd, levels, irreversible)  # validate up front
+    for qc in main_qcc.values():
+        _resolve_quant(qc, levels, irreversible)
 
     # per-tile: packets in progression order → per-block accumulation
     # across layers → tier-1 decode → inverse DWT, stitched into the
@@ -1631,8 +1781,11 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         cod = tile_cod.get(t, main_cod)
         prog, layers = cod["prog"], cod["layers"]
         sop, eph = cod["sop"], cod["eph"]
-        eps, mant, mb = _resolve_quant(tile_qcd.get(t, main_qcd),
-                                       levels, irreversible)
+        quants = [
+            _resolve_quant(main_qcc.get(c, tile_qcd.get(t, main_qcd)),
+                           levels, irreversible)
+            for c in range(ncomp)
+        ]
         layouts = []
         comp_geo = []
         for c, (xr, yr) in enumerate(rs_list):
@@ -1640,8 +1793,10 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
             tx0_c, ty0_c = tx0 // xr, ty0 // yr
             tw_c = min(xt // xr if ntx > 1 else cw_c, cw_c - tx0_c)
             th_c = min(yt // yr if nty > 1 else ch_c, ch_c - ty0_c)
+            prec_c = (main_coc[c]["prec"] if c in main_coc
+                      else cod["prec"])
             layouts.append(_tile_layout(tw_c, th_c, levels,
-                                        cod["prec"], (xr, yr)))
+                                        prec_c, (xr, yr)))
             comp_geo.append((tx0_c, ty0_c, tw_c, th_c))
         body = bytes(tile_parts[t])
         comp_store: dict = {}
@@ -1671,7 +1826,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                 entries = _packet(
                     port,
                     band_list,
-                    lambda name, bands=la["bands"]: mb[
+                    lambda name, bands=la["bands"], mb=quants[c][2]: mb[
                         name if name == "LL" else
                         f"{name}{bands[name][0]}"
                     ],
@@ -1708,6 +1863,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
 
         for c in range(ncomp):
             store = comp_store.get(c, {})
+            eps, mant, _mb_c = quants[c]
 
             def band_rows(r, name):
                 _li_b, bw, bh, _blks = layouts[c][r]["bands"][name]

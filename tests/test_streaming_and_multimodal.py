@@ -1457,11 +1457,13 @@ def test_jpx_sop_eph_markers():
 
 
 def test_jpx_semantic_markers_reject_benign_skip():
-    """r6: main-header markers that ALTER decoding (COC/QCC per-
-    component overrides, RGN ROI shifts, POC progression changes,
-    PPM/PPT packed headers) reject honestly instead of being silently
-    skipped into scrambled pixels; informational markers (COM, TLM)
-    are skipped and the stream still decodes bit-exact."""
+    """r6: main-header markers that ALTER decoding beyond the supported
+    surface (RGN ROI shifts, POC progression changes, PPM/PPT packed
+    headers) reject honestly instead of being silently skipped into
+    scrambled pixels; TRUNCATED COC/QCC segments reject as malformed
+    (well-formed ones decode — see test_jpx_coc_qcc_overrides);
+    informational markers (COM, TLM) are skipped and the stream still
+    decodes bit-exact."""
     import random
     import struct
 
@@ -1480,11 +1482,20 @@ def test_jpx_semantic_markers_reject_benign_skip():
     tlm = b"\xff\x55" + struct.pack(">HBB", 4, 0, 0x40)
     assert jx.decode_jpx(d[:qcd] + tlm + d[qcd:]) == (W, H, 1, px)
 
-    for mk in (b"\xff\x53", b"\xff\x5d", b"\xff\x5e", b"\xff\x5f",
-               b"\xff\x60", b"\xff\x61"):
+    for mk in (b"\xff\x5e", b"\xff\x5f", b"\xff\x60", b"\xff\x61"):
         seg = mk + struct.pack(">H", 4) + b"\x00\x22"
         with pytest.raises(ValueError, match="alters decoding"):
             jx.decode_jpx(d[:qcd] + seg + d[qcd:])
+    # corrupt per-component overrides: truncated COC body / QCC whose
+    # quantization signals too few subbands — malformed, not scrambled
+    with pytest.raises(ValueError, match="truncated COC"):
+        jx.decode_jpx(d[:qcd] + b"\xff\x53" + struct.pack(">H", 4)
+                      + b"\x00\x22" + d[qcd:])
+    with pytest.raises(ValueError, match="scalar quantization"):
+        # a scalar-expounded QCC on a 5/3 reversible stream is a
+        # transform/quantization mismatch — caught in validation
+        jx.decode_jpx(d[:qcd] + b"\xff\x5d" + struct.pack(">H", 4)
+                      + b"\x00\x22" + d[qcd:])
 
 
 def test_jpx_custom_precincts():
@@ -1700,6 +1711,13 @@ def test_jpx_option_space_fuzz():
             precincts=precincts,
             tile_overrides=overrides,
         )
+        if overrides is None and rng.random() < 0.3:
+            co = {}
+            for _ in range(rng.randrange(1, ncomp + 1)):
+                co[rng.randrange(ncomp)] = {
+                    "precincts": rng.randrange(2, 6)
+                }
+            kw["comp_overrides"] = co
         sampling = None
         mct_live = kw["mct"] and ncomp == 3
         if not mct_live and rng.random() < 0.4:
@@ -1952,3 +1970,85 @@ def test_codec_degenerate_sizes_roundtrip():
         assert decode_gray_jpeg(
             encode_gray_jpeg(px, W, H, quality=95)
         )[:2] == (W, H)
+
+
+def test_jpx_coc_qcc_overrides():
+    """r6: main-header per-COMPONENT overrides — COC (per-component
+    custom precincts) and QCC (per-component quantization; the
+    chroma-at-coarser-quality form real 4:2:0 encoders emit). Lossless
+    COC round-trips bit-exact across progressions, MCT and subsampling;
+    lossy QCC keeps bounded error with luma fidelity ABOVE the coarse
+    chroma's; precedence with per-tile overrides rejects on both codec
+    halves."""
+    import random
+
+    import pytest
+
+    from pdf_extractor_scripts_spark.operators import jpxcodec as jx
+
+    rng = random.Random(5)
+    W, H = 37, 23
+    px = bytes(rng.randrange(256) for _ in range(W * H * 3))
+    for kw in (
+        {"comp_overrides": {1: {"precincts": 3}}},
+        {"comp_overrides": {0: {"precincts": [(4, 3), (2, 2), (3, 4)]}},
+         "levels": 2},
+        {"comp_overrides": {2: {"precincts": 2}}, "prog": 3,
+         "layers": 2},
+        {"comp_overrides": {1: {"precincts": 3}}, "mct": True},
+        {"comp_overrides": {1: {"precincts": 3}}, "prog": 4,
+         "sop": True, "eph": True, "jp2": True},
+    ):
+        data = jx.encode_jpx(px, W, H, 3, **kw)
+        assert jx.decode_jpx(data) == (W, H, 3, px), kw
+    # with chroma subsampling: per-component layouts compose with COC
+    sub = jx.encode_jpx(px, W, H, 3, mct=False,
+                        sampling=[(1, 1), (2, 2), (2, 2)],
+                        comp_overrides={1: {"precincts": 4}})
+    got = jx.decode_jpx(sub)
+    ref = jx.decode_jpx(jx.encode_jpx(px, W, H, 3, mct=False,
+                                      sampling=[(1, 1), (2, 2),
+                                                (2, 2)]))
+    assert got == ref  # packet partitioning must not change samples
+
+    def cmae(a, b, c):
+        vals = [abs(x - y) for i, (x, y) in enumerate(zip(a, b))
+                if i % 3 == c]
+        return sum(vals) / len(vals)
+
+    pxs = bytes(min(255, max(0, int(100 + 50 * (x / W) + 40 * (y / H))))
+                for y in range(H) for x in range(W) for _ in range(3))
+    d = jx.encode_jpx(pxs, W, H, 3, irreversible=True, quality=90,
+                      mct=False,
+                      comp_overrides={1: {"quality": 50},
+                                      2: {"quality": 50,
+                                          "precincts": 3}})
+    w, h, nc, out = jx.decode_jpx(d)
+    assert (w, h, nc) == (W, H, 3)
+    assert cmae(pxs, out, 0) < 1.0                      # luma stays fine
+    assert max(cmae(pxs, out, 1), cmae(pxs, out, 2)) < 4.0
+    # derived (style 1) QCC signalling round-trips too
+    d2 = jx.encode_jpx(pxs, W, H, 3, irreversible=True, derived=True,
+                       quality=90, mct=False,
+                       comp_overrides={1: {"quality": 70}})
+    _, _, _, out2 = jx.decode_jpx(d2)
+    assert sum(abs(a - b) for a, b in zip(pxs, out2)) / len(pxs) < 3.0
+
+    with pytest.raises(ValueError, match="9/7 path"):
+        jx.encode_jpx(px, W, H, 3, comp_overrides={1: {"quality": 60}})
+    with pytest.raises(ValueError, match="out of range"):
+        jx.encode_jpx(px, W, H, 3,
+                      comp_overrides={5: {"precincts": 2}})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        jx.encode_jpx(bytes(32 * 32 * 3), 32, 32, 3, tiles=16,
+                      levels=2, tile_overrides={0: {"prog": 1}},
+                      comp_overrides={1: {"precincts": 2}})
+    # decoder-side precedence reject: splice a (valid) COC into a
+    # stream that carries a per-tile COD override
+    base = jx.encode_jpx(bytes(32 * 32), 32, 32, 1, tiles=16,
+                         levels=2, tile_overrides={0: {"prog": 1}})
+    qcd = base.index(b"\xff\x5c")
+    coc = jx._coc_bytes(0, 1, 2, False,
+                        [(15, 15)] * 3)
+    with pytest.raises(ValueError, match="precedence unsupported"):
+        jx.decode_jpx(base[:qcd] + coc + base[qcd:])
