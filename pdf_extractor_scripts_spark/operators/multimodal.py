@@ -204,9 +204,11 @@ def raw_image_decoder(params: dict):
     """Decoder for byte-filter-only image XObjects (the dominant form in
     born-digital PDFs: a Flate-compressed raw bitmap): the declared
     /Width /Height /BitsPerComponent /ColorSpace give the sample layout.
-    Supports 1/8-bit DeviceGray and 8-bit DeviceRGB (luma-reduced);
-    returns None when the metadata is missing or the layout is
-    unsupported, so the payload stays carried-not-decoded."""
+    Supports 1/2/4/8-bit DeviceGray, 8-bit DeviceRGB, and /Indexed
+    palettes over either base (1/2/4/8-bit indices, clamped to /hival
+    per PDF 1.7 §8.6.6.3 — the PNG-derived logo/diagram form), all
+    luma-reduced; returns None when the metadata is missing or the
+    layout is unsupported, so the payload stays carried-not-decoded."""
     import math
 
     try:  # the distributed params column is a string map — coerce
@@ -217,30 +219,90 @@ def raw_image_decoder(params: dict):
     cs = str(params.get("colorspace", "DeviceGray"))
     if w <= 0 or h <= 0 or w * h > 100_000_000:
         return None
-    if cs == "DeviceGray" and bpc in (1, 8):
+    inverted = False
+    if "decode" in params:
+        # /Decode sample mapping: identity and full inversion
+        # ([1 0] per component — the MinIsWhite raw form) are
+        # supported; anything else (partial ranges, Indexed remaps)
+        # declines to carried-not-decoded
+        try:
+            dvals = [float(v) for v in str(params["decode"]).split(",")]
+        except ValueError:
+            return None
+        if cs == "Indexed" or len(dvals) % 2 or not dvals:
+            return None
+        pairs = {tuple(dvals[i : i + 2])
+                 for i in range(0, len(dvals), 2)}
+        if pairs == {(0.0, 1.0)}:
+            pass
+        elif pairs == {(1.0, 0.0)}:
+            inverted = True
+        else:
+            return None
+    pal_luma = None
+    if cs == "Indexed":
+        try:
+            palette = bytes.fromhex(str(params["palette"]))
+            hival = int(params["hival"])
+            base = str(params.get("base", "DeviceRGB"))
+        except (KeyError, TypeError, ValueError):
+            return None
+        if bpc not in (1, 2, 4, 8) or not 0 <= hival <= 255:
+            return None
+        if base == "DeviceRGB" and len(palette) >= 3 * (hival + 1):
+            pal_luma = [
+                (299 * palette[3 * i] + 587 * palette[3 * i + 1]
+                 + 114 * palette[3 * i + 2]) // 1000
+                for i in range(hival + 1)
+            ]
+        elif base == "DeviceGray" and len(palette) >= hival + 1:
+            pal_luma = list(palette[: hival + 1])
+        else:
+            return None
+        ncomp = 1
+    elif cs == "DeviceGray" and bpc in (1, 2, 4, 8):
         ncomp = 1
     elif cs == "DeviceRGB" and bpc == 8:
         ncomp = 3
     else:
         return None
     rowbytes = (w * ncomp * bpc + 7) // 8
+    maxval = (1 << bpc) - 1
 
     def stats(payload: bytes) -> list[float]:
         if len(payload) < rowbytes * h:
             raise ValueError("raw image payload shorter than declared")
-        if bpc == 1:
-            # per PDF /Decode default [0 1]: sample 0 = black
-            luma = [255 if (payload[y * rowbytes + (x >> 3)]
-                            >> (7 - (x & 7))) & 1 else 0
-                    for y in range(h) for x in range(w)]
-        elif ncomp == 1:
-            luma = [payload[y * rowbytes + x]
-                    for y in range(h) for x in range(w)]
-        else:
+        if inverted:
+            # bitwise complement inverts every packed sample
+            # (v -> maxval - v) at any bpc; padding bits are ignored
+            payload = bytes(b ^ 0xFF for b in payload[: rowbytes * h])
+        if ncomp == 3:
             luma = [(299 * payload[o] + 587 * payload[o + 1]
                      + 114 * payload[o + 2]) // 1000
                     for y in range(h) for x in range(w)
                     for o in (y * rowbytes + 3 * x,)]
+        else:
+            if bpc == 8:
+                vals = [payload[y * rowbytes + x]
+                        for y in range(h) for x in range(w)]
+            else:  # packed sub-byte samples, rows byte-padded
+                vals = []
+                for y in range(h):
+                    base_o = y * rowbytes
+                    for x in range(w):
+                        bit = x * bpc
+                        vals.append(
+                            (payload[base_o + (bit >> 3)]
+                             >> (8 - bpc - (bit & 7))) & maxval
+                        )
+            if pal_luma is not None:
+                hi = len(pal_luma) - 1
+                luma = [pal_luma[v if v <= hi else hi] for v in vals]
+            elif bpc == 8:
+                luma = vals
+            else:
+                # /Decode default [0 1]: max sample = white
+                luma = [v * 255 // maxval for v in vals]
         n = len(luma)
         mean = sum(luma) / n
         var = sum((p - mean) ** 2 for p in luma) / n

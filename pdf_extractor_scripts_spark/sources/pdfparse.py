@@ -1582,9 +1582,34 @@ def pdf_media_payloads(data: bytes, doc_id: str) -> list[dict]:
             bpc = doc.get(obj.attrs.get("BitsPerComponent"))
             if bpc is not None:
                 params["bpc"] = int(bpc)
+            dec_arr = doc.get(obj.attrs.get("Decode"))
+            if isinstance(dec_arr, list) and dec_arr and \
+                    all(isinstance(doc.get(v), (int, float))
+                        for v in dec_arr):
+                # sample-mapping array (/Decode [1 0] = MinIsWhite
+                # inversion) — surfaced so the raw decoder can honor it
+                params["decode"] = ",".join(
+                    _fmt_num(float(doc.get(v))) for v in dec_arr
+                )
             cs = doc.get(obj.attrs.get("ColorSpace"))
             if isinstance(cs, (str, Name)):
                 params["colorspace"] = str(cs)
+            elif (isinstance(cs, list) and len(cs) == 4
+                  and str(doc.get(cs[0])) == "Indexed"):
+                # [/Indexed base hival lookup] — surface the palette so
+                # the raw-image decoder can expand indices (the PNG-
+                # derived logo/diagram form); lookup is a string or a
+                # stream
+                base = doc.get(cs[1])
+                lookup = doc.get(cs[3])
+                if isinstance(lookup, _Stream):
+                    lookup = _decode_stream(lookup)
+                if isinstance(base, (str, Name)) \
+                        and isinstance(lookup, bytes):
+                    params["colorspace"] = "Indexed"
+                    params["base"] = str(base)
+                    params["hival"] = int(doc.get(cs[2]))
+                    params["palette"] = hexlify(lookup).decode("ascii")
             out.append({
                 "media_ref": f"img://{doc_id}/{p + 1}/{img_i}",
                 "payload": _decode_stream(obj),
@@ -1952,6 +1977,7 @@ def build_pdf(
         for _ in range(n_images):
             inum = alloc()
             iw = ih = 1
+            cspace = b"/DeviceGray"
             if image_filter == "DCT":
                 # fake-JPEG bytes: SOI + APP0 marker + EOI — enough for the
                 # terminal-codec passthrough (nothing here parses pixels)
@@ -2093,6 +2119,38 @@ def build_pdf(
                 )
                 img_data = encode_g4(strokes, iw, ih)
                 fname = b"CCITTFaxDecode"
+            elif image_filter == "Flate-inv-real":
+                # the MinIsWhite raw form: samples stored INVERTED with
+                # /Decode [1 0] mapping them back — decoded stats must
+                # equal the plain Flate-real gradient's
+                iw = ih = 16
+                grad = bytes(
+                    255 - min(255, 25 + 10 * ((x + 2 * y) % 20))
+                    for y in range(ih) for x in range(iw)
+                )
+                img_data = zlib.compress(grad)
+                fname = b"FlateDecode"
+            elif image_filter == "Indexed-real":
+                # /Indexed palette over DeviceRGB with 4-bit packed
+                # samples — the PNG-derived logo/diagram form born-
+                # digital PDFs carry
+                iw = ih = 16
+                palette = bytes(
+                    v for i in range(12)
+                    for v in ((20 * i) % 256, (40 + 17 * i) % 256,
+                              (200 - 13 * i) % 256)
+                )
+                rowbytes = (iw * 4 + 7) // 8
+                rows = bytearray(rowbytes * ih)
+                for y in range(ih):
+                    for x in range(iw):
+                        bit = x * 4
+                        rows[y * rowbytes + (bit >> 3)] |= \
+                            ((x + y) % 12) << (4 - (bit & 7))
+                img_data = zlib.compress(bytes(rows))
+                fname = b"FlateDecode"
+                cspace = b"[/Indexed /DeviceRGB 11 <%s>]" \
+                    % hexlify(palette)
             else:
                 img_data = zlib.compress(b"\x80")
                 fname = b"FlateDecode"
@@ -2103,13 +2161,18 @@ def build_pdf(
                          % (iw, ih))
             elif fname == b"JBIG2Decode":
                 bpc, parms = 1, b""  # embedded stream is self-describing
+            elif image_filter == "Indexed-real":
+                bpc, parms = 4, b""
+            elif image_filter == "Flate-inv-real":
+                bpc, parms = 8, b" /Decode [1 0]"
             else:
                 bpc, parms = 8, b""
             objects[inum] = (
                 b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-                b"/ColorSpace /DeviceGray /BitsPerComponent %d "
+                b"/ColorSpace %s /BitsPerComponent %d "
                 b"/Filter /%s%s /Length %d >>\nstream\n%s\nendstream"
-                % (iw, ih, bpc, fname, parms, len(img_data), img_data)
+                % (iw, ih, cspace, bpc, fname, parms, len(img_data),
+                   img_data)
             )
             img_nums.append(inum)
 

@@ -1028,11 +1028,16 @@ def test_raw_flate_image_decodes_distributed(spark, tmpdir):
                               "colorspace": "DeviceRGB"})
     st = dec3(bytes([255, 0, 0, 0, 255, 0]))
     assert abs(st[2] - (76 + 149) / 2) < 1.0  # .299/.587 luma weights
+    # unit: 2/4-bit packed gray scale to /Decode [0 1] full range (r6)
+    dec2 = raw_image_decoder({"width": 3, "height": 1, "bpc": 2,
+                              "colorspace": "DeviceGray"})
+    st = dec2(bytes([0b00_01_11_00]))  # samples 0,1,3 -> 0,85,255
+    assert abs(st[2] - (0 + 85 + 255) / 3) < 1e-9
     # rejects: short payload raises (counted); exotic layouts decline
     with pytest.raises(ValueError, match="shorter"):
         dec3(b"\x00\x00\x00")
     assert raw_image_decoder({"width": 4, "height": 4, "bpc": 4,
-                              "colorspace": "DeviceGray"}) is None
+                              "colorspace": "DeviceRGB"}) is None
     assert raw_image_decoder({"colorspace": "DeviceGray"}) is None
 
     pdf = build_pdf([[("text", "RAW"), ("image",)]],
@@ -1050,6 +1055,92 @@ def test_raw_flate_image_decodes_distributed(spark, tmpdir):
     ).first()
     assert feat["decoded"] and feat["filter"] == "FlateDecode"
     assert all(abs(a - b) < 1e-4 for a, b in zip(feat["feature"], local))
+
+
+def test_indexed_palette_image_decodes_distributed(spark, tmpdir):
+    """r6: /Indexed color spaces ([/Indexed base hival lookup] — the
+    PNG-derived logo/diagram form) decode through the raw-image path:
+    pdf_media_payloads surfaces the palette, indices clamp to /hival
+    (PDF 1.7 §8.6.6.3), DeviceRGB and DeviceGray bases both expand,
+    short palettes decline to carried-not-decoded."""
+    import math
+    import os as _os
+
+    from pdf_extractor_scripts_spark.operators.multimodal import (
+        decode_pdf_media,
+        media_from_pdfs,
+        raw_image_decoder,
+    )
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        pdf_media_payloads,
+    )
+    from pdf_extractor_scripts_spark.sources.spans import read_binary_docs
+
+    pdf = build_pdf([[("text", "LOGO"), ("image",)]],
+                    image_filter="Indexed-real")
+    pay = pdf_media_payloads(pdf, "d")[0]
+    assert pay["params"]["colorspace"] == "Indexed"
+    assert pay["params"]["base"] == "DeviceRGB"
+    assert pay["params"]["hival"] == 11 and pay["params"]["bpc"] == 4
+    dec = raw_image_decoder({k: str(v) for k, v in pay["params"].items()})
+    stats = dec(pay["payload"])
+    # independent oracle: rebuild the fixture palette + index pattern
+    palette = bytes(v for i in range(12)
+                    for v in ((20 * i) % 256, (40 + 17 * i) % 256,
+                              (200 - 13 * i) % 256))
+    pal_luma = [(299 * palette[3 * i] + 587 * palette[3 * i + 1]
+                 + 114 * palette[3 * i + 2]) // 1000 for i in range(12)]
+    luma = [pal_luma[(x + y) % 12] for y in range(16) for x in range(16)]
+    mean = sum(luma) / 256
+    exp = [16.0, 16.0, mean,
+           math.sqrt(sum((p - mean) ** 2 for p in luma) / 256),
+           sum(1 for p in luma if p < 64) / 256]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(stats, exp))
+
+    # gray base + index clamping above hival
+    decg = raw_image_decoder({"width": "4", "height": "1", "bpc": "8",
+                              "colorspace": "Indexed", "hival": "2",
+                              "base": "DeviceGray",
+                              "palette": "004080"})
+    st = decg(bytes([0, 1, 2, 200]))  # 200 clamps to hival=2
+    assert abs(st[2] - (0 + 0x40 + 0x80 + 0x80) / 4) < 1e-9
+    # short palette: decline, not crash
+    assert raw_image_decoder({"width": "4", "height": "1", "bpc": "8",
+                              "colorspace": "Indexed", "hival": "9",
+                              "base": "DeviceRGB",
+                              "palette": "00"}) is None
+
+    with open(_os.path.join(tmpdir, "idx.pdf"), "wb") as f:
+        f.write(pdf)
+    feat = decode_pdf_media(
+        media_from_pdfs(read_binary_docs(spark, tmpdir))
+    ).first()
+    assert feat["decoded"] and feat["filter"] == "FlateDecode"
+    assert all(abs(a - b) < 1e-4 for a, b in zip(feat["feature"], stats))
+
+    # /Decode [1 0] (MinIsWhite inversion): inverted-sample fixture
+    # decodes to the SAME stats as the plain gradient; partial ranges
+    # and Indexed remaps decline
+    def _stats_for(mode):
+        p = pdf_media_payloads(
+            build_pdf([[("text", "X"), ("image",)]], image_filter=mode),
+            "d",
+        )[0]
+        return raw_image_decoder(
+            {k: str(v) for k, v in p["params"].items()}
+        )(p["payload"])
+
+    assert _stats_for("Flate-inv-real") == _stats_for("Flate-real")
+    assert raw_image_decoder(
+        {"width": "2", "height": "1", "bpc": "8",
+         "colorspace": "DeviceGray", "decode": "0,0.5"}
+    ) is None
+    assert raw_image_decoder(
+        {"width": "2", "height": "1", "bpc": "8",
+         "colorspace": "Indexed", "hival": "1", "base": "DeviceGray",
+         "palette": "00ff", "decode": "1,0"}
+    ) is None
 
 
 def test_jpx_lossless_codec_roundtrip_and_rejects():
