@@ -22,10 +22,11 @@ per-COMPONENT COC/QCC main-header overrides (component precinct
 geometry and quantization — the chroma-at-coarser-quality form), and
 per-component subsampling (XRsiz/YRsiz 1-4 — the 4:2:0/4:2:2 scanner
 forms; box-average down on encode, sample-and-hold up on decode).
-Unaligned tile grids, MCT over subsampled planes, COC/QCC combined
-with per-tile overrides (interleaved precedence) and the semantic
-markers listed in decode_jpx (RGN/POC/PPM/PPT) raise ValueError — the
-honest reject.
+PPT packed packet headers (Zppt-ordered tile-part segments, the
+fast-random-access layout) decode and encode. Unaligned tile grids,
+MCT over subsampled planes, COC/QCC combined with per-tile overrides
+(interleaved precedence) and the remaining semantic markers listed in
+decode_jpx (RGN/POC/PPM) raise ValueError — the honest reject.
 
 Design note: the EBCOT tier-1 coefficient coder, the tag trees and the
 packet headers are implemented ONCE as shared traversals over a
@@ -664,6 +665,7 @@ def _code_npasses(port: _HdrPort, n: int | None = None) -> int:
 
 
 _PP_DEFAULT = 15  # implicit precinct exponent when Scod bit 0 is clear
+_PPT_CHUNK = 65532  # max packed-header bytes per PPT segment (16-bit Lppt)
 
 
 def _tile_layout(tw: int, th: int, levels: int, prec, rs=(1, 1)):
@@ -985,7 +987,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                precincts=None,
                tile_overrides: "dict[int, dict] | None" = None,
                sampling: "list[tuple[int, int]] | None" = None,
-               comp_overrides: "dict[int, dict] | None" = None) -> bytes:
+               comp_overrides: "dict[int, dict] | None" = None,
+               ppt: bool = False) -> bytes:
     """8-bit samples (gray, or RGB interleaved with ``ncomp=3``) →
     JPEG 2000 codestream. Default is the
     lossless 5/3 reversible path; ``irreversible=True`` emits the LOSSY
@@ -1030,7 +1033,11 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     chroma-at-coarser-quality form real 4:2:0 encoders emit);
     incompatible with ``tile_overrides`` (T.800's interleaved
     precedence between tile COD/QCD and main COC/QCC is out of scope
-    on both codec halves)."""
+    on both codec halves). ``ppt=True`` moves every packet header into
+    Zppt-ordered PPT tile-part-header segments (A.7.2 — the
+    fast-random-access layout), leaving only packet bodies (and SOP
+    markers) in the bitstream; EPH terminators follow each header
+    inside the packed data."""
     if len(pixels) != width * height * ncomp:
         raise ValueError("pixel buffer does not match dimensions")
     if derived and not irreversible:
@@ -1327,6 +1334,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
             plan[key] = (first, counts, chunks)
 
         body = bytearray()
+        hdrs = bytearray()  # packed packet headers when ppt=True
         prec_states: dict = {}
         pkt_seq = 0
         for l, r, c, p in _prog_quads(ts["prog"], levels, ncomp,
@@ -1360,11 +1368,12 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                     body += b"\xff\x91\x00\x04" + struct.pack(
                         ">H", pkt_seq & 0xFFFF)
                     pkt_seq += 1
-                body += port.finish()
+                hdr_sink = hdrs if ppt else body
+                hdr_sink += port.finish()
                 if ts["eph"]:  # EPH terminates the packet header
-                    body += b"\xff\x92"
+                    hdr_sink += b"\xff\x92"
                 body += pkt_body
-        tile_bodies.append(bytes(body))
+        tile_bodies.append((bytes(body), bytes(hdrs)))
 
     # markers
     out = bytearray(b"\xff\x4f")  # SOC
@@ -1390,7 +1399,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
             out += _qcc_bytes(c, ncomp, levels, irreversible, derived,
                               c_guard, c_eps, c_mant,
                               d0.get(comp_quality[c]))
-    for t, body in enumerate(tile_bodies):
+    for t, (body, hdrs) in enumerate(tile_bodies):
         ts = tset[t]
         hdr = b""  # tile-part header overrides (first tile-part only)
         if (ts["prog"], ts["layers"], ts["sop"], ts["eph"],
@@ -1402,6 +1411,15 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
             t_eps, t_mant, t_guard, _ = grp[ts["quality"]]
             hdr += _qcd_bytes(levels, irreversible, derived, t_guard,
                               t_eps, t_mant, d0.get(ts["quality"]))
+        if ppt:
+            # packed packet headers, chunked into Zppt-ordered PPT
+            # segments (Lppt is 16-bit: ≤ 65532 data bytes each)
+            chunks = [hdrs[i : i + _PPT_CHUNK]
+                      for i in range(0, len(hdrs), _PPT_CHUNK)] or [b""]
+            for z, chunk in enumerate(chunks):
+                hdr += (b"\xff\x61"
+                        + struct.pack(">HB", 3 + len(chunk), z & 0xFF)
+                        + chunk)
         psot = 12 + len(hdr) + 2 + len(body)
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, t, psot, 0, 1)
         out += hdr + b"\xff\x93" + body
@@ -1605,6 +1623,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
     tile_qcd: dict[int, dict] = {}
     main_coc: dict[int, dict] = {}
     main_qcc: dict[int, dict] = {}
+    tile_ppt: dict[int, list] = {}
     while pos + 2 <= len(data):
         marker = data[pos:pos + 2]
         pos += 2
@@ -1658,12 +1677,13 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker in (b"\xff\x5e", b"\xff\x5f", b"\xff\x60",
                         b"\xff\x61"):
             # markers that CHANGE decoding semantics (RGN ROI shifts,
-            # POC progression changes, PPM/PPT packed packet headers)
-            # must not be skipped — silently ignoring them scrambles
-            # pixels
+            # POC progression changes, PPM main-header packed packet
+            # headers — PPT is handled in tile-part headers, where the
+            # spec puts it) must not be skipped — silently ignoring
+            # them scrambles pixels
             raise ValueError(
                 "unsupported codestream marker alters decoding "
-                "(RGN/POC/PPM/PPT)"
+                "(RGN/POC/PPM)"
             )
         elif marker == b"\xff\x90":  # SOT: one tile-part follows
             if len(seg) != 8:
@@ -1688,6 +1708,12 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                     tile_cod[isot] = _parse_cod(hseg, ncomp)
                 elif hm == b"\xff\x5c":
                     tile_qcd[isot] = _parse_qcd(hseg)
+                elif hm == b"\xff\x61":  # PPT: packed packet headers
+                    if not hseg:
+                        raise ValueError("empty PPT segment")
+                    tile_ppt.setdefault(isot, []).append(
+                        (hseg[0], hseg[1:])  # (Zppt, packed headers)
+                    )
                 elif hm not in (b"\xff\x64", b"\xff\x58"):
                     # COM comments and PLT packet-length indexes are
                     # informational (packet headers are parsed
@@ -1799,6 +1825,17 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                                         prec_c, (xr, yr)))
             comp_geo.append((tx0_c, ty0_c, tw_c, th_c))
         body = bytes(tile_parts[t])
+        ppt = None
+        if t in tile_ppt:
+            # PPT: packet headers live in the tile-part header, packed
+            # in Zppt order; the bitstream carries only packet bodies
+            # (and SOP markers). EPH terminators follow each header
+            # INSIDE the packed data (T.800 A.7.2).
+            parts = sorted(tile_ppt[t], key=lambda zp: zp[0])
+            if [z for z, _ in parts] != list(range(len(parts))):
+                raise ValueError("non-contiguous PPT segment indices")
+            ppt = b"".join(p for _z, p in parts)
+        hppos = 0  # read offset into the packed PPT headers
         comp_store: dict = {}
         prec_states: dict = {}
         # (c, r, band, global k) -> [nplanes, passes, codeword chunks]
@@ -1820,7 +1857,8 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                 pbands = la["precs"][p]
                 band_list = [(name, nbx, nby)
                              for name, (nbx, nby, _g) in pbands.items()]
-                port = _HdrPort(body[bpos:])
+                port = _HdrPort(ppt[hppos:] if ppt is not None
+                                else body[bpos:])
                 state = prec_states.setdefault((r, c, p),
                                                _PrecinctState())
                 entries = _packet(
@@ -1833,11 +1871,19 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                     state,
                     l,
                 )
-                bpos += port.finish_read()
+                if ppt is not None:
+                    hppos += port.finish_read()
+                else:
+                    bpos += port.finish_read()
                 if eph:  # ff92 terminates every packet header
-                    if body[bpos : bpos + 2] != b"\xff\x92":
+                    src, off = ((ppt, hppos) if ppt is not None
+                                else (body, bpos))
+                    if src[off : off + 2] != b"\xff\x92":
                         raise ValueError("missing EPH marker")
-                    bpos += 2
+                    if ppt is not None:
+                        hppos += 2
+                    else:
+                        bpos += 2
                 for name, k, nplanes, npasses, length in entries:
                     gk = pbands[name][2][k]
                     a = acc.setdefault((c, r, name, gk),

@@ -1809,6 +1809,7 @@ def test_jpx_option_space_fuzz():
                     "precincts": rng.randrange(2, 6)
                 }
             kw["comp_overrides"] = co
+        kw["ppt"] = rng.random() < 0.3
         sampling = None
         mct_live = kw["mct"] and ncomp == 3
         if not mct_live and rng.random() < 0.4:
@@ -2143,3 +2144,56 @@ def test_jpx_coc_qcc_overrides():
                         [(15, 15)] * 3)
     with pytest.raises(ValueError, match="precedence unsupported"):
         jx.decode_jpx(base[:qcd] + coc + base[qcd:])
+
+
+def test_jpx_ppt_packed_packet_headers():
+    """r6: PPT tile-part-header packed packet headers (T.800 A.7.2 —
+    the fast-random-access layout): every packet header moves into
+    Zppt-ordered PPT segments, the bitstream keeps only bodies (and
+    SOP markers), EPH terminators ride inside the packed data.
+    Bit-exact round-trips across layers, precincts, progressions,
+    multi-tile grids, MCT color and the lossy path; multi-segment
+    Zppt reassembly and non-contiguous-index rejects covered."""
+    import random
+
+    import pytest
+
+    from pdf_extractor_scripts_spark.operators import jpxcodec as jx
+
+    rng = random.Random(11)
+    W, H = 37, 23
+    px = bytes(rng.randrange(256) for _ in range(W * H))
+    for kw in ({}, {"layers": 3}, {"eph": True},
+               {"sop": True, "eph": True},
+               {"precincts": 3, "prog": 2},
+               {"tiles": 16, "levels": 2, "layers": 2},
+               {"comp_overrides": {0: {"precincts": 3}}}):
+        d = jx.encode_jpx(px, W, H, 1, ppt=True, **kw)
+        assert b"\xff\x61" in d, kw
+        assert jx.decode_jpx(d) == (W, H, 1, px), kw
+    px3 = bytes(rng.randrange(256) for _ in range(W * H * 3))
+    d = jx.encode_jpx(px3, W, H, 3, ppt=True, mct=True, layers=2)
+    assert jx.decode_jpx(d) == (W, H, 3, px3)
+    pxs = bytes(min(255, max(0, int(100 + 50 * (x / W))))
+                for y in range(H) for x in range(W))
+    d = jx.encode_jpx(pxs, W, H, 1, ppt=True, irreversible=True,
+                      quality=85)
+    _, _, _, out = jx.decode_jpx(d)
+    assert sum(abs(a - b) for a, b in zip(pxs, out)) / len(pxs) < 2.0
+
+    # multi-segment PPT: shrink the chunk cap so headers split across
+    # several Zppt-ordered segments and must reassemble
+    old = jx._PPT_CHUNK
+    jx._PPT_CHUNK = 64
+    try:
+        d = jx.encode_jpx(px, W, H, 1, ppt=True, layers=3, precincts=3)
+        assert jx.decode_jpx(d) == (W, H, 1, px)
+    finally:
+        jx._PPT_CHUNK = old
+
+    # non-contiguous Zppt indices reject: bump the first PPT's index
+    d = bytearray(jx.encode_jpx(px, W, H, 1, ppt=True))
+    z_off = d.index(b"\xff\x61") + 4
+    d[z_off] = 7
+    with pytest.raises(ValueError, match="PPT segment indices"):
+        jx.decode_jpx(bytes(d))
