@@ -22,11 +22,12 @@ per-COMPONENT COC/QCC main-header overrides (component precinct
 geometry and quantization — the chroma-at-coarser-quality form), and
 per-component subsampling (XRsiz/YRsiz 1-4 — the 4:2:0/4:2:2 scanner
 forms; box-average down on encode, sample-and-hold up on decode).
-PPT packed packet headers (Zppt-ordered tile-part segments, the
-fast-random-access layout) decode and encode. Unaligned tile grids,
-MCT over subsampled planes, COC/QCC combined with per-tile overrides
-(interleaved precedence) and the remaining semantic markers listed in
-decode_jpx (RGN/POC/PPM) raise ValueError — the honest reject.
+PPT and PPM packed packet headers (Zppt-ordered tile-part segments /
+Zppm-ordered main-header records — the fast-random-access layouts)
+decode and encode. Unaligned tile grids, MCT over subsampled planes,
+COC/QCC combined with per-tile overrides (interleaved precedence) and
+the remaining semantic markers (RGN ROI shifts, POC progression
+changes) raise ValueError — the honest reject.
 
 Design note: the EBCOT tier-1 coefficient coder, the tag trees and the
 packet headers are implemented ONCE as shared traversals over a
@@ -988,7 +989,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                tile_overrides: "dict[int, dict] | None" = None,
                sampling: "list[tuple[int, int]] | None" = None,
                comp_overrides: "dict[int, dict] | None" = None,
-               ppt: bool = False) -> bytes:
+               ppt: bool = False, ppm: bool = False) -> bytes:
     """8-bit samples (gray, or RGB interleaved with ``ncomp=3``) →
     JPEG 2000 codestream. Default is the
     lossless 5/3 reversible path; ``irreversible=True`` emits the LOSSY
@@ -1037,7 +1038,9 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     Zppt-ordered PPT tile-part-header segments (A.7.2 — the
     fast-random-access layout), leaving only packet bodies (and SOP
     markers) in the bitstream; EPH terminators follow each header
-    inside the packed data."""
+    inside the packed data. ``ppm=True`` is the main-header twin
+    (Zppm-ordered (Nppm, data) records, one per tile-part in order —
+    A.7.1); the spec forbids combining the two."""
     if len(pixels) != width * height * ncomp:
         raise ValueError("pixel buffer does not match dimensions")
     if derived and not irreversible:
@@ -1049,6 +1052,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     levels = max(1, min(levels, 6))
     prec = _norm_prec(precincts, levels)
     mct = mct and ncomp == 3
+    if ppt and ppm:
+        raise ValueError("PPM and PPT shall not both appear (A.7.1)")
     if sampling is not None:
         if mct:
             raise ValueError("sampling is incompatible with MCT")
@@ -1368,7 +1373,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                     body += b"\xff\x91\x00\x04" + struct.pack(
                         ">H", pkt_seq & 0xFFFF)
                     pkt_seq += 1
-                hdr_sink = hdrs if ppt else body
+                hdr_sink = hdrs if (ppt or ppm) else body
                 hdr_sink += port.finish()
                 if ts["eph"]:  # EPH terminates the packet header
                     hdr_sink += b"\xff\x92"
@@ -1399,6 +1404,17 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
             out += _qcc_bytes(c, ncomp, levels, irreversible, derived,
                               c_guard, c_eps, c_mant,
                               d0.get(comp_quality[c]))
+    if ppm:
+        # one (Nppm, packed headers) record per tile-part in emission
+        # order, chunked into Zppm-ordered segments
+        stream = b"".join(struct.pack(">I", len(h)) + h
+                          for _b, h in tile_bodies)
+        for z, i0 in enumerate(range(0, max(len(stream), 1),
+                                     _PPT_CHUNK)):
+            chunk = stream[i0 : i0 + _PPT_CHUNK]
+            out += (b"\xff\x60"
+                    + struct.pack(">HB", 3 + len(chunk), z & 0xFF)
+                    + chunk)
     for t, (body, hdrs) in enumerate(tile_bodies):
         ts = tset[t]
         hdr = b""  # tile-part header overrides (first tile-part only)
@@ -1624,6 +1640,8 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
     main_coc: dict[int, dict] = {}
     main_qcc: dict[int, dict] = {}
     tile_ppt: dict[int, list] = {}
+    ppm_parts: list[tuple] = []
+    tp_order: list[int] = []  # tile-part encounter order (PPM records)
     while pos + 2 <= len(data):
         marker = data[pos:pos + 2]
         pos += 2
@@ -1674,16 +1692,18 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("QCC before SIZ")
             c, body = _split_comp_index(seg, ncomp)
             main_qcc[c] = _parse_qcd(body)
-        elif marker in (b"\xff\x5e", b"\xff\x5f", b"\xff\x60",
-                        b"\xff\x61"):
+        elif marker == b"\xff\x60":  # PPM: main-header packed headers
+            if not seg:
+                raise ValueError("empty PPM segment")
+            ppm_parts.append((seg[0], seg[1:]))  # (Zppm, packed data)
+        elif marker in (b"\xff\x5e", b"\xff\x5f", b"\xff\x61"):
             # markers that CHANGE decoding semantics (RGN ROI shifts,
-            # POC progression changes, PPM main-header packed packet
-            # headers — PPT is handled in tile-part headers, where the
-            # spec puts it) must not be skipped — silently ignoring
-            # them scrambles pixels
+            # POC progression changes, PPT outside a tile-part header)
+            # must not be skipped — silently ignoring them scrambles
+            # pixels
             raise ValueError(
                 "unsupported codestream marker alters decoding "
-                "(RGN/POC/PPM)"
+                "(RGN/POC)"
             )
         elif marker == b"\xff\x90":  # SOT: one tile-part follows
             if len(seg) != 8:
@@ -1730,6 +1750,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                 if end > len(data):
                     raise ValueError("tile-part length beyond stream end")
             # multiple tile-parts of one tile concatenate in order
+            tp_order.append(isot)
             tile_parts.setdefault(isot, bytearray()).extend(
                 data[hpos + 2 : end]
             )
@@ -1739,6 +1760,28 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
     if None in (width, height, ncomp) or main_cod is None \
             or main_qcd is None or not tile_parts:
         raise ValueError("incomplete JPEG 2000 codestream")
+    tile_ppm: dict[int, bytes] = {}
+    if ppm_parts:
+        # PPM: the packed headers of EVERY tile-part live in the main
+        # header as one Zppm-ordered stream of (Nppm, data) records,
+        # one record per tile-part in encounter order (T.800 A.7.1)
+        if tile_ppt:
+            raise ValueError("PPM and PPT shall not both appear")
+        parts = sorted(ppm_parts, key=lambda zp: zp[0])
+        if [z for z, _ in parts] != list(range(len(parts))):
+            raise ValueError("non-contiguous PPM segment indices")
+        stream = b"".join(p for _z, p in parts)
+        spos = 0
+        for isot in tp_order:
+            if spos + 4 > len(stream):
+                raise ValueError("PPM data short of tile-part records")
+            (nppm,) = struct.unpack_from(">I", stream, spos)
+            spos += 4
+            if spos + nppm > len(stream):
+                raise ValueError("PPM record beyond stream end")
+            tile_ppm[isot] = (tile_ppm.get(isot, b"")
+                              + stream[spos : spos + nppm])
+            spos += nppm
     levels = main_cod["levels"]
     mct = main_cod["mct"]
     for t, tc in tile_cod.items():
@@ -1835,6 +1878,8 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
             if [z for z, _ in parts] != list(range(len(parts))):
                 raise ValueError("non-contiguous PPT segment indices")
             ppt = b"".join(p for _z, p in parts)
+        elif t in tile_ppm:
+            ppt = tile_ppm[t]
         hppos = 0  # read offset into the packed PPT headers
         comp_store: dict = {}
         prec_states: dict = {}

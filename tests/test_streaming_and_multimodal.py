@@ -1573,10 +1573,16 @@ def test_jpx_semantic_markers_reject_benign_skip():
     tlm = b"\xff\x55" + struct.pack(">HBB", 4, 0, 0x40)
     assert jx.decode_jpx(d[:qcd] + tlm + d[qcd:]) == (W, H, 1, px)
 
-    for mk in (b"\xff\x5e", b"\xff\x5f", b"\xff\x60", b"\xff\x61"):
+    for mk in (b"\xff\x5e", b"\xff\x5f", b"\xff\x61"):
         seg = mk + struct.pack(">H", 4) + b"\x00\x22"
         with pytest.raises(ValueError, match="alters decoding"):
             jx.decode_jpx(d[:qcd] + seg + d[qcd:])
+    # a PPM whose packed data is short of the tile-part records is
+    # malformed, not scrambled (well-formed PPM decodes — see
+    # test_jpx_ppt_packed_packet_headers)
+    with pytest.raises(ValueError, match="PPM data short"):
+        jx.decode_jpx(d[:qcd] + b"\xff\x60" + struct.pack(">H", 4)
+                      + b"\x00\x22" + d[qcd:])
     # corrupt per-component overrides: truncated COC body / QCC whose
     # quantization signals too few subbands — malformed, not scrambled
     with pytest.raises(ValueError, match="truncated COC"):
@@ -1809,7 +1815,9 @@ def test_jpx_option_space_fuzz():
                     "precincts": rng.randrange(2, 6)
                 }
             kw["comp_overrides"] = co
-        kw["ppt"] = rng.random() < 0.3
+        pk = rng.random()
+        kw["ppt"] = pk < 0.2
+        kw["ppm"] = 0.2 <= pk < 0.4
         sampling = None
         mct_live = kw["mct"] and ncomp == 3
         if not mct_live and rng.random() < 0.4:
@@ -2197,3 +2205,24 @@ def test_jpx_ppt_packed_packet_headers():
     d[z_off] = 7
     with pytest.raises(ValueError, match="PPT segment indices"):
         jx.decode_jpx(bytes(d))
+
+    # PPM — the main-header twin: (Nppm, data) records per tile-part
+    # in encounter order, across single- and multi-tile grids and
+    # multi-segment Zppm splits; combining PPM and PPT rejects
+    for kw in ({}, {"layers": 3, "eph": True},
+               {"precincts": 3, "prog": 2, "sop": True},
+               {"tiles": 16, "levels": 2, "layers": 2}):
+        d = jx.encode_jpx(px, W, H, 1, ppm=True, **kw)
+        assert b"\xff\x60" in d, kw
+        assert jx.decode_jpx(d) == (W, H, 1, px), kw
+    assert jx.decode_jpx(
+        jx.encode_jpx(px3, W, H, 3, ppm=True, mct=True)
+    ) == (W, H, 3, px3)
+    jx._PPT_CHUNK = 64
+    try:
+        d = jx.encode_jpx(px, W, H, 1, ppm=True, layers=3, precincts=3)
+        assert jx.decode_jpx(d) == (W, H, 1, px)
+    finally:
+        jx._PPT_CHUNK = old
+    with pytest.raises(ValueError, match="shall not both"):
+        jx.encode_jpx(px, W, H, 1, ppm=True, ppt=True)
