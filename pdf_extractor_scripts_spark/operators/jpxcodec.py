@@ -24,10 +24,12 @@ per-component subsampling (XRsiz/YRsiz 1-4 — the 4:2:0/4:2:2 scanner
 forms; box-average down on encode, sample-and-hold up on decode).
 PPT and PPM packed packet headers (Zppt-ordered tile-part segments /
 Zppm-ordered main-header records — the fast-random-access layouts)
-decode and encode. Unaligned tile grids, MCT over subsampled planes,
-COC/QCC combined with per-tile overrides (interleaved precedence) and
-the remaining semantic markers (RGN ROI shifts, POC progression
-changes) raise ValueError — the honest reject.
+decode and encode, as does RGN maxshift region-of-interest scaling
+(Annex H — ROI coefficients scaled into the upper bitplanes with the
+H.2 Mb+s budget). Unaligned tile grids, MCT over subsampled planes,
+COC/QCC combined with per-tile overrides (interleaved precedence),
+explicit (non-maxshift) RGN styles and POC progression changes raise
+ValueError — the honest reject.
 
 Design note: the EBCOT tier-1 coefficient coder, the tag trees and the
 packet headers are implemented ONCE as shared traversals over a
@@ -989,7 +991,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                tile_overrides: "dict[int, dict] | None" = None,
                sampling: "list[tuple[int, int]] | None" = None,
                comp_overrides: "dict[int, dict] | None" = None,
-               ppt: bool = False, ppm: bool = False) -> bytes:
+               ppt: bool = False, ppm: bool = False,
+               roi: "dict | None" = None) -> bytes:
     """8-bit samples (gray, or RGB interleaved with ``ncomp=3``) →
     JPEG 2000 codestream. Default is the
     lossless 5/3 reversible path; ``irreversible=True`` emits the LOSSY
@@ -1040,7 +1043,13 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     markers) in the bitstream; EPH terminators follow each header
     inside the packed data. ``ppm=True`` is the main-header twin
     (Zppm-ordered (Nppm, data) records, one per tile-part in order —
-    A.7.1); the spec forbids combining the two."""
+    A.7.1); the spec forbids combining the two. ``roi`` enables
+    maxshift region-of-interest scaling (Annex H): {"rect": (x, y, w,
+    h) in image coords, "shift": s, "comps": [...] (default all)} —
+    coefficients whose band position maps inside the rect are scaled
+    up by 2^s (so they decode first under rate truncation) and an RGN
+    segment per component signals the shift; a background coefficient
+    reaching 2^s raises (pick a larger shift)."""
     if len(pixels) != width * height * ncomp:
         raise ValueError("pixel buffer does not match dimensions")
     if derived and not irreversible:
@@ -1135,6 +1144,22 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                 comp_quality[c] = ov["quality"]
             if "precincts" in ov:
                 comp_prec[c] = _norm_prec(ov["precincts"], levels)
+
+    roi_s = None
+    roi_comps: set = set()
+    roi_rect = (0, 0, 0, 0)
+    if roi is not None:
+        try:
+            rx, ry, rw, rh = (int(v) for v in roi["rect"])
+            roi_s = int(roi["shift"])
+        except (KeyError, TypeError, ValueError):
+            raise ValueError("roi needs rect=(x,y,w,h) and shift")
+        if not 1 <= roi_s <= 37:
+            raise ValueError("roi shift out of range (1-37)")
+        roi_comps = set(roi.get("comps", range(ncomp)))
+        if any(not 0 <= c < ncomp for c in roi_comps):
+            raise ValueError("roi component index out of range")
+        roi_rect = (rx, ry, rx + rw, ry + rh)
 
     def _prec_tc(t: int, c: int) -> list:
         return comp_prec.get(c, tset[t]["prec"])
@@ -1257,11 +1282,40 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                                    for y in range(ch) for x in range(cw)]
                         sgn = [1 if rows_b[y0 + y][x0 + x] < 0 else 0
                                for y in range(ch) for x in range(cw)]
+                        npl0 = max((m.bit_length() for m in mag),
+                                   default=0)
+                        if roi_s is not None and c in roi_comps:
+                            # maxshift ROI (H.3): scale quantized ROI
+                            # magnitudes up by 2^s; band position →
+                            # approximate image position via the
+                            # band's dyadic scale. QCD εb/guard stay
+                            # sized by the UNSHIFTED planes; the
+                            # decoder adds s to Mb (H.2)
+                            scale = (1 << levels if name == "LL"
+                                     else 1 << (li + 1))
+                            rx0, ry0, rx1, ry1 = roi_rect
+                            for yy_ in range(ch):
+                                iy = (ty0_c + (y0 + yy_) * scale) * yr
+                                in_y = ry0 <= iy < ry1
+                                for xx_ in range(cw):
+                                    m = mag[yy_ * cw + xx_]
+                                    if not m:
+                                        continue
+                                    ix = (tx0_c
+                                          + (x0 + xx_) * scale) * xr
+                                    if in_y and rx0 <= ix < rx1:
+                                        mag[yy_ * cw + xx_] = m << roi_s
+                                    elif m.bit_length() > roi_s:
+                                        raise ValueError(
+                                            "roi shift too small for "
+                                            "background magnitudes"
+                                        )
                         npl = max((m.bit_length() for m in mag), default=0)
                         t1_cache[(c, r, name, k)] = (cw, ch, mag, sgn, npl)
                         band_key = name if name == "LL" else f"{name}{li}"
                         qk = (_quality_tc(t, c), band_key)
-                        maxnp[qk] = max(maxnp.get(qk, 0), npl)
+                        # guard/eps sizing uses the unshifted depth
+                        maxnp[qk] = max(maxnp.get(qk, 0), npl0)
         tile_caches.append((layouts, t1_cache))
 
     def mb_key(name, li):
@@ -1299,6 +1353,13 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     for t, (layouts, t1_cache) in enumerate(tile_caches):
         ts = tset[t]
         layers_t = ts["layers"]
+        mb_of = {}
+        for c2 in range(ncomp):
+            base_mb = grp[_quality_tc(t, c2)][3]
+            if roi_s is not None and c2 in roi_comps:
+                # H.2: RGN raises the component's bitplane budget by s
+                base_mb = {k: v + roi_s for k, v in base_mb.items()}
+            mb_of[c2] = base_mb
         coded: dict = {}
         for key, (cw, ch, mag, sgn, npl) in t1_cache.items():
             _c, _r, name, _k = key
@@ -1362,7 +1423,7 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                     port,
                     band_list,
                     lambda name, bands=la["bands"],
-                    mb=grp[_quality_tc(t, c)][3]: mb[mb_key(
+                    mb=mb_of[c]: mb[mb_key(
                         name, bands[name][0]
                     )],
                     state,
@@ -1404,6 +1465,11 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
             out += _qcc_bytes(c, ncomp, levels, irreversible, derived,
                               c_guard, c_eps, c_mant,
                               d0.get(comp_quality[c]))
+    if roi_s is not None:
+        for c in sorted(roi_comps):
+            ci = _comp_index_bytes(c, ncomp)
+            out += (b"\xff\x5e" + struct.pack(">H", 2 + len(ci) + 2)
+                    + ci + bytes([0, roi_s]))  # Srgn=0: implicit
     if ppm:
         # one (Nppm, packed headers) record per tile-part in emission
         # order, chunked into Zppm-ordered segments
@@ -1642,6 +1708,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
     tile_ppt: dict[int, list] = {}
     ppm_parts: list[tuple] = []
     tp_order: list[int] = []  # tile-part encounter order (PPM records)
+    main_rgn: dict[int, int] = {}  # comp -> maxshift scaling value
     while pos + 2 <= len(data):
         marker = data[pos:pos + 2]
         pos += 2
@@ -1696,14 +1763,23 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
             if not seg:
                 raise ValueError("empty PPM segment")
             ppm_parts.append((seg[0], seg[1:]))  # (Zppm, packed data)
-        elif marker in (b"\xff\x5e", b"\xff\x5f", b"\xff\x61"):
-            # markers that CHANGE decoding semantics (RGN ROI shifts,
-            # POC progression changes, PPT outside a tile-part header)
-            # must not be skipped — silently ignoring them scrambles
-            # pixels
+        elif marker == b"\xff\x5e":  # RGN: maxshift ROI scaling (H.2)
+            if ncomp is None:
+                raise ValueError("RGN before SIZ")
+            c, body = _split_comp_index(seg, ncomp)
+            if len(body) < 2 or body[0] != 0:
+                raise ValueError(
+                    "only implicit (maxshift) RGN style supported"
+                )
+            if body[1] > 37:
+                raise ValueError("implausible RGN scaling value")
+            main_rgn[c] = body[1]
+        elif marker in (b"\xff\x5f", b"\xff\x61"):
+            # markers that CHANGE decoding semantics (POC progression
+            # changes, PPT outside a tile-part header) must not be
+            # skipped — silently ignoring them scrambles pixels
             raise ValueError(
-                "unsupported codestream marker alters decoding "
-                "(RGN/POC)"
+                "unsupported codestream marker alters decoding (POC)"
             )
         elif marker == b"\xff\x90":  # SOT: one tile-part follows
             if len(seg) != 8:
@@ -1850,11 +1926,16 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         cod = tile_cod.get(t, main_cod)
         prog, layers = cod["prog"], cod["layers"]
         sop, eph = cod["sop"], cod["eph"]
-        quants = [
-            _resolve_quant(main_qcc.get(c, tile_qcd.get(t, main_qcd)),
-                           levels, irreversible)
-            for c in range(ncomp)
-        ]
+        quants = []
+        for c in range(ncomp):
+            eps_c, mant_c, mb_c = _resolve_quant(
+                main_qcc.get(c, tile_qcd.get(t, main_qcd)),
+                levels, irreversible,
+            )
+            if c in main_rgn:
+                # H.2: RGN raises the component's bitplane budget by s
+                mb_c = {k: v + main_rgn[c] for k, v in mb_c.items()}
+            quants.append((eps_c, mant_c, mb_c))
         layouts = []
         comp_geo = []
         for c, (xr, yr) in enumerate(rs_list):
@@ -1948,6 +2029,15 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
                     _t1_block(_MQPort(dec=MQDecoder(bytes(data))), cw, ch_,
                               _BAND_TYPE[name], nplanes, mag, sgn,
                               max_passes=npasses)
+                    if c in main_rgn:
+                        # maxshift ROI (H.2): magnitudes at or above
+                        # 2^s were ROI-scaled up by the encoder —
+                        # shift them back; background stays untouched
+                        s = main_rgn[c]
+                        thresh = 1 << s
+                        for i, m in enumerate(mag):
+                            if m >= thresh:
+                                mag[i] = m >> s
                     comp_store.setdefault(c, {}).setdefault(
                         (r, name), {}
                     )[k] = (x0, y0, cw, ch_, mag, sgn)

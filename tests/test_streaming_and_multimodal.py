@@ -1573,10 +1573,15 @@ def test_jpx_semantic_markers_reject_benign_skip():
     tlm = b"\xff\x55" + struct.pack(">HBB", 4, 0, 0x40)
     assert jx.decode_jpx(d[:qcd] + tlm + d[qcd:]) == (W, H, 1, px)
 
-    for mk in (b"\xff\x5e", b"\xff\x5f", b"\xff\x61"):
+    for mk in (b"\xff\x5f", b"\xff\x61"):
         seg = mk + struct.pack(">H", 4) + b"\x00\x22"
         with pytest.raises(ValueError, match="alters decoding"):
             jx.decode_jpx(d[:qcd] + seg + d[qcd:])
+    # a truncated RGN body is malformed, not scrambled (well-formed
+    # maxshift RGN decodes — see test_jpx_rgn_maxshift_roi)
+    with pytest.raises(ValueError, match="maxshift"):
+        jx.decode_jpx(d[:qcd] + b"\xff\x5e" + struct.pack(">H", 4)
+                      + b"\x00\x22" + d[qcd:])
     # a PPM whose packed data is short of the tile-part records is
     # malformed, not scrambled (well-formed PPM decodes — see
     # test_jpx_ppt_packed_packet_headers)
@@ -2304,3 +2309,55 @@ def test_cmyk_jpeg_pdf_fixture_distributed(spark, tmpdir):
     assert feat["feature"][:2] == [16.0, 16.0]
     # ink strokes cover a meaningful share of the page -> dark pixels
     assert feat["feature"][4] > 0.1
+
+
+def test_jpx_rgn_maxshift_roi():
+    """r6: RGN maxshift region-of-interest scaling (T.800 Annex H):
+    ROI coefficients are scaled up by 2^s (decoding first under rate
+    truncation), the RGN segment signals the shift per component, the
+    bitplane budget grows by s (H.2) while QCD stays sized by the
+    background — and the full round-trip is BIT-EXACT across layers,
+    precincts, tiles, PPT and the lossy path. A shift too small for
+    the background magnitudes rejects at encode; non-implicit RGN
+    styles reject at decode."""
+    import random
+
+    import pytest
+
+    from pdf_extractor_scripts_spark.operators import jpxcodec as jx
+
+    rng = random.Random(17)
+    W, H = 37, 23
+    px = bytes(rng.randrange(256) for _ in range(W * H))
+    roi = {"rect": (8, 4, 12, 10), "shift": 14}
+    for kw in ({}, {"levels": 2, "layers": 3},
+               {"prog": 2, "precincts": 3},
+               {"tiles": 16, "levels": 2}, {"ppt": True},
+               {"eph": True, "sop": True}):
+        d = jx.encode_jpx(px, W, H, 1, roi=roi, **kw)
+        assert b"\xff\x5e" in d, kw
+        assert jx.decode_jpx(d) == (W, H, 1, px), kw
+    px3 = bytes(rng.randrange(256) for _ in range(W * H * 3))
+    d = jx.encode_jpx(px3, W, H, 3, mct=True,
+                      roi={"rect": (0, 0, 16, 16), "shift": 15,
+                           "comps": [0]})
+    assert jx.decode_jpx(d) == (W, H, 3, px3)
+    pxs = bytes(min(255, max(0, int(100 + 50 * (x / W))))
+                for y in range(H) for x in range(W))
+    d = jx.encode_jpx(pxs, W, H, 1, irreversible=True, quality=85,
+                      roi=roi)
+    _, _, _, out = jx.decode_jpx(d)
+    assert sum(abs(a - b) for a, b in zip(pxs, out)) / len(pxs) < 2.0
+
+    with pytest.raises(ValueError, match="too small for"):
+        jx.encode_jpx(px, W, H, 1, roi={"rect": (8, 4, 12, 10),
+                                        "shift": 2})
+    with pytest.raises(ValueError, match="out of range"):
+        jx.encode_jpx(px, W, H, 1, roi={"rect": (0, 0, 4, 4),
+                                        "shift": 40})
+    # decoder: explicit (non-maxshift) RGN style is an honest reject
+    base = jx.encode_jpx(px, W, H, 1)
+    qcd = base.index(b"\xff\x5c")
+    rgn_bad = b"\xff\x5e\x00\x05\x00\x01\x0e"  # Srgn=1
+    with pytest.raises(ValueError, match="maxshift"):
+        jx.decode_jpx(base[:qcd] + rgn_bad + base[qcd:])
