@@ -24,12 +24,14 @@ per-component subsampling (XRsiz/YRsiz 1-4 — the 4:2:0/4:2:2 scanner
 forms; box-average down on encode, sample-and-hold up on decode).
 PPT and PPM packed packet headers (Zppt-ordered tile-part segments /
 Zppm-ordered main-header records — the fast-random-access layouts)
-decode and encode, as does RGN maxshift region-of-interest scaling
+decode and encode, as do RGN maxshift region-of-interest scaling
 (Annex H — ROI coefficients scaled into the upper bitplanes with the
-H.2 Mb+s budget). Unaligned tile grids, MCT over subsampled planes,
-COC/QCC combined with per-tile overrides (interleaved precedence),
-explicit (non-maxshift) RGN styles and POC progression changes raise
-ValueError — the honest reject.
+H.2 Mb+s budget) and POC progression-order changes (B.12 — the quad
+generator is shared by both halves). Every T.800 semantic marker now
+decodes. Unaligned tile grids, MCT over subsampled planes, COC/QCC or
+POC combined with per-tile overrides (precedence/ambiguity) and
+explicit (non-maxshift) RGN styles raise ValueError — the honest
+reject.
 
 Design note: the EBCOT tier-1 coefficient coder, the tag trees and the
 packet headers are implemented ONCE as shared traversals over a
@@ -767,6 +769,29 @@ def _prog_quads(prog: int, levels: int, ncomp: int, layers: int,
     return [q[1] for q in quads]
 
 
+def _poc_quads(poc: list, levels: int, ncomp: int, layers: int,
+               layouts) -> list:
+    """(layer, resolution, component, precinct) packet order under a
+    POC marker (T.800 B.12): each progression-change segment (RSpoc,
+    CSpoc, LYEpoc, REpoc, CEpoc, Ppoc) emits its own order restricted
+    to resolutions [RSpoc, REpoc) × components [CSpoc, CEpoc) × layers
+    [0, LYEpoc), skipping packets an earlier segment already
+    delivered. Shared by encode and decode so the two halves cannot
+    order packets differently."""
+    seen: set = set()
+    out = []
+    for rs, cs, lye, re_, ce, pp in poc:
+        re_c = min(re_, levels + 1)
+        ce_c = min(ce, ncomp)
+        for q in _prog_quads(pp, levels, ncomp, min(lye, layers),
+                             layouts):
+            l, r, c, p = q
+            if rs <= r < re_c and cs <= c < ce_c and q not in seen:
+                seen.add(q)
+                out.append(q)
+    return out
+
+
 class _PrecinctState:
     """Per-(resolution, component) packet state that persists ACROSS
     layers: the incremental inclusion / zero-bitplane tag trees and the
@@ -992,7 +1017,8 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                sampling: "list[tuple[int, int]] | None" = None,
                comp_overrides: "dict[int, dict] | None" = None,
                ppt: bool = False, ppm: bool = False,
-               roi: "dict | None" = None) -> bytes:
+               roi: "dict | None" = None,
+               poc: "list[tuple] | None" = None) -> bytes:
     """8-bit samples (gray, or RGB interleaved with ``ncomp=3``) →
     JPEG 2000 codestream. Default is the
     lossless 5/3 reversible path; ``irreversible=True`` emits the LOSSY
@@ -1049,7 +1075,12 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
     coefficients whose band position maps inside the rect are scaled
     up by 2^s (so they decode first under rate truncation) and an RGN
     segment per component signals the shift; a background coefficient
-    reaching 2^s raises (pick a larger shift)."""
+    reaching 2^s raises (pick a larger shift). ``poc`` is a list of
+    progression-order-change segments (RSpoc, CSpoc, LYEpoc, REpoc,
+    CEpoc, Ppoc — B.12) that REPLACES the COD progression: each
+    segment emits its order over its resolution/component/layer box,
+    skipping already-delivered packets; the segments must cover every
+    packet, and combining with ``tile_overrides`` rejects."""
     if len(pixels) != width * height * ncomp:
         raise ValueError("pixel buffer does not match dimensions")
     if derived and not irreversible:
@@ -1144,6 +1175,22 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
                 comp_quality[c] = ov["quality"]
             if "precincts" in ov:
                 comp_prec[c] = _norm_prec(ov["precincts"], levels)
+
+    poc_norm: list[tuple] = []
+    if poc is not None:
+        if tovr:
+            raise ValueError(
+                "poc and tile_overrides are mutually exclusive"
+            )
+        for seg_ in poc:
+            rs, cs, lye, re_, ce, pp = (int(v) for v in seg_)
+            if not (0 <= rs < re_ <= levels + 1) \
+                    or not (0 <= cs < ce <= ncomp) \
+                    or lye < 1 or pp not in (0, 1, 2, 3, 4):
+                raise ValueError("invalid POC progression segment")
+            poc_norm.append((rs, cs, lye, re_, ce, pp))
+        if not poc_norm:
+            raise ValueError("empty POC segment list")
 
     roi_s = None
     roi_comps: set = set()
@@ -1403,8 +1450,18 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
         hdrs = bytearray()  # packed packet headers when ppt=True
         prec_states: dict = {}
         pkt_seq = 0
-        for l, r, c, p in _prog_quads(ts["prog"], levels, ncomp,
-                                      layers_t, layouts):
+        if poc_norm:
+            quads = _poc_quads(poc_norm, levels, ncomp, layers_t,
+                               layouts)
+            if len(quads) != len(_prog_quads(0, levels, ncomp,
+                                             layers_t, layouts)):
+                raise ValueError(
+                    "POC segments do not cover every packet"
+                )
+        else:
+            quads = _prog_quads(ts["prog"], levels, ncomp, layers_t,
+                                layouts)
+        for l, r, c, p in quads:
                 la = layouts[c][r]
                 band_list = []
                 blocks_data = {}
@@ -1470,6 +1527,18 @@ def encode_jpx(pixels: bytes, width: int, height: int, ncomp: int = 1,
             ci = _comp_index_bytes(c, ncomp)
             out += (b"\xff\x5e" + struct.pack(">H", 2 + len(ci) + 2)
                     + ci + bytes([0, roi_s]))  # Srgn=0: implicit
+    if poc_norm:
+        # component fields share the SIZ-derived width (1 byte below
+        # 257 components); CEpoc is an exclusive bound and may equal
+        # Csiz
+        cw_ = (lambda v: struct.pack(">B", v)) if ncomp < 257 \
+            else (lambda v: struct.pack(">H", v))
+        body = b"".join(
+            bytes([rs]) + cw_(cs) + struct.pack(">H", lye)
+            + bytes([re_]) + cw_(ce) + bytes([pp])
+            for rs, cs, lye, re_, ce, pp in poc_norm
+        )
+        out += b"\xff\x5f" + struct.pack(">H", 2 + len(body)) + body
     if ppm:
         # one (Nppm, packed headers) record per tile-part in emission
         # order, chunked into Zppm-ordered segments
@@ -1709,6 +1778,7 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
     ppm_parts: list[tuple] = []
     tp_order: list[int] = []  # tile-part encounter order (PPM records)
     main_rgn: dict[int, int] = {}  # comp -> maxshift scaling value
+    main_poc: list[tuple] = []  # progression-change segments (B.12)
     while pos + 2 <= len(data):
         marker = data[pos:pos + 2]
         pos += 2
@@ -1774,12 +1844,31 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
             if body[1] > 37:
                 raise ValueError("implausible RGN scaling value")
             main_rgn[c] = body[1]
-        elif marker in (b"\xff\x5f", b"\xff\x61"):
-            # markers that CHANGE decoding semantics (POC progression
-            # changes, PPT outside a tile-part header) must not be
-            # skipped — silently ignoring them scrambles pixels
+        elif marker == b"\xff\x5f":  # POC: progression order change
+            if ncomp is None:
+                raise ValueError("POC before SIZ")
+            if main_poc:
+                raise ValueError("multiple POC markers unsupported")
+            w = 1 if ncomp < 257 else 2
+            step = 5 + 2 * w
+            if not seg or len(seg) % step:
+                raise ValueError("malformed POC segment")
+            for i in range(0, len(seg), step):
+                rs = seg[i]
+                cs = int.from_bytes(seg[i + 1 : i + 1 + w], "big")
+                lye = struct.unpack_from(">H", seg, i + 1 + w)[0]
+                re_ = seg[i + 3 + w]
+                ce = int.from_bytes(seg[i + 4 + w : i + 4 + 2 * w],
+                                    "big")
+                pp = seg[i + 4 + 2 * w]
+                if pp > 4 or rs >= re_ or cs >= ce or lye < 1:
+                    raise ValueError("invalid POC progression segment")
+                main_poc.append((rs, cs, lye, re_, ce, pp))
+        elif marker == b"\xff\x61":
+            # PPT outside a tile-part header must not be skipped —
+            # silently ignoring it scrambles pixels
             raise ValueError(
-                "unsupported codestream marker alters decoding (POC)"
+                "unsupported codestream marker alters decoding"
             )
         elif marker == b"\xff\x90":  # SOT: one tile-part follows
             if len(seg) != 8:
@@ -1883,6 +1972,12 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         if (cc["levels"], cc["transform"]) != \
                 (levels, main_cod["transform"]):
             raise ValueError("COC changes levels/transform")
+    if main_poc and (tile_cod or tile_qcd):
+        # a POC progression replaces COD's; mixing it with per-tile
+        # coding overrides is ambiguous — honest reject
+        raise ValueError(
+            "POC with per-tile COD/QCD overrides unsupported"
+        )
     if mct and rs_list != [(1, 1)] * ncomp:
         # RCT/ICT mix co-sited samples; mixing planes of different
         # sizes is undefined here — honest reject (real 4:2:0 JPEG
@@ -1968,8 +2063,10 @@ def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
         acc: dict = {}
         bpos = 0
         pkt_seq = 0
-        for l, r, c, p in _prog_quads(prog, levels, ncomp,
-                                      layers, layouts):
+        for l, r, c, p in (
+                _poc_quads(main_poc, levels, ncomp, layers, layouts)
+                if main_poc else
+                _prog_quads(prog, levels, ncomp, layers, layouts)):
                 if sop:
                     # ff91 0004 Nsop before every packet; the sequence
                     # number's origin (per-tile vs per-codestream)

@@ -1573,10 +1573,15 @@ def test_jpx_semantic_markers_reject_benign_skip():
     tlm = b"\xff\x55" + struct.pack(">HBB", 4, 0, 0x40)
     assert jx.decode_jpx(d[:qcd] + tlm + d[qcd:]) == (W, H, 1, px)
 
-    for mk in (b"\xff\x5f", b"\xff\x61"):
-        seg = mk + struct.pack(">H", 4) + b"\x00\x22"
-        with pytest.raises(ValueError, match="alters decoding"):
-            jx.decode_jpx(d[:qcd] + seg + d[qcd:])
+    # PPT belongs in tile-part headers; in the main header it rejects
+    with pytest.raises(ValueError, match="alters decoding"):
+        jx.decode_jpx(d[:qcd] + b"\xff\x61" + struct.pack(">H", 4)
+                      + b"\x00\x22" + d[qcd:])
+    # a POC body of the wrong length is malformed, not scrambled
+    # (well-formed POC decodes — see test_jpx_poc_progression_order_change)
+    with pytest.raises(ValueError, match="malformed POC"):
+        jx.decode_jpx(d[:qcd] + b"\xff\x5f" + struct.pack(">H", 4)
+                      + b"\x00\x22" + d[qcd:])
     # a truncated RGN body is malformed, not scrambled (well-formed
     # maxshift RGN decodes — see test_jpx_rgn_maxshift_roi)
     with pytest.raises(ValueError, match="maxshift"):
@@ -2361,3 +2366,65 @@ def test_jpx_rgn_maxshift_roi():
     rgn_bad = b"\xff\x5e\x00\x05\x00\x01\x0e"  # Srgn=1
     with pytest.raises(ValueError, match="maxshift"):
         jx.decode_jpx(base[:qcd] + rgn_bad + base[qcd:])
+
+
+def test_jpx_poc_progression_order_change():
+    """r6: POC progression-order changes (T.800 B.12) — the packet
+    sequence follows the POC segments (each its own order over its
+    resolution/component/layer box, overlap deduplicated) instead of
+    COD's progression. The quad generator is SHARED by encode and
+    decode, and round-trips are bit-exact across layers, precincts,
+    tiles, PPT, SOP/EPH, MCT color and the lossy+ROI combination.
+    Incomplete coverage, empty lists, tile-override combos and
+    malformed segments reject."""
+    import random
+
+    import pytest
+
+    from pdf_extractor_scripts_spark.operators import jpxcodec as jx
+
+    rng = random.Random(19)
+    W, H = 37, 23
+    px = bytes(rng.randrange(256) for _ in range(W * H))
+    for kw in ({"levels": 3}, {"levels": 3, "layers": 3},
+               {"levels": 2, "precincts": 3},
+               {"levels": 2, "tiles": 16}, {"levels": 3, "ppt": True},
+               {"levels": 3, "sop": True, "eph": True}):
+        lv = kw["levels"]
+        p2 = [(0, 0, 999, 2, 1, 0), (0, 0, 999, lv + 1, 1, 1)]
+        d = jx.encode_jpx(px, W, H, 1, poc=p2, **kw)
+        assert b"\xff\x5f" in d, kw
+        assert jx.decode_jpx(d) == (W, H, 1, px), kw
+    # color: three overlapping segments exercising the dedup rule
+    px3 = bytes(rng.randrange(256) for _ in range(W * H * 3))
+    p3 = [(0, 0, 2, 4, 3, 4), (0, 0, 999, 4, 2, 2),
+          (0, 0, 999, 4, 3, 0)]
+    d = jx.encode_jpx(px3, W, H, 3, mct=True, layers=3, levels=3,
+                      poc=p3)
+    assert jx.decode_jpx(d) == (W, H, 3, px3)
+    # POC composes with ROI on the lossy path
+    pxs = bytes(min(255, max(0, int(100 + 50 * (x / W))))
+                for y in range(H) for x in range(W))
+    d = jx.encode_jpx(pxs, W, H, 1, levels=2, irreversible=True,
+                      quality=85, poc=[(0, 0, 999, 3, 1, 3)],
+                      roi={"rect": (4, 4, 10, 10), "shift": 14})
+    _, _, _, out = jx.decode_jpx(d)
+    assert sum(abs(a - b) for a, b in zip(pxs, out)) / len(pxs) < 2.0
+
+    with pytest.raises(ValueError, match="cover every packet"):
+        jx.encode_jpx(px, W, H, 1, levels=3,
+                      poc=[(0, 0, 999, 2, 1, 0)])
+    with pytest.raises(ValueError, match="empty POC"):
+        jx.encode_jpx(px, W, H, 1, poc=[])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        jx.encode_jpx(bytes(32 * 32), 32, 32, 1, tiles=16, levels=2,
+                      poc=[(0, 0, 999, 3, 1, 0)],
+                      tile_overrides={0: {"layers": 2}})
+    with pytest.raises(ValueError, match="invalid POC"):
+        jx.encode_jpx(px, W, H, 1, poc=[(2, 0, 999, 1, 1, 0)])
+    # decoder: a malformed POC body (bad length) rejects
+    base = jx.encode_jpx(px, W, H, 1)
+    qcd = base.index(b"\xff\x5c")
+    with pytest.raises(ValueError, match="malformed POC"):
+        jx.decode_jpx(base[:qcd] + b"\xff\x5f\x00\x05\x00\x01\x02"
+                      + base[qcd:])
