@@ -555,6 +555,17 @@ class PdfDocument:
             seen.add(pos)
             if re.compile(rb"xref\s").match(data, pos):
                 section_offsets, section_trailer = self._read_xref_section(pos)
+                xstm = section_trailer.get("XRefStm")
+                if xstm is not None:
+                    # hybrid-reference file (§7.5.8.4): the classic
+                    # table hides ObjStm members from legacy readers;
+                    # the /XRefStm cross-reference STREAM supplies
+                    # their type-2 entries. Same-update classic
+                    # entries win; the stream fills the gaps, and
+                    # both beat /Prev sections.
+                    so2, _st2 = self._read_xref_stream(int(xstm))
+                    for num, off in so2.items():
+                        section_offsets.setdefault(num, off)
             else:
                 section_offsets, section_trailer = self._read_xref_stream(pos)
             for num, off in section_offsets.items():
@@ -1777,7 +1788,10 @@ def build_pdf(
     ``xref_stream=False`` emits a classic-xref PDF 1.4; ``True`` emits a
     PDF 1.5 file whose cross-reference is a binary /XRef STREAM and whose
     catalog/pages/font dictionaries live inside an /ObjStm object stream —
-    the layout virtually every modern PDF writer produces.
+    the layout virtually every modern PDF writer produces; ``"hybrid"``
+    (r6) emits the §7.5.8.4 hybrid-reference layout — a classic table
+    over the direct objects plus a trailer /XRefStm pointing at the
+    stream that reveals the hidden ObjStm members.
 
     ``content_filter`` picks the content-stream codec ("Flate" | "LZW" |
     "AHx" | "A85" | "RL"; None → the legacy ``compress`` flag). ``image_
@@ -2421,7 +2435,32 @@ def build_pdf(
         % (n_objs, n_objs, catalog_num, info_num, enc, len(xref_payload),
            xref_payload)
     )
-    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+    if xref_stream != "hybrid":
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+        return bytes(out)
+
+    # --- hybrid-reference layout (§7.5.8.4): a classic table lists only
+    # the DIRECT objects (legacy readers see a gap where the ObjStm
+    # members live); the trailer's /XRefStm points at the /XRef stream
+    # above, which supplies their type-2 entries ---
+    direct = dict(offsets)
+    direct[xref_num] = xref_pos
+    table_pos = len(out)
+    nums = sorted(direct)
+    runs: list[list[int]] = []
+    for num in nums:
+        if runs and num == runs[-1][-1] + 1:
+            runs[-1].append(num)
+        else:
+            runs.append([num])
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    for run in runs:
+        out += b"%d %d\n" % (run[0], len(run))
+        for num in run:
+            out += b"%010d 00000 n \n" % direct[num]
+    out += (b"trailer\n<< /Size %d /Root %d 0 R /Info %d 0 R "
+            b"/XRefStm %d %s>>\nstartxref\n%d\n%%%%EOF\n"
+            % (n_objs, catalog_num, info_num, xref_pos, enc, table_pos))
     return bytes(out)
 
 

@@ -1054,3 +1054,41 @@ def test_nested_and_self_referential_forms():
     got = [s["text"] for s in parse_pdf_spans(cyc, "d")
            if s["kind"] == "text"]
     assert got == ["once"]
+
+
+def test_hybrid_xref_file_roundtrip():
+    """r6: hybrid-reference files (PDF 1.7 §7.5.8.4 — the Acrobat
+    6-era layout): a classic xref table covers only the direct objects
+    while the trailer's /XRefStm points at a cross-reference STREAM
+    supplying the hidden ObjStm members' type-2 entries. The catalog
+    must resolve through the stream (a legacy-only reader would see a
+    gap), same-update classic entries win, and the full fixture corpus
+    round-trips — plain, encrypted and under CID fonts."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        PdfDocument,
+        build_pdf,
+        parse_pdf_spans,
+        spans_to_pdf,
+    )
+
+    text = ["Hybrid line one", "Totals: $5.00"]
+    pages = [[("text", t) for t in text], [("text", "p2"), ("image",)]]
+    for kw in ({}, {"encrypted": "aesv2"}, {"font_mode": "cid"}):
+        data = build_pdf(pages, xref_stream="hybrid", **kw)
+        assert b"/XRefStm" in data
+        doc = PdfDocument(data)
+        assert doc.trailer.get("XRefStm") is not None
+        root_ref = doc.trailer["Root"]
+        # catalog lives in the ObjStm, reachable only via /XRefStm
+        assert isinstance(doc.offsets[root_ref.num], tuple)
+        got = [s["text"] for s in parse_pdf_spans(data, "d")
+               if s["kind"] == "text"]
+        assert got == text + ["p2"], kw
+
+    for d in make_corpus(10, seed=11):
+        pdf = spans_to_pdf(d["spans"], xref_stream="hybrid")
+        got = parse_pdf_spans(pdf, d["doc_id"])
+        exp = [s for s in d["spans"]
+               if s["kind"] not in ("media_text", "media_text_alt")]
+        key = lambda s: (s["kind"], s["text"], s["media_ref"])
+        assert [key(s) for s in got] == [key(s) for s in exp], d["doc_id"]
