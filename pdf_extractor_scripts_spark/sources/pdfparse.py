@@ -1370,6 +1370,12 @@ def _fmt_num(v: float) -> str:
     return str(int(v)) if v == int(v) else str(v)
 
 
+# TJ kern threshold (thousandths of an em): adjustments at or beyond a
+# typical word-space width read as spaces; small kerning tweaks (the
+# writer's own CID split uses -120) stay glued
+_TJ_SPACE_KERN = -180
+
+
 def content_events(content: bytes, image_names: set[str],
                    fonts: dict | None = None,
                    form_names: set[str] | None = None) -> list[tuple]:
@@ -1414,13 +1420,14 @@ def content_events(content: bytes, image_names: set[str],
                 operands.append((kind, val))
                 continue
             if kind == "arr_open":
-                # TJ operand: collect until arr_close, keep strings only
+                # TJ operand: collect strings AND the kern adjustments
+                # between them (word gaps ride the numbers, r6)
                 parts = []
                 while True:
                     t = lx.next_token()
                     if t is None or t[0] == "arr_close":
                         break
-                    if t[0] == "str":
+                    if t[0] in ("str", "num"):
                         parts.append(t[1])
                 operands.append(("tjarr", parts))
                 continue
@@ -1447,11 +1454,18 @@ def content_events(content: bytes, image_names: set[str],
                     cur.append(cur_dec(operands[-1][1]))
             elif op == b"TJ":
                 if operands and operands[-1][0] == "tjarr":
-                    # decode each shown chunk separately: multi-byte CID
-                    # tokens never span TJ elements
-                    cur.append(
-                        "".join(cur_dec(s) for s in operands[-1][1])
-                    )
+                    # decode each shown chunk separately (multi-byte
+                    # CID tokens never span TJ elements); a kern
+                    # adjustment at or beyond a word-space width
+                    # (thousandths of an em) reads as a space — how
+                    # most typesetting writers encode word gaps (r6)
+                    buf = []
+                    for el in operands[-1][1]:
+                        if isinstance(el, bytes):
+                            buf.append(cur_dec(el))
+                        elif el <= _TJ_SPACE_KERN:
+                            buf.append(" ")
+                    cur.append("".join(buf))
             elif op == b"ET":
                 flush()
             elif op == b"BI":
@@ -1778,6 +1792,7 @@ def build_pdf(
     encrypted: bool | str = False, user_password: bytes = b"",
     owner_password: bytes | None = None, font_mode: str = "simple",
     wrap_in_form: bool = False, resources_on_pages_tree: bool = False,
+    kerned_spaces: bool = False,
 ) -> bytes:
     """Build a PDF file from ordered paint events.
 
@@ -1823,6 +1838,9 @@ def build_pdf(
     ``resources_on_pages_tree`` (r6) hoists /Resources onto the /Pages
     node so pages inherit it (text/rule documents only — image XObject
     names are allocated per page and cannot be hoisted).
+    ``kerned_spaces`` (r6) emits word gaps as −278 TJ kern adjustments
+    instead of space characters — how typesetting writers encode
+    spacing (simple/winansi/diff font modes).
     """
     from .pdfcrypt import (
         derive_file_key, make_r6_entries, object_key, object_key_aes,
@@ -2238,16 +2256,28 @@ def build_pdf(
                                    % (hx[:k], hx[k:]))
                     else:
                         ops.append(b"<%s> Tj" % hx)
-                elif font_mode == "winansi":
-                    ops.append(b"(%s) Tj" % _esc_bytes(
-                        ev[1].encode("cp1252", errors="replace")
-                    ))
-                elif font_mode == "diff":
-                    ops.append(b"(%s) Tj" % _esc_bytes(
-                        bytes(code_of[ch] for ch in ev[1])
-                    ))
                 else:
-                    ops.append(b"(%s) Tj" % _esc(ev[1]))
+                    if font_mode == "winansi":
+                        def enc1(s):
+                            return b"(%s)" % _esc_bytes(
+                                s.encode("cp1252", errors="replace")
+                            )
+                    elif font_mode == "diff":
+                        def enc1(s):
+                            return b"(%s)" % _esc_bytes(
+                                bytes(code_of[ch] for ch in s)
+                            )
+                    else:
+                        def enc1(s):
+                            return b"(%s)" % _esc(s)
+                    if kerned_spaces and " " in ev[1]:
+                        # word gaps as kern adjustments — the
+                        # typesetting-writer layout
+                        ops.append(b"[%s] TJ" % b" -278 ".join(
+                            enc1(s) for s in ev[1].split(" ")
+                        ))
+                    else:
+                        ops.append(b"%s Tj" % enc1(ev[1]))
                 first_line = False
                 line_i += 1
             else:

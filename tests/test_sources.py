@@ -1092,3 +1092,43 @@ def test_hybrid_xref_file_roundtrip():
                if s["kind"] not in ("media_text", "media_text_alt")]
         key = lambda s: (s["kind"], s["text"], s["media_ref"])
         assert [key(s) for s in got] == [key(s) for s in exp], d["doc_id"]
+
+
+def test_tj_kerned_word_spaces():
+    """r6: word gaps encoded as negative TJ kern adjustments (how
+    typesetting writers emit spacing) read back as spaces — threshold
+    at a word-space width, so small kerning tweaks (e.g. the CID
+    writer's own −120 split) stay glued. Round-trips across font
+    modes, consecutive/leading/trailing spaces, and the fixture
+    corpus."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        build_pdf,
+        parse_pdf_spans,
+        spans_to_pdf,
+    )
+
+    text = ["Invoice  No 123", " leading and trailing ", "nospace"]
+    pages = [[("text", t) for t in text]]
+    for mode in ("simple", "winansi", "diff"):
+        raw = build_pdf(pages, font_mode=mode, kerned_spaces=True,
+                        compress=False)
+        assert b"-278" in raw, mode
+        for data in (raw, build_pdf(pages, font_mode=mode,
+                                    kerned_spaces=True)):
+            got = [s["text"] for s in parse_pdf_spans(data, "d")
+                   if s["kind"] == "text"]
+            assert got == text, (mode, got)
+    # sub-threshold kerning glues: the CID writer's split-TJ lines
+    data = build_pdf([[("text", "GluedPair"), ("text", "x y z"),
+                       ("text", "third line wide")]], font_mode="cid")
+    got = [s["text"] for s in parse_pdf_spans(data, "d")
+           if s["kind"] == "text"]
+    assert got == ["GluedPair", "x y z", "third line wide"]
+
+    for d in make_corpus(8, seed=5):
+        pdf = spans_to_pdf(d["spans"], kerned_spaces=True)
+        got = parse_pdf_spans(pdf, d["doc_id"])
+        exp = [s for s in d["spans"]
+               if s["kind"] not in ("media_text", "media_text_alt")]
+        assert [(s["kind"], s["text"]) for s in got] == \
+            [(s["kind"], s["text"]) for s in exp], d["doc_id"]
