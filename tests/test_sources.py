@@ -1132,3 +1132,47 @@ def test_tj_kerned_word_spaces():
                if s["kind"] not in ("media_text", "media_text_alt")]
         assert [(s["kind"], s["text"]) for s in got] == \
             [(s["kind"], s["text"]) for s in exp], d["doc_id"]
+
+
+def test_type3_font_text_decodes():
+    """Type3 fonts (glyphs drawn by content-stream CharProcs) carry
+    their text mapping in an /Encoding /Differences array exactly like
+    simple fonts, so the r6 font layer decodes them with no special
+    casing — pinned with a handcrafted Type3 PDF."""
+    from pdf_extractor_scripts_spark.sources.pdfparse import (
+        parse_pdf_spans,
+    )
+
+    def pdf(objs):
+        out = bytearray(b"%PDF-1.4\n")
+        offs = {}
+        for n in sorted(objs):
+            offs[n] = len(out)
+            out += b"%d 0 obj\n%s\nendobj\n" % (n, objs[n])
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (max(objs) + 1)
+        for n in sorted(objs):
+            out += b"%010d 00000 n \n" % offs[n]
+        out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n"
+                b"%d\n%%%%EOF\n" % (max(objs) + 1, xref))
+        return bytes(out)
+
+    glyph = b"<< /Length 8 >>\nstream\n0 0 d0\nendstream"
+    content = b"BT /F1 10 Tf 1 0 0 1 10 10 Tm (\x01\x02\x03) Tj ET"
+    doc = pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 100 100] "
+           b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream"
+           % (len(content), content),
+        5: b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 1 1] "
+           b"/FontMatrix [0.001 0 0 0.001 0 0] "
+           b"/CharProcs << /gA 6 0 R /gB 6 0 R /gC 6 0 R >> "
+           b"/Encoding << /Differences [ 1 /A /uni20AC /eacute ] >> "
+           b"/FirstChar 1 /LastChar 3 /Widths [500 500 500] >>",
+        6: glyph,
+    })
+    got = [s["text"] for s in parse_pdf_spans(doc, "d")
+           if s["kind"] == "text"]
+    assert got == ["A€é"]
