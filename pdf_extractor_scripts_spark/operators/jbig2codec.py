@@ -7,9 +7,11 @@ TPGDON typical prediction, §6.2), the MMR variant (which IS T.6 — reused
 from ``ccittcodec``), the integer arithmetic procedures (Annex A), the
 SYMBOL-DICTIONARY + TEXT-REGION layer (§6.5/§6.4 arithmetic subset —
 the dominant wild form: textual pages stored as reused glyph bitmaps
-plus coded placements), and the embedded segment layer — plus encoder
-twins for fixtures. Halftone/refinement/Huffman-table variants raise
-ValueError: the honest reject.
+plus coded placements), the PATTERN-DICTIONARY + HALFTONE-REGION layer
+(§6.7/§6.6 — gray-code bitplanes selecting patterns on the fixed-point
+placement grid: the photograph/shading form, r6), and the embedded
+segment layer — plus encoder twins for fixtures. Refinement and
+Huffman-table variants raise ValueError: the honest reject.
 
 Validation note: no external JBIG2 conformance vectors are available in
 this sandbox, so the MQ coder is pinned by encoder↔decoder round-trips
@@ -665,6 +667,152 @@ def _encode_text_region(width: int, height: int, syms: list,
 
 
 # ---------------------------------------------------------------------------
+# Pattern dictionary (T.88 §6.7) + halftone region (§6.6) — the halftone
+# layer real scanners emit for photographs/shading on otherwise-bilevel
+# pages: a dictionary of HDPW×HDPH grayscale patterns plus a region whose
+# gray-code bitplanes select one pattern per grid cell.
+# ---------------------------------------------------------------------------
+def _pattern_at(hdpw: int, template: int):
+    # §6.7.5: AT1 = (-HDPW, 0); AT2..AT4 fixed (template 0 only)
+    at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
+    return at if template == 0 else at[:1]
+
+
+def _grayscale_at(template: int):
+    # §C.5 / §6.6.5.1 nominal AT positions for the bitplane decode
+    at = [(3 if template <= 1 else 2, -1), (-3, -1), (2, -2), (-2, -2)]
+    return at if template == 0 else at[:1]
+
+
+def _decode_pattern_dict(body: bytes) -> list:
+    """Pattern-dictionary segment data → list of HDPW×HDPH bitmaps: one
+    collective generic-region bitmap holding GRAYMAX+1 patterns side by
+    side (§6.7.5), sliced per pattern."""
+    flags = body[0]
+    if flags & 1:
+        raise ValueError("MMR pattern dictionaries unsupported")
+    template = (flags >> 1) & 3
+    hdpw, hdph = body[1], body[2]
+    graymax = struct.unpack_from(">I", body, 3)[0]
+    if not hdpw or not hdph or graymax > 255:
+        raise ValueError("implausible JBIG2 pattern dictionary")
+    cw = (graymax + 1) * hdpw
+    collective = decode_generic_region(body[7:], cw, hdph, template,
+                                       False, _pattern_at(hdpw, template))
+    return [[row[i * hdpw : (i + 1) * hdpw] for row in collective]
+            for i in range(graymax + 1)]
+
+
+def _encode_pattern_dict(patterns: list, template: int = 0) -> bytes:
+    hdph = len(patterns[0])
+    hdpw = len(patterns[0][0])
+    collective = [sum((list(p[y]) for p in patterns), [])
+                  for y in range(hdph)]
+    coded = encode_generic_region(collective, template, False,
+                                  _pattern_at(hdpw, template))
+    return (bytes([template << 1, hdpw, hdph])
+            + struct.pack(">I", len(patterns) - 1) + coded)
+
+
+def _decode_halftone_region(body: bytes, patterns: list):
+    """Halftone region segment data → (region-info tuple, bitmap rows):
+    gray-code bitplanes (one shared MQ decoder + context across planes,
+    §C.5) select a pattern per grid cell; cells are placed on the §6.6.5
+    fixed-point grid and OR-composited."""
+    rw, rh, rx, ry = struct.unpack_from(">IIII", body, 0)
+    if rw * rh > 100_000_000:
+        raise ValueError("implausible JBIG2 region dimensions")
+    hflags = body[17]
+    if hflags & 1:
+        raise ValueError("MMR halftone regions unsupported")
+    template = (hflags >> 1) & 3
+    if hflags & 8:
+        raise ValueError("halftone HENABLESKIP unsupported")
+    if (hflags >> 4) & 7:
+        raise ValueError("only OR halftone combination supported")
+    defpix = (hflags >> 7) & 1
+    hgw, hgh = struct.unpack_from(">II", body, 18)
+    hgx, hgy = struct.unpack_from(">ii", body, 26)
+    hrx, hry = struct.unpack_from(">HH", body, 34)
+    if hgw * hgh > 10_000_000:
+        raise ValueError("implausible halftone grid dimensions")
+    if not patterns:
+        raise ValueError("halftone region with no patterns")
+    bpp = max(1, (len(patterns) - 1).bit_length())
+    at = _grayscale_at(template)
+    dec = MQDecoder(body[38:])
+    contexts = [0] * (1 << len(_template_coords(template, at)))
+    gray = [[0] * hgw for _ in range(hgh)]
+    prev = [[0] * hgw for _ in range(hgh)]
+    for j in range(bpp - 1, -1, -1):  # MSB plane first, gray-decoded
+        plane = _decode_generic_bitmap(dec, contexts, hgw, hgh,
+                                       template, False, at)
+        for m in range(hgh):
+            gm, pm, plm = gray[m], prev[m], plane[m]
+            for n in range(hgw):
+                bit = plm[n] ^ pm[n]
+                gm[n] |= bit << j
+                pm[n] = bit
+    hdph = len(patterns[0])
+    hdpw = len(patterns[0][0])
+    region = [[defpix] * rw for _ in range(rh)]
+    gmax = len(patterns) - 1
+    for m in range(hgh):
+        for n in range(hgw):
+            x = (hgx + m * hry + n * hrx) >> 8
+            y = (hgy + m * hrx - n * hry) >> 8
+            pat = patterns[min(gray[m][n], gmax)]
+            for py in range(hdph):
+                ty = y + py
+                if not 0 <= ty < rh:
+                    continue
+                trow = region[ty]
+                prow_ = pat[py]
+                for px in range(hdpw):
+                    tx = x + px
+                    if 0 <= tx < rw and prow_[px]:
+                        trow[tx] = 1
+    return (rw, rh, rx, ry), region
+
+
+def _encode_halftone_region(gray_grid: list, patterns: list,
+                            template: int = 0) -> bytes:
+    """Encoder twin of ``_decode_halftone_region``: axis-aligned grid
+    (HRX = HDPW<<8, HRY = 0 — placement pitch is HDPW both ways, so
+    square patterns tile exactly)."""
+    hdph = len(patterns[0])
+    hdpw = len(patterns[0][0])
+    if hdpw != hdph:
+        raise ValueError("fixture halftone encoder needs square patterns")
+    hgh = len(gray_grid)
+    hgw = len(gray_grid[0])
+    gmax = len(patterns) - 1
+    if any(not 0 <= v <= gmax for row in gray_grid for v in row):
+        raise ValueError("gray value beyond the pattern dictionary")
+    bpp = max(1, gmax.bit_length())
+    planes = [[[0] * hgw for _ in range(hgh)] for _ in range(bpp)]
+    for m in range(hgh):
+        for n in range(hgw):
+            v = gray_grid[m][n]
+            prev_bit = 0
+            for j in range(bpp - 1, -1, -1):  # gray-encode (C.5 inverse)
+                b = (v >> j) & 1
+                planes[j][m][n] = b if j == bpp - 1 else b ^ prev_bit
+                prev_bit = b
+    at = _grayscale_at(template)
+    enc = MQEncoder()
+    contexts = [0] * (1 << len(_template_coords(template, at)))
+    for j in range(bpp - 1, -1, -1):
+        _encode_generic_bitmap(enc, contexts, planes[j], template,
+                               False, at)
+    rw, rh = hgw * hdpw, hgh * hdpw
+    return (struct.pack(">IIII", rw, rh, 0, 0) + b"\x00"
+            + bytes([template << 1])
+            + struct.pack(">IIiiHH", hgw, hgh, 0, 0, hdpw << 8, 0)
+            + enc.flush())
+
+
+# ---------------------------------------------------------------------------
 # Embedded (PDF) segment layer: page info + immediate generic regions
 # ---------------------------------------------------------------------------
 _SEG_PAGE_INFO = 48
@@ -676,6 +824,10 @@ _SEG_GENERIC_INTERMEDIATE = 36
 _SEG_SYMBOL_DICT = 0
 _SEG_TEXT_IMMEDIATE = 6
 _SEG_TEXT_IMMEDIATE_LOSSLESS = 7
+_SEG_PATTERN_DICT = 16
+_SEG_HALFTONE_INTERMEDIATE = 20
+_SEG_HALFTONE_IMMEDIATE = 22
+_SEG_HALFTONE_IMMEDIATE_LOSSLESS = 23
 
 
 def _parse_segment_header(data: bytes, pos: int):
@@ -717,15 +869,19 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
     """Embedded (PDF /JBIG2Decode) stream → (width, height, 8-bit gray
     pixels; 0 = black). Supports page-info + immediate generic regions
     (MQ templates 0-3 with/without TPGDON, and the MMR=1 variant via the
-    Group 4 decoder) AND the arithmetic symbol-dictionary + text-region
+    Group 4 decoder), the arithmetic symbol-dictionary + text-region
     layer (SDHUFF=0/REFAGG=0 dictionaries, SBHUFF=0/REFINE=0/
     TRANSPOSED=0 regions, all four reference corners, multi-pixel
-    strips) — the form real scanners emit for textual pages. Halftone/
-    refinement/Huffman segments raise — the honest reject."""
+    strips) — the form real scanners emit for textual pages — AND the
+    pattern-dictionary + halftone-region layer (gray-code bitplanes
+    over shared MQ state, the §6.6.5 fixed-point placement grid — the
+    photograph/shading form, r6). Refinement/Huffman segments raise —
+    the honest reject."""
     pos = 0
     page_w = page_h = None
     page: list[list[int]] | None = None
     sym_dicts: dict[int, list] = {}  # segment number → exported symbols
+    pat_dicts: dict[int, list] = {}  # segment number → pattern bitmaps
     while pos < len(data):
         if pos + 11 > len(data):
             break
@@ -822,11 +978,43 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
                     px = rx + x
                     if px < page_w and brow[x]:
                         prow[px] = 1
+        elif t == _SEG_PATTERN_DICT:
+            try:
+                pat_dicts[seg["num"]] = _decode_pattern_dict(body)
+            except (struct.error, IndexError) as e:
+                raise ValueError(
+                    f"corrupt JBIG2 pattern dictionary: {e}") from e
+        elif t in (_SEG_HALFTONE_INTERMEDIATE, _SEG_HALFTONE_IMMEDIATE,
+                   _SEG_HALFTONE_IMMEDIATE_LOSSLESS):
+            if page is None:
+                raise ValueError("JBIG2 region before page info")
+            pats: list = []
+            for r in seg["refs"]:
+                pats.extend(pat_dicts.get(r, ()))
+            if not pats:  # tolerate sloppy referred-to lists
+                for exported in pat_dicts.values():
+                    pats.extend(exported)
+            try:
+                (rw, rh, rx, ry), bm = _decode_halftone_region(body,
+                                                               pats)
+            except (struct.error, IndexError) as e:
+                raise ValueError(
+                    f"corrupt JBIG2 halftone region: {e}") from e
+            for y in range(rh):
+                py = ry + y
+                if py >= page_h:
+                    break
+                prow = page[py]
+                brow = bm[y]
+                for x in range(rw):
+                    px = rx + x
+                    if px < page_w and brow[x]:
+                        prow[px] = 1
         elif t in (_SEG_END_OF_PAGE, _SEG_END_OF_FILE, 50):
             pass  # end-of-page/file, end-of-stripe
         else:
-            # 4 = intermediate text, 16/20-23 = pattern/halftone,
-            # 40-43 = refinement, 53 = Huffman tables — honest reject
+            # 4 = intermediate text, 40-43 = refinement,
+            # 53 = Huffman tables — honest reject
             raise ValueError(f"JBIG2 segment type {t} unsupported")
         pos = end
     if page is None:
@@ -915,6 +1103,31 @@ def encode_jbig2_text_page(width: int, height: int, glyphs: list,
     out += _segment_header(2, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1,
                            len(tr_body), refs=(1,))
     out += tr_body
+    out += _segment_header(3, _SEG_END_OF_PAGE, 1, 0)
+    return bytes(out)
+
+
+def encode_jbig2_halftone_page(gray_grid: list, patterns: list,
+                               template: int = 0) -> bytes:
+    """Embedded JBIG2 stream for a HALFTONE page: page info + one
+    pattern dictionary + one immediate lossless halftone region
+    referring to it. ``patterns`` are square 0/1 row-list bitmaps;
+    ``gray_grid`` holds one pattern index per grid cell (the region
+    tiles the page at the pattern pitch) — the fixture twin for the
+    photograph/shading form of /JBIG2Decode pages."""
+    pd_body = _encode_pattern_dict(patterns, template)
+    ht_body = _encode_halftone_region(gray_grid, patterns, template)
+    width, height = struct.unpack_from(">II", ht_body, 0)
+    page_body = (struct.pack(">IIII", width, height, 0, 0)
+                 + b"\x01" + b"\x00\x00")
+    out = bytearray()
+    out += _segment_header(0, _SEG_PAGE_INFO, 1, len(page_body))
+    out += page_body
+    out += _segment_header(1, _SEG_PATTERN_DICT, 1, len(pd_body))
+    out += pd_body
+    out += _segment_header(2, _SEG_HALFTONE_IMMEDIATE_LOSSLESS, 1,
+                           len(ht_body), refs=(1,))
+    out += ht_body
     out += _segment_header(3, _SEG_END_OF_PAGE, 1, 0)
     return bytes(out)
 

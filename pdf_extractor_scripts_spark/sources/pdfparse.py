@@ -2127,6 +2127,24 @@ def build_pdf(
                 )
                 img_data = encode_jbig2_embedded(strokes, iw, ih)
                 fname = b"JBIG2Decode"
+            elif image_filter == "JBIG2-halftone-real":
+                # a REAL halftone-coded JBIG2 payload: pattern
+                # dictionary + gray-code bitplane region — the
+                # photograph/shading form of scanned bilevel pages
+                from ..operators.jbig2codec import (
+                    encode_jbig2_halftone_page,
+                )
+
+                iw = ih = 16
+                patterns = [
+                    [[1 if (x + y * 4) % 16 < k * 3 else 0
+                      for x in range(4)] for y in range(4)]
+                    for k in range(4)
+                ]
+                grid = [[(m + n) % 4 for n in range(4)]
+                        for m in range(4)]
+                img_data = encode_jbig2_halftone_page(grid, patterns)
+                fname = b"JBIG2Decode"
             elif image_filter == "JBIG2-text-real":
                 # a REAL symbol-coded JBIG2 payload: arithmetic symbol
                 # dictionary + text region — the dominant wild form

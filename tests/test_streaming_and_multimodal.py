@@ -831,9 +831,11 @@ def test_jbig2_generic_region_codec_roundtrip_and_rejects():
     bad = _struct.pack(">IBBBI", 0, 0, 0, 1, 4) + b"\x00" * 4
     with pytest.raises(ValueError, match="corrupt|symbol|unsupported"):
         jb.decode_jbig2_embedded(bad)
-    halftone = _struct.pack(">IBBBI", 0, 22, 0, 1, 4) + b"\x00" * 4
+    # refinement regions remain the honest reject (halftone decodes
+    # since r6 — see test_jbig2_halftone_region)
+    refinement = _struct.pack(">IBBBI", 0, 40, 0, 1, 4) + b"\x00" * 4
     with pytest.raises(ValueError, match="unsupported"):
-        jb.decode_jbig2_embedded(halftone)
+        jb.decode_jbig2_embedded(refinement)
 
     # corrupt-header guard: absurd page/region dimensions must reject
     # BEFORE any allocation (a flipped size byte must not OOM an executor)
@@ -2428,3 +2430,104 @@ def test_jpx_poc_progression_order_change():
     with pytest.raises(ValueError, match="malformed POC"):
         jx.decode_jpx(base[:qcd] + b"\xff\x5f\x00\x05\x00\x01\x02"
                       + base[qcd:])
+
+
+def test_jbig2_halftone_region():
+    """r6: the JBIG2 halftone layer (T.88 §6.6/§6.7 — the photograph/
+    shading form of scanned bilevel pages): a pattern dictionary's
+    collective bitmap slices into HDPW×HDPH patterns, gray-code
+    bitplanes (one shared MQ decoder + context across planes, §C.5)
+    select a pattern per grid cell, and cells place on the fixed-point
+    grid. Round-trips exactly against an independent tiling oracle
+    across all four templates and the single-pattern bpp edge; MMR
+    halftones, HENABLESKIP, non-OR combination and corrupt dims
+    reject; the fixture flows through the distributed media path."""
+    import os as _os
+    import random
+    import struct as _struct
+
+    import pytest
+
+    from pdf_extractor_scripts_spark.operators import jbig2codec as jb
+
+    rng = random.Random(23)
+
+    def pat(k):
+        cells = [(y, x) for y in range(4) for x in range(4)]
+        rng2 = random.Random(k)
+        dark = rng2.sample(cells, k * 3)
+        return [[1 if (y, x) in dark else 0 for x in range(4)]
+                for y in range(4)]
+
+    patterns = [pat(k) for k in range(6)]
+    grid = [[rng.randrange(6) for _ in range(10)] for _ in range(7)]
+    data = jb.encode_jbig2_halftone_page(grid, patterns)
+    w, h, px = jb.decode_jbig2_embedded(data)
+    assert (w, h) == (40, 28)
+    exp = [[0] * 40 for _ in range(28)]
+    for m in range(7):
+        for n in range(10):
+            p = patterns[grid[m][n]]
+            for py in range(4):
+                for pxx in range(4):
+                    if p[py][pxx]:
+                        exp[m * 4 + py][n * 4 + pxx] = 1
+    got = [[1 if px[y * 40 + x] < 128 else 0 for x in range(40)]
+           for y in range(28)]
+    assert got == exp
+    for t in (1, 2, 3):
+        d = jb.encode_jbig2_halftone_page(grid, patterns, template=t)
+        assert jb.decode_jbig2_embedded(d) == (w, h, px), t
+    d1 = jb.encode_jbig2_halftone_page([[0, 0], [0, 0]], [patterns[3]])
+    assert jb.decode_jbig2_embedded(d1)[:2] == (8, 8)
+
+    # rejects: flip the halftone flags byte in the region segment —
+    # body starts right after the 11-byte segment header; region flags
+    # live at body offset 17
+    def patched(flagmod):
+        raw = bytearray(data)
+        # find the halftone segment body: segment headers are 11 bytes
+        # (num4, flags1, rts1, refs..., page1, len4); walk them
+        pos = 0
+        while True:
+            num, flags = _struct.unpack_from(">IB", raw, pos)
+            rts = raw[pos + 5]
+            nrefs = rts >> 5
+            hpos = pos + 6 + nrefs + 1
+            (ln,) = _struct.unpack_from(">I", raw, hpos)
+            body = hpos + 4
+            if flags & 0x3F == 23:
+                raw[body + 17] = flagmod(raw[body + 17])
+                return bytes(raw)
+            pos = body + ln
+
+    with pytest.raises(ValueError, match="MMR halftone"):
+        jb.decode_jbig2_embedded(patched(lambda f: f | 1))
+    with pytest.raises(ValueError, match="HENABLESKIP"):
+        jb.decode_jbig2_embedded(patched(lambda f: f | 8))
+    with pytest.raises(ValueError, match="OR halftone"):
+        jb.decode_jbig2_embedded(patched(lambda f: f | 0x20))
+    with pytest.raises(ValueError, match="pattern dictionary"):
+        jb.encode_jbig2_halftone_page([[9]], patterns[:2])
+
+
+def test_jbig2_halftone_pdf_fixture_distributed(spark, tmpdir):
+    import os as _os
+
+    from pdf_extractor_scripts_spark.operators.multimodal import (
+        decode_pdf_media,
+        media_from_pdfs,
+    )
+    from pdf_extractor_scripts_spark.sources.pdfparse import build_pdf
+    from pdf_extractor_scripts_spark.sources.spans import read_binary_docs
+
+    pdf = build_pdf([[("text", "PHOTO"), ("image",)]],
+                    image_filter="JBIG2-halftone-real")
+    with open(_os.path.join(tmpdir, "ht.pdf"), "wb") as f:
+        f.write(pdf)
+    feat = decode_pdf_media(
+        media_from_pdfs(read_binary_docs(spark, tmpdir))
+    ).first()
+    assert feat["decoded"] and feat["filter"] == "JBIG2Decode"
+    assert feat["feature"][:2] == [16.0, 16.0]
+    assert 0.0 < feat["feature"][4] < 1.0  # mixed dark/light halftone
