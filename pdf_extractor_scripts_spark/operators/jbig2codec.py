@@ -10,8 +10,11 @@ the dominant wild form: textual pages stored as reused glyph bitmaps
 plus coded placements), the PATTERN-DICTIONARY + HALFTONE-REGION layer
 (§6.7/§6.6 — gray-code bitplanes selecting patterns on the fixed-point
 placement grid: the photograph/shading form, r6), and the embedded
-segment layer — plus encoder twins for fixtures. Refinement and
-Huffman-table variants raise ValueError: the honest reject.
+segment layer — plus encoder twins for fixtures. Generic REFINEMENT
+regions (§6.3 — both GR templates, TPGRON, page-contents reference:
+the lossy-then-lossless scanner form, r6) decode too; Huffman-table
+variants and intermediate region types raise ValueError: the honest
+reject.
 
 Validation note: no external JBIG2 conformance vectors are available in
 this sandbox, so the MQ coder is pinned by encoder↔decoder round-trips
@@ -667,6 +670,124 @@ def _encode_text_region(width: int, height: int, syms: list,
 
 
 # ---------------------------------------------------------------------------
+# Generic refinement decoding (T.88 §6.3): re-code a bitmap against a
+# REFERENCE bitmap — the layer behind refinement regions (lossy-then-
+# lossless scanning) and refinement-aggregate symbols. Context layout
+# (current-bitmap pixels + a 3×3 reference window + AT pixels) follows
+# the published spec figures; encoder and decoder are mirrored
+# traversals over the same context math.
+# ---------------------------------------------------------------------------
+_TPGRON_CTX = {0: 0x0100, 1: 0x0080}
+
+
+def _refinement_context(bitmap, ref, x, y, dx, dy, template, at,
+                        width, height):
+    def cur(xx, yy):
+        return (bitmap[yy][xx]
+                if 0 <= yy < height and 0 <= xx < width else 0)
+
+    def rget(xx, yy):
+        return (ref[yy][xx]
+                if 0 <= yy < len(ref) and ref and 0 <= xx < len(ref[0])
+                else 0)
+
+    rx, ry = x - dx, y - dy
+    if template == 0:
+        a1, a2 = at
+        return (cur(x - 1, y)
+                | cur(x + 1, y - 1) << 1
+                | cur(x, y - 1) << 2
+                | cur(x + a1[0], y + a1[1]) << 3
+                | rget(rx + 1, ry + 1) << 4
+                | rget(rx, ry + 1) << 5
+                | rget(rx - 1, ry + 1) << 6
+                | rget(rx + 1, ry) << 7
+                | rget(rx, ry) << 8
+                | rget(rx - 1, ry) << 9
+                | rget(rx + 1, ry - 1) << 10
+                | rget(rx, ry - 1) << 11
+                | rget(rx + a2[0], ry + a2[1]) << 12)
+    return (cur(x - 1, y)
+            | cur(x + 1, y - 1) << 1
+            | cur(x, y - 1) << 2
+            | cur(x - 1, y - 1) << 3
+            | rget(rx + 1, ry + 1) << 4
+            | rget(rx, ry + 1) << 5
+            | rget(rx + 1, ry) << 6
+            | rget(rx, ry) << 7
+            | rget(rx - 1, ry) << 8
+            | rget(rx, ry - 1) << 9)
+
+
+def _ref_typical(ref, rx, ry):
+    """True when the 3×3 reference window is uniform — the TPGRON
+    'typical pixel' test (§6.3.5.6); returns (is_typical, value)."""
+    vals = []
+    h = len(ref)
+    w = len(ref[0]) if h else 0
+    for yy in (ry - 1, ry, ry + 1):
+        for xx in (rx - 1, rx, rx + 1):
+            vals.append(ref[yy][xx] if 0 <= yy < h and 0 <= xx < w
+                        else 0)
+    first = vals[0]
+    return all(v == first for v in vals), first
+
+
+def _decode_refinement_bitmap(dec: MQDecoder, contexts: list,
+                              width: int, height: int, template: int,
+                              tpgron: bool, ref, dx: int = 0,
+                              dy: int = 0, at=None):
+    at = at or [(-1, -1), (-1, -1)]
+    bitmap = [[0] * width for _ in range(height)]
+    ltp = 0
+    for y in range(height):
+        if tpgron:
+            ltp ^= dec.read_bit(contexts, _TPGRON_CTX[template])
+        row = bitmap[y]
+        for x in range(width):
+            if ltp:
+                typ, val = _ref_typical(ref, x - dx, y - dy)
+                if typ:
+                    row[x] = val
+                    continue
+            cx = _refinement_context(bitmap, ref, x, y, dx, dy,
+                                     template, at, width, height)
+            row[x] = dec.read_bit(contexts, cx)
+    return bitmap
+
+
+def _encode_refinement_bitmap(enc: MQEncoder, contexts: list,
+                              bitmap, template: int, tpgron: bool,
+                              ref, dx: int = 0, dy: int = 0,
+                              at=None) -> None:
+    at = at or [(-1, -1), (-1, -1)]
+    height = len(bitmap)
+    width = len(bitmap[0]) if height else 0
+    ltp = 0
+    for y in range(height):
+        if tpgron:
+            # a row is coded 'typical' when every typical pixel already
+            # matches the reference value (the decoder then skips them)
+            same = all(
+                (lambda t_v: (not t_v[0]) or t_v[1] == bitmap[y][x])(
+                    _ref_typical(ref, x - dx, y - dy)
+                )
+                for x in range(width)
+            )
+            enc.encode_bit(contexts, _TPGRON_CTX[template], ltp ^ same)
+            ltp = same
+        row = bitmap[y]
+        for x in range(width):
+            if ltp:
+                typ, val = _ref_typical(ref, x - dx, y - dy)
+                if typ:
+                    continue
+            cx = _refinement_context(bitmap, ref, x, y, dx, dy,
+                                     template, at, width, height)
+            enc.encode_bit(contexts, cx, row[x])
+
+
+# ---------------------------------------------------------------------------
 # Pattern dictionary (T.88 §6.7) + halftone region (§6.6) — the halftone
 # layer real scanners emit for photographs/shading on otherwise-bilevel
 # pages: a dictionary of HDPW×HDPH grayscale patterns plus a region whose
@@ -828,6 +949,9 @@ _SEG_PATTERN_DICT = 16
 _SEG_HALFTONE_INTERMEDIATE = 20
 _SEG_HALFTONE_IMMEDIATE = 22
 _SEG_HALFTONE_IMMEDIATE_LOSSLESS = 23
+_SEG_REFINE_INTERMEDIATE = 40
+_SEG_REFINE_IMMEDIATE = 41
+_SEG_REFINE_IMMEDIATE_LOSSLESS = 42
 
 
 def _parse_segment_header(data: bytes, pos: int):
@@ -875,8 +999,10 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
     strips) — the form real scanners emit for textual pages — AND the
     pattern-dictionary + halftone-region layer (gray-code bitplanes
     over shared MQ state, the §6.6.5 fixed-point placement grid — the
-    photograph/shading form, r6). Refinement/Huffman segments raise —
-    the honest reject."""
+    photograph/shading form, r6) AND immediate refinement regions
+    (§6.3 — re-coded against the page contents under the region box).
+    Huffman segments and intermediate region types raise — the honest
+    reject."""
     pos = 0
     page_w = page_h = None
     page: list[list[int]] | None = None
@@ -1010,10 +1136,51 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
                     px = rx + x
                     if px < page_w and brow[x]:
                         prow[px] = 1
+        elif t in (_SEG_REFINE_IMMEDIATE,
+                   _SEG_REFINE_IMMEDIATE_LOSSLESS):
+            if page is None:
+                raise ValueError("JBIG2 region before page info")
+            rw, rh, rx, ry = struct.unpack_from(">IIII", body, 0)
+            if rw * rh > 100_000_000:
+                raise ValueError("implausible JBIG2 region dimensions")
+            rflags = body[17]
+            template = rflags & 1
+            tpgron = bool(rflags & 2)
+            p = 18
+            at = None
+            if template == 0:
+                at = []
+                for _ in range(2):
+                    at.append((struct.unpack_from(">b", body, p)[0],
+                               struct.unpack_from(">b", body, p + 1)[0]))
+                    p += 2
+            # reference = the page contents under the region box
+            # (§6.3.2 — how lossy-then-lossless scanners refine)
+            ref = [[page[ry + y][rx + x]
+                    if ry + y < page_h and rx + x < page_w else 0
+                    for x in range(rw)] for y in range(rh)]
+            contexts = [0] * (1 << 13)
+            try:
+                bm = _decode_refinement_bitmap(
+                    MQDecoder(body[p:]), contexts, rw, rh, template,
+                    tpgron, ref)
+            except (struct.error, IndexError) as e:
+                raise ValueError(
+                    f"corrupt JBIG2 refinement region: {e}") from e
+            for y in range(rh):  # refinement REPLACES the region box
+                py = ry + y
+                if py >= page_h:
+                    break
+                prow = page[py]
+                brow = bm[y]
+                for x in range(rw):
+                    px = rx + x
+                    if px < page_w:
+                        prow[px] = brow[x]
         elif t in (_SEG_END_OF_PAGE, _SEG_END_OF_FILE, 50):
             pass  # end-of-page/file, end-of-stripe
         else:
-            # 4 = intermediate text, 40-43 = refinement,
+            # 4 = intermediate text, 40 = intermediate refinement,
             # 53 = Huffman tables — honest reject
             raise ValueError(f"JBIG2 segment type {t} unsupported")
         pos = end
@@ -1128,6 +1295,51 @@ def encode_jbig2_halftone_page(gray_grid: list, patterns: list,
     out += _segment_header(2, _SEG_HALFTONE_IMMEDIATE_LOSSLESS, 1,
                            len(ht_body), refs=(1,))
     out += ht_body
+    out += _segment_header(3, _SEG_END_OF_PAGE, 1, 0)
+    return bytes(out)
+
+
+def encode_jbig2_refined_page(pixels: bytes, coarse: bytes, width: int,
+                              height: int, template: int = 0,
+                              tpgron: bool = True) -> bytes:
+    """Embedded JBIG2 stream for a lossy-then-lossless page: page info
+    + a generic region carrying the COARSE approximation + an immediate
+    lossless refinement region that re-codes the exact page against it
+    (reference = the page contents under the region box, §6.3.2).
+    ``pixels``/``coarse`` are 8-bit gray (<128 = black)."""
+    if len(pixels) != width * height or len(coarse) != width * height:
+        raise ValueError("pixel buffers do not match dimensions")
+    exact = [[1 if pixels[y * width + x] < 128 else 0
+              for x in range(width)] for y in range(height)]
+    rough = [[1 if coarse[y * width + x] < 128 else 0
+              for x in range(width)] for y in range(height)]
+    enc = MQEncoder()
+    contexts = [0] * (1 << 13)
+    _encode_refinement_bitmap(enc, contexts, exact, template, tpgron,
+                              rough)
+    at_bytes = (b"".join(struct.pack(">bb", ax, ay)
+                         for ax, ay in [(-1, -1), (-1, -1)])
+                if template == 0 else b"")
+    ref_body = (struct.pack(">IIII", width, height, 0, 0) + b"\x00"
+                + bytes([template | (2 if tpgron else 0)])
+                + at_bytes + enc.flush())
+    coarse_body = (
+        struct.pack(">IIII", width, height, 0, 0) + b"\x00"
+        + bytes([8]) + b"".join(struct.pack(">bb", ax, ay)
+                                for ax, ay in _NOMINAL_AT[0])
+        + encode_generic_region(rough, 0, True)
+    )
+    page_body = (struct.pack(">IIII", width, height, 0, 0)
+                 + b"\x01" + b"\x00\x00")
+    out = bytearray()
+    out += _segment_header(0, _SEG_PAGE_INFO, 1, len(page_body))
+    out += page_body
+    out += _segment_header(1, _SEG_GENERIC_IMMEDIATE, 1,
+                           len(coarse_body))
+    out += coarse_body
+    out += _segment_header(2, _SEG_REFINE_IMMEDIATE_LOSSLESS, 1,
+                           len(ref_body), refs=(1,))
+    out += ref_body
     out += _segment_header(3, _SEG_END_OF_PAGE, 1, 0)
     return bytes(out)
 

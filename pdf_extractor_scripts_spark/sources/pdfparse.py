@@ -2145,6 +2145,30 @@ def build_pdf(
                         for m in range(4)]
                 img_data = encode_jbig2_halftone_page(grid, patterns)
                 fname = b"JBIG2Decode"
+            elif image_filter == "JBIG2-refined-real":
+                # a REAL refinement-coded JBIG2 payload: coarse generic
+                # region + immediate refinement region re-coding the
+                # exact page — the lossy-then-lossless scanner form
+                from ..operators.jbig2codec import (
+                    encode_jbig2_refined_page,
+                )
+
+                iw = ih = 16
+                exact = bytes(
+                    0 if (4 <= y <= 6 and x % 5 < 2)
+                    or (10 <= y <= 12 and (x // 3) % 2 == 0) else 255
+                    for y in range(ih) for x in range(iw)
+                )
+                coarse = bytes(
+                    255 - v if (x + y) % 37 == 5 else v
+                    for (x, y), v in zip(
+                        ((x, y) for y in range(ih) for x in range(iw)),
+                        exact,
+                    )
+                )
+                img_data = encode_jbig2_refined_page(exact, coarse,
+                                                     iw, ih)
+                fname = b"JBIG2Decode"
             elif image_filter == "JBIG2-text-real":
                 # a REAL symbol-coded JBIG2 payload: arithmetic symbol
                 # dictionary + text region — the dominant wild form

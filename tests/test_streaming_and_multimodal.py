@@ -2531,3 +2531,61 @@ def test_jbig2_halftone_pdf_fixture_distributed(spark, tmpdir):
     assert feat["decoded"] and feat["filter"] == "JBIG2Decode"
     assert feat["feature"][:2] == [16.0, 16.0]
     assert 0.0 < feat["feature"][4] < 1.0  # mixed dark/light halftone
+
+
+def test_jbig2_refinement_region():
+    """r6: generic refinement regions (T.88 §6.3 — the lossy-then-
+    lossless scanner form): a coarse generic region lands on the page,
+    then an immediate refinement region re-codes the EXACT bitmap
+    against the page contents under its box (3×3 reference window
+    contexts, both GR templates, TPGRON typical-prediction rows) and
+    REPLACES it. The decoded page equals the exact original even when
+    the coarse pass carries bit-flip noise; the identity case (already-
+    exact reference) also round-trips."""
+    import random
+
+    from pdf_extractor_scripts_spark.operators import jbig2codec as jb
+
+    rng = random.Random(29)
+    W, H = 30, 20
+    exact = bytes(
+        0 if (4 <= y <= 6 and x % 5 < 2)
+        or (10 <= y <= 13 and (x // 3) % 2 == 0) else 255
+        for y in range(H) for x in range(W)
+    )
+    coarse = bytearray(exact)
+    for _ in range(25):
+        i = rng.randrange(W * H)
+        coarse[i] = 255 - coarse[i]
+    want = bytes(0 if v < 128 else 255 for v in exact)
+    for tmpl in (0, 1):
+        for tp in (True, False):
+            d = jb.encode_jbig2_refined_page(exact, bytes(coarse), W, H,
+                                             template=tmpl, tpgron=tp)
+            w, h, px = jb.decode_jbig2_embedded(d)
+            assert (w, h) == (W, H)
+            assert bytes(0 if p < 128 else 255 for p in px) == want, \
+                (tmpl, tp)
+    d = jb.encode_jbig2_refined_page(exact, exact, W, H)
+    assert jb.decode_jbig2_embedded(d)[:2] == (W, H)
+
+
+def test_jbig2_refined_pdf_fixture_distributed(spark, tmpdir):
+    import os as _os
+
+    from pdf_extractor_scripts_spark.operators.multimodal import (
+        decode_pdf_media,
+        media_from_pdfs,
+    )
+    from pdf_extractor_scripts_spark.sources.pdfparse import build_pdf
+    from pdf_extractor_scripts_spark.sources.spans import read_binary_docs
+
+    pdf = build_pdf([[("text", "REFINE"), ("image",)]],
+                    image_filter="JBIG2-refined-real")
+    with open(_os.path.join(tmpdir, "rf.pdf"), "wb") as f:
+        f.write(pdf)
+    feat = decode_pdf_media(
+        media_from_pdfs(read_binary_docs(spark, tmpdir))
+    ).first()
+    assert feat["decoded"] and feat["filter"] == "JBIG2Decode"
+    assert feat["feature"][:2] == [16.0, 16.0]
