@@ -561,20 +561,65 @@ def scaling_media() -> None:
     # counts weighted by measured per-decode cost (~0.7ms CCITT/JBIG2,
     # ~50ms JPEG, ~125ms JPX at 96x64) so the mix is CPU-meaningful and
     # the 4-slot wall clears the box's noise window at the default scale
+    from pdf_extractor_scripts_spark.operators.jpegcodec import (
+        encode_cmyk_jpeg,
+    )
+
+    gray_bits = [[1 if gray[y * W + x] < 110 else 0 for x in range(W)]
+                 for y in range(H)]
+    bw_bytes = bytes(0 if v else 255
+                     for row in gray_bits for v in row)
+    cmyk = bytes(v for i in range(W * H)
+                 for v in (30, 20, 10, 255 - gray[i]))
+    patterns = [[[1 if (x + y * 4) % 16 < k * 3 else 0
+                  for x in range(4)] for y in range(4)]
+                for k in range(4)]
+    grid = [[(m + n) % 4 for n in range(W // 4)]
+            for m in range(H // 4)]
+    pal = bytes(v for i in range(12)
+                for v in ((20 * i) % 256, (40 + 17 * i) % 256,
+                          (200 - 13 * i) % 256))
+    idx_rows = bytearray((W * 4 + 7) // 8 * H)
+    for y in range(H):
+        for x in range(W):
+            bit = x * 4
+            idx_rows[y * ((W * 4 + 7) // 8) + (bit >> 3)] |= \
+                ((x + y) % 12) << (4 - (bit & 7))
+    idx_params = {"width": str(W), "height": str(H), "bpc": "4",
+                  "colorspace": "Indexed", "base": "DeviceRGB",
+                  "hival": "11",
+                  "palette": __import__("binascii").hexlify(pal)
+                  .decode("ascii")}
+    # counts weighted by measured per-decode cost (~0.7ms CCITT/JBIG2,
+    # ~3ms halftone/refined/indexed, ~50-100ms JPEG, ~125ms+ JPX at
+    # 96x64) so the mix is CPU-meaningful and the 4-slot wall clears
+    # the box's noise window at the default scale; late-r6 families
+    # (CMYK JPEG, halftone + refined JBIG2, subsampled JPX, Indexed
+    # raw) ride the same stage
     corpus = [
         ("DCTDecode", encode_gray_jpeg(gray, W, H, quality=85), 800),
-        ("DCTDecode", encode_color_jpeg(rgb, W, H, quality=85), 800),
-        ("CCITTFaxDecode", cc.encode_g4(bw, W, H), 20000),
-        ("JBIG2Decode", jb.encode_jbig2_embedded(bw, W, H), 20000),
-        ("JPXDecode", jx.encode_jpx(gray, W, H, 1, levels=2), 400),
+        ("DCTDecode", encode_color_jpeg(rgb, W, H, quality=85), 700),
+        ("DCTDecode", encode_cmyk_jpeg(cmyk, W, H, quality=85), 300),
+        ("CCITTFaxDecode", cc.encode_g4(bw, W, H), 18000),
+        ("JBIG2Decode", jb.encode_jbig2_embedded(bw, W, H), 18000),
+        ("JBIG2Decode", jb.encode_jbig2_halftone_page(grid, patterns),
+         5000),
+        ("JBIG2Decode", jb.encode_jbig2_refined_page(
+            bw_bytes, bw_bytes, W, H), 5000),
+        ("JPXDecode", jx.encode_jpx(gray, W, H, 1, levels=2), 350),
         ("JPXDecode", jx.encode_jpx(gray, W, H, 1, levels=2,
                                     irreversible=True, quality=85,
-                                    layers=3), 400),
+                                    layers=3), 350),
+        ("JPXDecode", jx.encode_jpx(rgb, W, H, 3, levels=2, mct=False,
+                                    sampling=[(1, 1), (2, 2), (2, 2)]),
+         100),
+        ("FlateDecode", bytes(idx_rows), 3000),
     ]
     ccitt_params = {"K": "-1", "Columns": str(W), "Rows": str(H)}
     rows = []
     for i, (filt, payload, count) in enumerate(corpus):
-        params = ccitt_params if filt == "CCITTFaxDecode" else {}
+        params = (ccitt_params if filt == "CCITTFaxDecode"
+                  else idx_params if filt == "FlateDecode" else {})
         for k in range(int(count * scale)):
             rows.append((f"m{i}#{k}", bytearray(payload), filt, params))
     rng.shuffle(rows)  # interleave heavy and light rows across partitions
