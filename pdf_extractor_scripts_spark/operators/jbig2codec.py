@@ -12,9 +12,12 @@ plus coded placements), the PATTERN-DICTIONARY + HALFTONE-REGION layer
 placement grid: the photograph/shading form, r6), and the embedded
 segment layer — plus encoder twins for fixtures. Generic REFINEMENT
 regions (§6.3 — both GR templates, TPGRON, page-contents reference:
-the lossy-then-lossless scanner form, r6) decode too; Huffman-table
-variants and intermediate region types raise ValueError: the honest
-reject.
+the lossy-then-lossless scanner form, r6) decode too, and so do the
+HUFFMAN-coded variants (SDHUFF/SBHUFF=1, late r6): Annex B standard
+tables, type-53 custom table segments, MMR/raw collective bitmaps and
+runcoded symbol ID lengths — the form hardware encoders emit when they
+skip the MQ coder. Intermediate region types and standard table B.10
+(see ``_STD_LINES``) raise ValueError: the honest reject.
 
 Validation note: no external JBIG2 conformance vectors are available in
 this sandbox, so the MQ coder is pinned by encoder↔decoder round-trips
@@ -435,13 +438,13 @@ _MAX_SYMS = 10_000
 _MAX_INSTANCES = 1_000_000
 
 
-def _decode_symbol_dict(body: bytes, insyms: list) -> list:
+def _decode_symbol_dict(body: bytes, insyms: list, tables=()) -> list:
     """Symbol dictionary segment data → exported symbol bitmaps."""
     flags = struct.unpack_from(">H", body, 0)[0]
-    if flags & 1:
-        raise ValueError("Huffman symbol dictionaries unsupported")
     if (flags >> 1) & 1:
         raise ValueError("refinement/aggregate symbol coding unsupported")
+    if flags & 1:
+        return _decode_symbol_dict_huff(body, insyms, tables, flags)
     template = (flags >> 10) & 3
     p = 2
     at = []
@@ -525,6 +528,151 @@ def _encode_symbol_dict(symbols: list, template: int = 0) -> bytes:
             + struct.pack(">II", len(symbols), len(symbols)) + enc.flush())
 
 
+def _decode_symbol_dict_huff(body: bytes, insyms: list, tables,
+                             flags: int) -> list:
+    """SDHUFF=1, REFAGG=0 dictionary (§6.5.5-6.5.10): heights and widths
+    via Huffman deltas, symbol pixels in one COLLECTIVE bitmap per height
+    class — MMR-coded (BMSIZE>0) or raw byte-aligned rows (BMSIZE=0) —
+    split by the decoded widths. No AT pixels ride this form."""
+    custom = iter(tables)
+    tdh = _pick_table(custom, (flags >> 2) & 3, {0: 4, 1: 5}, "DH")
+    tdw = _pick_table(custom, (flags >> 4) & 3, {0: 2, 1: 3}, "DW")
+    tbm = (next(custom, None) if (flags >> 6) & 1 else _STD[1])
+    if tbm is None:
+        raise ValueError("JBIG2 BMSIZE custom table selected but "
+                         "not referred")
+    numex, numnew = struct.unpack_from(">II", body, 2)
+    if numex > _MAX_SYMS or numnew > _MAX_SYMS:
+        raise ValueError("implausible JBIG2 symbol counts")
+    r = _HBits(body, 10)
+    newsyms: list = []
+    hcheight = 0
+    classes_left = 2 * numnew + 64  # corrupt-stream loop bound
+    while len(newsyms) < numnew:
+        classes_left -= 1
+        if classes_left < 0:
+            raise ValueError("JBIG2 symbol dictionary fails to converge")
+        dh = tdh.decode(r)
+        if dh is _OOB:
+            raise ValueError("OOB where a height-class delta was expected")
+        hcheight += dh
+        if not 0 < hcheight <= _MAX_SYM_SIDE:
+            raise ValueError("implausible symbol height")
+        symwidth = 0
+        totwidth = 0
+        widths: list = []
+        while True:
+            dw = tdw.decode(r)
+            if dw is _OOB:
+                break
+            symwidth += dw
+            if not 0 < symwidth <= _MAX_SYM_SIDE:
+                raise ValueError("implausible symbol width")
+            if len(newsyms) + len(widths) >= numnew:
+                raise ValueError("more symbols coded than declared")
+            widths.append(symwidth)
+            totwidth += symwidth
+        if not widths:
+            continue
+        if totwidth * hcheight > 100_000_000:
+            raise ValueError("implausible collective bitmap size")
+        bmsize = tbm.decode(r)
+        if bmsize is _OOB or bmsize < 0:
+            raise ValueError("bad JBIG2 collective bitmap size")
+        r.align()
+        bp = r.bitpos >> 3
+        if bmsize == 0:
+            rowbytes = (totwidth + 7) // 8
+            if bp + rowbytes * hcheight > len(body):
+                raise ValueError("truncated JBIG2 collective bitmap")
+            coll = [
+                [(body[bp + y * rowbytes + (x >> 3)] >> (7 - (x & 7))) & 1
+                 for x in range(totwidth)]
+                for y in range(hcheight)
+            ]
+            r.bitpos = (bp + rowbytes * hcheight) * 8
+        else:
+            if bp + bmsize > len(body):
+                raise ValueError("truncated JBIG2 collective bitmap")
+            from .ccittcodec import decode_g4
+
+            _, _, gray = decode_g4(body[bp:bp + bmsize], totwidth,
+                                   hcheight)
+            coll = [
+                [1 if gray[y * totwidth + x] < 128 else 0
+                 for x in range(totwidth)]
+                for y in range(hcheight)
+            ]
+            r.bitpos = (bp + bmsize) * 8
+        x0 = 0
+        for wdt in widths:
+            newsyms.append([row[x0:x0 + wdt] for row in coll])
+            x0 += wdt
+    # export flags (§6.5.10): alternating runs, Table B.1 when SDHUFF=1
+    allsyms = list(insyms) + newsyms
+    exported: list = []
+    i, curflag = 0, 0
+    while i < len(allsyms):
+        run = _STD[1].decode(r)
+        if run is _OOB or run < 0 or i + run > len(allsyms):
+            raise ValueError("bad symbol export run length")
+        if curflag:
+            exported.extend(allsyms[i:i + run])
+        i += run
+        curflag ^= 1
+    if len(exported) != numex:
+        raise ValueError("symbol export count mismatch")
+    return exported
+
+
+def _encode_symbol_dict_huff(symbols: list,
+                             bmsize_zero: bool = False) -> bytes:
+    """Encoder twin of ``_decode_symbol_dict_huff``: standard tables
+    (DH=B.4, DW=B.3 — width deltas within a height class go negative,
+    BMSIZE=B.1), all symbols exported; the collective bitmap per height
+    class is MMR-coded, or raw rows if ``bmsize_zero``. ``symbols`` are
+    0/1 row-lists sorted by height by the caller."""
+    from .ccittcodec import encode_g4
+
+    w = _HBitW()
+    tdh, tdw, tb1 = _STD[4], _STD[3], _STD[1]
+    hcheight = 0
+    i = 0
+    while i < len(symbols):
+        h = len(symbols[i])
+        tdh.encode(w, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        hcsyms = []
+        while i < len(symbols) and len(symbols[i]) == h:
+            wd = len(symbols[i][0])
+            tdw.encode(w, wd - symwidth)
+            symwidth = wd
+            hcsyms.append(symbols[i])
+            i += 1
+        tdw.encode(w, _OOB)
+        totwidth = sum(len(s[0]) for s in hcsyms)
+        rows = [[b for s in hcsyms for b in s[y]] for y in range(h)]
+        if bmsize_zero:
+            tb1.encode(w, 0)
+            rowbytes = (totwidth + 7) // 8
+            raw = bytearray(rowbytes * h)
+            for y, row in enumerate(rows):
+                for x, bit in enumerate(row):
+                    if bit:
+                        raw[y * rowbytes + (x >> 3)] |= 0x80 >> (x & 7)
+            w.raw(bytes(raw))
+        else:
+            gray = bytes(0 if b else 255 for row in rows for b in row)
+            coded = encode_g4(gray, totwidth, h)
+            tb1.encode(w, len(coded))
+            w.raw(coded)
+    tb1.encode(w, 0)             # run of not-exported: none
+    tb1.encode(w, len(symbols))  # run of exported: all
+    return (struct.pack(">H", 1 | (1 << 4))  # SDHUFF, SDHUFFDW = B.3
+            + struct.pack(">II", len(symbols), len(symbols)) + w.bytes())
+
+
 def _corner_anchor(refcorner: int, hi: int, curs: int, ti: int):
     """(x0, y0) of a symbol's top-left given the strip S/T anchor. S always
     anchors the LEFT edge pre-advance (§6.4.5 viii-x: right corners
@@ -535,14 +683,17 @@ def _corner_anchor(refcorner: int, hi: int, curs: int, ti: int):
     return curs, y0
 
 
-def _decode_text_region(body: bytes, syms: list):
-    """Text region segment data → (region-info tuple, bitmap rows)."""
+def _decode_text_region(body: bytes, syms: list, tables=()):
+    """Text region segment data → (region-info tuple, bitmap rows).
+    Both coding modes decode through one placement loop: arithmetic
+    (SBHUFF=0, the scanner-default form) and Huffman (SBHUFF=1 —
+    standard/custom Annex B tables, runcoded symbol ID lengths per
+    §7.4.3.1.7, CURT as raw log2(SBSTRIPS) bits)."""
     rw, rh, rx, ry = struct.unpack_from(">IIII", body, 0)
     if rw * rh > 100_000_000:
         raise ValueError("implausible JBIG2 region dimensions")
     flags = struct.unpack_from(">H", body, 17)[0]
-    if flags & 1:
-        raise ValueError("Huffman text regions unsupported")
+    sbhuff = flags & 1
     if (flags >> 1) & 1:
         raise ValueError("refinement text regions unsupported")
     if (flags >> 6) & 1:
@@ -554,7 +705,13 @@ def _decode_text_region(body: bytes, syms: list):
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32
-    numinst = struct.unpack_from(">I", body, 19)[0]
+    p = 19
+    hflags = 0
+    if sbhuff:
+        hflags = struct.unpack_from(">H", body, p)[0]
+        p += 2
+    numinst = struct.unpack_from(">I", body, p)[0]
+    p += 4
     if numinst > _MAX_INSTANCES:
         raise ValueError("implausible JBIG2 instance count")
     if combop > 2:
@@ -562,13 +719,83 @@ def _decode_text_region(body: bytes, syms: list):
     if not syms:
         raise ValueError("text region with no referred symbols")
     sbstrips = 1 << logsbstrips
-    symcodelen = max(1, (len(syms) - 1).bit_length())
     region = [[defpixel] * rw for _ in range(rh)]
-    dec = MQDecoder(body[23:])
-    port = _dec_port(dec)
-    iadt, iafs, iads, iait = ([0] * 512 for _ in range(4))
-    iaid = [0] * (1 << (symcodelen + 1))
-    stript = -_int_arith(port, iadt) * sbstrips
+    if sbhuff:
+        custom = iter(tables)
+        tfs = _pick_table(custom, hflags & 3, {0: 6, 1: 7}, "FS")
+        # DS selector 2 (standard table B.10) is refused: B.10 is the
+        # one Annex B table whose transcription cannot be cross-checked
+        # by Kraft completeness (the spec's own B.10 is not a complete
+        # prefix code), so using it risks silent misdecode instead of
+        # an honest error — and no known encoder emits it
+        tds = _pick_table(custom, (hflags >> 2) & 3, {0: 8, 1: 9}, "DS")
+        tdt = _pick_table(custom, (hflags >> 4) & 3, {0: 11, 1: 12, 2: 13},
+                          "DT")
+        r = _HBits(body, p)
+        # symbol ID code lengths (§7.4.3.1.7): 35 four-bit runcode
+        # lengths, then runcoded per-symbol lengths, then byte-align
+        runtab = _HuffTable([("n", r.bits(4), 0, i) for i in range(35)])
+        symlens: list = []
+        while len(symlens) < len(syms):
+            c = runtab.decode(r)
+            if c is _OOB or c > 34:
+                raise ValueError("bad JBIG2 symbol ID runcode")
+            if c < 32:
+                symlens.append(c)
+            elif c == 32:
+                if not symlens:
+                    raise ValueError("repeat runcode with no prior length")
+                symlens.extend([symlens[-1]] * (r.bits(2) + 3))
+            elif c == 33:
+                symlens.extend([0] * (r.bits(3) + 3))
+            else:
+                symlens.extend([0] * (r.bits(7) + 11))
+        if len(symlens) != len(syms):
+            raise ValueError("runcoded symbol ID lengths overrun")
+        symtab = _HuffTable(
+            [("n", symlens[i], 0, i) for i in range(len(syms))])
+        r.align()
+
+        def vdt():
+            return tdt.decode(r)
+
+        def vfs():
+            return tfs.decode(r)
+
+        def vds():
+            return tds.decode(r)
+
+        def vt():
+            return r.bits(logsbstrips) if sbstrips > 1 else 0
+
+        def vid():
+            return symtab.decode(r)
+    else:
+        symcodelen = max(1, (len(syms) - 1).bit_length())
+        dec = MQDecoder(body[p:])
+        port = _dec_port(dec)
+        iadt, iafs, iads, iait = ([0] * 512 for _ in range(4))
+        iaid = [0] * (1 << (symcodelen + 1))
+
+        def vdt():
+            return _int_arith(port, iadt)
+
+        def vfs():
+            return _int_arith(port, iafs)
+
+        def vds():
+            return _int_arith(port, iads)
+
+        def vt():
+            return _int_arith(port, iait) if sbstrips > 1 else 0
+
+        def vid():
+            return _id_arith(port, iaid, symcodelen)
+
+    first_dt = vdt()
+    if first_dt is _OOB:
+        raise ValueError("OOB where the initial strip delta was expected")
+    stript = -first_dt * sbstrips
     firsts = 0
     ninst = 0
     strips_left = 2 * numinst + 64  # corrupt-stream loop bound
@@ -576,25 +803,31 @@ def _decode_text_region(body: bytes, syms: list):
         strips_left -= 1
         if strips_left < 0:
             raise ValueError("JBIG2 text region fails to converge")
-        stript += _int_arith(port, iadt) * sbstrips
+        dt = vdt()
+        if dt is _OOB:
+            raise ValueError("OOB where a strip delta was expected")
+        stript += dt * sbstrips
         first = True
         curs = 0
         while True:
             if first:
-                firsts += _int_arith(port, iafs)
+                fs = vfs()
+                if fs is _OOB:
+                    raise ValueError("OOB first-S delta")
+                firsts += fs
                 curs = firsts
                 first = False
             else:
-                ids = _int_arith(port, iads)
+                ids = vds()
                 if ids is _OOB:
                     break
                 curs += ids + dsoffset
             if ninst >= numinst:
                 raise ValueError("more instances coded than declared")
-            curt = _int_arith(port, iait) if sbstrips > 1 else 0
+            curt = vt()
             ti = stript + curt
-            sid = _id_arith(port, iaid, symcodelen)
-            if sid >= len(syms):
+            sid = vid()
+            if sid is _OOB or sid >= len(syms):
                 raise ValueError("symbol id out of range")
             bm = syms[sid]
             hi = len(bm)
@@ -667,6 +900,68 @@ def _encode_text_region(width: int, height: int, syms: list,
     return (struct.pack(">IIII", width, height, 0, 0) + b"\x00"
             + struct.pack(">H", flags)
             + struct.pack(">I", len(placements)) + enc.flush())
+
+
+def _encode_text_region_huff(width: int, height: int, syms: list,
+                             placements: list, logsbstrips: int = 0,
+                             refcorner: int = 1,
+                             dt_custom: _HuffTable | None = None) -> bytes:
+    """Huffman encoder twin of the text region: FS=B.6, DS=B.8, DT=B.11
+    (or a referred custom DT table when ``dt_custom`` is given), symbol
+    IDs under one equal-length prefix code delivered via the runcode
+    mechanism, CURT as raw bits. Placement grouping mirrors
+    ``_encode_text_region`` exactly."""
+    sbstrips = 1 << logsbstrips
+    n = len(syms)
+    w = _HBitW()
+    # symbol ID code lengths: every symbol gets an L-bit code, announced
+    # by a runcode table whose single 1-bit code means "length L"
+    codelen = max(1, (n - 1).bit_length())
+    for i in range(35):
+        w.write(1 if i == codelen else 0, 4)
+    for _ in range(n):
+        w.write(0, 1)
+    w.align()
+    symtab = _HuffTable([("n", codelen, 0, i) for i in range(n)])
+    tfs, tds = _STD[6], _STD[8]
+    tdt = dt_custom if dt_custom is not None else _STD[11]
+    inst = []
+    for sid, x, y in placements:
+        bm = syms[sid]
+        hi, wi = len(bm), len(bm[0])
+        t = y if refcorner in (1, 3) else y + hi - 1
+        inst.append((t // sbstrips * sbstrips, t % sbstrips, x, sid, wi))
+    inst.sort(key=lambda rec: (rec[0], rec[2]))
+    tdt.encode(w, 1)  # initial DT: STRIPT starts at -SBSTRIPS
+    stript = -sbstrips
+    firsts = 0
+    i = 0
+    while i < len(inst):
+        base = inst[i][0]
+        tdt.encode(w, (base - stript) // sbstrips)
+        stript = base
+        first = True
+        curs = 0
+        while i < len(inst) and inst[i][0] == base:
+            _, curt, x, sid, wi = inst[i]
+            if first:
+                tfs.encode(w, x - firsts)
+                firsts = x
+                first = False
+            else:
+                tds.encode(w, x - curs)
+            curs = x
+            if sbstrips > 1:
+                w.write(curt, logsbstrips)
+            symtab.encode(w, sid)
+            curs += wi - 1
+            i += 1
+        tds.encode(w, _OOB)
+    flags = 1 | (logsbstrips << 2) | (refcorner << 4)
+    hflags = (3 << 4) if dt_custom is not None else 0
+    return (struct.pack(">IIII", width, height, 0, 0) + b"\x00"
+            + struct.pack(">H", flags) + struct.pack(">H", hflags)
+            + struct.pack(">I", len(placements)) + w.bytes())
 
 
 # ---------------------------------------------------------------------------
@@ -952,6 +1247,296 @@ _SEG_HALFTONE_IMMEDIATE_LOSSLESS = 23
 _SEG_REFINE_INTERMEDIATE = 40
 _SEG_REFINE_IMMEDIATE = 41
 _SEG_REFINE_IMMEDIATE_LOSSLESS = 42
+_SEG_TABLES = 53
+
+
+# ---------------------------------------------------------------------------
+# Huffman-coded segments (T.88 Annex B + §6.4/§6.5 with SDHUFF/SBHUFF=1):
+# the OTHER wild JBIG2 form — hardware encoders that skip the MQ coder and
+# emit prefix codes. Standard tables B.1-B.15 are transcribed from the
+# published spec; a pytest asserts each transcription is Kraft-complete
+# (sums exactly 1.0 — true of every spec table except B.10, whose printed
+# code is not a complete prefix set, so completeness cannot cross-check
+# that one transcription). Custom tables arrive as type-53 segments
+# (§B.2) and are self-describing. Encoder twins mirror every decode
+# traversal, per the shared-traversal codec lesson.
+# ---------------------------------------------------------------------------
+
+
+class _HBits:
+    """MSB-first bit reader over segment data (Annex B bitstreams)."""
+
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes, byte_start: int = 0):
+        self.data = data
+        self.bitpos = byte_start * 8
+
+    def bit(self) -> int:
+        p = self.bitpos
+        if (p >> 3) >= len(self.data):
+            raise ValueError("JBIG2 Huffman data exhausted")
+        self.bitpos = p + 1
+        return (self.data[p >> 3] >> (7 - (p & 7))) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    @property
+    def bytepos(self) -> int:
+        return (self.bitpos + 7) >> 3
+
+
+class _HBitW:
+    """MSB-first bit writer; ``raw`` injects byte-aligned spans (the
+    collective-bitmap handoff shape of §6.5.9)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.used = 8  # bits filled in buf[-1]
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            if self.used == 8:
+                self.buf.append(0)
+                self.used = 0
+            if (value >> i) & 1:
+                self.buf[-1] |= 0x80 >> self.used
+            self.used += 1
+
+    def align(self) -> None:
+        self.used = 8
+
+    def raw(self, data: bytes) -> None:
+        self.align()
+        self.buf += data
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+class _HuffTable:
+    """One Annex B table: ordered lines, canonical prefix assignment
+    (§B.3 — same-length codes rank by line order), value decode/encode
+    (§B.4). Line kinds: ("n", preflen, rangelen, rangelow) normal;
+    ("l", preflen, rangelow) lower (32-bit offset downward);
+    ("u", preflen, rangelow) upper; ("o", preflen) out-of-band."""
+
+    def __init__(self, lines):
+        self.lines = [ln for ln in lines if ln[1] > 0]
+        if not self.lines:
+            raise ValueError("JBIG2 Huffman table with no coded lines")
+        self.maxlen = max(ln[1] for ln in self.lines)
+        if self.maxlen > 32:
+            raise ValueError("implausible JBIG2 Huffman prefix length")
+        lencount = [0] * (self.maxlen + 1)
+        for ln in self.lines:
+            lencount[ln[1]] += 1
+        self.dec_map = {}
+        self.enc_map = {}
+        firstcode = 0
+        for length in range(1, self.maxlen + 1):
+            firstcode = (firstcode + lencount[length - 1]) << 1
+            cur = firstcode
+            for ln in self.lines:
+                if ln[1] == length:
+                    self.dec_map[(length, cur)] = ln
+                    self.enc_map[id(ln)] = (length, cur)
+                    cur += 1
+
+    def kraft(self) -> float:
+        return sum(2.0 ** -ln[1] for ln in self.lines)
+
+    def decode(self, r: _HBits):
+        length = code = 0
+        while length < self.maxlen:
+            code = (code << 1) | r.bit()
+            length += 1
+            ln = self.dec_map.get((length, code))
+            if ln is None:
+                continue
+            kind = ln[0]
+            if kind == "o":
+                return _OOB
+            if kind == "n":
+                return ln[3] + r.bits(ln[2])
+            off = r.bits(32)
+            return ln[2] - off if kind == "l" else ln[2] + off
+        raise ValueError("invalid JBIG2 Huffman prefix")
+
+    def encode(self, w: _HBitW, value) -> None:
+        for ln in self.lines:
+            if value is _OOB:
+                if ln[0] != "o":
+                    continue
+                length, code = self.enc_map[id(ln)]
+                w.write(code, length)
+                return
+            if ln[0] == "n" and ln[3] <= value < ln[3] + (1 << ln[2]):
+                length, code = self.enc_map[id(ln)]
+                w.write(code, length)
+                w.write(value - ln[3], ln[2])
+                return
+        for ln in self.lines:
+            if ln[0] == "l" and value <= ln[2]:
+                length, code = self.enc_map[id(ln)]
+                w.write(code, length)
+                w.write(ln[2] - value, 32)
+                return
+            if ln[0] == "u" and value >= ln[2]:
+                length, code = self.enc_map[id(ln)]
+                w.write(code, length)
+                w.write(value - ln[2], 32)
+                return
+        raise ValueError(f"value {value!r} not codable by this table")
+
+
+# Standard tables B.1-B.15 (T.88 Annex B), lines in the spec's printed
+# order (which fixes same-length canonical ranks). Selector→table maps
+# per §7.4.4.1 (symbol dicts) and §7.4.3.1 (text regions). B.10 is kept
+# for reference but its selector is refused (see _decode_text_region):
+# it is the one table whose transcription completeness cannot be
+# verified (Kraft 0.945 < 1).
+_STD_LINES = {
+    1: [("n", 1, 4, 0), ("n", 2, 8, 16), ("n", 3, 16, 272),
+        ("u", 3, 65808)],
+    2: [("n", 1, 0, 0), ("n", 2, 1, 1), ("n", 3, 2, 3), ("n", 4, 3, 7),
+        ("n", 5, 6, 15), ("u", 6, 79), ("o", 6)],
+    3: [("n", 8, 8, -256), ("n", 1, 0, 0), ("n", 2, 1, 1),
+        ("n", 3, 2, 3), ("n", 4, 3, 7), ("n", 5, 6, 15), ("l", 8, -257),
+        ("u", 7, 79), ("o", 6)],
+    4: [("n", 1, 0, 1), ("n", 2, 1, 2), ("n", 3, 2, 4), ("n", 4, 3, 8),
+        ("n", 5, 6, 16), ("u", 5, 80)],
+    5: [("n", 7, 8, -255), ("n", 1, 0, 1), ("n", 2, 1, 2),
+        ("n", 3, 2, 4), ("n", 4, 3, 8), ("n", 5, 6, 16), ("l", 7, -256),
+        ("u", 6, 80)],
+    6: [("n", 5, 10, -2048), ("n", 4, 9, -1024), ("n", 4, 8, -512),
+        ("n", 4, 7, -256), ("n", 5, 6, -128), ("n", 5, 5, -64),
+        ("n", 4, 5, -32), ("n", 2, 7, 0), ("n", 3, 7, 128),
+        ("n", 3, 8, 256), ("n", 4, 9, 512), ("n", 4, 10, 1024),
+        ("l", 6, -2049), ("u", 6, 2048)],
+    7: [("n", 4, 9, -1024), ("n", 3, 8, -512), ("n", 4, 7, -256),
+        ("n", 5, 6, -128), ("n", 5, 5, -64), ("n", 4, 5, -32),
+        ("n", 4, 5, 0), ("n", 5, 5, 32), ("n", 5, 6, 64),
+        ("n", 4, 7, 128), ("n", 3, 8, 256), ("n", 3, 9, 512),
+        ("n", 3, 10, 1024), ("l", 5, -1025), ("u", 5, 2048)],
+    8: [("n", 8, 3, -15), ("n", 9, 1, -7), ("n", 8, 1, -5),
+        ("n", 9, 0, -3), ("n", 7, 0, -2), ("n", 4, 0, -1),
+        ("n", 2, 1, 0), ("n", 5, 0, 2), ("n", 6, 0, 3), ("n", 3, 4, 4),
+        ("n", 6, 1, 20), ("n", 4, 4, 22), ("n", 4, 5, 38),
+        ("n", 5, 6, 70), ("n", 5, 7, 134), ("n", 6, 7, 262),
+        ("n", 7, 8, 390), ("n", 6, 10, 646), ("l", 9, -16),
+        ("u", 9, 1670), ("o", 2)],
+    9: [("n", 8, 4, -31), ("n", 9, 2, -15), ("n", 8, 2, -11),
+        ("n", 9, 1, -7), ("n", 7, 1, -5), ("n", 4, 1, -3),
+        ("n", 3, 1, -1), ("n", 3, 1, 1), ("n", 5, 1, 3), ("n", 6, 1, 5),
+        ("n", 3, 5, 7), ("n", 6, 2, 39), ("n", 4, 5, 43),
+        ("n", 4, 6, 75), ("n", 5, 7, 139), ("n", 5, 8, 267),
+        ("n", 6, 8, 523), ("n", 7, 9, 779), ("n", 6, 11, 1291),
+        ("l", 9, -32), ("u", 9, 3339), ("o", 2)],
+    10: [("n", 7, 4, -21), ("n", 8, 0, -5), ("n", 7, 0, -4),
+         ("n", 5, 0, -3), ("n", 2, 2, -2), ("n", 5, 0, 2),
+         ("n", 6, 0, 3), ("n", 7, 0, 4), ("n", 8, 0, 5), ("n", 2, 6, 6),
+         ("n", 5, 5, 70), ("n", 6, 5, 102), ("n", 7, 6, 134),
+         ("n", 8, 7, 198), ("n", 8, 8, 326), ("n", 8, 9, 582),
+         ("n", 8, 10, 1094), ("n", 7, 11, 2118), ("l", 8, -22),
+         ("u", 8, 4166), ("o", 2)],
+    11: [("n", 1, 0, 1), ("n", 2, 1, 2), ("n", 4, 0, 4), ("n", 4, 1, 5),
+         ("n", 5, 1, 7), ("n", 5, 2, 9), ("n", 6, 2, 13),
+         ("n", 7, 2, 17), ("n", 7, 3, 21), ("n", 7, 4, 29),
+         ("n", 7, 5, 45), ("n", 7, 6, 77), ("u", 7, 141)],
+    12: [("n", 1, 0, 1), ("n", 2, 0, 2), ("n", 3, 1, 3), ("n", 5, 0, 5),
+         ("n", 5, 1, 6), ("n", 6, 1, 8), ("n", 7, 0, 10),
+         ("n", 7, 1, 11), ("n", 7, 2, 13), ("n", 7, 3, 17),
+         ("n", 7, 4, 25), ("n", 8, 5, 41), ("u", 8, 73)],
+    13: [("n", 1, 0, 1), ("n", 3, 0, 2), ("n", 4, 0, 3), ("n", 5, 0, 4),
+         ("n", 4, 1, 5), ("n", 3, 3, 7), ("n", 6, 1, 15),
+         ("n", 6, 2, 17), ("n", 6, 3, 21), ("n", 6, 4, 29),
+         ("n", 6, 5, 45), ("n", 7, 6, 77), ("u", 7, 141)],
+    14: [("n", 3, 0, -2), ("n", 3, 0, -1), ("n", 1, 0, 0),
+         ("n", 3, 0, 1), ("n", 3, 0, 2)],
+    15: [("n", 7, 4, -24), ("n", 6, 2, -8), ("n", 5, 1, -4),
+         ("n", 4, 0, -2), ("n", 3, 0, -1), ("n", 1, 0, 0),
+         ("n", 3, 0, 1), ("n", 4, 0, 2), ("n", 5, 1, 3), ("n", 6, 2, 5),
+         ("n", 7, 4, 9), ("l", 7, -25), ("u", 7, 25)],
+}
+_STD = {k: _HuffTable(v) for k, v in _STD_LINES.items()}
+
+
+def _pick_table(custom_it, sel: int, std: dict, what: str) -> _HuffTable:
+    """Resolve a 2-bit table selector: value 3 consumes the next
+    referred-to custom (type 53) table; other values map to standard
+    tables (reserved selectors raise)."""
+    if sel == 3:
+        try:
+            return next(custom_it)
+        except StopIteration:
+            raise ValueError(
+                f"JBIG2 {what} custom table selected but not referred")
+    if sel in std:
+        return _STD[std[sel]]
+    raise ValueError(
+        f"reserved/unsupported JBIG2 {what} table selector {sel}")
+
+
+def _parse_table_segment(body: bytes) -> _HuffTable:
+    """Type-53 custom table segment (§B.2) → table. Normal lines tile
+    [HTLOW, HTHIGH); the lower/upper/OOB prefix lengths follow."""
+    flags = body[0]
+    htoob = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    htlow, hthigh = struct.unpack_from(">ii", body, 1)
+    if hthigh <= htlow:
+        raise ValueError("JBIG2 custom table with empty value range")
+    r = _HBits(body, 9)
+    lines: list = []
+    cur = htlow
+    while cur < hthigh:
+        pl = r.bits(htps)
+        rl = r.bits(htrs)
+        if rl > 32:
+            raise ValueError("implausible JBIG2 custom table range")
+        lines.append(("n", pl, rl, cur))
+        cur += 1 << rl
+        if len(lines) > 4096:
+            raise ValueError("implausible JBIG2 custom table size")
+    lines.append(("l", r.bits(htps), htlow - 1))
+    lines.append(("u", r.bits(htps), hthigh))
+    if htoob:
+        lines.append(("o", r.bits(htps)))
+    table = _HuffTable(lines)
+    if table.kraft() > 1.0 + 1e-12:
+        raise ValueError("JBIG2 custom table is not a prefix code")
+    return table
+
+
+def _table_segment_bytes(norm: list, lower_pl: int, upper_pl: int,
+                         oob_pl: int = 0) -> bytes:
+    """Encoder twin of ``_parse_table_segment``: ``norm`` is a list of
+    ("n", preflen, rangelen, rangelow) lines tiling a contiguous range."""
+    htlow = norm[0][3]
+    hthigh = norm[-1][3] + (1 << norm[-1][2])
+    htps = max(max(ln[1] for ln in norm), lower_pl, upper_pl,
+               oob_pl).bit_length()
+    htrs = max(ln[2] for ln in norm).bit_length()
+    htps, htrs = max(htps, 1), max(htrs, 1)
+    w = _HBitW()
+    for ln in norm:
+        w.write(ln[1], htps)
+        w.write(ln[2], htrs)
+    w.write(lower_pl, htps)
+    w.write(upper_pl, htps)
+    flags = (1 if oob_pl else 0) | ((htps - 1) << 1) | ((htrs - 1) << 4)
+    if oob_pl:
+        w.write(oob_pl, htps)
+    return bytes([flags]) + struct.pack(">ii", htlow, hthigh) + w.bytes()
 
 
 def _parse_segment_header(data: bytes, pos: int):
@@ -1000,14 +1585,16 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
     pattern-dictionary + halftone-region layer (gray-code bitplanes
     over shared MQ state, the §6.6.5 fixed-point placement grid — the
     photograph/shading form, r6) AND immediate refinement regions
-    (§6.3 — re-coded against the page contents under the region box).
-    Huffman segments and intermediate region types raise — the honest
-    reject."""
+    (§6.3 — re-coded against the page contents under the region box)
+    AND the Huffman-coded forms (SDHUFF/SBHUFF=1 with standard Annex B
+    or type-53 custom tables, MMR/raw collective bitmaps, runcoded
+    symbol IDs). Intermediate region types raise — the honest reject."""
     pos = 0
     page_w = page_h = None
     page: list[list[int]] | None = None
     sym_dicts: dict[int, list] = {}  # segment number → exported symbols
     pat_dicts: dict[int, list] = {}  # segment number → pattern bitmaps
+    huff_tables: dict[int, _HuffTable] = {}  # segment number → B.2 table
     while pos < len(data):
         if pos + 11 > len(data):
             break
@@ -1072,12 +1659,20 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
                     px = rx + x
                     if px < page_w and brow[x]:
                         prow[px] = 1
+        elif t == _SEG_TABLES:
+            try:
+                huff_tables[seg["num"]] = _parse_table_segment(body)
+            except (struct.error, IndexError) as e:
+                raise ValueError(f"corrupt JBIG2 table segment: {e}") from e
         elif t == _SEG_SYMBOL_DICT:
             insyms: list = []
             for r in seg["refs"]:
                 insyms.extend(sym_dicts.get(r, ()))
+            reftabs = [huff_tables[r] for r in seg["refs"]
+                       if r in huff_tables]
             try:
-                sym_dicts[seg["num"]] = _decode_symbol_dict(body, insyms)
+                sym_dicts[seg["num"]] = _decode_symbol_dict(body, insyms,
+                                                            reftabs)
             except (struct.error, IndexError) as e:
                 raise ValueError(
                     f"corrupt JBIG2 symbol dictionary: {e}") from e
@@ -1090,8 +1685,11 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
             if not syms:  # tolerate writers with sloppy referred-to lists
                 for exported in sym_dicts.values():
                     syms.extend(exported)
+            reftabs = [huff_tables[r] for r in seg["refs"]
+                       if r in huff_tables]
             try:
-                (rw, rh, rx, ry), bm = _decode_text_region(body, syms)
+                (rw, rh, rx, ry), bm = _decode_text_region(body, syms,
+                                                           reftabs)
             except (struct.error, IndexError) as e:
                 raise ValueError(f"corrupt JBIG2 text region: {e}") from e
             for y in range(rh):
@@ -1180,8 +1778,8 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
         elif t in (_SEG_END_OF_PAGE, _SEG_END_OF_FILE, 50):
             pass  # end-of-page/file, end-of-stripe
         else:
-            # 4 = intermediate text, 40 = intermediate refinement,
-            # 53 = Huffman tables — honest reject
+            # 4 = intermediate text, 40 = intermediate refinement —
+            # honest reject
             raise ValueError(f"JBIG2 segment type {t} unsupported")
         pos = end
     if page is None:
@@ -1245,21 +1843,42 @@ def encode_jbig2_embedded(pixels: bytes, width: int, height: int,
 def encode_jbig2_text_page(width: int, height: int, glyphs: list,
                            placements: list, template: int = 0,
                            logsbstrips: int = 0,
-                           refcorner: int = 1) -> bytes:
-    """Embedded JBIG2 stream for a TEXTUAL page: page info + one
-    arithmetic symbol dictionary (every glyph exported) + one immediate
-    lossless text region referring to it. ``glyphs`` are 0/1 row-list
-    bitmaps; ``placements`` are (glyph index, x, y) with (x, y) the
-    glyph's top-left on the page — the fixture twin for the dominant
-    real-world /JBIG2Decode form (reused glyphs + placements)."""
+                           refcorner: int = 1,
+                           huffman: bool = False,
+                           huffman_bmsize_zero: bool = False,
+                           huffman_custom_dt: bool = False) -> bytes:
+    """Embedded JBIG2 stream for a TEXTUAL page: page info + one symbol
+    dictionary (every glyph exported) + one immediate lossless text
+    region referring to it. ``glyphs`` are 0/1 row-list bitmaps;
+    ``placements`` are (glyph index, x, y) with (x, y) the glyph's
+    top-left on the page — the fixture twin for the dominant real-world
+    /JBIG2Decode form (reused glyphs + placements). ``huffman`` switches
+    both segments to the SDHUFF/SBHUFF prefix-coded form (MMR collective
+    bitmaps, or raw rows with ``huffman_bmsize_zero``);
+    ``huffman_custom_dt`` routes the strip deltas through a type-53
+    custom table segment instead of standard B.11."""
     order = sorted(range(len(glyphs)), key=lambda i: (len(glyphs[i]), i))
     dict_syms = [glyphs[i] for i in order]
     newid = {orig: k for k, orig in enumerate(order)}
-    sd_body = _encode_symbol_dict(dict_syms, template)
-    tr_body = _encode_text_region(
-        width, height, dict_syms,
-        [(newid[g], x, y) for g, x, y in placements],
-        logsbstrips, refcorner)
+    placed = [(newid[g], x, y) for g, x, y in placements]
+    tab_body = None
+    if huffman:
+        sd_body = _encode_symbol_dict_huff(dict_syms,
+                                           huffman_bmsize_zero)
+        dt_custom = None
+        if huffman_custom_dt:
+            # a compact DT table: 1, 2-3, 4-11, 12-43, plus lower/upper
+            dt_lines = [("n", 2, 0, 1), ("n", 2, 1, 2), ("n", 3, 3, 4),
+                        ("n", 3, 5, 12), ("l", 4, 0), ("u", 4, 44)]
+            dt_custom = _HuffTable(dt_lines)
+            tab_body = _table_segment_bytes(dt_lines[:4], 4, 4)
+        tr_body = _encode_text_region_huff(width, height, dict_syms,
+                                           placed, logsbstrips,
+                                           refcorner, dt_custom)
+    else:
+        sd_body = _encode_symbol_dict(dict_syms, template)
+        tr_body = _encode_text_region(width, height, dict_syms, placed,
+                                      logsbstrips, refcorner)
     page_body = (struct.pack(">IIII", width, height, 0, 0)
                  + b"\x01" + b"\x00\x00")
     out = bytearray()
@@ -1267,10 +1886,17 @@ def encode_jbig2_text_page(width: int, height: int, glyphs: list,
     out += page_body
     out += _segment_header(1, _SEG_SYMBOL_DICT, 1, len(sd_body))
     out += sd_body
-    out += _segment_header(2, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1,
-                           len(tr_body), refs=(1,))
+    tr_refs = (1,)
+    next_num = 2
+    if tab_body is not None:
+        out += _segment_header(2, _SEG_TABLES, 1, len(tab_body))
+        out += tab_body
+        tr_refs = (1, 2)
+        next_num = 3
+    out += _segment_header(next_num, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1,
+                           len(tr_body), refs=tr_refs)
     out += tr_body
-    out += _segment_header(3, _SEG_END_OF_PAGE, 1, 0)
+    out += _segment_header(next_num + 1, _SEG_END_OF_PAGE, 1, 0)
     return bytes(out)
 
 

@@ -2185,6 +2185,23 @@ def build_pdf(
                           (0, 1, 9), (2, 5, 10), (1, 9, 9)]
                 img_data = encode_jbig2_text_page(iw, ih, glyphs, placed)
                 fname = b"JBIG2Decode"
+            elif image_filter == "JBIG2-huff-real":
+                # the HUFFMAN-coded symbol/text form (SDHUFF/SBHUFF=1,
+                # MMR collective bitmap, runcoded symbol IDs) — the
+                # layout hardware encoders emit when they skip MQ
+                from ..operators.jbig2codec import encode_jbig2_text_page
+
+                iw = ih = 16
+                glyphs = [
+                    [[1, 1, 1], [1, 0, 1], [1, 0, 1], [1, 1, 1]],  # "o"
+                    [[1, 0], [1, 0], [1, 0], [1, 1]],              # "l"
+                    [[1, 1, 1], [0, 1, 0], [0, 1, 0]],             # "t"
+                ]
+                placed = [(0, 1, 2), (1, 5, 2), (2, 8, 3),
+                          (0, 1, 9), (2, 5, 10), (1, 9, 9)]
+                img_data = encode_jbig2_text_page(iw, ih, glyphs, placed,
+                                                  huffman=True)
+                fname = b"JBIG2Decode"
             elif image_filter == "Flate-real":
                 # a raw 8-bit gray bitmap under /FlateDecode — the most
                 # common image form in born-digital PDFs; the byte filter

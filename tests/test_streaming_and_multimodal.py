@@ -938,16 +938,21 @@ def test_jbig2_symbol_text_codec_roundtrip_and_rejects():
     assert jb.decode_jbig2_embedded(one) == (
         20, 10, jb.render_text_page(20, 10, [glyphs[0]], [(0, 2, 1)]))
 
-    # rejects: Huffman dictionary / refinement dictionary / transposed or
-    # Huffman text regions — flag bits flipped on otherwise-valid streams
+    # rejects: refinement dictionary / refinement or transposed text
+    # regions — flag bits flipped on otherwise-valid streams. SDHUFF/
+    # SBHUFF flips now route into the (supported) Huffman decoder,
+    # where the arithmetic layout misparses as corrupt-header counts —
+    # a ValueError either way, never silent pixels.
     base = jb.encode_jbig2_text_page(W, H, glyphs, placements)
     seg = jb._parse_segment_header(base, 0)          # page info
     sd = jb._parse_segment_header(base, seg["data_start"] + seg["length"])
     tr = jb._parse_segment_header(base, sd["data_start"] + sd["length"])
     for off, mask, msg in [
-        (sd["data_start"] + 1, 0x01, "Huffman"),     # SDHUFF
+        (sd["data_start"] + 1, 0x01, "implausible"), # SDHUFF: AT bytes
+                                                     # misread as counts
         (sd["data_start"] + 1, 0x02, "refinement"),  # SDREFAGG
-        (tr["data_start"] + 18, 0x01, "Huffman"),    # SBHUFF
+        (tr["data_start"] + 18, 0x01, "implausible"),# SBHUFF: MQ bytes
+                                                     # misread as counts
         (tr["data_start"] + 18, 0x02, "refinement"), # REFINE
         (tr["data_start"] + 18, 0x40, "transposed"), # TRANSPOSED
     ]:
@@ -961,6 +966,120 @@ def test_jbig2_symbol_text_codec_roundtrip_and_rejects():
     mut[cnt_off:cnt_off + 8] = _struct.pack(">II", 2 ** 31, 2 ** 31)
     with pytest.raises(ValueError, match="implausible"):
         jb.decode_jbig2_embedded(bytes(mut))
+
+
+def test_jbig2_huffman_symbol_text_roundtrip_and_tables():
+    """SDHUFF/SBHUFF=1 (T.88 Annex B, late r6): standard-table symbol
+    dictionaries with MMR and raw collective bitmaps, Huffman text
+    regions across strip sizes and reference corners, a type-53 custom
+    DT table, the Annex B transcription checks (Kraft completeness),
+    and the Huffman-specific rejects."""
+    import random
+
+    from pdf_extractor_scripts_spark.operators import jbig2codec as jb
+
+    # every transcribed standard table is a valid prefix code; all but
+    # B.10 are COMPLETE (Kraft sum exactly 1) — the cross-check that
+    # validates the transcription. B.10's selector is refused for
+    # exactly this reason (its spec table is not a complete code).
+    for k, tab in jb._STD.items():
+        s = tab.kraft()
+        assert s <= 1.0 + 1e-12, k
+        if k != 10:
+            assert abs(s - 1.0) < 1e-12, k
+
+    # per-table value round-trips through the bit I/O: range edges,
+    # the 32-bit lower/upper escape lines, OOB where present
+    for k, tab in jb._STD.items():
+        vals = []
+        for ln in tab.lines:
+            if ln[0] == "n":
+                vals += [ln[3], ln[3] + (1 << ln[2]) - 1]
+            elif ln[0] == "l":
+                vals += [ln[2], ln[2] - 12345]
+            elif ln[0] == "u":
+                vals += [ln[2], ln[2] + 987654]
+        w = jb._HBitW()
+        for v in vals:
+            tab.encode(w, v)
+        has_oob = any(ln[0] == "o" for ln in tab.lines)
+        if has_oob:
+            tab.encode(w, jb._OOB)
+        r = jb._HBits(w.bytes())
+        for v in vals:
+            assert tab.decode(r) == v, (k, v)
+        if has_oob:
+            assert tab.decode(r) is jb._OOB
+
+    # a custom table segment round-trips: writer → §B.2 parser → same
+    # codes for every in-range value, lower/upper escapes included
+    dt_lines = [("n", 2, 0, 1), ("n", 2, 1, 2), ("n", 3, 3, 4),
+                ("n", 3, 5, 12), ("l", 4, 0), ("u", 4, 44)]
+    direct = jb._HuffTable(dt_lines)
+    parsed = jb._parse_table_segment(
+        jb._table_segment_bytes(dt_lines[:4], 4, 4))
+    for v in [1, 2, 3, 4, 11, 12, 43, 0, -9, 44, 1000]:
+        w1, w2 = jb._HBitW(), jb._HBitW()
+        direct.encode(w1, v)
+        parsed.encode(w2, v)
+        assert w1.bytes() == w2.bytes(), v
+        assert parsed.decode(jb._HBits(w2.bytes())) == v
+
+    random.seed(23)
+    glyphs = []
+    for _ in range(9):
+        gw, gh = random.randrange(3, 9), random.randrange(4, 10)
+        glyphs.append([[1 if random.random() < 0.45 else 0
+                        for _ in range(gw)] for _ in range(gh)])
+    W, H = 110, 56
+    placements, x, y = [], 2, 3
+    for _ in range(36):
+        g = random.randrange(len(glyphs))
+        placements.append((g, x, y))
+        x += len(glyphs[g][0]) + random.randrange(1, 4)
+        if x > W - 12:
+            x, y = 2, y + 11
+    placements.append((1, 3, 4))  # overlap → negative in-strip S delta
+    want = jb.render_text_page(W, H, glyphs, placements)
+
+    for ls in (0, 1, 2):
+        for rc in (0, 1, 2, 3):
+            data = jb.encode_jbig2_text_page(
+                W, H, glyphs, placements, logsbstrips=ls, refcorner=rc,
+                huffman=True)
+            assert jb.decode_jbig2_embedded(data) == (W, H, want), (ls, rc)
+    # raw (BMSIZE=0) collective bitmaps and the custom-DT table segment
+    raw = jb.encode_jbig2_text_page(W, H, glyphs, placements,
+                                    huffman=True,
+                                    huffman_bmsize_zero=True)
+    assert jb.decode_jbig2_embedded(raw) == (W, H, want)
+    cust = jb.encode_jbig2_text_page(W, H, glyphs, placements,
+                                     huffman=True, logsbstrips=1,
+                                     huffman_custom_dt=True)
+    assert jb.decode_jbig2_embedded(cust) == (W, H, want)
+    # single-glyph dictionary: the 1-bit symbol code floor
+    one = jb.encode_jbig2_text_page(20, 10, [glyphs[0]], [(0, 2, 1)],
+                                    huffman=True)
+    assert jb.decode_jbig2_embedded(one) == (
+        20, 10, jb.render_text_page(20, 10, [glyphs[0]], [(0, 2, 1)]))
+
+    # rejects: DS selector 2 (= table B.10, refused), truncated
+    # Huffman data, and a custom selector with no referred table
+    base = jb.encode_jbig2_text_page(W, H, glyphs, placements,
+                                     huffman=True)
+    seg = jb._parse_segment_header(base, 0)
+    sd = jb._parse_segment_header(base, seg["data_start"] + seg["length"])
+    tr = jb._parse_segment_header(base, sd["data_start"] + sd["length"])
+    mut = bytearray(base)
+    mut[tr["data_start"] + 20] |= 0x08  # SBHUFFDS selector bits → 2
+    with pytest.raises(ValueError, match="DS table selector"):
+        jb.decode_jbig2_embedded(bytes(mut))
+    mut = bytearray(base)
+    mut[tr["data_start"] + 20] |= 0x30  # SBHUFFDT selector bits → 3
+    with pytest.raises(ValueError, match="custom table selected"):
+        jb.decode_jbig2_embedded(bytes(mut))
+    with pytest.raises(ValueError):
+        jb.decode_jbig2_embedded(base[:len(base) - 12])
 
 
 def test_jbig2_text_pdf_through_distributed_decode(spark, tmpdir):
@@ -989,6 +1108,14 @@ def test_jbig2_text_pdf_through_distributed_decode(spark, tmpdir):
     w, h, px = decode_jbig2_embedded(pl[0]["payload"])
     assert (w, h) == (16, 16) and 0 in px  # real black glyph pixels
     local = jbig2_pixel_stats(pl[0]["payload"])
+
+    # the HUFFMAN-coded fixture (same glyphs/placements) decodes to the
+    # exact same page through the same PDF payload path
+    huff = pdf_media_payloads(
+        build_pdf([[("text", "SCAN"), ("image",)]],
+                  image_filter="JBIG2-huff-real"), "misc/h.pdf")
+    assert huff[0]["filter"] == "JBIG2Decode"
+    assert decode_jbig2_embedded(huff[0]["payload"]) == (w, h, px)
 
     with open(_os.path.join(tmpdir, "jbig2_text.pdf"), "wb") as f:
         f.write(pdf)
