@@ -16,8 +16,11 @@ the lossy-then-lossless scanner form, r6) decode too, and so do the
 HUFFMAN-coded variants (SDHUFF/SBHUFF=1, late r6): Annex B standard
 tables, type-53 custom table segments, MMR/raw collective bitmaps and
 runcoded symbol ID lengths — the form hardware encoders emit when they
-skip the MQ coder. Intermediate region types and standard table B.10
-(see ``_STD_LINES``) raise ValueError: the honest reject.
+skip the MQ coder. INTERMEDIATE region types (§8.2, late r6) decode
+too: stored as auxiliary buffers that refinement segments reference by
+segment number, composited only when an immediate region lands them.
+Extension segments and standard table B.10 (see ``_STD_LINES``) raise
+ValueError: the honest reject.
 
 Validation note: no external JBIG2 conformance vectors are available in
 this sandbox, so the MQ coder is pinned by encoder↔decoder round-trips
@@ -1238,6 +1241,7 @@ _SEG_GENERIC_IMMEDIATE = 38
 _SEG_GENERIC_IMMEDIATE_LOSSLESS = 39
 _SEG_GENERIC_INTERMEDIATE = 36
 _SEG_SYMBOL_DICT = 0
+_SEG_TEXT_INTERMEDIATE = 4
 _SEG_TEXT_IMMEDIATE = 6
 _SEG_TEXT_IMMEDIATE_LOSSLESS = 7
 _SEG_PATTERN_DICT = 16
@@ -1248,6 +1252,8 @@ _SEG_REFINE_INTERMEDIATE = 40
 _SEG_REFINE_IMMEDIATE = 41
 _SEG_REFINE_IMMEDIATE_LOSSLESS = 42
 _SEG_TABLES = 53
+_REGION_SEG_TYPES = frozenset((4, 6, 7, 20, 22, 23, 36, 38, 39, 40, 41,
+                               42))
 
 
 # ---------------------------------------------------------------------------
@@ -1588,13 +1594,18 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
     (§6.3 — re-coded against the page contents under the region box)
     AND the Huffman-coded forms (SDHUFF/SBHUFF=1 with standard Annex B
     or type-53 custom tables, MMR/raw collective bitmaps, runcoded
-    symbol IDs). Intermediate region types raise — the honest reject."""
+    symbol IDs) AND intermediate region types (§8.2 — stored as
+    auxiliary buffers, referenced by later refinement segments, only
+    immediate regions composite). Extension segments raise — the
+    honest reject."""
     pos = 0
     page_w = page_h = None
     page: list[list[int]] | None = None
     sym_dicts: dict[int, list] = {}  # segment number → exported symbols
     pat_dicts: dict[int, list] = {}  # segment number → pattern bitmaps
     huff_tables: dict[int, _HuffTable] = {}  # segment number → B.2 table
+    aux: dict[int, tuple] = {}  # INTERMEDIATE regions (§8.2): segment
+    #   number → (rw, rh, rx, ry, bitmap) awaiting refinement
     while pos < len(data):
         if pos + 11 > len(data):
             break
@@ -1605,6 +1616,10 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
         end = start + seg["length"]
         body = data[start:end]
         t = seg["type"]
+        if len(body) != seg["length"]:
+            raise ValueError("truncated JBIG2 segment body")
+        if t in _REGION_SEG_TYPES and len(body) < 18:
+            raise ValueError("truncated JBIG2 region segment")
         if t == _SEG_PAGE_INFO:
             page_w, page_h = struct.unpack_from(">II", body, 0)
             if page_h == 0xFFFFFFFF:
@@ -1631,6 +1646,8 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
             at = None
             if not mmr:
                 n_at = 4 if template == 0 else 1
+                if len(body) < p + 2 * n_at:
+                    raise ValueError("truncated JBIG2 region segment")
                 at = []
                 for _ in range(n_at):
                     ax = struct.unpack_from(">b", body, p)[0]
@@ -1649,16 +1666,21 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
             else:
                 bm = decode_generic_region(coded, rw, rh, template,
                                            tpgdon, at)
-            for y in range(rh):  # OR-composite onto the page
-                py = ry + y
-                if py >= page_h:
-                    break
-                prow = page[py]
-                brow = bm[y]
-                for x in range(rw):
-                    px = rx + x
-                    if px < page_w and brow[x]:
-                        prow[px] = 1
+            if t == _SEG_GENERIC_INTERMEDIATE:
+                # §8.2: intermediate regions are NOT composited — they
+                # are stored for later refinement segments to reference
+                aux[seg["num"]] = (rw, rh, rx, ry, bm)
+            else:
+                for y in range(rh):  # OR-composite onto the page
+                    py = ry + y
+                    if py >= page_h:
+                        break
+                    prow = page[py]
+                    brow = bm[y]
+                    for x in range(rw):
+                        px = rx + x
+                        if px < page_w and brow[x]:
+                            prow[px] = 1
         elif t == _SEG_TABLES:
             try:
                 huff_tables[seg["num"]] = _parse_table_segment(body)
@@ -1676,7 +1698,8 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
             except (struct.error, IndexError) as e:
                 raise ValueError(
                     f"corrupt JBIG2 symbol dictionary: {e}") from e
-        elif t in (_SEG_TEXT_IMMEDIATE, _SEG_TEXT_IMMEDIATE_LOSSLESS):
+        elif t in (_SEG_TEXT_INTERMEDIATE, _SEG_TEXT_IMMEDIATE,
+                   _SEG_TEXT_IMMEDIATE_LOSSLESS):
             if page is None:
                 raise ValueError("JBIG2 region before page info")
             syms: list = []
@@ -1692,6 +1715,10 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
                                                            reftabs)
             except (struct.error, IndexError) as e:
                 raise ValueError(f"corrupt JBIG2 text region: {e}") from e
+            if t == _SEG_TEXT_INTERMEDIATE:
+                aux[seg["num"]] = (rw, rh, rx, ry, bm)
+                pos = end
+                continue
             for y in range(rh):
                 py = ry + y
                 if py >= page_h:
@@ -1724,6 +1751,10 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
             except (struct.error, IndexError) as e:
                 raise ValueError(
                     f"corrupt JBIG2 halftone region: {e}") from e
+            if t == _SEG_HALFTONE_INTERMEDIATE:
+                aux[seg["num"]] = (rw, rh, rx, ry, bm)
+                pos = end
+                continue
             for y in range(rh):
                 py = ry + y
                 if py >= page_h:
@@ -1734,7 +1765,7 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
                     px = rx + x
                     if px < page_w and brow[x]:
                         prow[px] = 1
-        elif t in (_SEG_REFINE_IMMEDIATE,
+        elif t in (_SEG_REFINE_INTERMEDIATE, _SEG_REFINE_IMMEDIATE,
                    _SEG_REFINE_IMMEDIATE_LOSSLESS):
             if page is None:
                 raise ValueError("JBIG2 region before page info")
@@ -1747,16 +1778,30 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
             p = 18
             at = None
             if template == 0:
+                if len(body) < p + 4:
+                    raise ValueError("truncated JBIG2 region segment")
                 at = []
                 for _ in range(2):
                     at.append((struct.unpack_from(">b", body, p)[0],
                                struct.unpack_from(">b", body, p + 1)[0]))
                     p += 2
-            # reference = the page contents under the region box
-            # (§6.3.2 — how lossy-then-lossless scanners refine)
-            ref = [[page[ry + y][rx + x]
-                    if ry + y < page_h and rx + x < page_w else 0
-                    for x in range(rw)] for y in range(rh)]
+            # reference (§6.3.2/§8.2): a referred-to INTERMEDIATE
+            # region's stored bitmap if one exists, else the page
+            # contents under the region box (how lossy-then-lossless
+            # scanners refine)
+            ref = None
+            for rn in seg["refs"]:
+                if rn in aux:
+                    _, _, _, _, refbm = aux[rn]
+                    ref = [[refbm[y][x]
+                            if y < len(refbm) and x < len(refbm[0])
+                            else 0
+                            for x in range(rw)] for y in range(rh)]
+                    break
+            if ref is None:
+                ref = [[page[ry + y][rx + x]
+                        if ry + y < page_h and rx + x < page_w else 0
+                        for x in range(rw)] for y in range(rh)]
             contexts = [0] * (1 << 13)
             try:
                 bm = _decode_refinement_bitmap(
@@ -1765,6 +1810,10 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
             except (struct.error, IndexError) as e:
                 raise ValueError(
                     f"corrupt JBIG2 refinement region: {e}") from e
+            if t == _SEG_REFINE_INTERMEDIATE:
+                aux[seg["num"]] = (rw, rh, rx, ry, bm)
+                pos = end
+                continue
             for y in range(rh):  # refinement REPLACES the region box
                 py = ry + y
                 if py >= page_h:
@@ -1778,7 +1827,7 @@ def decode_jbig2_embedded(data: bytes) -> tuple[int, int, bytes]:
         elif t in (_SEG_END_OF_PAGE, _SEG_END_OF_FILE, 50):
             pass  # end-of-page/file, end-of-stripe
         else:
-            # 4 = intermediate text, 40 = intermediate refinement —
+            # extension segments (62), region types outside T.88 —
             # honest reject
             raise ValueError(f"JBIG2 segment type {t} unsupported")
         pos = end
@@ -1925,30 +1974,45 @@ def encode_jbig2_halftone_page(gray_grid: list, patterns: list,
     return bytes(out)
 
 
+def _refinement_body(target: list, reference: list, width: int,
+                     height: int, template: int, tpgron: bool) -> bytes:
+    """One refinement-region segment body re-coding ``target`` against
+    ``reference`` (both 0/1 row-lists)."""
+    enc = MQEncoder()
+    contexts = [0] * (1 << 13)
+    _encode_refinement_bitmap(enc, contexts, target, template, tpgron,
+                              reference)
+    at_bytes = (b"".join(struct.pack(">bb", ax, ay)
+                         for ax, ay in [(-1, -1), (-1, -1)])
+                if template == 0 else b"")
+    return (struct.pack(">IIII", width, height, 0, 0) + b"\x00"
+            + bytes([template | (2 if tpgron else 0)])
+            + at_bytes + enc.flush())
+
+
 def encode_jbig2_refined_page(pixels: bytes, coarse: bytes, width: int,
                               height: int, template: int = 0,
-                              tpgron: bool = True) -> bytes:
-    """Embedded JBIG2 stream for a lossy-then-lossless page: page info
-    + a generic region carrying the COARSE approximation + an immediate
-    lossless refinement region that re-codes the exact page against it
-    (reference = the page contents under the region box, §6.3.2).
-    ``pixels``/``coarse`` are 8-bit gray (<128 = black)."""
+                              tpgron: bool = True,
+                              intermediate: bool = False,
+                              mid: bytes | None = None) -> bytes:
+    """Embedded JBIG2 stream for a lossy-then-lossless page. Default
+    form: page info + an immediate generic region carrying the COARSE
+    approximation + an immediate lossless refinement region that
+    re-codes the exact page against it (reference = the page contents
+    under the region box, §6.3.2). With ``intermediate=True``, the
+    spec's staged §8.2 form instead: the coarse region is an
+    INTERMEDIATE generic region (stored, never composited), an
+    INTERMEDIATE refinement region refines it to ``mid`` (default: the
+    coarse itself), and an immediate lossless refinement referring to
+    THAT buffer lands the exact page — three progressive generations,
+    only the last touching the page. ``pixels``/``coarse``/``mid`` are
+    8-bit gray (<128 = black)."""
     if len(pixels) != width * height or len(coarse) != width * height:
         raise ValueError("pixel buffers do not match dimensions")
     exact = [[1 if pixels[y * width + x] < 128 else 0
               for x in range(width)] for y in range(height)]
     rough = [[1 if coarse[y * width + x] < 128 else 0
               for x in range(width)] for y in range(height)]
-    enc = MQEncoder()
-    contexts = [0] * (1 << 13)
-    _encode_refinement_bitmap(enc, contexts, exact, template, tpgron,
-                              rough)
-    at_bytes = (b"".join(struct.pack(">bb", ax, ay)
-                         for ax, ay in [(-1, -1), (-1, -1)])
-                if template == 0 else b"")
-    ref_body = (struct.pack(">IIII", width, height, 0, 0) + b"\x00"
-                + bytes([template | (2 if tpgron else 0)])
-                + at_bytes + enc.flush())
     coarse_body = (
         struct.pack(">IIII", width, height, 0, 0) + b"\x00"
         + bytes([8]) + b"".join(struct.pack(">bb", ax, ay)
@@ -1960,6 +2024,27 @@ def encode_jbig2_refined_page(pixels: bytes, coarse: bytes, width: int,
     out = bytearray()
     out += _segment_header(0, _SEG_PAGE_INFO, 1, len(page_body))
     out += page_body
+    if intermediate:
+        midbits = (rough if mid is None else
+                   [[1 if mid[y * width + x] < 128 else 0
+                     for x in range(width)] for y in range(height)])
+        out += _segment_header(1, _SEG_GENERIC_INTERMEDIATE, 1,
+                               len(coarse_body))
+        out += coarse_body
+        r1 = _refinement_body(midbits, rough, width, height, template,
+                              tpgron)
+        out += _segment_header(2, _SEG_REFINE_INTERMEDIATE, 1,
+                               len(r1), refs=(1,))
+        out += r1
+        r2 = _refinement_body(exact, midbits, width, height, template,
+                              tpgron)
+        out += _segment_header(3, _SEG_REFINE_IMMEDIATE_LOSSLESS, 1,
+                               len(r2), refs=(2,))
+        out += r2
+        out += _segment_header(4, _SEG_END_OF_PAGE, 1, 0)
+        return bytes(out)
+    ref_body = _refinement_body(exact, rough, width, height, template,
+                                tpgron)
     out += _segment_header(1, _SEG_GENERIC_IMMEDIATE, 1,
                            len(coarse_body))
     out += coarse_body

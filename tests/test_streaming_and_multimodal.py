@@ -831,11 +831,15 @@ def test_jbig2_generic_region_codec_roundtrip_and_rejects():
     bad = _struct.pack(">IBBBI", 0, 0, 0, 1, 4) + b"\x00" * 4
     with pytest.raises(ValueError, match="corrupt|symbol|unsupported"):
         jb.decode_jbig2_embedded(bad)
-    # refinement regions remain the honest reject (halftone decodes
-    # since r6 — see test_jbig2_halftone_region)
+    # intermediate refinement (40) is SUPPORTED since late r6 — this
+    # 4-byte body now rejects as a truncated region, not by type
     refinement = _struct.pack(">IBBBI", 0, 40, 0, 1, 4) + b"\x00" * 4
-    with pytest.raises(ValueError, match="unsupported"):
+    with pytest.raises(ValueError, match="truncated"):
         jb.decode_jbig2_embedded(refinement)
+    # extension segments (type 62) stay the honest type reject
+    ext = _struct.pack(">IBBBI", 0, 62, 0, 1, 4) + b"\x00" * 4
+    with pytest.raises(ValueError, match="unsupported"):
+        jb.decode_jbig2_embedded(ext)
 
     # corrupt-header guard: absurd page/region dimensions must reject
     # BEFORE any allocation (a flipped size byte must not OOM an executor)
@@ -2695,6 +2699,28 @@ def test_jbig2_refinement_region():
                 (tmpl, tp)
     d = jb.encode_jbig2_refined_page(exact, exact, W, H)
     assert jb.decode_jbig2_embedded(d)[:2] == (W, H)
+
+    # the staged §8.2 form (late r6): an INTERMEDIATE generic region is
+    # stored (never composited), an INTERMEDIATE refinement refines it
+    # to a mid generation, and an immediate refinement referring to
+    # that buffer lands the exact page — only the last touches the page
+    mid = bytearray(exact)
+    for _ in range(9):
+        i = rng.randrange(W * H)
+        mid[i] = 255 - mid[i]
+    for tmpl in (0, 1):
+        s = jb.encode_jbig2_refined_page(exact, bytes(coarse), W, H,
+                                         template=tmpl,
+                                         intermediate=True,
+                                         mid=bytes(mid))
+        w, h, px = jb.decode_jbig2_embedded(s)
+        assert (w, h) == (W, H)
+        assert bytes(0 if p < 128 else 255 for p in px) == want, tmpl
+    # mid defaults to the coarse generation
+    s = jb.encode_jbig2_refined_page(exact, bytes(coarse), W, H,
+                                     intermediate=True)
+    assert bytes(0 if p < 128 else 255
+                 for p in jb.decode_jbig2_embedded(s)[2]) == want
 
 
 def test_jbig2_refined_pdf_fixture_distributed(spark, tmpdir):
