@@ -185,6 +185,10 @@ def media_from_pdfs(binary_docs: DataFrame) -> DataFrame:
                     params.append(
                         {k: str(v) for k, v in r["params"].items()}
                     )
+            if not refs:
+                # an all-text batch: an empty frame's params column is
+                # a float64 ndarray Arrow can't cast to map<str,str>
+                continue
             yield pd.DataFrame(
                 {"media_ref": refs, "payload": payloads,
                  "filter": filters, "params": params}

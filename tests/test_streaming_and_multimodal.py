@@ -737,6 +737,9 @@ def test_distributed_pdf_media_decode_auto_dispatch(spark, tmpdir):
         "ccitt.pdf": build_pdf(pages, image_filter="CCITT-real"),
         "fake.pdf": build_pdf(pages, image_filter="DCT"),  # fake JPEG bytes
         "flate.pdf": build_pdf(pages),  # byte filter → decoded 1px payload
+        # image-free doc: its batch yields NO media rows — the Arrow map
+        # must skip the empty frame (empty params can't cast to map)
+        "textonly.pdf": build_pdf([[("text", "NO IMAGES HERE")]]),
     }
     import os as _os
 
@@ -772,6 +775,8 @@ def test_distributed_pdf_media_decode_auto_dispatch(spark, tmpdir):
     fl = feats["flate.pdf"]  # byte filter: payload IS the raw samples —
     assert fl["decoded"]  # the r6 raw decoder claims it (1×1 gray 0x80)
     assert fl["feature"] == [1.0, 1.0, 128.0, 0.0, 0.0]
+
+    assert "textonly.pdf" not in feats  # no rows, not a crash
 
 
 def test_jbig2_generic_region_codec_roundtrip_and_rejects():
