@@ -48,8 +48,13 @@ def main(argv: list[str] | None = None) -> int:
                                       "synthetic", "media"],
                    default="batch")
     p.add_argument("--input", help="spans table path (parquet/Iceberg) or, "
-                   "with --input-format pdf, a directory of PDF files")
-    p.add_argument("--input-format", choices=["spans", "pdf"], default="spans")
+                   "with --input-format pdf/html/web, a directory of raw "
+                   "documents")
+    p.add_argument("--input-format",
+                   choices=["spans", "pdf", "html", "web"],
+                   default="spans",
+                   help="web = a mixed crawl directory: every file, "
+                   "container sniffed per document (PDF or HTML)")
     p.add_argument("--output", help="output/checkpoint directory")
     p.add_argument("--run-id", default="run0")
     p.add_argument("--doc-id", help="single-doc mode: which document")
@@ -95,14 +100,20 @@ def main(argv: list[str] | None = None) -> int:
     else:
         if not args.input:
             p.error("--input required")
-        if args.input_format == "pdf":
+        if args.input_format in ("pdf", "html", "web"):
             import pyspark.sql.functions as F
 
             from .sources.spans import read_binary_docs, parse_binary_to_spans
 
-            binary = read_binary_docs(spark, args.input)
+            glob, container = {
+                "pdf": ("*.pdf", "pdf"),
+                "html": ("*.htm*", "html"),
+                "web": ("*", "auto"),
+            }[args.input_format]
+            binary = read_binary_docs(spark, args.input, glob=glob)
             parse_fallbacks = spark.sparkContext.accumulator(0)
-            parsed = parse_binary_to_spans(binary, fallback_acc=parse_fallbacks)
+            parsed = parse_binary_to_spans(binary, fallback_acc=parse_fallbacks,
+                                           container=container)
             # logical doc_id = path relative to --input (P1 filename
             # detection runs on it, so vendor path prefixes survive).
             # binaryFile reports URIs (file:/..., hdfs://nn/..., s3a://...)
@@ -166,8 +177,10 @@ def main(argv: list[str] | None = None) -> int:
             res = run_pipeline(docs, salt=args.salt)
             res.write.format("noop").mode("overwrite").save()
             print("pipeline completed (no --output: dry run)")
-    if args.mode in ("batch", "analyze") and args.input_format == "pdf":
-        print(f"PDF parse fallbacks (degraded to empty page): {parse_fallbacks.value}")
+    if args.mode in ("batch", "analyze") and args.input_format in (
+            "pdf", "html", "web"):
+        print(f"parse fallbacks (degraded to empty page): "
+              f"{parse_fallbacks.value}")
     spark.stop()
     return 0
 

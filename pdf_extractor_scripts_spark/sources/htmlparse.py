@@ -1,0 +1,322 @@
+"""Pure-stdlib HTML main-content extraction (boilerplate strip).
+
+The north-rule extraction pipeline covers interleaved text+media
+documents in both wild container forms. PDF is `sources/pdfparse.py`;
+this module is the HTML half: parse with `html.parser`, fold the DOM
+into block-level text units carrying shallow features (word count,
+link density, semantic-ancestor flags), classify each block
+content-vs-boilerplate, and emit the SAME span grammar the PDF parse
+emits — (kind, text, media_ref, offset): one ``page_break``, then
+``text`` spans per retained block and ``media`` spans for images, in
+document order. Downstream (run_pipeline, dedup, curation) consumes
+both container forms identically.
+
+The block classifier is the published shallow-text-features decision
+tree (Kohlschütter, Fankhauser, Nejdl: "Boilerplate Detection using
+Shallow Text Features", WSDM 2010 — the NumWords/LinkDensity rule set
+also shipped as boilerpipe's NumWordsRulesClassifier; public
+knowledge). DOM heuristics layered on top, each documented at its
+implementation: HTML5 semantic containers (<nav>/<aside>/<header>/
+<footer>) force boilerplate, headings attach to following content,
+image-only blocks survive next to content (the figure rule).
+
+Reference context: the reference repo extracts PDFs only; the HTML
+half exists because the north rule's corpus is a web-scale interleaved
+crawl (HTML boilerplate strip + DOM heuristics named alongside the
+PDF/layout parse).
+
+Scale note: html.parser is a single pass over the byte stream with an
+O(depth) tag stack — per-document cost is linear and runs inside the
+same zero-shuffle Arrow map stage as the PDF parse; the classifier is
+O(blocks). No quadratic DOM walks, no regex backtracking.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+# tags whose contents are never document text
+_SKIP_CONTENT = {"script", "style", "noscript", "template", "svg",
+                 "head", "title", "iframe", "object", "embed"}
+# block-level boundaries: opening or closing one flushes the current block
+_BLOCK_TAGS = frozenset({
+    "p", "div", "section", "article", "main", "header", "footer",
+    "aside", "nav", "ul", "ol", "li", "dl", "dt", "dd", "table",
+    "thead", "tbody", "tr", "td", "th", "blockquote", "pre", "figure",
+    "figcaption", "form", "fieldset", "hr", "h1", "h2", "h3", "h4",
+    "h5", "h6", "body", "html"})
+# HTML5 semantic containers that are boilerplate BY ROLE (DOM heuristic:
+# the crawl-corpus analog of the reference's repetitive-header filter)
+_CHROME_TAGS = frozenset({"nav", "aside", "header", "footer"})
+_HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+# void elements never get on the tag stack
+_VOID = frozenset({"area", "base", "br", "col", "embed", "hr", "img",
+                   "input", "link", "meta", "param", "source", "track",
+                   "wbr"})
+
+
+class _Block:
+    __slots__ = ("words", "chars", "link_chars", "text_parts",
+                 "in_chrome", "heading", "images")
+
+    def __init__(self, in_chrome: bool, heading: bool):
+        self.words = 0
+        self.chars = 0
+        self.link_chars = 0
+        self.text_parts: list[str] = []
+        self.in_chrome = in_chrome
+        self.heading = heading
+        self.images: list[str] = []  # src attributes in block order
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.chars if self.chars else 0.0
+
+    def text(self) -> str:
+        return " ".join(" ".join(self.text_parts).split())
+
+
+class _BlockParser(HTMLParser):
+    """One pass: DOM → ordered `_Block` list with shallow features."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.stack: list[str] = []
+        self.skip_depth = 0     # inside script/style/head/…
+        self.anchor_depth = 0   # inside <a>
+        self.chrome_depth = 0   # inside nav/aside/header/footer
+        self.heading_depth = 0
+        self.blocks: list[_Block] = []
+        self.cur: _Block | None = None
+
+    def _flush(self) -> None:
+        if self.cur is not None and (self.cur.text_parts
+                                     or self.cur.images):
+            self.blocks.append(self.cur)
+        self.cur = None
+
+    def _ensure(self) -> _Block:
+        if self.cur is None:
+            self.cur = _Block(self.chrome_depth > 0,
+                              self.heading_depth > 0)
+        return self.cur
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag == "img":
+            src = next((v for k, v in attrs if k == "src" and v), "")
+            self._ensure().images.append(src)
+            return
+        if tag == "br":
+            self._flush()
+            return
+        if tag in _VOID:
+            return
+        if tag in _SKIP_CONTENT:
+            self.skip_depth += 1
+        if tag == "a":
+            self.anchor_depth += 1
+        if tag in _CHROME_TAGS:
+            self.chrome_depth += 1
+        if tag in _HEADINGS:
+            self.heading_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        self.stack.append(tag)
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in _VOID:
+            return
+        # pop to the matching open tag if present (tolerates the wild's
+        # unclosed <p>/<li>); decrement the counters of what we pop
+        if tag in self.stack:
+            while self.stack:
+                top = self.stack.pop()
+                if top in _SKIP_CONTENT:
+                    self.skip_depth = max(0, self.skip_depth - 1)
+                if top == "a":
+                    self.anchor_depth = max(0, self.anchor_depth - 1)
+                if top in _CHROME_TAGS:
+                    self.chrome_depth = max(0, self.chrome_depth - 1)
+                if top in _HEADINGS:
+                    self.heading_depth = max(0, self.heading_depth - 1)
+                if top == tag:
+                    break
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if self.skip_depth:
+            return
+        stripped = " ".join(data.split())
+        if not stripped:
+            return
+        b = self._ensure()
+        b.text_parts.append(stripped)
+        b.chars += len(stripped)
+        b.words += len(stripped.split())
+        if self.anchor_depth:
+            b.link_chars += len(stripped)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def _classify(blocks: list[_Block]) -> list[bool]:
+    """Content flags per block: the WSDM-2010 NumWords/LinkDensity
+    decision rules over (prev, curr, next) shallow features, with the
+    DOM-role override (semantic chrome is never content) applied first
+    and the heading-attachment pass applied after.
+
+    Two documented deviations from the published tree (which scores
+    neighbour support on raw word counts):
+    - a neighbour that is itself link-heavy (density > 1/3) lends NO
+      word support — a 70-word link farm must not rescue the short
+      block sandwiched against it;
+    - previous-block support only rescues a block with more than 4
+      words of its own, so trailing crumbs ("back to top", share
+      chips) after real content don't survive on adjacency alone."""
+    n = len(blocks)
+    flags = [False] * n
+
+    def words(i: int) -> int:
+        return blocks[i].words if 0 <= i < n else 0
+
+    def ld(i: int) -> float:
+        return blocks[i].link_density if 0 <= i < n else 0.0
+
+    def support(i: int) -> int:
+        return words(i) if ld(i) <= 0.333333 else 0
+
+    for i, b in enumerate(blocks):
+        if b.in_chrome:
+            continue  # DOM role wins: nav/aside/header/footer chrome
+        if ld(i) > 0.333333:
+            continue
+        if ld(i - 1) <= 0.555556:
+            if b.words > 16 or support(i + 1) > 15 or (
+                    b.words > 4 and support(i - 1) > 4):
+                flags[i] = True
+        else:
+            if b.words > 40 or support(i + 1) > 17:
+                flags[i] = True
+    # heading attachment: a low-word heading (the rules drop short
+    # blocks) is content when it introduces content — look ahead past
+    # other headings
+    for i, b in enumerate(blocks):
+        if b.heading and not flags[i] and not b.in_chrome \
+                and b.link_density <= 0.333333:
+            j = i + 1
+            while j < n and blocks[j].heading:
+                j += 1
+            if j < n and flags[j]:
+                flags[i] = True
+    # figure rule: an image-only block (no words) survives next to
+    # content — dropped rules-wise, but it is the interleaved-media
+    # payload the corpus exists for
+    for i, b in enumerate(blocks):
+        if b.images and not b.words and not flags[i] and not b.in_chrome:
+            if (i > 0 and flags[i - 1]) or (i + 1 < n and flags[i + 1]):
+                flags[i] = True
+    return flags
+
+
+def extract_main_blocks(data: bytes | str) -> list[dict]:
+    """HTML → ordered retained blocks: [{"text", "images", "heading"}].
+    The debugging/analysis surface; `parse_html_spans` is the span
+    emitter over it."""
+    if isinstance(data, bytes):
+        text = data.decode("utf-8", errors="replace")
+    else:
+        text = data
+    parser = _BlockParser()
+    parser.feed(text)
+    parser.close()
+    flags = _classify(parser.blocks)
+    return [
+        {"text": b.text(), "images": list(b.images), "heading": b.heading}
+        for b, keep in zip(parser.blocks, flags) if keep
+    ]
+
+
+def parse_html_spans(data: bytes | str, doc_id: str) -> list[dict]:
+    """HTML bytes → ordered (kind, text, media_ref, offset) spans in the
+    corpus span grammar — the container twin of ``parse_pdf_spans``:
+    one page_break (an HTML document is one page), a text span per
+    retained main-content block, a media span per image in a retained
+    block (media_ref = the src attribute: the crawl-corpus media
+    reference)."""
+    spans: list[dict] = [{"kind": "page_break", "text": "=== PAGE 1 ===",
+                          "media_ref": "", "offset": 0}]
+    off = 1
+    for blk in extract_main_blocks(data):
+        if blk["text"]:
+            spans.append({"kind": "text", "text": blk["text"],
+                          "media_ref": "", "offset": off})
+            off += 1
+        for src in blk["images"]:
+            spans.append({"kind": "media", "text": "",
+                          "media_ref": src or f"img://{doc_id}/1/{off}",
+                          "offset": off})
+            off += 1
+    return spans
+
+
+def sniff_container(content: bytes) -> str:
+    """'pdf' | 'html' from leading bytes — the interleaved-crawl
+    dispatch: a 100-TB web corpus carries both container forms in one
+    table, so the parse stage sniffs per document."""
+    head = content[:4096].lstrip()
+    if head.startswith(b"%PDF"):
+        return "pdf"
+    low = head[:2048].lower()
+    if (low.startswith(b"<!doctype html") or b"<html" in low
+            or b"<head" in low or b"<body" in low):
+        return "html"
+    # BOM-prefixed or fragment HTML: any tag soup with no PDF header
+    if low.startswith(b"\xef\xbb\xbf<") or low.startswith(b"<"):
+        return "html"
+    return "pdf"
+
+
+def build_html(paragraphs: list[str], title: str = "Page",
+               nav_items: tuple = ("Home", "Products", "About"),
+               sidebar_items: tuple = ("Deals", "Newsletter"),
+               footer: str = "© 2026 Example Corp — All rights reserved",
+               images: dict | None = None,
+               headings: dict | None = None,
+               messy: bool = False) -> bytes:
+    """Deterministic fixture writer: a realistic page with chrome
+    (nav/sidebar/footer boilerplate) around ``paragraphs`` of main
+    content. ``images`` maps paragraph index → src placed after that
+    paragraph; ``headings`` maps paragraph index → heading text before
+    it. ``messy=True`` leaves <p>/<li> unclosed (the wild's dominant
+    malformation)."""
+    images = images or {}
+    headings = headings or {}
+    pclose = "" if messy else "</p>"
+    liclose = "" if messy else "</li>"
+    parts = [
+        "<!DOCTYPE html><html><head><title>", title,
+        "</title><style>body{margin:0}</style>",
+        "<script>var t=1;</script></head><body>",
+        "<header><h1>", title, "</h1><nav><ul>",
+    ]
+    for it in nav_items:
+        parts += ["<li><a href='/", it.lower(), "'>", it, "</a>", liclose]
+    parts += ["</ul></nav></header><main><article>"]
+    for i, para in enumerate(paragraphs):
+        if i in headings:
+            parts += ["<h2>", headings[i], "</h2>"]
+        parts += ["<p>", para, pclose]
+        if i in images:
+            parts += ["<figure><img src='", images[i],
+                      "' alt='fig'></figure>"]
+    parts += ["</article></main><aside><ul>"]
+    for it in sidebar_items:
+        parts += ["<li><a href='/", it.lower(), "'>", it, "</a>", liclose]
+    parts += ["</ul></aside><footer><p>", footer, pclose,
+              "</footer></body></html>"]
+    return "".join(parts).encode("utf-8")

@@ -72,12 +72,18 @@ def read_binary_docs(
     )
 
 
-def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None) -> DataFrame:
-    """S2-S4 for real: batched PDF byte-stream parsing as an Arrow
-    mapInPandas over ``content`` — xref walk, page-tree traversal,
-    FlateDecode, content-stream tokenization (sources/pdfparse.py, pure
-    stdlib; reference parse branches: text_pdf_processor.py:661-670,
-    pdf_text_detector.py:171-204).
+def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
+                          container: str = "auto") -> DataFrame:
+    """S2-S4 for real: batched byte-stream parsing as an Arrow
+    mapInPandas over ``content`` — for PDFs the xref walk, page-tree
+    traversal, FlateDecode and content-stream tokenization
+    (sources/pdfparse.py, pure stdlib; reference parse branches:
+    text_pdf_processor.py:661-670, pdf_text_detector.py:171-204); for
+    HTML the boilerplate-strip main-content extraction
+    (sources/htmlparse.py — the north rule's other container form).
+    ``container``: "auto" (default) sniffs per document — the
+    interleaved-crawl shape, where one 100-TB table carries both forms;
+    "pdf"/"html" pin the parser.
 
     One output row per input document: (doc_id, spans, parse_ok,
     parse_error) in the corpus span grammar, directly consumable by
@@ -95,7 +101,11 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None) -> DataFram
     from pyspark.sql.types import BooleanType, StringType, StructField, StructType
 
     from ..schemas import DOC_SCHEMA
+    from .htmlparse import parse_html_spans, sniff_container
     from .pdfparse import parse_pdf_spans
+
+    if container not in ("auto", "pdf", "html"):
+        raise ValueError(f"unknown container {container!r}")
 
     out_schema = StructType(
         list(DOC_SCHEMA.fields)
@@ -110,8 +120,13 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None) -> DataFram
             out = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 err = None
+                raw = bytes(content)
+                form = container if container != "auto" \
+                    else sniff_container(raw)
                 try:
-                    spans = parse_pdf_spans(bytes(content), doc_id)
+                    spans = (parse_html_spans(raw, doc_id)
+                             if form == "html"
+                             else parse_pdf_spans(raw, doc_id))
                 except Exception as e:  # fallback-chain terminal: empty page
                     err = f"{type(e).__name__}: {e}"
                     spans = [{"kind": "page_break", "text": "=== PAGE 1 ===",
