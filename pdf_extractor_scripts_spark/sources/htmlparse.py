@@ -104,8 +104,9 @@ class _BlockParser(HTMLParser):
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
         if tag == "img":
-            src = next((v for k, v in attrs if k == "src" and v), "")
-            self._ensure().images.append(src)
+            if not self.skip_depth:  # <img> in <template>/<noscript>/<svg>
+                src = next((v for k, v in attrs if k == "src" and v), "")
+                self._ensure().images.append(src)
             return
         if tag == "br":
             self._flush()

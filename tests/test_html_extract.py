@@ -111,6 +111,17 @@ def test_entities_scripts_and_garbage():
         assert isinstance(parse_html_spans(junk, "j"), list)
 
 
+def test_images_in_skip_content_ignored():
+    """<img> inside <template>/<noscript>/<svg> is not page media; an
+    <img> inside real content still is (the figure rule keeps it)."""
+    html = (f"<html><body><template><img src='ghost.png'></template>"
+            f"<noscript><img src='pixel.gif'></noscript>"
+            f"<p>{_LONG}</p><figure><img src='real.png'></figure>"
+            "</body></html>")
+    imgs = [s for b in extract_main_blocks(html) for s in b["images"]]
+    assert imgs == ["real.png"]
+
+
 def test_sniff_container():
     assert sniff_container(b"%PDF-1.7\n...") == "pdf"
     assert sniff_container(b"  \n<!DOCTYPE html><html>") == "html"
