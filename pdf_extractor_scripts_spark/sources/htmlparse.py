@@ -18,7 +18,12 @@ also shipped as boilerpipe's NumWordsRulesClassifier; public
 knowledge). DOM heuristics layered on top, each documented at its
 implementation: HTML5 semantic containers (<nav>/<aside>/<header>/
 <footer>) force boilerplate, headings attach to following content,
-image-only blocks survive next to content (the figure rule).
+image-only blocks survive next to content (the figure rule), and
+tables cohere — cells merge into one block per row and a table's rows
+classify together (an HTML invoice's line-item grid survives whole;
+a legacy nav-layout link table never does). Byte decoding honors the
+page's declared charset (BOM, then `charset=` in the head, then
+UTF-8 — the windows-1252 legacy web decodes correctly).
 
 Reference context: the reference repo extracts PDFs only; the HTML
 half exists because the north rule's corpus is a web-scale interleaved
@@ -38,11 +43,14 @@ from html.parser import HTMLParser
 # tags whose contents are never document text
 _SKIP_CONTENT = {"script", "style", "noscript", "template", "svg",
                  "head", "title", "iframe", "object", "embed"}
-# block-level boundaries: opening or closing one flushes the current block
+# block-level boundaries: opening or closing one flushes the current block.
+# NOTE: td/th are NOT here — inside a table, cells merge into one block
+# per ROW (tr is the boundary) so the classifier sees whole rows, not
+# word-starved fragments; see the table handling in _BlockParser.
 _BLOCK_TAGS = frozenset({
     "p", "div", "section", "article", "main", "header", "footer",
     "aside", "nav", "ul", "ol", "li", "dl", "dt", "dd", "table",
-    "thead", "tbody", "tr", "td", "th", "blockquote", "pre", "figure",
+    "thead", "tbody", "tr", "blockquote", "pre", "figure",
     "figcaption", "form", "fieldset", "hr", "h1", "h2", "h3", "h4",
     "h5", "h6", "body", "html"})
 # HTML5 semantic containers that are boilerplate BY ROLE (DOM heuristic:
@@ -57,15 +65,16 @@ _VOID = frozenset({"area", "base", "br", "col", "embed", "hr", "img",
 
 class _Block:
     __slots__ = ("words", "chars", "link_chars", "text_parts",
-                 "in_chrome", "heading", "images")
+                 "in_chrome", "heading", "images", "table")
 
-    def __init__(self, in_chrome: bool, heading: bool):
+    def __init__(self, in_chrome: bool, heading: bool, table: int = 0):
         self.words = 0
         self.chars = 0
         self.link_chars = 0
         self.text_parts: list[str] = []
         self.in_chrome = in_chrome
         self.heading = heading
+        self.table = table  # innermost enclosing table id, 0 = none
         self.images: list[str] = []  # src attributes in block order
 
     @property
@@ -86,6 +95,8 @@ class _BlockParser(HTMLParser):
         self.anchor_depth = 0   # inside <a>
         self.chrome_depth = 0   # inside nav/aside/header/footer
         self.heading_depth = 0
+        self.table_seq = 0      # table ids, 1-based
+        self.table_stack: list[int] = []  # open-table ids (innermost last)
         self.blocks: list[_Block] = []
         self.cur: _Block | None = None
 
@@ -98,7 +109,9 @@ class _BlockParser(HTMLParser):
     def _ensure(self) -> _Block:
         if self.cur is None:
             self.cur = _Block(self.chrome_depth > 0,
-                              self.heading_depth > 0)
+                              self.heading_depth > 0,
+                              self.table_stack[-1]
+                              if self.table_stack else 0)
         return self.cur
 
     def handle_starttag(self, tag, attrs):
@@ -123,6 +136,9 @@ class _BlockParser(HTMLParser):
             self.heading_depth += 1
         if tag in _BLOCK_TAGS:
             self._flush()
+        if tag == "table":
+            self.table_seq += 1
+            self.table_stack.append(self.table_seq)
         self.stack.append(tag)
 
     def handle_endtag(self, tag):
@@ -142,6 +158,9 @@ class _BlockParser(HTMLParser):
                     self.chrome_depth = max(0, self.chrome_depth - 1)
                 if top in _HEADINGS:
                     self.heading_depth = max(0, self.heading_depth - 1)
+                if top == "table" and self.table_stack:
+                    self._flush()
+                    self.table_stack.pop()
                 if top == tag:
                     break
         if tag in _BLOCK_TAGS:
@@ -221,7 +240,51 @@ def _classify(blocks: list[_Block]) -> list[bool]:
         if b.images and not b.words and not flags[i] and not b.in_chrome:
             if (i > 0 and flags[i - 1]) or (i + 1 < n and flags[i + 1]):
                 flags[i] = True
+    # table cohesion: a table is one logical unit (an invoice's line-item
+    # grid) whose rows are individually word-starved — rows classify
+    # TOGETHER. A table with any content row keeps every row; a fully
+    # dropped table is promoted when it sits next to content (the figure
+    # rule for tables), unless it is a link grid (the legacy nav-layout
+    # table, aggregate link density > 1/3).
+    tbl_rows: dict[int, list[int]] = {}
+    for i, b in enumerate(blocks):
+        if b.table:
+            tbl_rows.setdefault(b.table, []).append(i)
+    for idxs in tbl_rows.values():
+        if not any(flags[i] for i in idxs):
+            chars = sum(blocks[i].chars for i in idxs) or 1
+            ldens = sum(blocks[i].link_chars for i in idxs) / chars
+            lo, hi = idxs[0] - 1, idxs[-1] + 1
+            if ldens > 0.333333 or not (
+                    (lo >= 0 and flags[lo]) or (hi < n and flags[hi])):
+                continue
+        for i in idxs:
+            if not blocks[i].in_chrome \
+                    and blocks[i].link_density <= 0.333333:
+                flags[i] = True
     return flags
+
+
+def _decode_html(data: bytes) -> str:
+    """Bytes → str honoring the page's declared encoding: a UTF BOM
+    wins, else the first `charset=` declaration in the head (the
+    `<meta charset>` / http-equiv forms — the windows-1252 legacy web),
+    else UTF-8; always errors='replace' so garbage never raises."""
+    import codecs
+    import re as _re
+
+    if data.startswith(codecs.BOM_UTF8):
+        return data[3:].decode("utf-8", errors="replace")
+    if data.startswith((codecs.BOM_UTF16_LE, codecs.BOM_UTF16_BE)):
+        return data.decode("utf-16", errors="replace")
+    m = _re.search(rb"charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", data[:2048])
+    if m:
+        try:
+            return data.decode(m.group(1).decode("ascii"),
+                               errors="replace")
+        except LookupError:
+            pass  # bogus label → UTF-8 fallback
+    return data.decode("utf-8", errors="replace")
 
 
 def extract_main_blocks(data: bytes | str) -> list[dict]:
@@ -229,7 +292,7 @@ def extract_main_blocks(data: bytes | str) -> list[dict]:
     The debugging/analysis surface; `parse_html_spans` is the span
     emitter over it."""
     if isinstance(data, bytes):
-        text = data.decode("utf-8", errors="replace")
+        text = _decode_html(data)
     else:
         text = data
     parser = _BlockParser()

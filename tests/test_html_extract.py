@@ -111,6 +111,68 @@ def test_entities_scripts_and_garbage():
         assert isinstance(parse_html_spans(junk, "j"), list)
 
 
+def test_table_rows_merge_and_cohere():
+    """Cells merge into one block per ROW (td/th are not block
+    boundaries); a data table coheres — its word-starved rows classify
+    together and ride adjacency to content — while a legacy nav-layout
+    table of links is never promoted."""
+    rows = [("001", "DOOR-A", "2", "450.00", "900.00"),
+            ("002", "FRAME-B", "1", "1200.00", "1200.00"),
+            ("003", "HINGE-C", "8", "15.00", "120.00")]
+    table = ("<table><tr>"
+             + "".join(f"<th>{h}</th>"
+                       for h in ("Line", "Item", "Qty", "Unit", "Ext"))
+             + "</tr>"
+             + "".join("<tr>" + "".join(f"<td>{c}</td>" for c in r)
+                       + "</tr>" for r in rows)
+             + "</table>")
+    html = f"<html><body><p>{_LONG}</p>{table}<p>{_LONG2}</p></body></html>"
+    texts = [b["text"] for b in extract_main_blocks(html)]
+    assert "Line Item Qty Unit Ext" in texts
+    assert "001 DOOR-A 2 450.00 900.00" in texts
+    assert "003 HINGE-C 8 15.00 120.00" in texts
+
+    # rows too short for any base rule (2 words) survive ONLY via the
+    # table-adjacency promotion
+    tiny = ("<table>"
+            + "".join(f"<tr><td>00{i}</td><td>{i}.00</td></tr>"
+                      for i in range(3))
+            + "</table>")
+    html2 = f"<html><body><p>{_LONG}</p>{tiny}</body></html>"
+    texts2 = [b["text"] for b in extract_main_blocks(html2)]
+    assert "000 0.00" in texts2 and "002 2.00" in texts2
+    # ...but not when the table is nowhere near content
+    html3 = f"<html><body>{tiny}</body></html>"
+    assert extract_main_blocks(html3) == []
+
+    # a link-grid layout table is NOT promoted, even next to content
+    navtable = ("<table>"
+                + "".join(f"<tr><td><a href='/{i}'>cat {i} link</a>"
+                          "</td></tr>" for i in range(6))
+                + "</table>")
+    html4 = (f"<html><body><p>{_LONG}</p>{navtable}"
+             f"<p>{_LONG2}</p></body></html>")
+    assert not any("cat 0" in t
+                   for t in (b["text"] for b in extract_main_blocks(html4)))
+
+
+def test_charset_sniffing():
+    """windows-1252 pages with a meta charset decode correctly; bogus
+    labels and BOM-prefixed UTF-8 fall back sanely."""
+    para = _words(18) + " caf\xe9 fran\xe7ais"
+    page = ("<html><head><meta http-equiv='Content-Type' "
+            "content='text/html; charset=windows-1252'></head><body><p>"
+            + para + "</p></body></html>").encode("cp1252")
+    assert "café français" in extract_main_blocks(page)[0]["text"]
+    page2 = ("<html><head><meta charset='no-such-enc'></head><body><p>"
+             + _words(18) + " café</p></body></html>").encode("utf-8")
+    assert "café" in extract_main_blocks(page2)[0]["text"]
+    bom = b"\xef\xbb\xbf" + (
+        "<html><body><p>" + _words(18) + " café</p></body></html>"
+    ).encode("utf-8")
+    assert "café" in extract_main_blocks(bom)[0]["text"]
+
+
 def test_images_in_skip_content_ignored():
     """<img> inside <template>/<noscript>/<svg> is not page media; an
     <img> inside real content still is (the figure rule keeps it)."""
