@@ -90,15 +90,60 @@ def _pdf_tree(n_docs: int, repeat: int = 1) -> str:
     return root
 
 
-def run_pdf_ingest(spark, root: str) -> float:
-    """Wall seconds for binaryFile scan → parse_binary_to_spans (forced)."""
+def _crawl_tree(n_docs: int, repeat: int = 1, html_every: int = 3) -> str:
+    """Materialize a deterministic MIXED-container crawl tree: every
+    ``html_every``-th document is an HTML page (its paragraphs = the
+    same corpus text spans, wrapped in realistic nav/sidebar/footer
+    chrome; one figure per doc), the rest are PDFs — the interleaved
+    shape a web-scale corpus table actually carries. Idempotent."""
+    root = f"/tmp/spark_graft_crawltree_{n_docs}" + (
+        f"_x{repeat}" if repeat > 1 else ""
+    )
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return root
+    from pdf_extractor_scripts_spark.fixtures import make_corpus
+    from pdf_extractor_scripts_spark.sources.htmlparse import build_html
+    from pdf_extractor_scripts_spark.sources.pdfparse import spans_to_pdf
+
+    for i, d in enumerate(make_corpus(n_docs, seed=42)):
+        spans = d["spans"]
+        if repeat > 1:
+            spans = [
+                dict(s, offset=j * len(d["spans"]) + s["offset"])
+                for j in range(repeat) for s in d["spans"]
+            ]
+        if i % html_every == html_every - 1:
+            paras = [s["text"] for s in spans
+                     if s["kind"] == "text" and s["text"].strip()]
+            path = os.path.join(
+                root, d["doc_id"].rsplit(".", 1)[0] + ".html")
+            data = build_html(paras, title=d["doc_id"],
+                              images={0: f"img://{d['doc_id']}/fig0"})
+        else:
+            path = os.path.join(root, d["doc_id"])
+            data = spans_to_pdf(spans, xref_stream=(i % 2 == 0))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def run_pdf_ingest(spark, root: str, container: str = "pdf") -> float:
+    """Wall seconds for binaryFile scan → parse_binary_to_spans (forced).
+    ``container='auto'`` reads the whole tree (PDF + HTML, the marker
+    file excluded) and sniffs the form per document."""
     from pdf_extractor_scripts_spark.sources.spans import (
         parse_binary_to_spans,
         read_binary_docs,
     )
 
+    binary = (read_binary_docs(spark, root, glob="*.{pdf,html}")
+              if container == "auto" else read_binary_docs(spark, root))
     t0 = time.time()
-    _force(parse_binary_to_spans(read_binary_docs(spark, root)))
+    _force(parse_binary_to_spans(binary, container=container))
     return time.time() - t0
 
 
@@ -194,6 +239,16 @@ def main() -> None:
     pdf_sec = min(run_pdf_ingest(spark, pdf_root) for _ in range(2))
     timings["pdf_ingest"] = round(pdf_sec, 3)
 
+    # mixed-crawl ingest (r6): the same entry point over an interleaved
+    # PDF+HTML tree with per-document container sniffing — the shape a
+    # web-scale corpus table actually carries
+    crawl_root = _crawl_tree(n_pdfs)
+    crawl_sec = min(
+        run_pdf_ingest(spark, crawl_root, container="auto")
+        for _ in range(2)
+    )
+    timings["crawl_ingest"] = round(crawl_sec, 3)
+
     # Targeted outlier retries (r4 VERDICT #1, baseline fixed r6 per r5
     # VERDICT #2): any query still >1.3x its MINIMUM HISTORICAL record
     # after the min-of-2 passes gets up to 2 more cache-cleared attempts,
@@ -224,11 +279,18 @@ def main() -> None:
         if p and pdf_sec > 1.3 * p:
             pdf_sec = min(pdf_sec, run_pdf_ingest(spark, pdf_root))
             noise_retries["pdf_ingest"] = 1
+        p = best.get("crawl_ingest")
+        if p and crawl_sec > 1.3 * p:
+            crawl_sec = min(
+                crawl_sec, run_pdf_ingest(spark, crawl_root, container="auto")
+            )
+            noise_retries["crawl_ingest"] = 1
 
     # recompute the minima: the retries above may have improved them
     ext_sec = min(ext_times)
     timings["extract_pipeline"] = round(ext_sec, 3)
     timings["pdf_ingest"] = round(pdf_sec, 3)
+    timings["crawl_ingest"] = round(crawl_sec, 3)
     docs_per_sec = round(n_docs / ext_sec, 2)
 
     # LSH bucket-size telemetry (no silent caps): the similarity family's
@@ -250,6 +312,12 @@ def main() -> None:
             "files": n_pdfs,
             "sec": round(pdf_sec, 3),
             "docs_per_sec": round(n_pdfs / pdf_sec, 1),
+        },
+        "crawl_ingest": {
+            "files": n_pdfs,
+            "html_every": 3,
+            "sec": round(crawl_sec, 3),
+            "docs_per_sec": round(n_pdfs / crawl_sec, 1),
         },
         "noise_retries": noise_retries,
     }
@@ -509,6 +577,78 @@ def scaling_ingest() -> None:
         f.write(
             f"\n### Long-wall raw-PDF ingest scaling ({n_pdfs} files "
             f"x{pdf_repeat} content repeat, rounds={rounds}, interleaved)\n\n"
+            "| task slots (N) | best wall sec | files/sec |\n|---|---|---|\n"
+        )
+        for n in levels:
+            f.write(f"| {n} | {round(best[n], 2)} | {thr[n]} |\n")
+        f.write("\n| pair | parse eff | hardware ceiling | normalized |\n"
+                "|---|---|---|---|\n")
+        for p in stats:
+            f.write(
+                f"| {p['n']}→{p['4n']} | {p['efficiency']} | "
+                f"{p['hardware_ceiling']} | {p['normalized']} |\n"
+            )
+        f.write("\nPer-round pair ratios: " + "; ".join(
+            f"{p['n']}→{p['4n']}: {p['per_round']}" for p in stats) + "\n")
+
+
+def scaling_crawl() -> None:
+    """Mixed-crawl ingest scaling (r6): binaryFile → per-document
+    container sniff → PDF/HTML byte-stream parse at N vs 4N task slots
+    over an interleaved PDF+HTML tree (every 3rd doc HTML). Same
+    interleaved min-of-rounds protocol and long-wall sizing as
+    --scaling-ingest; appends to BENCH/BASELINE.md and writes
+    BENCH/crawl_scaling.json."""
+    n_files = int(os.environ.get("SPARK_GRAFT_SCALE_PDFS", "20000"))
+    repeat = int(os.environ.get("SPARK_GRAFT_SCALE_PDF_REPEAT", "30"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    pairs = [(4, 16)]
+    levels = sorted({n for p in pairs for n in p})
+
+    from pdf_extractor_scripts_spark.sources.spans import (
+        parse_binary_to_spans,
+        read_binary_docs,
+    )
+
+    spark = make_session(32)
+    binary = read_binary_docs(
+        spark, _crawl_tree(n_files, repeat), glob="*.{pdf,html}"
+    ).localCheckpoint(eager=True)
+    _force(parse_binary_to_spans(binary.limit(512), container="auto"))
+    times: dict[int, list[float]] = {n: [] for n in levels}
+    for _ in range(rounds):
+        for n in levels:
+            t0 = time.time()
+            _force(parse_binary_to_spans(binary.coalesce(n),
+                                         container="auto"))
+            times[n].append(time.time() - t0)
+    spark.stop()
+
+    control = _cpu_control(levels)
+    stats = _pair_stats_for(times, pairs, control)
+    best = {n: min(ts) for n, ts in times.items()}
+    thr = {n: round(n_files / best[n], 1) for n in levels}
+    out = {
+        "metric": "mixed-crawl ingest scaling N->4N "
+                  "(PDF+HTML, container sniffing, interleaved)",
+        "value": stats[0]["efficiency"],
+        "unit": "efficiency",
+        "files": n_files,
+        "html_every": 3,
+        "pages_repeat": repeat,
+        "best_wall_sec": {str(n): round(best[n], 2) for n in levels},
+        "throughput_files_per_sec": {str(n): thr[n] for n in levels},
+        "pairs": stats,
+    }
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/crawl_scaling.json", "w") as f:
+        json.dump(out, f, indent=1)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n### Mixed-crawl ingest scaling ({n_files} files, every 3rd "
+            f"HTML, x{repeat} content repeat, rounds={rounds}, "
+            "interleaved)\n\n"
             "| task slots (N) | best wall sec | files/sec |\n|---|---|---|\n"
         )
         for n in levels:
@@ -1013,6 +1153,8 @@ def skew() -> None:
 if __name__ == "__main__":
     if "--scaling-ingest" in sys.argv:
         scaling_ingest()
+    elif "--crawl-scaling" in sys.argv:
+        scaling_crawl()
     elif "--media-scaling" in sys.argv:
         scaling_media()
     elif "--scaling" in sys.argv:
