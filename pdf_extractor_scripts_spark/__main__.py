@@ -21,6 +21,10 @@ processors — SURVEY.md §3) collapse into one job:
     --input-format pdf     a directory of *.pdf files: binaryFile scan →
                            byte-stream parse (sources/pdfparse.py) → spans;
                            doc_id = path relative to --input
+    --input-format html    a directory of *.htm(l) files: boilerplate-strip
+                           main-content extraction (sources/htmlparse.py)
+    --input-format web     a mixed crawl directory: every file, container
+                           sniffed per document (PDF or HTML)
 """
 
 from __future__ import annotations
