@@ -74,8 +74,9 @@ def _pdf_tree(n_docs: int, repeat: int = 1) -> str:
     from pdf_extractor_scripts_spark.fixtures import make_corpus
     from pdf_extractor_scripts_spark.sources.pdfparse import spans_to_pdf
 
+    seen: dict[str, int] = {}
     for i, d in enumerate(make_corpus(n_docs, seed=42)):
-        path = os.path.join(root, d["doc_id"])
+        path = os.path.join(root, _uniq_path(d["doc_id"], seen))
         os.makedirs(os.path.dirname(path), exist_ok=True)
         spans = d["spans"]
         if repeat > 1:
@@ -88,6 +89,20 @@ def _pdf_tree(n_docs: int, repeat: int = 1) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return root
+
+
+def _uniq_path(doc_id: str, seen: dict) -> str:
+    """make_corpus doc_ids COLLIDE at large n (~5% at 20k: 8-digit
+    invoice numbers repeat), so writing to doc_id paths silently merges
+    files and the tree holds fewer documents than the bench label
+    claims. Disambiguate collisions with a numeric suffix so an
+    n-file tree really has n files."""
+    k = seen.get(doc_id, 0)
+    seen[doc_id] = k + 1
+    if k == 0:
+        return doc_id
+    stem, dot, ext = doc_id.rpartition(".")
+    return f"{stem}~{k}.{ext}" if dot else f"{doc_id}~{k}"
 
 
 def _crawl_tree(n_docs: int, repeat: int = 1, html_every: int = 3) -> str:
@@ -106,6 +121,7 @@ def _crawl_tree(n_docs: int, repeat: int = 1, html_every: int = 3) -> str:
     from pdf_extractor_scripts_spark.sources.htmlparse import build_html
     from pdf_extractor_scripts_spark.sources.pdfparse import spans_to_pdf
 
+    seen: dict[str, int] = {}
     for i, d in enumerate(make_corpus(n_docs, seed=42)):
         spans = d["spans"]
         if repeat > 1:
@@ -116,12 +132,12 @@ def _crawl_tree(n_docs: int, repeat: int = 1, html_every: int = 3) -> str:
         if i % html_every == html_every - 1:
             paras = [s["text"] for s in spans
                      if s["kind"] == "text" and s["text"].strip()]
-            path = os.path.join(
-                root, d["doc_id"].rsplit(".", 1)[0] + ".html")
+            path = os.path.join(root, _uniq_path(
+                d["doc_id"].rsplit(".", 1)[0] + ".html", seen))
             data = build_html(paras, title=d["doc_id"],
                               images={0: f"img://{d['doc_id']}/fig0"})
         else:
-            path = os.path.join(root, d["doc_id"])
+            path = os.path.join(root, _uniq_path(d["doc_id"], seen))
             data = spans_to_pdf(spans, xref_stream=(i % 2 == 0))
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as f:
