@@ -414,14 +414,7 @@ def _best_records() -> dict[str, float]:
     inflated by a single noisy round."""
     root = os.path.dirname(os.path.abspath(__file__))
     best: dict[str, float] = {}
-    path = os.path.join(root, "BENCH", "best_records.json")
-    if os.path.exists(path):
-        try:
-            stored = json.load(open(path))
-            if stored.get("sf") == _sf_name():
-                best.update(stored.get("queries") or {})
-        except Exception:
-            pass
+    best.update(_stored_records().get(_sf_name()) or {})
     import glob
 
     for fn in glob.glob(os.path.join(root, "BENCH_r*.json")):
@@ -437,16 +430,33 @@ def _best_records() -> dict[str, float]:
     return best
 
 
+def _stored_records() -> dict[str, dict[str, float]]:
+    """BENCH/best_records.json as {sf: {query: min_sec}} — records are
+    PER SCALE FACTOR: a smoke run at sf0.001 must never clobber the
+    sf0.1 table the retry protocol keys on (it did once — the file now
+    keeps every sf side by side; the legacy single-sf shape reads too)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(root, "BENCH", "best_records.json")
+    try:
+        stored = json.load(open(path))
+    except Exception:
+        return {}
+    if "queries" in stored and "sf" in stored:  # legacy single-sf shape
+        return {stored["sf"]: stored["queries"] or {}}
+    return {k: v for k, v in stored.items() if isinstance(v, dict)}
+
+
 def _update_best_records(best: dict[str, float], timings: dict[str, float]) -> None:
     merged = dict(best)
     for name, t in timings.items():
         if t > 0:
             merged[name] = min(merged.get(name, t), float(t))
+    tables = _stored_records()
+    tables[_sf_name()] = merged
     root = os.path.dirname(os.path.abspath(__file__))
     os.makedirs(os.path.join(root, "BENCH"), exist_ok=True)
     with open(os.path.join(root, "BENCH", "best_records.json"), "w") as f:
-        json.dump({"sf": _sf_name(), "queries": merged}, f, indent=1,
-                  sort_keys=True)
+        json.dump(tables, f, indent=1, sort_keys=True)
 
 
 def _prev_round_queries() -> dict:
