@@ -174,3 +174,35 @@ def test_batch_summary_reference_shape(spark, tmpdir):
         <= s["max_confidence_score"] <= 1.0
     rep = {(r["vendor"], r["route"]): r for r in quality_report(spark, str(tmpdir)).collect()}
     assert sum(r["n_docs"] for r in rep.values()) == 60
+
+
+def test_bench_best_records_per_sf(tmp_path, monkeypatch):
+    """The bench retry baseline is PER SCALE FACTOR: a smoke run at
+    sf0.001 must never clobber the sf0.1 rolling-min table (it did
+    once), and the legacy single-sf file shape still reads."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    os.makedirs(tmp_path / "BENCH")
+    legacy = {"sf": "sf0.1", "queries": {"q1": 1.5, "q2": 2.0}}
+    with open(tmp_path / "BENCH" / "best_records.json", "w") as f:
+        json.dump(legacy, f)
+
+    assert bench._stored_records() == {"sf0.1": {"q1": 1.5, "q2": 2.0}}
+
+    # an sf0.001 update adds its own table without touching sf0.1
+    monkeypatch.setattr(bench, "SF_DIR", "/x/sf0.001")
+    bench._update_best_records({}, {"q1": 0.1})
+    t = bench._stored_records()
+    assert t["sf0.1"] == {"q1": 1.5, "q2": 2.0}
+    assert t["sf0.001"] == {"q1": 0.1}
+
+    # an sf0.1 run reads its own records and only improves downward
+    monkeypatch.setattr(bench, "SF_DIR", "/x/sf0.1")
+    assert bench._best_records() == {"q1": 1.5, "q2": 2.0}
+    bench._update_best_records(bench._best_records(), {"q1": 1.8, "q2": 1.2})
+    t = bench._stored_records()
+    assert t["sf0.1"] == {"q1": 1.5, "q2": 1.2}
+    assert t["sf0.001"] == {"q1": 0.1}
