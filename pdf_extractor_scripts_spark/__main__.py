@@ -25,6 +25,11 @@ processors — SURVEY.md §3) collapse into one job:
                            main-content extraction (sources/htmlparse.py)
     --input-format web     a mixed crawl directory: every file, container
                            sniffed per document (PDF or HTML)
+    --input-format warc    a directory of *.warc / *.warc.gz web archives
+                           (ISO 28500 — the format a crawl corpus ships
+                           in): archives explode into per-document rows
+                           (sources/warcparse.py), 2xx payloads flow
+                           through the same container-sniffed parse
 """
 
 from __future__ import annotations
@@ -55,10 +60,12 @@ def main(argv: list[str] | None = None) -> int:
                    "with --input-format pdf/html/web, a directory of raw "
                    "documents")
     p.add_argument("--input-format",
-                   choices=["spans", "pdf", "html", "web"],
+                   choices=["spans", "pdf", "html", "web", "warc"],
                    default="spans",
                    help="web = a mixed crawl directory: every file, "
-                   "container sniffed per document (PDF or HTML)")
+                   "container sniffed per document (PDF or HTML); "
+                   "warc = a directory of *.warc(.gz) web archives, "
+                   "exploded record-wise then container-sniffed")
     p.add_argument("--output", help="output/checkpoint directory")
     p.add_argument("--run-id", default="run0")
     p.add_argument("--doc-id", help="single-doc mode: which document")
@@ -104,7 +111,24 @@ def main(argv: list[str] | None = None) -> int:
     else:
         if not args.input:
             p.error("--input required")
-        if args.input_format in ("pdf", "html", "web"):
+        if args.input_format == "warc":
+            from .sources.spans import parse_binary_to_spans
+            from .sources.warcparse import read_warc_docs
+
+            warc_errors = spark.sparkContext.accumulator(0)
+            exploded = read_warc_docs(spark, args.input,
+                                      error_acc=warc_errors)
+            # classic crawl-processing filter: framed-clean archives,
+            # 2xx responses and bare resource/conversion payloads —
+            # column predicates, no re-parse
+            clean = exploded.filter(
+                "archive_error IS NULL AND "
+                "(http_status IS NULL OR http_status BETWEEN 200 AND 299)")
+            parse_fallbacks = spark.sparkContext.accumulator(0)
+            # doc_id is already the WARC-Target-URI — no path stripping
+            docs = parse_binary_to_spans(clean, fallback_acc=parse_fallbacks,
+                                         container="auto")
+        elif args.input_format in ("pdf", "html", "web"):
             import pyspark.sql.functions as F
 
             from .sources.spans import read_binary_docs, parse_binary_to_spans
@@ -182,9 +206,12 @@ def main(argv: list[str] | None = None) -> int:
             res.write.format("noop").mode("overwrite").save()
             print("pipeline completed (no --output: dry run)")
     if args.mode in ("batch", "analyze") and args.input_format in (
-            "pdf", "html", "web"):
+            "pdf", "html", "web", "warc"):
         print(f"parse fallbacks (degraded to empty page): "
               f"{parse_fallbacks.value}")
+        if args.input_format == "warc":
+            print(f"archives with framing errors (prefix salvaged): "
+                  f"{warc_errors.value}")
     spark.stop()
     return 0
 

@@ -1,0 +1,223 @@
+"""WARC web-archive container (sources/warcparse.py): record framing,
+record-at-time gzip, HTTP payload extraction (chunked transfer,
+Content-Encoding), salvage-on-truncation, and the Spark explode that
+feeds archives into the interleaved parse stage."""
+
+import os
+import zlib
+
+import pytest
+
+from pdf_extractor_scripts_spark.sources.warcparse import (
+    _gzip,
+    _record,
+    build_warc,
+    docs_from_warcs,
+    iter_warc_records,
+    parse_http_response,
+    read_warc_docs,
+    warc_documents,
+)
+
+_HTML = (b"<!doctype html><html><head><title>T</title></head><body>"
+         b"<p>" + b"alpha beta gamma delta epsilon zeta " * 12 +
+         b"</p></body></html>")
+_TEXT = b"plain text payload for a conversion record\n"
+
+
+def _docs(n=3):
+    return [
+        {"url": f"https://example.test/page{i}",
+         "payload": _HTML + str(i).encode(),
+         "content_type": "text/html; charset=utf-8"}
+        for i in range(n)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# pure record parsing
+
+
+def test_roundtrip_plain_and_gzip():
+    docs = _docs()
+    for gz in (False, True):
+        data = build_warc(docs, per_record_gzip=gz)
+        got, err = warc_documents(data)
+        assert err is None
+        assert [d["url"] for d in got] == [d["url"] for d in docs]
+        assert [d["payload"] for d in got] == [d["payload"] for d in docs]
+        assert all(d["http_status"] == 200 for d in got)
+        assert all(d["content_type"].startswith("text/html") for d in got)
+        # request + warcinfo records never become documents
+        assert len(got) == len(docs)
+
+
+def test_chunked_and_content_gzip_paths():
+    docs = _docs(4)
+    data = build_warc(docs, chunked={1, 3}, content_gzip={2, 3})
+    got, err = warc_documents(data)
+    assert err is None
+    assert [d["payload"] for d in got] == [d["payload"] for d in docs]
+
+
+def test_resource_and_conversion_records_carry_payload():
+    rec = (_record("warcinfo", "", b"software: x\r\n", "i",
+                   "application/warc-fields")
+           + _record("resource", "https://example.test/r", _TEXT, "r",
+                     "text/plain")
+           + _record("conversion", "https://example.test/c", _TEXT, "c",
+                     "text/plain"))
+    got, err = warc_documents(rec)
+    assert err is None
+    assert [(d["url"], d["payload"], d["http_status"]) for d in got] == [
+        ("https://example.test/r", _TEXT, None),
+        ("https://example.test/c", _TEXT, None),
+    ]
+
+
+def test_non_200_status_is_reported_not_dropped():
+    body = b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone"
+    rec = _record("response", "https://example.test/x", body, "x",
+                  "application/http; msgtype=response")
+    got, err = warc_documents(rec)
+    assert err is None
+    assert got[0]["http_status"] == 404 and got[0]["payload"] == b"gone"
+
+
+def test_truncation_salvages_prefix():
+    docs = _docs(3)
+    data = build_warc(docs, per_record_gzip=False)
+    # cut inside the LAST response record's block
+    cut = data[: data.rfind(b"</html>") - 40]
+    got, err = warc_documents(cut)
+    assert err is not None and "truncated" in err
+    assert [d["url"] for d in got] == [d["url"] for d in docs[:2]]
+
+
+def test_truncated_gzip_member_is_an_error():
+    data = build_warc(_docs(2), per_record_gzip=True)
+    got, err = warc_documents(data[:-20])
+    assert err is not None and "gzip" in err
+
+
+def test_garbage_yields_error_and_no_docs():
+    got, err = warc_documents(b"PK\x03\x04 definitely not a warc")
+    assert got == [] and err is not None
+
+
+def test_header_continuation_lines_fold():
+    payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhi"
+    rec = _record("response", "https://example.test/f", payload, "f",
+                  "application/http; msgtype=response",
+                  extra=[b"WARC-Concurrent-To: <urn:a>,", b"\t<urn:b>"])
+    (headers, _), = [r for r in iter_warc_records(rec)]
+    assert headers["warc-concurrent-to"] == "<urn:a>, <urn:b>"
+
+
+def test_deflate_content_encoding_both_wrappings():
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    raw_deflate = co.compress(_TEXT) + co.flush()
+    for raw in (zlib.compress(_TEXT), raw_deflate):
+        block = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+                 + raw)
+        # zlib-wrapped then raw-deflate bodies both decode
+        _, _, body = parse_http_response(block)
+        assert body == _TEXT
+
+
+def test_fixture_writer_is_deterministic():
+    assert build_warc(_docs()) == build_warc(_docs())
+
+
+# ---------------------------------------------------------------------------
+# Spark explode + interleaved parse
+
+
+def _write_archives(tmp_path):
+    from pdf_extractor_scripts_spark.fixtures import make_corpus
+    from pdf_extractor_scripts_spark.sources.pdfparse import spans_to_pdf
+
+    corpus = make_corpus(6, seed=42)
+    docs = []
+    for i, d in enumerate(corpus):
+        if i % 3 == 2:
+            body_text = " ".join(
+                s["text"] for s in d["spans"] if s["kind"] == "text")
+            # media-only corpus docs have no text spans — pad so the
+            # main-content classifier always keeps one real paragraph
+            paras = b"<p>" + (body_text.encode() + b" crawl page body "
+                              b"words carry the main content forward ") * 4 \
+                + b"</p>"
+            docs.append({"url": f"https://crawl.test/{d['doc_id']}.html",
+                         "payload": b"<!doctype html><html><body>"
+                                    + paras + b"</body></html>",
+                         "content_type": "text/html"})
+        else:
+            docs.append({"url": f"https://crawl.test/{d['doc_id']}",
+                         "payload": spans_to_pdf(d["spans"]),
+                         "content_type": "application/pdf"})
+    a1 = os.path.join(tmp_path, "seg0.warc.gz")
+    with open(a1, "wb") as f:
+        f.write(build_warc(docs[:4], chunked={0}, content_gzip={1}))
+    a2 = os.path.join(tmp_path, "seg1.warc.gz")
+    with open(a2, "wb") as f:
+        f.write(build_warc(docs[4:]))
+    corrupt = os.path.join(tmp_path, "seg2.warc.gz")
+    with open(corrupt, "wb") as f:
+        f.write(b"\x1f\x8b not really gzip")
+    return docs
+
+
+def test_cli_warc_ingestion_end_to_end(tmp_path):
+    """--input-format warc: a directory of web archives batch-extracts
+    through the CLI with checkpointing; framing errors are reported."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(str(tmp_path), "archives")
+    os.makedirs(src)
+    _write_archives(src)
+    out = os.path.join(str(tmp_path), "warc_out")
+    r = subprocess.run(
+        [sys.executable, "-m", "pdf_extractor_scripts_spark",
+         "--mode", "batch", "--input", src, "--input-format", "warc",
+         "--output", out, "--run-id", "warccli"],
+        capture_output=True, text=True, cwd=repo, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "processed 6 documents" in r.stdout
+    assert "archives with framing errors (prefix salvaged): 1" in r.stdout
+
+
+@pytest.mark.usefixtures("spark")
+def test_docs_from_warcs_explode_and_parse(spark, tmp_path):
+    docs = _write_archives(str(tmp_path))
+    acc = spark.sparkContext.accumulator(0)
+    exploded = read_warc_docs(spark, str(tmp_path), error_acc=acc)
+    # no orderBy: a sort's sampling pass re-executes the map stage and
+    # double-counts the accumulator (at-least-once, like any Spark
+    # transformation-side accumulator)
+    rows = sorted(exploded.collect(), key=lambda r: r["doc_id"])
+    # 6 real documents + 1 sentinel for the corrupt archive
+    by_err = [r for r in rows if r["archive_error"] is not None]
+    ok = [r for r in rows if r["archive_error"] is None]
+    assert len(ok) == 6 and len(by_err) == 1
+    assert acc.value == 1
+    assert by_err[0]["length"] == 0 and "gzip" in by_err[0]["archive_error"]
+    got = {r["doc_id"]: bytes(r["content"]) for r in ok}
+    assert got == {d["url"]: d["payload"] for d in docs}
+    assert all(r["http_status"] == 200 for r in ok)
+
+    # archives feed the interleaved parse stage unchanged: PDFs and HTML
+    # from one archive both produce span rows via per-doc sniffing
+    from pdf_extractor_scripts_spark.sources.spans import parse_binary_to_spans
+
+    clean = exploded.filter("archive_error IS NULL AND http_status = 200")
+    parsed = parse_binary_to_spans(clean, container="auto")
+    out = {r["doc_id"]: r for r in parsed.collect()}
+    assert len(out) == 6 and all(r["parse_ok"] for r in out.values())
+    html_doc = next(r for k, r in out.items() if k.endswith(".html"))
+    pdf_doc = next(r for k, r in out.items() if not k.endswith(".html"))
+    assert any(s["kind"] == "text" for s in html_doc["spans"])
+    assert any(s["kind"] == "text" for s in pdf_doc["spans"])
