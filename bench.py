@@ -147,6 +147,73 @@ def _crawl_tree(n_docs: int, repeat: int = 1, html_every: int = 3) -> str:
     return root
 
 
+def _warc_tree(n_docs: int, repeat: int = 1, per_archive: int = 64) -> str:
+    """Pack the mixed-crawl tree into WARC archives (record-at-time gzip;
+    each archive's first two documents exercise chunked transfer framing
+    and Content-Encoding gzip) — the container a real crawl corpus ships
+    in (Common Crawl segments). Idempotent."""
+    src = _crawl_tree(n_docs, repeat)
+    root = f"/tmp/spark_graft_warctree_{n_docs}" + (
+        f"_x{repeat}" if repeat > 1 else ""
+    )
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return root
+    from pdf_extractor_scripts_spark.sources.warcparse import build_warc
+
+    os.makedirs(root, exist_ok=True)
+    files = sorted(
+        os.path.join(dp, fn)
+        for dp, _, fns in os.walk(src)
+        for fn in fns
+        if fn.endswith((".pdf", ".html"))
+    )
+    batch: list[dict] = []
+    seg = 0
+
+    def flush() -> None:
+        nonlocal batch, seg
+        if not batch:
+            return
+        data = build_warc(batch, chunked={0}, content_gzip={1})
+        with open(os.path.join(root, f"seg{seg:05d}.warc.gz"), "wb") as f:
+            f.write(data)
+        seg += 1
+        batch = []
+
+    for path in files:
+        rel = os.path.relpath(path, src)
+        with open(path, "rb") as f:
+            payload = f.read()
+        batch.append({
+            "url": f"https://crawl.test/{rel}",
+            "payload": payload,
+            "content_type": ("text/html" if rel.endswith(".html")
+                             else "application/pdf"),
+        })
+        if len(batch) >= per_archive:
+            flush()
+    flush()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def run_warc_ingest(spark, root: str) -> float:
+    """Wall seconds for the full crawl-shipping path: binaryFile scan of
+    *.warc.gz → archive explode (gunzip members, HTTP payload decode) →
+    2xx/clean filter → container-sniffed byte-stream parse."""
+    from pdf_extractor_scripts_spark.sources.spans import parse_binary_to_spans
+    from pdf_extractor_scripts_spark.sources.warcparse import read_warc_docs
+
+    t0 = time.time()
+    docs = read_warc_docs(spark, root).filter(
+        "archive_error IS NULL AND (http_status IS NULL "
+        "OR http_status BETWEEN 200 AND 299)")
+    _force(parse_binary_to_spans(docs, container="auto"))
+    return time.time() - t0
+
+
 def run_pdf_ingest(spark, root: str, container: str = "pdf") -> float:
     """Wall seconds for binaryFile scan → parse_binary_to_spans (forced).
     ``container='auto'`` reads the whole tree (PDF + HTML, the marker
@@ -265,6 +332,13 @@ def main() -> None:
     )
     timings["crawl_ingest"] = round(crawl_sec, 3)
 
+    # WARC-archive ingest (r6): the same documents shipped the way a
+    # crawl corpus actually arrives — gzip'd WARC archives exploded
+    # record-wise, then the identical sniffed parse
+    warc_root = _warc_tree(n_pdfs)
+    warc_sec = min(run_warc_ingest(spark, warc_root) for _ in range(2))
+    timings["warc_ingest"] = round(warc_sec, 3)
+
     # Targeted outlier retries (r4 VERDICT #1, baseline fixed r6 per r5
     # VERDICT #2): any query still >1.3x its MINIMUM HISTORICAL record
     # after the min-of-2 passes gets up to 2 more cache-cleared attempts,
@@ -301,12 +375,17 @@ def main() -> None:
                 crawl_sec, run_pdf_ingest(spark, crawl_root, container="auto")
             )
             noise_retries["crawl_ingest"] = 1
+        p = best.get("warc_ingest")
+        if p and warc_sec > 1.3 * p:
+            warc_sec = min(warc_sec, run_warc_ingest(spark, warc_root))
+            noise_retries["warc_ingest"] = 1
 
     # recompute the minima: the retries above may have improved them
     ext_sec = min(ext_times)
     timings["extract_pipeline"] = round(ext_sec, 3)
     timings["pdf_ingest"] = round(pdf_sec, 3)
     timings["crawl_ingest"] = round(crawl_sec, 3)
+    timings["warc_ingest"] = round(warc_sec, 3)
     docs_per_sec = round(n_docs / ext_sec, 2)
 
     # LSH bucket-size telemetry (no silent caps): the similarity family's
@@ -334,6 +413,12 @@ def main() -> None:
             "html_every": 3,
             "sec": round(crawl_sec, 3),
             "docs_per_sec": round(n_pdfs / crawl_sec, 1),
+        },
+        "warc_ingest": {
+            "files": n_pdfs,
+            "docs_per_archive": 64,
+            "sec": round(warc_sec, 3),
+            "docs_per_sec": round(n_pdfs / warc_sec, 1),
         },
         "noise_retries": noise_retries,
     }
@@ -680,6 +765,89 @@ def scaling_crawl() -> None:
         for n in levels:
             f.write(f"| {n} | {round(best[n], 2)} | {thr[n]} |\n")
         f.write("\n| pair | parse eff | hardware ceiling | normalized |\n"
+                "|---|---|---|---|\n")
+        for p in stats:
+            f.write(
+                f"| {p['n']}→{p['4n']} | {p['efficiency']} | "
+                f"{p['hardware_ceiling']} | {p['normalized']} |\n"
+            )
+        f.write("\nPer-round pair ratios: " + "; ".join(
+            f"{p['n']}→{p['4n']}: {p['per_round']}" for p in stats) + "\n")
+
+
+def scaling_warc() -> None:
+    """WARC-archive ingest scaling (r6): binaryFile scan of *.warc.gz →
+    archive explode (gunzip members + HTTP payload decode) →
+    container-sniffed parse at N vs 4N task slots. The parallel unit is
+    the ARCHIVE (one gzip'd member sequence decodes inside one task), so
+    the archive count must dwarf the slot count — per_archive=64 over
+    20k docs gives ~313 archives vs 16 slots. Same interleaved
+    min-of-rounds protocol and long-wall sizing as --crawl-scaling;
+    appends to BENCH/BASELINE.md and writes BENCH/warc_scaling.json."""
+    n_files = int(os.environ.get("SPARK_GRAFT_SCALE_PDFS", "20000"))
+    repeat = int(os.environ.get("SPARK_GRAFT_SCALE_PDF_REPEAT", "30"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    pairs = [(4, 16)]
+    levels = sorted({n for p in pairs for n in p})
+
+    from pdf_extractor_scripts_spark.sources.spans import (
+        parse_binary_to_spans,
+        read_binary_docs,
+    )
+    from pdf_extractor_scripts_spark.sources.warcparse import docs_from_warcs
+
+    spark = make_session(32)
+    archives = read_binary_docs(
+        spark, _warc_tree(n_files, repeat), glob="*.warc*"
+    ).localCheckpoint(eager=True)
+    n_archives = archives.count()
+
+    def run(n: int) -> float:
+        t0 = time.time()
+        docs = docs_from_warcs(archives.coalesce(n)).filter(
+            "archive_error IS NULL AND (http_status IS NULL "
+            "OR http_status BETWEEN 200 AND 299)")
+        _force(parse_binary_to_spans(docs, container="auto"))
+        return time.time() - t0
+
+    run(32)  # warmup (untimed)
+    times: dict[int, list[float]] = {n: [] for n in levels}
+    for _ in range(rounds):
+        for n in levels:
+            times[n].append(run(n))
+    spark.stop()
+
+    control = _cpu_control(levels)
+    stats = _pair_stats_for(times, pairs, control)
+    best = {n: min(ts) for n, ts in times.items()}
+    thr = {n: round(n_files / best[n], 1) for n in levels}
+    out = {
+        "metric": "WARC-archive ingest scaling N->4N "
+                  "(gzip'd archives -> explode -> sniffed parse)",
+        "value": stats[0]["efficiency"],
+        "unit": "efficiency",
+        "files": n_files,
+        "archives": n_archives,
+        "html_every": 3,
+        "pages_repeat": repeat,
+        "best_wall_sec": {str(n): round(best[n], 2) for n in levels},
+        "throughput_files_per_sec": {str(n): thr[n] for n in levels},
+        "pairs": stats,
+    }
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/warc_scaling.json", "w") as f:
+        json.dump(out, f, indent=1)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n### WARC-archive ingest scaling ({n_files} docs in "
+            f"{n_archives} gzip'd archives, every 3rd HTML, x{repeat} "
+            f"content repeat, rounds={rounds}, interleaved)\n\n"
+            "| task slots (N) | best wall sec | docs/sec |\n|---|---|---|\n"
+        )
+        for n in levels:
+            f.write(f"| {n} | {round(best[n], 2)} | {thr[n]} |\n")
+        f.write("\n| pair | ingest eff | hardware ceiling | normalized |\n"
                 "|---|---|---|---|\n")
         for p in stats:
             f.write(
@@ -1181,6 +1349,8 @@ if __name__ == "__main__":
         scaling_ingest()
     elif "--crawl-scaling" in sys.argv:
         scaling_crawl()
+    elif "--warc-scaling" in sys.argv:
+        scaling_warc()
     elif "--media-scaling" in sys.argv:
         scaling_media()
     elif "--scaling" in sys.argv:
