@@ -208,8 +208,8 @@ def run_warc_ingest(spark, root: str) -> float:
 
     t0 = time.time()
     docs = read_warc_docs(spark, root).filter(
-        "archive_error IS NULL AND (http_status IS NULL "
-        "OR http_status BETWEEN 200 AND 299)")
+        "archive_error IS NULL AND revisit_of IS NULL AND "
+        "(http_status IS NULL OR http_status BETWEEN 200 AND 299)")
     _force(parse_binary_to_spans(docs, container="auto"))
     return time.time() - t0
 
@@ -805,8 +805,8 @@ def scaling_warc() -> None:
     def run(n: int) -> float:
         t0 = time.time()
         docs = docs_from_warcs(archives.coalesce(n)).filter(
-            "archive_error IS NULL AND (http_status IS NULL "
-            "OR http_status BETWEEN 200 AND 299)")
+            "archive_error IS NULL AND revisit_of IS NULL AND "
+            "(http_status IS NULL OR http_status BETWEEN 200 AND 299)")
         _force(parse_binary_to_spans(docs, container="auto"))
         return time.time() - t0
 

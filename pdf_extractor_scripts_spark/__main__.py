@@ -120,9 +120,10 @@ def main(argv: list[str] | None = None) -> int:
                                       error_acc=warc_errors)
             # classic crawl-processing filter: framed-clean archives,
             # 2xx responses and bare resource/conversion payloads —
-            # column predicates, no re-parse
+            # column predicates, no re-parse; revisit records are
+            # payload-less dedup pointers, not documents
             clean = exploded.filter(
-                "archive_error IS NULL AND "
+                "archive_error IS NULL AND revisit_of IS NULL AND "
                 "(http_status IS NULL OR http_status BETWEEN 200 AND 299)")
             parse_fallbacks = spark.sparkContext.accumulator(0)
             # doc_id is already the WARC-Target-URI — no path stripping

@@ -209,7 +209,9 @@ def warc_documents(data: bytes) -> tuple[list[dict], str | None]:
     keep what framed correctly, signal what didn't).
 
     Doc dict: url, record_id, date, content_type, http_status (None for
-    non-response records), payload.
+    non-response records), payload; ``revisit`` records additionally
+    carry ``revisit_of`` (the capture they duplicate) with an empty
+    payload.
     """
     docs: list[dict] = []
     err: str | None = None
@@ -243,7 +245,23 @@ def warc_documents(data: bytes) -> tuple[list[dict], str | None]:
                     http_status=None,
                     payload=block,
                 ))
-            # warcinfo / request / metadata / revisit: no document payload
+            elif rtype == "revisit":
+                # crawl-level dedup pointer (WARC 1.1 §6.7.2): the crawler
+                # saw this URL again with unchanged content and stored a
+                # reference instead of the payload. Surfaced as a
+                # payload-less row so the curation funnel can count crawl
+                # dedup without re-fetching; parse stages must filter
+                # ``revisit_of IS NULL``.
+                docs.append(dict(
+                    base,
+                    content_type=headers.get("content-type", ""),
+                    http_status=None,
+                    payload=b"",
+                    revisit_of=headers.get(
+                        "warc-refers-to-target-uri",
+                        headers.get("warc-refers-to", "")),
+                ))
+            # warcinfo / request / metadata: no document payload
     except (ValueError, zlib.error) as e:
         # zlib.error: corrupt gzip members / Content-Encoding bodies
         err = f"{type(e).__name__}: {e}"
@@ -301,14 +319,24 @@ def build_warc(docs: list[dict], per_record_gzip: bool = True,
     Content-Encoding: gzip for that doc, exercising both decode paths.
     ``per_record_gzip=True`` compresses record-at-time (the spec-blessed
     layout that keeps archives split-seekable); False writes plain WARC.
+    A doc with a ``revisit_of`` key becomes a payload-less revisit record
+    pointing at that URL.
     """
     records = []
     info_block = b"software: pdf_extractor_scripts_spark fixture writer\r\n"
     records.append(_record("warcinfo", "", info_block, "warcinfo",
                            "application/warc-fields"))
     for i, d in enumerate(docs):
-        url, payload = d["url"], d["payload"]
+        url, payload = d["url"], d.get("payload", b"")
         ctype = d.get("content_type", "application/octet-stream")
+        if d.get("revisit_of"):
+            records.append(_record(
+                "revisit", url, b"", f"revisit{i}:{url}", ctype,
+                extra=[b"WARC-Refers-To-Target-URI: "
+                       + d["revisit_of"].encode(),
+                       b"WARC-Profile: http://netpreserve.org/warc/1.1/"
+                       b"revisit/identical-payload-digest"]))
+            continue
         if with_requests:
             req = (b"GET / HTTP/1.1\r\nHost: example.test\r\n"
                    b"User-Agent: fixture\r\n\r\n")
@@ -355,6 +383,7 @@ def _warc_doc_schema():
         StructField("length", LongType()),
         StructField("content_type", StringType()),
         StructField("http_status", IntegerType()),
+        StructField("revisit_of", StringType()),
         StructField("warc_file", StringType()),
         StructField("archive_error", StringType()),
     ])
@@ -403,6 +432,7 @@ def docs_from_warcs(binary_archives, error_acc=None):
                         "length": len(payload),
                         "content_type": d["content_type"],
                         "http_status": d["http_status"],
+                        "revisit_of": d.get("revisit_of"),
                         "warc_file": path,
                         "archive_error": err,
                     })
@@ -410,6 +440,7 @@ def docs_from_warcs(binary_archives, error_acc=None):
                     out.append({
                         "doc_id": path, "content": b"", "length": 0,
                         "content_type": "", "http_status": None,
+                        "revisit_of": None,
                         "warc_file": path, "archive_error": err,
                     })
             yield pd.DataFrame(out) if out else pd.DataFrame(
@@ -425,3 +456,182 @@ def read_warc_docs(spark, path: str, error_acc=None):
 
     archives = read_binary_docs(spark, path, glob="*.warc*")
     return docs_from_warcs(archives, error_acc=error_acc)
+
+
+# ---------------------------------------------------------------------------
+# sub-archive splits: the CDX-index pattern
+#
+# One archive normally decodes inside one task, which is fine when
+# archives ≫ task slots — but a handful of monster archives (a 10-GB
+# segment among 1-GB siblings) skews the stage exactly the way monster
+# PDFs skew extraction (operators/skew.py). Record-at-time gzip makes
+# archives splittable at member boundaries: an (offset, length) member
+# index — what Common Crawl ships as CDX sidecar files — lets many tasks
+# decode disjoint byte ranges of the same archive.
+
+
+def warc_member_index(data: bytes) -> list[tuple[int, int]]:
+    """(offset, length) of every gzip member in a record-at-time
+    compressed archive — the CDX-style index that makes the archive
+    splittable. Plain (uncompressed) WARC raises: its records are only
+    length-delimited, so splitting it needs the full parse anyway."""
+    if data[:2] != _GZIP_MAGIC:
+        raise ValueError("member index requires record-at-time gzip")
+    index: list[tuple[int, int]] = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            d.decompress(data[pos:])
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member in WARC archive: {e}")
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC archive")
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("gzip member made no progress")
+        index.append((pos, consumed))
+        pos += consumed
+    return index
+
+
+def _range_schema():
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    return StructType([
+        StructField("warc_file", StringType()),
+        StructField("offset", LongType()),
+        StructField("length", LongType()),
+        StructField("archive_error", StringType()),
+    ])
+
+
+def index_warc_archives(binary_archives, target_bytes: int = 32 << 20):
+    """binaryFile archive rows → one row per CHUNK of consecutive gzip
+    members totalling ~``target_bytes`` compressed: (warc_file, offset,
+    length, archive_error). Unindexable archives (plain WARC, corrupt
+    gzip) yield a single whole-file row with ``archive_error`` set so
+    the range reader can fall back to whole-archive decoding (plain
+    WARC) or salvage accounting (corrupt)."""
+    import pandas as pd
+
+    schema = _range_schema()
+    cols = binary_archives.columns
+    path_col = "path" if "path" in cols else "doc_id"
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf[path_col], pdf["content"]):
+                data = bytes(content)
+                try:
+                    members = warc_member_index(data)
+                except ValueError as e:
+                    out.append({"warc_file": path, "offset": 0,
+                                "length": len(data),
+                                "archive_error": f"unindexable: {e}"})
+                    continue
+                start, size = 0, 0
+                for off, length in members:
+                    if size and size + length > target_bytes:
+                        out.append({"warc_file": path, "offset": start,
+                                    "length": size, "archive_error": None})
+                        start, size = off, 0
+                    size += length
+                if size:
+                    out.append({"warc_file": path, "offset": start,
+                                "length": size, "archive_error": None})
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in schema.fields})
+
+    return binary_archives.mapInPandas(build, schema)
+
+
+def _local_path(path: str) -> str:
+    """binaryFile paths arrive scheme-qualified (file:/...). Range reads
+    open the file directly, which this sandbox's local FS supports; on a
+    real cluster the same seek-read goes through the object-store /
+    HDFS client (S3 ranged GET, FSDataInputStream.seek) — the CDX
+    pattern's whole point is that ranged reads are cheap there."""
+    for prefix in ("file://", "file:"):
+        if path.startswith(prefix):
+            return path[len(prefix):] or "/"
+    if "://" in path:
+        raise ValueError(
+            f"range reads need a locally-openable path, got {path!r}")
+    return path
+
+
+def docs_from_warc_ranges(ranges, error_acc=None):
+    """(warc_file, offset, length) chunk rows → per-document rows with
+    the docs_from_warcs schema. Each task seek-reads only its byte
+    range, so one monster archive decodes across many tasks. Rows whose
+    ``archive_error`` is 'unindexable: member index requires
+    record-at-time gzip' are whole plain-WARC files and decode normally;
+    other pre-flagged rows pass their error through as sentinels."""
+    import pandas as pd
+
+    schema = _warc_doc_schema()
+
+    def explode(batches):
+        for pdf in batches:
+            out = []
+            for path, off, length, pre_err in zip(
+                    pdf["warc_file"], pdf["offset"], pdf["length"],
+                    pdf["archive_error"]):
+                if pre_err is not None and "record-at-time" not in pre_err:
+                    out.append({
+                        "doc_id": path, "content": b"", "length": 0,
+                        "content_type": "", "http_status": None,
+                        "revisit_of": None, "warc_file": path,
+                        "archive_error": pre_err,
+                    })
+                    if error_acc is not None:
+                        error_acc.add(1)
+                    continue
+                with open(_local_path(path), "rb") as f:
+                    f.seek(int(off))
+                    data = f.read(int(length))
+                docs, err = warc_documents(data)
+                if err is not None and error_acc is not None:
+                    error_acc.add(1)
+                for d in docs:
+                    payload = d["payload"]
+                    out.append({
+                        "doc_id": d["url"] or d["record_id"],
+                        "content": payload,
+                        "length": len(payload),
+                        "content_type": d["content_type"],
+                        "http_status": d["http_status"],
+                        "revisit_of": d.get("revisit_of"),
+                        "warc_file": path,
+                        "archive_error": err,
+                    })
+                if err is not None and not docs:
+                    out.append({
+                        "doc_id": f"{path}@{off}", "content": b"",
+                        "length": 0, "content_type": "",
+                        "http_status": None, "revisit_of": None,
+                        "warc_file": path, "archive_error": err,
+                    })
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in schema.fields})
+
+    return ranges.mapInPandas(explode, schema)
+
+
+def read_warc_docs_split(spark, path: str, target_bytes: int = 32 << 20,
+                         error_acc=None):
+    """Split (CDX-pattern) WARC reader: index archives into ~target_bytes
+    member-aligned chunks, shuffle the chunk list so ranges of one
+    monster archive land on different tasks, then seek-read and decode
+    each range independently. Output schema and salvage semantics match
+    read_warc_docs; use when archive sizes are skewed or archives are
+    few relative to task slots."""
+    from .spans import read_binary_docs
+
+    archives = read_binary_docs(spark, path, glob="*.warc*")
+    ranges = index_warc_archives(archives, target_bytes=target_bytes)
+    return docs_from_warc_ranges(
+        ranges.repartition("warc_file", "offset"), error_acc=error_acc)

@@ -129,6 +129,101 @@ def test_fixture_writer_is_deterministic():
     assert build_warc(_docs()) == build_warc(_docs())
 
 
+def test_revisit_records_are_payloadless_pointers():
+    docs = _docs(2) + [{"url": "https://example.test/page0",
+                        "revisit_of": "https://example.test/page0",
+                        "content_type": "text/html"}]
+    got, err = warc_documents(build_warc(docs))
+    assert err is None and len(got) == 3
+    rv = got[2]
+    assert rv["revisit_of"] == "https://example.test/page0"
+    assert rv["payload"] == b"" and rv["http_status"] is None
+    # normal documents never carry the pointer
+    assert all("revisit_of" not in d for d in got[:2])
+
+
+# ---------------------------------------------------------------------------
+# member index + sub-archive splits (the CDX pattern)
+
+
+def test_member_index_finds_every_record():
+    from pdf_extractor_scripts_spark.sources.warcparse import (
+        warc_member_index,
+    )
+
+    data = build_warc(_docs(5))
+    index = warc_member_index(data)
+    # warcinfo + 5 x (request + response) records, one member each
+    assert len(index) == 11
+    assert index[0][0] == 0
+    assert sum(length for _, length in index) == len(data)
+    # every slice is independently decodable: the response members
+    # parse to exactly the original payloads
+    payloads = []
+    for off, length in index:
+        for headers, block in iter_warc_records(data[off:off + length]):
+            if headers.get("warc-type") == "response":
+                _, _, body = parse_http_response(block)
+                payloads.append(body)
+    assert payloads == [d["payload"] for d in _docs(5)]
+
+
+def test_member_index_rejects_plain_warc():
+    from pdf_extractor_scripts_spark.sources.warcparse import (
+        warc_member_index,
+    )
+
+    with pytest.raises(ValueError, match="record-at-time"):
+        warc_member_index(build_warc(_docs(2), per_record_gzip=False))
+
+
+@pytest.mark.usefixtures("spark")
+def test_split_reader_matches_whole_archive_reader(spark, tmp_path):
+    """read_warc_docs_split (CDX-pattern ranged reads) produces the same
+    documents as whole-archive decoding — including a monster archive
+    split across many chunks, a plain-WARC fallback file, and a corrupt
+    sentinel."""
+    from pdf_extractor_scripts_spark.sources.warcparse import (
+        read_warc_docs_split,
+    )
+
+    docs = _write_archives(str(tmp_path))
+    # monster archive: many docs, tiny target_bytes forces multi-chunking
+    monster = [{"url": f"https://crawl.test/m{i}",
+                "payload": _HTML * 3 + str(i).encode(),
+                "content_type": "text/html"} for i in range(40)]
+    with open(os.path.join(str(tmp_path), "monster.warc.gz"), "wb") as f:
+        f.write(build_warc(monster))
+    # plain (uncompressed) WARC: unindexable -> whole-file fallback
+    plain = [{"url": "https://crawl.test/plain0", "payload": _HTML,
+              "content_type": "text/html"}]
+    with open(os.path.join(str(tmp_path), "plain.warc"), "wb") as f:
+        f.write(build_warc(plain, per_record_gzip=False))
+
+    split = read_warc_docs_split(spark, str(tmp_path), target_bytes=4096)
+    rows = split.collect()
+    ok = {r["doc_id"]: bytes(r["content"]) for r in rows
+          if r["archive_error"] is None}
+    expected = {d["url"]: d["payload"] for d in docs + monster + plain}
+    assert ok == expected
+    # the corrupt archive still surfaces exactly one sentinel
+    bad = [r for r in rows if r["archive_error"] is not None]
+    assert len(bad) == 1 and "unindexable" in bad[0]["archive_error"]
+    # the monster archive really was split: its docs span >1 input chunk
+    from pdf_extractor_scripts_spark.sources.spans import read_binary_docs
+    from pdf_extractor_scripts_spark.sources.warcparse import (
+        index_warc_archives,
+    )
+
+    ranges = index_warc_archives(
+        read_binary_docs(spark, str(tmp_path), glob="*.warc*"),
+        target_bytes=4096).collect()
+    per_file = {}
+    for r in ranges:
+        per_file[r["warc_file"]] = per_file.get(r["warc_file"], 0) + 1
+    assert max(per_file.values()) > 1
+
+
 # ---------------------------------------------------------------------------
 # Spark explode + interleaved parse
 
