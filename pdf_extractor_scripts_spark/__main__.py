@@ -126,9 +126,12 @@ def main(argv: list[str] | None = None) -> int:
                 "archive_error IS NULL AND revisit_of IS NULL AND "
                 "(http_status IS NULL OR http_status BETWEEN 200 AND 299)")
             parse_fallbacks = spark.sparkContext.accumulator(0)
-            # doc_id is already the WARC-Target-URI — no path stripping
+            # doc_id is already the WARC-Target-URI — no path stripping;
+            # the HTTP Content-Type charset rides along as the
+            # transport-layer decode hint for HTML documents
             docs = parse_binary_to_spans(clean, fallback_acc=parse_fallbacks,
-                                         container="auto")
+                                         container="auto",
+                                         ctype_col="content_type")
         elif args.input_format in ("pdf", "html", "web"):
             import pyspark.sql.functions as F
 

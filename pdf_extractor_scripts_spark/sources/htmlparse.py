@@ -265,9 +265,11 @@ def _classify(blocks: list[_Block]) -> list[bool]:
     return flags
 
 
-def _decode_html(data: bytes) -> str:
-    """Bytes → str honoring the page's declared encoding: a UTF BOM
-    wins, else the first `charset=` declaration in the head (the
+def _decode_html(data: bytes, charset: str | None = None) -> str:
+    """Bytes → str honoring the page's declared encoding in the WHATWG
+    sniffing order: a UTF BOM wins, else the transport-layer ``charset``
+    (an HTTP Content-Type parameter — what a WARC crawl delivers), else
+    the first in-document `charset=` declaration in the head (the
     `<meta charset>` / http-equiv forms — the windows-1252 legacy web),
     else UTF-8; always errors='replace' so garbage never raises."""
     import codecs
@@ -277,6 +279,11 @@ def _decode_html(data: bytes) -> str:
         return data[3:].decode("utf-8", errors="replace")
     if data.startswith((codecs.BOM_UTF16_LE, codecs.BOM_UTF16_BE)):
         return data.decode("utf-16", errors="replace")
+    if charset:
+        try:
+            return data.decode(charset, errors="replace")
+        except LookupError:
+            pass  # bogus transport label → in-document sniff
     m = _re.search(rb"charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", data[:2048])
     if m:
         try:
@@ -287,12 +294,25 @@ def _decode_html(data: bytes) -> str:
     return data.decode("utf-8", errors="replace")
 
 
-def extract_main_blocks(data: bytes | str) -> list[dict]:
+def charset_of(content_type: str | None) -> str | None:
+    """The charset parameter of an HTTP Content-Type value, or None —
+    the transport-layer encoding hint ranged second in the WHATWG
+    sniffing order (after the BOM, before in-document meta)."""
+    if not content_type:
+        return None
+    import re as _re
+
+    m = _re.search(r"charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", content_type)
+    return m.group(1) if m else None
+
+
+def extract_main_blocks(data: bytes | str,
+                        charset: str | None = None) -> list[dict]:
     """HTML → ordered retained blocks: [{"text", "images", "heading"}].
     The debugging/analysis surface; `parse_html_spans` is the span
-    emitter over it."""
+    emitter over it. ``charset``: transport-layer encoding hint."""
     if isinstance(data, bytes):
-        text = _decode_html(data)
+        text = _decode_html(data, charset=charset)
     else:
         text = data
     parser = _BlockParser()
@@ -305,17 +325,19 @@ def extract_main_blocks(data: bytes | str) -> list[dict]:
     ]
 
 
-def parse_html_spans(data: bytes | str, doc_id: str) -> list[dict]:
+def parse_html_spans(data: bytes | str, doc_id: str,
+                     charset: str | None = None) -> list[dict]:
     """HTML bytes → ordered (kind, text, media_ref, offset) spans in the
     corpus span grammar — the container twin of ``parse_pdf_spans``:
     one page_break (an HTML document is one page), a text span per
     retained main-content block, a media span per image in a retained
     block (media_ref = the src attribute: the crawl-corpus media
-    reference)."""
+    reference). ``charset``: transport-layer encoding hint (the HTTP
+    Content-Type charset a WARC crawl delivers)."""
     spans: list[dict] = [{"kind": "page_break", "text": "=== PAGE 1 ===",
                           "media_ref": "", "offset": 0}]
     off = 1
-    for blk in extract_main_blocks(data):
+    for blk in extract_main_blocks(data, charset=charset):
         if blk["text"]:
             spans.append({"kind": "text", "text": blk["text"],
                           "media_ref": "", "offset": off})

@@ -73,7 +73,8 @@ def read_binary_docs(
 
 
 def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
-                          container: str = "auto") -> DataFrame:
+                          container: str = "auto",
+                          ctype_col: str | None = None) -> DataFrame:
     """S2-S4 for real: batched byte-stream parsing as an Arrow
     mapInPandas over ``content`` — for PDFs the xref walk, page-tree
     traversal, FlateDecode and content-stream tokenization
@@ -97,11 +98,16 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
     ``fallback_acc``: optional Spark accumulator incremented once per
     fallback document — lets a driver report the fallback count without a
     second pass over the (potentially 100 TB) binary input.
+
+    ``ctype_col``: optional column holding each document's HTTP
+    Content-Type (a WARC crawl delivers one per response) — its charset
+    parameter becomes the transport-layer encoding hint for HTML decode,
+    ranked per the WHATWG sniffing order (BOM > transport > meta).
     """
     from pyspark.sql.types import BooleanType, StringType, StructField, StructType
 
     from ..schemas import DOC_SCHEMA
-    from .htmlparse import parse_html_spans, sniff_container
+    from .htmlparse import charset_of, parse_html_spans, sniff_container
     from .pdfparse import parse_pdf_spans
 
     if container not in ("auto", "pdf", "html"):
@@ -118,13 +124,17 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
 
         for pdf in batches:
             out = []
-            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            ctypes = (pdf[ctype_col] if ctype_col is not None
+                      else [None] * len(pdf))
+            for doc_id, content, ctype in zip(
+                    pdf["doc_id"], pdf["content"], ctypes):
                 err = None
                 raw = bytes(content)
                 form = container if container != "auto" \
                     else sniff_container(raw)
                 try:
-                    spans = (parse_html_spans(raw, doc_id)
+                    spans = (parse_html_spans(raw, doc_id,
+                                              charset=charset_of(ctype))
                              if form == "html"
                              else parse_pdf_spans(raw, doc_id))
                 except Exception as e:  # fallback-chain terminal: empty page
@@ -137,4 +147,5 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
                             "parse_ok": err is None, "parse_error": err})
             yield pd.DataFrame(out)
 
-    return binary_docs.select("doc_id", "content").mapInPandas(parse, out_schema)
+    cols = ["doc_id", "content"] + ([ctype_col] if ctype_col else [])
+    return binary_docs.select(*cols).mapInPandas(parse, out_schema)

@@ -173,6 +173,38 @@ def test_charset_sniffing():
     assert "café" in extract_main_blocks(bom)[0]["text"]
 
 
+def test_transport_charset_precedence():
+    """WHATWG sniffing order: BOM > transport-layer (HTTP header)
+    charset > meta declaration > UTF-8."""
+    from pdf_extractor_scripts_spark.sources.htmlparse import charset_of
+
+    para = _words(18) + " caf\xe9 fran\xe7ais"
+    # header-only page (no meta): the transport hint decodes it
+    bare = ("<html><body><p>" + para + "</p></body></html>").encode("cp1252")
+    assert "café français" in extract_main_blocks(
+        bare, charset="windows-1252")[0]["text"]
+    # transport beats a WRONG meta declaration
+    lying_meta = ("<html><head><meta charset='utf-8'></head><body><p>"
+                  + para + "</p></body></html>").encode("cp1252")
+    assert "café français" in extract_main_blocks(
+        lying_meta, charset="windows-1252")[0]["text"]
+    # BOM beats transport
+    bom = b"\xef\xbb\xbf" + (
+        "<html><body><p>" + para + "</p></body></html>").encode("utf-8")
+    assert "café français" in extract_main_blocks(
+        bom, charset="windows-1252")[0]["text"]
+    # bogus transport label falls through to meta
+    meta = ("<html><head><meta charset='windows-1252'></head><body><p>"
+            + para + "</p></body></html>").encode("cp1252")
+    assert "café français" in extract_main_blocks(
+        meta, charset="no-such-enc")[0]["text"]
+    # Content-Type parsing
+    assert charset_of("text/html; charset=ISO-8859-1") == "ISO-8859-1"
+    assert charset_of('text/html; charset="utf-8"') == "utf-8"
+    assert charset_of("application/pdf") is None
+    assert charset_of(None) is None
+
+
 def test_images_in_skip_content_ignored():
     """<img> inside <template>/<noscript>/<svg> is not page media; an
     <img> inside real content still is (the figure rule keeps it)."""

@@ -142,6 +142,37 @@ def test_revisit_records_are_payloadless_pointers():
     assert all("revisit_of" not in d for d in got[:2])
 
 
+@pytest.mark.usefixtures("spark")
+def test_http_charset_reaches_html_decode(spark, tmp_path):
+    """The HTTP Content-Type charset a WARC response carries is the
+    transport-layer decode hint: a latin-1 page with NO meta tag
+    extracts the right characters when ctype_col is threaded through."""
+    from pdf_extractor_scripts_spark.sources.spans import (
+        parse_binary_to_spans,
+    )
+
+    para = ("caf\xe9 fran\xe7ais r\xe9sum\xe9 " * 12).strip()
+    page = ("<html><body><p>" + para + "</p></body></html>").encode("cp1252")
+    path = os.path.join(str(tmp_path), "a.warc.gz")
+    with open(path, "wb") as f:
+        f.write(build_warc([{
+            "url": "https://example.test/latin1",
+            "payload": page,
+            "content_type": "text/html; charset=windows-1252",
+        }]))
+    exploded = read_warc_docs(spark, str(tmp_path))
+    parsed = parse_binary_to_spans(exploded, container="auto",
+                                   ctype_col="content_type")
+    (row,) = parsed.collect()
+    text = " ".join(s["text"] for s in row["spans"] if s["kind"] == "text")
+    assert "café français résumé" in text
+    # without the hint the same bytes mojibake (proves the hint is load-
+    # bearing, not that cp1252 happens to survive a utf-8 replace)
+    (row2,) = parse_binary_to_spans(exploded, container="auto").collect()
+    text2 = " ".join(s["text"] for s in row2["spans"] if s["kind"] == "text")
+    assert "café" not in text2
+
+
 # ---------------------------------------------------------------------------
 # member index + sub-archive splits (the CDX pattern)
 
