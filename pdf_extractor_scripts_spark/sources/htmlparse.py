@@ -56,6 +56,10 @@ _BLOCK_TAGS = frozenset({
 # HTML5 semantic containers that are boilerplate BY ROLE (DOM heuristic:
 # the crawl-corpus analog of the reference's repetitive-header filter)
 _CHROME_TAGS = frozenset({"nav", "aside", "header", "footer"})
+# WAI-ARIA landmark roles equivalent to the chrome containers — the
+# div-soup web declares its chrome with role attributes
+_CHROME_ROLES = frozenset({"navigation", "banner", "contentinfo",
+                           "complementary", "search"})
 _HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 # void elements never get on the tag stack
 _VOID = frozenset({"area", "base", "br", "col", "embed", "hr", "img",
@@ -65,9 +69,10 @@ _VOID = frozenset({"area", "base", "br", "col", "embed", "hr", "img",
 
 class _Block:
     __slots__ = ("words", "chars", "link_chars", "text_parts",
-                 "in_chrome", "heading", "images", "table")
+                 "in_chrome", "heading", "images", "table", "in_main")
 
-    def __init__(self, in_chrome: bool, heading: bool, table: int = 0):
+    def __init__(self, in_chrome: bool, heading: bool, table: int = 0,
+                 in_main: bool = False):
         self.words = 0
         self.chars = 0
         self.link_chars = 0
@@ -75,6 +80,7 @@ class _Block:
         self.in_chrome = in_chrome
         self.heading = heading
         self.table = table  # innermost enclosing table id, 0 = none
+        self.in_main = in_main  # inside <main> / role="main"
         self.images: list[str] = []  # src attributes in block order
 
     @property
@@ -85,16 +91,39 @@ class _Block:
         return " ".join(" ".join(self.text_parts).split())
 
 
+# per-stack-entry flag bits: what this OPEN tag contributed at push
+# time, so the pop path undoes exactly what the push did (attribute-
+# derived roles included)
+_F_SKIP, _F_ANCHOR, _F_CHROME, _F_HEAD, _F_MAIN = 1, 2, 4, 8, 16
+
+
+def _is_hidden(attrs) -> bool:
+    """The hidden-content DOM heuristics: the `hidden` attribute,
+    aria-hidden='true', and inline display:none / visibility:hidden —
+    text a browser never renders is not document content."""
+    for k, v in attrs:
+        if k == "hidden":
+            return True
+        if k == "aria-hidden" and (v or "").strip().lower() == "true":
+            return True
+        if k == "style" and v:
+            css = v.replace(" ", "").lower()
+            if "display:none" in css or "visibility:hidden" in css:
+                return True
+    return False
+
+
 class _BlockParser(HTMLParser):
     """One pass: DOM → ordered `_Block` list with shallow features."""
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
-        self.stack: list[str] = []
-        self.skip_depth = 0     # inside script/style/head/…
+        self.stack: list[tuple[str, int]] = []  # (tag, flag bits)
+        self.skip_depth = 0     # inside script/style/head/hidden/…
         self.anchor_depth = 0   # inside <a>
-        self.chrome_depth = 0   # inside nav/aside/header/footer
+        self.chrome_depth = 0   # inside nav/aside/header/footer/role-chrome
         self.heading_depth = 0
+        self.main_depth = 0     # inside <main> / role="main"
         self.table_seq = 0      # table ids, 1-based
         self.table_stack: list[int] = []  # open-table ids (innermost last)
         self.blocks: list[_Block] = []
@@ -111,13 +140,14 @@ class _BlockParser(HTMLParser):
             self.cur = _Block(self.chrome_depth > 0,
                               self.heading_depth > 0,
                               self.table_stack[-1]
-                              if self.table_stack else 0)
+                              if self.table_stack else 0,
+                              self.main_depth > 0)
         return self.cur
 
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
         if tag == "img":
-            if not self.skip_depth:  # <img> in <template>/<noscript>/<svg>
+            if not self.skip_depth and not _is_hidden(attrs):
                 src = next((v for k, v in attrs if k == "src" and v), "")
                 self._ensure().images.append(src)
             return
@@ -126,38 +156,50 @@ class _BlockParser(HTMLParser):
             return
         if tag in _VOID:
             return
-        if tag in _SKIP_CONTENT:
+        role = next((v for k, v in attrs if k == "role" and v), "")
+        role = role.strip().lower()
+        flags = 0
+        if tag in _SKIP_CONTENT or _is_hidden(attrs):
+            flags |= _F_SKIP
             self.skip_depth += 1
         if tag == "a":
+            flags |= _F_ANCHOR
             self.anchor_depth += 1
-        if tag in _CHROME_TAGS:
+        if tag in _CHROME_TAGS or role in _CHROME_ROLES:
+            flags |= _F_CHROME
             self.chrome_depth += 1
         if tag in _HEADINGS:
+            flags |= _F_HEAD
             self.heading_depth += 1
+        if tag == "main" or role == "main":
+            flags |= _F_MAIN
+            self.main_depth += 1
         if tag in _BLOCK_TAGS:
             self._flush()
         if tag == "table":
             self.table_seq += 1
             self.table_stack.append(self.table_seq)
-        self.stack.append(tag)
+        self.stack.append((tag, flags))
 
     def handle_endtag(self, tag):
         tag = tag.lower()
         if tag in _VOID:
             return
         # pop to the matching open tag if present (tolerates the wild's
-        # unclosed <p>/<li>); decrement the counters of what we pop
-        if tag in self.stack:
+        # unclosed <p>/<li>); undo the flags of what we pop
+        if any(t == tag for t, _ in self.stack):
             while self.stack:
-                top = self.stack.pop()
-                if top in _SKIP_CONTENT:
+                top, fl = self.stack.pop()
+                if fl & _F_SKIP:
                     self.skip_depth = max(0, self.skip_depth - 1)
-                if top == "a":
+                if fl & _F_ANCHOR:
                     self.anchor_depth = max(0, self.anchor_depth - 1)
-                if top in _CHROME_TAGS:
+                if fl & _F_CHROME:
                     self.chrome_depth = max(0, self.chrome_depth - 1)
-                if top in _HEADINGS:
+                if fl & _F_HEAD:
                     self.heading_depth = max(0, self.heading_depth - 1)
+                if fl & _F_MAIN:
+                    self.main_depth = max(0, self.main_depth - 1)
                 if top == "table" and self.table_stack:
                     self._flush()
                     self.table_stack.pop()
@@ -200,6 +242,15 @@ def _classify(blocks: list[_Block]) -> list[bool]:
       chips) after real content don't survive on adjacency alone."""
     n = len(blocks)
     flags = [False] * n
+
+    # main-landmark scoping (DOM heuristic): when the page declares a
+    # <main> / role="main" landmark, everything outside it is chrome by
+    # the author's own statement — the strongest signal the wild offers.
+    # Pages without the landmark (most of the legacy web) are untouched.
+    if any(b.in_main for b in blocks):
+        for b in blocks:
+            if not b.in_main:
+                b.in_chrome = True
 
     def words(i: int) -> int:
         return blocks[i].words if 0 <= i < n else 0

@@ -173,6 +173,57 @@ def test_charset_sniffing():
     assert "café" in extract_main_blocks(bom)[0]["text"]
 
 
+def test_aria_roles_and_hidden_content():
+    """div-soup DOM heuristics: ARIA landmark roles make chrome,
+    hidden/aria-hidden/display:none content never extracts."""
+    linkfarm = " ".join(f"<a href='/l{i}'>Item number {i} here</a>"
+                        for i in range(12))
+    html = (f"<html><body>"
+            f"<div role='navigation'><p>{_LONG}</p></div>"
+            f"<div role='banner'><p>{_LONG}</p></div>"
+            f"<p>{_LONG}</p>"
+            f"<div hidden><p>{_LONG} HIDDENWORD</p></div>"
+            f"<div aria-hidden='true'><p>ARIAWORD {_LONG}</p></div>"
+            f"<div style='display: none'><p>CSSWORD {_LONG}</p></div>"
+            f"<div style='visibility:hidden'><p>VISWORD {_LONG}</p></div>"
+            f"<div role='complementary'>{linkfarm}</div>"
+            "</body></html>")
+    texts = [b["text"] for b in extract_main_blocks(html)]
+    assert len(texts) == 1 and _LONG in texts[0]
+    joined = " ".join(texts)
+    for marker in ("HIDDENWORD", "ARIAWORD", "CSSWORD", "VISWORD"):
+        assert marker not in joined
+    # hidden images are not media either
+    html2 = (f"<html><body><p>{_LONG}</p>"
+             f"<img src='real.png'><img src='ghost.png' hidden>"
+             "</body></html>")
+    imgs = [s for b in extract_main_blocks(html2) for s in b["images"]]
+    assert imgs == ["real.png"]
+
+
+def test_main_landmark_scopes_content():
+    """A declared <main> / role='main' landmark wins: long boilerplate
+    outside it (cookie banners, related-article rivers) drops; the same
+    page without the landmark keeps both."""
+    cookie = ("This website uses cookies to improve your experience and "
+              "by continuing to browse you consent to analytics tracking "
+              "partners processing data as described in our policy terms")
+    with_main = (f"<html><body><div><p>{cookie}</p></div>"
+                 f"<main><p>{_LONG}</p></main></body></html>")
+    texts = [b["text"] for b in extract_main_blocks(with_main)]
+    assert len(texts) == 1 and _LONG in texts[0]
+    # role='main' on a div works the same
+    role_main = (f"<html><body><div><p>{cookie}</p></div>"
+                 f"<div role='main'><p>{_LONG}</p></div></body></html>")
+    texts2 = [b["text"] for b in extract_main_blocks(role_main)]
+    assert len(texts2) == 1 and _LONG in texts2[0]
+    # no landmark: the rules alone decide, both survive
+    plain = (f"<html><body><div><p>{cookie}</p></div>"
+             f"<div><p>{_LONG}</p></div></body></html>")
+    texts3 = [b["text"] for b in extract_main_blocks(plain)]
+    assert len(texts3) == 2
+
+
 def test_transport_charset_precedence():
     """WHATWG sniffing order: BOM > transport-layer (HTTP header)
     charset > meta declaration > UTF-8."""
