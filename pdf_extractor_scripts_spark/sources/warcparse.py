@@ -45,17 +45,19 @@ _GZIP_MAGIC = b"\x1f\x8b"
 # record-level parsing
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a concatenation of gzip members (the record-at-time
-    compression the WARC spec recommends) into one contiguous buffer.
-    Record boundaries survive because WARC framing is length-delimited
+def _iter_gunzip_members(data: bytes):
+    """Yield the decompressed bytes of each gzip member (the
+    record-at-time compression the WARC spec recommends) WITHOUT
+    concatenating the whole archive into one buffer — a 1-GB Common
+    Crawl segment decompresses to several GB, and the framing loop only
+    ever needs one member (customarily one record) at a time. Record
+    boundaries survive because WARC framing is length-delimited
     (Content-Length), not member-delimited."""
-    out = []
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
         try:
-            out.append(d.decompress(data[pos:]))
+            chunk = d.decompress(data[pos:])
         except zlib.error as e:
             raise ValueError(f"corrupt gzip member in WARC archive: {e}")
         if not d.eof:
@@ -64,7 +66,7 @@ def _gunzip_members(data: bytes) -> bytes:
         if consumed <= 0:  # defensive: zero-progress guard
             raise ValueError("gzip member made no progress")
         pos += consumed
-    return b"".join(out)
+        yield chunk
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -87,41 +89,75 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
+def _try_frame(buf: bytes, pos: int):
+    """Frame one record at ``pos``: ((headers, block), new_pos), or
+    (None, new_pos) when the buffer ends mid-record (feed more members
+    and retry — new_pos still advances past inter-record padding).
+    Raises on structurally malformed input (non-WARC version line,
+    unparseable headers, missing Content-Length)."""
+    n = len(buf)
+    # tolerate extra blank lines between records (some writers pad)
+    while buf[pos:pos + 2] == _CRLF:
+        pos += 2
+    if pos >= n:
+        return None, pos
+    eol = buf.find(_CRLF, pos)
+    if eol < 0:
+        return None, pos
+    version = buf[pos:eol]
+    if not version.startswith(b"WARC/"):
+        raise ValueError(f"expected WARC version line, got {version[:20]!r}")
+    hdr_end = buf.find(_CRLF + _CRLF, eol)
+    if hdr_end < 0:
+        return None, pos
+    headers = _parse_headers(buf[eol + 2:hdr_end])
+    try:
+        length = int(headers["content-length"])
+    except (KeyError, ValueError):
+        raise ValueError("record missing a numeric Content-Length")
+    body_start = hdr_end + 4
+    if body_start + length > n:
+        return None, pos
+    return (headers, buf[body_start:body_start + length]), body_start + length
+
+
+def _raise_for_tail(buf: bytes, pos: int) -> None:
+    """Input exhausted with an unframed tail at ``pos``: classify the
+    truncation (blank padding is a clean end)."""
+    while buf[pos:pos + 2] == _CRLF:
+        pos += 2
+    if pos >= len(buf):
+        return
+    eol = buf.find(_CRLF, pos)
+    if eol < 0:
+        raise ValueError("truncated record: no version line terminator")
+    if buf.find(_CRLF + _CRLF, eol) < 0:
+        raise ValueError("truncated record: unterminated header block")
+    raise ValueError("truncated record: block shorter than Content-Length")
+
+
 def iter_warc_records(data: bytes):
     """Yield (headers: dict, block: bytes) per WARC record. ``data`` may
-    be a plain WARC file or gzip member-compressed (sniffed). Raises
-    ValueError at the first malformed record; records already yielded
-    are the salvageable prefix (callers decide the policy — see
-    warc_documents)."""
-    if data[:2] == _GZIP_MAGIC:
-        data = _gunzip_members(data)
+    be a plain WARC file or gzip member-compressed (sniffed; members
+    decompress ONE AT A TIME, so peak memory is one record, not the
+    whole decompressed archive). Raises ValueError at the first
+    malformed record; records already yielded are the salvageable
+    prefix (callers decide the policy — see warc_documents)."""
+    members = (_iter_gunzip_members(data) if data[:2] == _GZIP_MAGIC
+               else iter((data,)))
+    buf = b""
     pos = 0
-    n = len(data)
-    while pos < n:
-        # tolerate extra blank lines between records (some writers pad)
-        while data[pos:pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            break
-        eol = data.find(_CRLF, pos)
-        if eol < 0:
-            raise ValueError("truncated record: no version line terminator")
-        version = data[pos:eol]
-        if not version.startswith(b"WARC/"):
-            raise ValueError(f"expected WARC version line, got {version[:20]!r}")
-        hdr_end = data.find(_CRLF + _CRLF, eol)
-        if hdr_end < 0:
-            raise ValueError("truncated record: unterminated header block")
-        headers = _parse_headers(data[eol + 2:hdr_end])
-        try:
-            length = int(headers["content-length"])
-        except (KeyError, ValueError):
-            raise ValueError("record missing a numeric Content-Length")
-        body_start = hdr_end + 4
-        if body_start + length > n:
-            raise ValueError("truncated record: block shorter than Content-Length")
-        yield headers, data[body_start:body_start + length]
-        pos = body_start + length
+    for chunk in members:
+        if pos:  # compact the consumed prefix before growing the buffer
+            buf = buf[pos:]
+            pos = 0
+        buf = chunk if not buf else buf + chunk
+        while True:
+            rec, pos = _try_frame(buf, pos)
+            if rec is None:
+                break
+            yield rec
+    _raise_for_tail(buf, pos)
 
 
 # ---------------------------------------------------------------------------
@@ -418,9 +454,13 @@ def docs_from_warcs(binary_archives, error_acc=None):
     path_col = "path" if "path" in cols else "doc_id"
 
     def explode(batches):
+        got_rows = False
         for pdf in batches:
-            out = []
+            # one output frame PER ARCHIVE: bounds peak memory to a
+            # single archive's documents instead of the whole Arrow
+            # batch's (an input batch can carry several 1-GB archives)
             for path, content in zip(pdf[path_col], pdf["content"]):
+                out = []
                 docs, err = warc_documents(bytes(content))
                 if err is not None and error_acc is not None:
                     error_acc.add(1)
@@ -443,7 +483,11 @@ def docs_from_warcs(binary_archives, error_acc=None):
                         "revisit_of": None,
                         "warc_file": path, "archive_error": err,
                     })
-            yield pd.DataFrame(out) if out else pd.DataFrame(
+                if out:
+                    got_rows = True
+                    yield pd.DataFrame(out)
+        if not got_rows:
+            yield pd.DataFrame(
                 {f.name: pd.Series(dtype="object") for f in schema.fields})
 
     return binary_archives.mapInPandas(explode, schema)

@@ -98,6 +98,9 @@ def test_truncated_gzip_member_is_an_error():
     data = build_warc(_docs(2), per_record_gzip=True)
     got, err = warc_documents(data[:-20])
     assert err is not None and "gzip" in err
+    # member-at-a-time decompression salvages the records whose members
+    # framed cleanly before the truncation point
+    assert [d["url"] for d in got] == [d["url"] for d in _docs(1)]
 
 
 def test_garbage_yields_error_and_no_docs():
