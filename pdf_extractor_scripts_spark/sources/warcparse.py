@@ -502,6 +502,20 @@ def read_warc_docs(spark, path: str, error_acc=None):
     return docs_from_warcs(archives, error_acc=error_acc)
 
 
+def revisit_stats(docs):
+    """Crawl-level dedup accounting from revisit pointers: per target
+    URL, how many later captures the crawler stored as references
+    instead of payloads. Input is docs_from_warcs output; the result
+    equi-joins kept documents on doc_id, so curation can weight pages
+    by crawl-observed popularity without re-fetching anything. One
+    hash-aggregate shuffle on the (small) revisit subset."""
+    import pyspark.sql.functions as F
+
+    return (docs.filter("revisit_of IS NOT NULL AND revisit_of != ''")
+            .groupBy(F.col("revisit_of").alias("doc_id"))
+            .agg(F.count("*").alias("revisit_count")))
+
+
 # ---------------------------------------------------------------------------
 # sub-archive splits: the CDX-index pattern
 #

@@ -132,6 +132,54 @@ def test_fixture_writer_is_deterministic():
     assert build_warc(_docs()) == build_warc(_docs())
 
 
+def test_adversarial_payloads_round_trip():
+    """Content-Length framing must survive payloads that LOOK like WARC
+    structure: embedded version lines, header terminators, gzip magic,
+    chunked-size lines — in every delivery variant."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    nasty = st.binary(min_size=0, max_size=400).map(
+        lambda b: b + b"\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n"
+        + b"\x1f\x8b0\r\n\r\n" + b)
+
+    @settings(max_examples=25, deadline=None)
+    @given(payloads=st.lists(nasty, min_size=1, max_size=4),
+           gz=st.booleans(), chunk_all=st.booleans(),
+           enc_all=st.booleans())
+    def check(payloads, gz, chunk_all, enc_all):
+        docs = [{"url": f"https://x.test/{i}", "payload": p,
+                 "content_type": "application/octet-stream"}
+                for i, p in enumerate(payloads)]
+        idx = set(range(len(docs)))
+        data = build_warc(docs, per_record_gzip=gz,
+                          chunked=idx if chunk_all else set(),
+                          content_gzip=idx if enc_all else set())
+        got, err = warc_documents(data)
+        assert err is None
+        assert [d["payload"] for d in got] == payloads
+
+    check()
+
+
+def test_revisit_stats_counts_dedup_pointers(spark, tmp_path):
+    """revisit_stats aggregates crawl-level dedup pointers per target
+    doc_id, joinable against kept documents."""
+    from pdf_extractor_scripts_spark.sources.warcparse import revisit_stats
+
+    docs = _docs(2)
+    revs = [{"url": f"https://again.test/{i}",
+             "revisit_of": docs[i % 2]["url"],
+             "content_type": "text/html"} for i in range(5)]
+    path = os.path.join(str(tmp_path), "a.warc.gz")
+    with open(path, "wb") as f:
+        f.write(build_warc(docs + revs))
+    exploded = read_warc_docs(spark, str(tmp_path))
+    stats = {r["doc_id"]: r["revisit_count"]
+             for r in revisit_stats(exploded).collect()}
+    assert stats == {docs[0]["url"]: 3, docs[1]["url"]: 2}
+
+
 def test_revisit_records_are_payloadless_pointers():
     docs = _docs(2) + [{"url": "https://example.test/page0",
                         "revisit_of": "https://example.test/page0",
