@@ -1203,6 +1203,70 @@ def _monster_corpus(spark, n_light: int, n_heavy: int, repeat: int):
     return light.union(heavy).localCheckpoint(eager=True), max(sizes or [0])
 
 
+def _eventlog_session(app_name: str):
+    """SparkSession with a single-file uncompressed event log (the only
+    parseable form on Spark 4) + the temp log dir it writes to."""
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    log_dir = tempfile.mkdtemp(prefix="skewlog_")
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", log_dir)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .getOrCreate()
+    )
+    return spark, log_dir
+
+
+def _max_task_per_window(log_dir: str, app_id: str,
+                         windows: dict) -> dict[str, list[float]]:
+    """Parse the completed event log: max REAL task duration
+    (SparkListenerTaskEnd Launch/Finish) per timed (t0ms, t1ms, _)
+    window, keyed like ``windows``."""
+    import glob as _glob
+
+    cands = [
+        q for q in _glob.glob(os.path.join(log_dir, "**", "*"), recursive=True)
+        if os.path.isfile(q) and app_id in os.path.basename(q)
+        and "appstatus" not in os.path.basename(q)
+    ]
+    log_path = max(cands, key=os.path.getsize)
+    per_window: dict[str, list[float]] = {}
+    with open(log_path) as f:
+        for line in f:
+            if "SparkListenerTaskEnd" not in line:
+                continue
+            try:
+                ti = json.loads(line).get("Task Info") or {}
+                lt, ft = ti["Launch Time"], ti["Finish Time"]
+            except Exception:
+                continue
+            for key, spans_ in windows.items():
+                for wi, (w0, w1, _) in enumerate(spans_):
+                    if w0 <= lt <= w1:
+                        per_window.setdefault(f"{key}:{wi}", []).append(
+                            (ft - lt) / 1000.0
+                        )
+    max_task: dict[str, list[float]] = {k: [] for k in windows}
+    for key, spans_ in windows.items():
+        for wi in range(len(spans_)):
+            ts = per_window.get(f"{key}:{wi}") or [0.0]
+            max_task[key].append(max(ts))
+    return max_task
+
+
 def _partition_weight_stats(df) -> dict:
     import pyspark.sql.functions as F
 
@@ -1222,10 +1286,6 @@ def skew() -> None:
     the salt exists to defuse) plus deterministic per-partition weight
     stats. Appends to BENCH/BASELINE.md and writes BENCH/skew_salt.json,
     which the default bench mode folds into its JSON line."""
-    import tempfile
-
-    from pyspark.sql import SparkSession
-
     from pdf_extractor_scripts_spark.operators.skew import (
         salted_repartition,
         should_salt,
@@ -1238,23 +1298,7 @@ def skew() -> None:
     repeat = int(os.environ.get("SPARK_GRAFT_SKEW_REPEAT", "250"))
     rounds = int(os.environ.get("SPARK_GRAFT_SKEW_ROUNDS", "2"))
 
-    log_dir = tempfile.mkdtemp(prefix="skewlog_")
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("bench-skew")
-        .config("spark.sql.shuffle.partitions", str(CPUS))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
-        .config("spark.ui.enabled", "false")
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", log_dir)
-        .config("spark.eventLog.compress", "false")
-        .config("spark.eventLog.rolling.enabled", "false")
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
-        .getOrCreate()
-    )
+    spark, log_dir = _eventlog_session("bench-skew")
     app_id = spark.sparkContext.applicationId
 
     docs, monster_spans = _monster_corpus(spark, n_light, n_heavy, repeat)
@@ -1277,35 +1321,7 @@ def skew() -> None:
     spark.stop()
 
     # parse the completed event log: max task duration per timed window
-    import glob as _glob
-
-    cands = [
-        q for q in _glob.glob(os.path.join(log_dir, "**", "*"), recursive=True)
-        if os.path.isfile(q) and app_id in os.path.basename(q)
-        and "appstatus" not in os.path.basename(q)
-    ]
-    log_path = max(cands, key=os.path.getsize)
-    max_task: dict[str, list[float]] = {"nosalt": [], "salt": []}
-    per_window: dict[str, list[float]] = {}
-    with open(log_path) as f:
-        for line in f:
-            if "SparkListenerTaskEnd" not in line:
-                continue
-            try:
-                ti = json.loads(line).get("Task Info") or {}
-                lt, ft = ti["Launch Time"], ti["Finish Time"]
-            except Exception:
-                continue
-            for key, spans_ in windows.items():
-                for wi, (w0, w1, _) in enumerate(spans_):
-                    if w0 <= lt <= w1:
-                        per_window.setdefault(f"{key}:{wi}", []).append(
-                            (ft - lt) / 1000.0
-                        )
-    for key, spans_ in windows.items():
-        for wi in range(len(spans_)):
-            ts = per_window.get(f"{key}:{wi}") or [0.0]
-            max_task[key].append(max(ts))
+    max_task = _max_task_per_window(log_dir, app_id, windows)
 
     wall = {k: round(min(w[2] for w in v), 3) for k, v in windows.items()}
     mtask = {k: round(min(v), 3) for k, v in max_task.items()}
@@ -1344,6 +1360,142 @@ def skew() -> None:
         )
 
 
+def _skewed_warc_set(n_light: int, n_monster: int, repeat: int,
+                     per_archive: int = 64) -> str:
+    """Archive set with one MONSTER: n_light docs spread across small
+    archives plus n_monster docs packed into a single giant archive —
+    the 10-GB-segment-among-1-GB-siblings shape. Idempotent."""
+    root = (f"/tmp/spark_graft_warcskew_{n_light}_{n_monster}_x{repeat}")
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return root
+    from pdf_extractor_scripts_spark.fixtures import make_corpus
+    from pdf_extractor_scripts_spark.sources.pdfparse import spans_to_pdf
+    from pdf_extractor_scripts_spark.sources.warcparse import build_warc
+
+    os.makedirs(root, exist_ok=True)
+
+    def to_doc(i, d):
+        spans = [
+            dict(s, offset=j * len(d["spans"]) + s["offset"])
+            for j in range(repeat) for s in d["spans"]
+        ]
+        return {"url": f"https://crawl.test/{i}/{d['doc_id']}",
+                "payload": spans_to_pdf(spans),
+                "content_type": "application/pdf"}
+
+    corpus = make_corpus(n_light + n_monster, seed=42)
+    docs = [to_doc(i, d) for i, d in enumerate(corpus)]
+    for k in range(0, n_light, per_archive):
+        with open(os.path.join(root, f"light{k:06d}.warc.gz"), "wb") as f:
+            f.write(build_warc(docs[k:min(k + per_archive, n_light)]))
+    with open(os.path.join(root, "monster.warc.gz"), "wb") as f:
+        f.write(build_warc(docs[n_light:]))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def skew_warc() -> None:
+    """Monster-ARCHIVE skew A/B: whole-archive explode (the parallel
+    unit is the archive, so one giant archive is one straggler task) vs
+    the CDX-pattern split reader (read_warc_docs_split: member-aligned
+    ranged reads spread the same archive across many tasks). Same
+    interleaved protocol and REAL event-log max-task evidence as
+    --skew; writes BENCH/warc_skew.json + BASELINE.md append."""
+    from pdf_extractor_scripts_spark.sources.spans import (
+        parse_binary_to_spans,
+        read_binary_docs,
+    )
+    from pdf_extractor_scripts_spark.sources.warcparse import (
+        index_warc_archives,
+        read_warc_docs,
+        read_warc_docs_split,
+    )
+
+    n_light = int(os.environ.get("SPARK_GRAFT_WARC_SKEW_LIGHT", "1200"))
+    n_monster = int(os.environ.get("SPARK_GRAFT_WARC_SKEW_MONSTER", "1200"))
+    repeat = int(os.environ.get("SPARK_GRAFT_WARC_SKEW_REPEAT", "18"))
+    rounds = int(os.environ.get("SPARK_GRAFT_WARC_SKEW_ROUNDS", "2"))
+    target = int(os.environ.get("SPARK_GRAFT_WARC_SKEW_TARGET_MB", "4")) << 20
+    max_members = int(os.environ.get("SPARK_GRAFT_WARC_SKEW_MEMBERS", "75"))
+
+    root = _skewed_warc_set(n_light, n_monster, repeat)
+    spark, log_dir = _eventlog_session("bench-warc-skew")
+    app_id = spark.sparkContext.applicationId
+
+    clean = ("archive_error IS NULL AND revisit_of IS NULL AND "
+             "(http_status IS NULL OR http_status BETWEEN 200 AND 299)")
+
+    def run(split: bool) -> float:
+        docs = (read_warc_docs_split(spark, root, target_bytes=target,
+                                     max_members=max_members)
+                if split else read_warc_docs(spark, root)).filter(clean)
+        t0 = time.time()
+        _force(parse_binary_to_spans(docs, container="auto"))
+        return time.time() - t0
+
+    # deterministic chunk-shape evidence: how many ranges the index
+    # carves per archive at this target size
+    ranges = index_warc_archives(
+        read_binary_docs(spark, root, glob="*.warc*"), target_bytes=target,
+        max_members=max_members,
+    ).collect()
+    per_file: dict[str, int] = {}
+    for r in ranges:
+        base = os.path.basename(r["warc_file"])
+        per_file[base] = per_file.get(base, 0) + 1
+    monster_chunks = per_file.get("monster.warc.gz", 1)
+
+    run(True)  # JIT + python-worker warmup (untimed)
+    windows: dict[str, list[tuple[float, float, float]]] = {
+        "whole": [], "split": []
+    }
+    for _ in range(rounds):
+        for key, split in (("whole", False), ("split", True)):
+            t0 = time.time()
+            sec = run(split)
+            windows[key].append((t0 * 1000, (t0 + sec) * 1000, sec))
+    spark.stop()
+
+    max_task = _max_task_per_window(log_dir, app_id, windows)
+    wall = {k: round(min(w[2] for w in v), 3) for k, v in windows.items()}
+    mtask = {k: round(min(v), 3) for k, v in max_task.items()}
+    out = {
+        "metric": "monster-archive skew: whole-archive vs CDX-split ingest",
+        "corpus": {"light_docs": n_light, "monster_docs": n_monster,
+                   "pages_repeat": repeat,
+                   "archives": len(per_file),
+                   "monster_chunks_at_target": monster_chunks,
+                   "target_bytes": target, "max_members": max_members},
+        "wall_sec": wall,
+        "max_task_sec": mtask,
+        "max_task_ratio": round(mtask["whole"] / max(mtask["split"], 1e-9), 2),
+        "wall_ratio": round(wall["whole"] / max(wall["split"], 1e-9), 2),
+        "rounds": rounds,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    with open(os.path.join(repo, "BENCH", "warc_skew.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    with open(os.path.join(repo, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n### Monster-archive skew A/B ({n_light} light docs in "
+            f"{len(per_file) - 1} archives + {n_monster} docs in ONE "
+            f"monster archive, x{repeat} content repeat; {CPUS} slots, "
+            f"min-of-{rounds} interleaved; split target "
+            f"{target >> 20} MB / {max_members} members → "
+            f"{monster_chunks} monster chunks)\n\n"
+            "| variant | wall s | max task s |\n|---|---|---|\n"
+            f"| whole-archive | {wall['whole']} | {mtask['whole']} |\n"
+            f"| CDX-split | {wall['split']} | {mtask['split']} |\n\n"
+            f"max-task ratio (whole/split) = {out['max_task_ratio']}, "
+            f"wall ratio = {out['wall_ratio']}\n"
+        )
+
+
 if __name__ == "__main__":
     if "--scaling-ingest" in sys.argv:
         scaling_ingest()
@@ -1355,6 +1507,8 @@ if __name__ == "__main__":
         scaling_media()
     elif "--scaling" in sys.argv:
         scaling()
+    elif "--warc-skew" in sys.argv:
+        skew_warc()
     elif "--skew" in sys.argv:
         skew()
     else:

@@ -565,13 +565,19 @@ def _range_schema():
     ])
 
 
-def index_warc_archives(binary_archives, target_bytes: int = 32 << 20):
+def index_warc_archives(binary_archives, target_bytes: int = 32 << 20,
+                        max_members: int = 4096):
     """binaryFile archive rows → one row per CHUNK of consecutive gzip
-    members totalling ~``target_bytes`` compressed: (warc_file, offset,
-    length, archive_error). Unindexable archives (plain WARC, corrupt
-    gzip) yield a single whole-file row with ``archive_error`` set so
-    the range reader can fall back to whole-archive decoding (plain
-    WARC) or salvage accounting (corrupt)."""
+    members totalling ~``target_bytes`` compressed OR ``max_members``
+    records, whichever caps first: (warc_file, offset, length,
+    archive_error). The member cap matters because compressed bytes
+    under-estimate decode cost for highly-compressible payloads (a
+    3-MB gzip archive of repetitive PDFs can carry minutes of parse
+    work) — record count is the cost unit the straggler actually pays.
+    Unindexable archives (plain WARC, corrupt gzip) yield a single
+    whole-file row with ``archive_error`` set so the range reader can
+    fall back to whole-archive decoding (plain WARC) or salvage
+    accounting (corrupt)."""
     import pandas as pd
 
     schema = _range_schema()
@@ -590,13 +596,15 @@ def index_warc_archives(binary_archives, target_bytes: int = 32 << 20):
                                 "length": len(data),
                                 "archive_error": f"unindexable: {e}"})
                     continue
-                start, size = 0, 0
+                start, size, cnt = 0, 0, 0
                 for off, length in members:
-                    if size and size + length > target_bytes:
+                    if size and (size + length > target_bytes
+                                 or cnt >= max_members):
                         out.append({"warc_file": path, "offset": start,
                                     "length": size, "archive_error": None})
-                        start, size = off, 0
+                        start, size, cnt = off, 0, 0
                     size += length
+                    cnt += 1
                 if size:
                     out.append({"warc_file": path, "offset": start,
                                 "length": size, "archive_error": None})
@@ -680,16 +688,24 @@ def docs_from_warc_ranges(ranges, error_acc=None):
 
 
 def read_warc_docs_split(spark, path: str, target_bytes: int = 32 << 20,
-                         error_acc=None):
-    """Split (CDX-pattern) WARC reader: index archives into ~target_bytes
-    member-aligned chunks, shuffle the chunk list so ranges of one
-    monster archive land on different tasks, then seek-read and decode
-    each range independently. Output schema and salvage semantics match
+                         max_members: int = 4096, error_acc=None):
+    """Split (CDX-pattern) WARC reader: index archives into member-
+    aligned chunks (~target_bytes compressed, ≤max_members records),
+    shuffle the chunk list so ranges of one monster archive land on
+    different tasks, then seek-read and decode each range
+    independently. Output schema and salvage semantics match
     read_warc_docs; use when archive sizes are skewed or archives are
-    few relative to task slots."""
+    few relative to task slots.
+
+    The repartition pins an EXPLICIT partition count: range rows are a
+    few hundred bytes, and an AQE bytes-based coalesce would fold the
+    whole chunk list back into one task — exactly the straggler the
+    split exists to defuse."""
     from .spans import read_binary_docs
 
     archives = read_binary_docs(spark, path, glob="*.warc*")
-    ranges = index_warc_archives(archives, target_bytes=target_bytes)
+    ranges = index_warc_archives(archives, target_bytes=target_bytes,
+                                 max_members=max_members)
+    n = spark.sparkContext.defaultParallelism
     return docs_from_warc_ranges(
-        ranges.repartition("warc_file", "offset"), error_acc=error_acc)
+        ranges.repartition(n, "warc_file", "offset"), error_acc=error_acc)

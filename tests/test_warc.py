@@ -250,6 +250,27 @@ def test_member_index_finds_every_record():
     assert payloads == [d["payload"] for d in _docs(5)]
 
 
+@pytest.mark.usefixtures("spark")
+def test_member_cap_splits_hypercompressible_archives(spark, tmp_path):
+    """Compressed bytes under-estimate decode cost for repetitive
+    payloads, so the index also caps records per chunk: a tiny-bytes
+    archive of many members still splits by max_members."""
+    from pdf_extractor_scripts_spark.sources.spans import read_binary_docs
+    from pdf_extractor_scripts_spark.sources.warcparse import (
+        index_warc_archives,
+    )
+
+    docs = [{"url": f"https://x.test/{i}", "payload": b"a" * 4000,
+             "content_type": "text/plain"} for i in range(30)]
+    with open(os.path.join(str(tmp_path), "c.warc.gz"), "wb") as f:
+        f.write(build_warc(docs, with_requests=False))
+    archives = read_binary_docs(spark, str(tmp_path), glob="*.warc*")
+    # bytes alone would never split this (whole archive ≪ 32MB)...
+    assert index_warc_archives(archives).count() == 1
+    # ...the member cap does: 31 records (warcinfo + 30) / 8 per chunk
+    assert index_warc_archives(archives, max_members=8).count() == 4
+
+
 def test_member_index_rejects_plain_warc():
     from pdf_extractor_scripts_spark.sources.warcparse import (
         warc_member_index,
