@@ -23,8 +23,11 @@ processors — SURVEY.md §3) collapse into one job:
                            doc_id = path relative to --input
     --input-format html    a directory of *.htm(l) files: boilerplate-strip
                            main-content extraction (sources/htmlparse.py)
+    --input-format docx    a directory of *.docx office documents: OOXML
+                           package parse (sources/docxparse.py), headers/
+                           footers excluded as page chrome
     --input-format web     a mixed crawl directory: every file, container
-                           sniffed per document (PDF or HTML)
+                           sniffed per document (PDF, HTML or DOCX)
     --input-format warc    a directory of *.warc / *.warc.gz web archives
                            (ISO 28500 — the format a crawl corpus ships
                            in): archives explode into per-document rows
@@ -60,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
                    "with --input-format pdf/html/web, a directory of raw "
                    "documents")
     p.add_argument("--input-format",
-                   choices=["spans", "pdf", "html", "web", "warc"],
+                   choices=["spans", "pdf", "html", "docx", "web", "warc"],
                    default="spans",
                    help="web = a mixed crawl directory: every file, "
                    "container sniffed per document (PDF or HTML); "
@@ -132,7 +135,7 @@ def main(argv: list[str] | None = None) -> int:
             docs = parse_binary_to_spans(clean, fallback_acc=parse_fallbacks,
                                          container="auto",
                                          ctype_col="content_type")
-        elif args.input_format in ("pdf", "html", "web"):
+        elif args.input_format in ("pdf", "html", "docx", "web"):
             import pyspark.sql.functions as F
 
             from .sources.spans import read_binary_docs, parse_binary_to_spans
@@ -140,6 +143,7 @@ def main(argv: list[str] | None = None) -> int:
             glob, container = {
                 "pdf": ("*.pdf", "pdf"),
                 "html": ("*.htm*", "html"),
+                "docx": ("*.docx", "docx"),
                 "web": ("*", "auto"),
             }[args.input_format]
             binary = read_binary_docs(spark, args.input, glob=glob)

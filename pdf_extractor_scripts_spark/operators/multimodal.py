@@ -165,9 +165,13 @@ def media_from_pdfs(binary_docs: DataFrame) -> DataFrame:
     """binaryFile rows → one row per image placement with the payload, the
     terminal codec name, and the /DecodeParms that non-self-describing
     codecs (CCITT G4) need — the distributed form of
-    ``pdfparse.pdf_media_payloads``. A zero-shuffle Arrow map stage; docs
-    that fail to parse contribute no rows (the SPAN ingest path counts
-    those fallbacks — this stage is payload extraction only)."""
+    ``pdfparse.pdf_media_payloads``. Container-sniffed per document:
+    DOCX packages route through ``docxparse.docx_media_payloads`` (same
+    output contract), so one media audit covers the interleaved corpus.
+    A zero-shuffle Arrow map stage; docs that fail to parse contribute
+    no rows (the SPAN ingest path counts those fallbacks — this stage
+    is payload extraction only)."""
+    from ..sources.docxparse import docx_media_payloads
     from ..sources.pdfparse import pdf_media_payloads
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -175,7 +179,11 @@ def media_from_pdfs(binary_docs: DataFrame) -> DataFrame:
             refs, payloads, filters, params = [], [], [], []
             for doc_id, data in zip(pdf["doc_id"], pdf["content"]):
                 try:
-                    rows = pdf_media_payloads(bytes(data), doc_id)
+                    raw = bytes(data)
+                    extract = (docx_media_payloads
+                               if raw[:4] == b"PK\x03\x04"
+                               else pdf_media_payloads)
+                    rows = extract(raw, doc_id)
                 except Exception:
                     continue
                 for r in rows:

@@ -402,12 +402,19 @@ def parse_html_spans(data: bytes | str, doc_id: str,
 
 
 def sniff_container(content: bytes) -> str:
-    """'pdf' | 'html' from leading bytes — the interleaved-crawl
-    dispatch: a 100-TB web corpus carries both container forms in one
-    table, so the parse stage sniffs per document."""
+    """'pdf' | 'html' | 'docx' from the document bytes — the
+    interleaved-crawl dispatch: a 100-TB web corpus carries all the
+    container forms in one table, so the parse stage sniffs per
+    document. ZIP packages are probed for the WordprocessingML main
+    part; non-office ZIPs fall through to the PDF chain, which rejects
+    them as a COUNTED parse fallback instead of misparsing."""
     head = content[:4096].lstrip()
     if head.startswith(b"%PDF"):
         return "pdf"
+    if content[:4] == b"PK\x03\x04":
+        from .docxparse import zip_container_form
+
+        return zip_container_form(content) or "pdf"
     low = head[:2048].lower()
     if (low.startswith(b"<!doctype html") or b"<html" in low
             or b"<head" in low or b"<body" in low):

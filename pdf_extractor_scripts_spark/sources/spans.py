@@ -107,10 +107,11 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
     from pyspark.sql.types import BooleanType, StringType, StructField, StructType
 
     from ..schemas import DOC_SCHEMA
+    from .docxparse import parse_docx_spans
     from .htmlparse import charset_of, parse_html_spans, sniff_container
     from .pdfparse import parse_pdf_spans
 
-    if container not in ("auto", "pdf", "html"):
+    if container not in ("auto", "pdf", "html", "docx"):
         raise ValueError(f"unknown container {container!r}")
 
     out_schema = StructType(
@@ -133,10 +134,13 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
                 form = container if container != "auto" \
                     else sniff_container(raw)
                 try:
-                    spans = (parse_html_spans(raw, doc_id,
-                                              charset=charset_of(ctype))
-                             if form == "html"
-                             else parse_pdf_spans(raw, doc_id))
+                    if form == "html":
+                        spans = parse_html_spans(raw, doc_id,
+                                                 charset=charset_of(ctype))
+                    elif form == "docx":
+                        spans = parse_docx_spans(raw, doc_id)
+                    else:
+                        spans = parse_pdf_spans(raw, doc_id)
                 except Exception as e:  # fallback-chain terminal: empty page
                     err = f"{type(e).__name__}: {e}"
                     spans = [{"kind": "page_break", "text": "=== PAGE 1 ===",
