@@ -26,8 +26,11 @@ processors — SURVEY.md §3) collapse into one job:
     --input-format docx    a directory of *.docx office documents: OOXML
                            package parse (sources/docxparse.py), headers/
                            footers excluded as page chrome
+    --input-format mime    a directory of *.mht(ml) / *.eml MIME documents:
+                           MHTML saved pages and mail with document
+                           attachments (sources/mimeparse.py)
     --input-format web     a mixed crawl directory: every file, container
-                           sniffed per document (PDF, HTML or DOCX)
+                           sniffed per document (PDF, HTML, DOCX or MIME)
     --input-format warc    a directory of *.warc / *.warc.gz web archives
                            (ISO 28500 — the format a crawl corpus ships
                            in): archives explode into per-document rows
@@ -63,7 +66,8 @@ def main(argv: list[str] | None = None) -> int:
                    "with --input-format pdf/html/web, a directory of raw "
                    "documents")
     p.add_argument("--input-format",
-                   choices=["spans", "pdf", "html", "docx", "web", "warc"],
+                   choices=["spans", "pdf", "html", "docx", "mime", "web",
+                            "warc"],
                    default="spans",
                    help="web = a mixed crawl directory: every file, "
                    "container sniffed per document (PDF or HTML); "
@@ -135,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
             docs = parse_binary_to_spans(clean, fallback_acc=parse_fallbacks,
                                          container="auto",
                                          ctype_col="content_type")
-        elif args.input_format in ("pdf", "html", "docx", "web"):
+        elif args.input_format in ("pdf", "html", "docx", "mime", "web"):
             import pyspark.sql.functions as F
 
             from .sources.spans import read_binary_docs, parse_binary_to_spans
@@ -144,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
                 "pdf": ("*.pdf", "pdf"),
                 "html": ("*.htm*", "html"),
                 "docx": ("*.docx", "docx"),
+                "mime": ("*.{mht,mhtml,eml}", "mime"),
                 "web": ("*", "auto"),
             }[args.input_format]
             binary = read_binary_docs(spark, args.input, glob=glob)

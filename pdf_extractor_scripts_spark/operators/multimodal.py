@@ -166,13 +166,19 @@ def media_from_pdfs(binary_docs: DataFrame) -> DataFrame:
     terminal codec name, and the /DecodeParms that non-self-describing
     codecs (CCITT G4) need — the distributed form of
     ``pdfparse.pdf_media_payloads``. Container-sniffed per document:
-    DOCX packages route through ``docxparse.docx_media_payloads`` (same
-    output contract), so one media audit covers the interleaved corpus.
+    DOCX packages route through ``docxparse.docx_media_payloads`` and
+    MHTML/EML through ``mimeparse.mime_media_payloads`` (same output
+    contract), so one media audit covers the interleaved corpus.
     A zero-shuffle Arrow map stage; docs that fail to parse contribute
     no rows (the SPAN ingest path counts those fallbacks — this stage
     is payload extraction only)."""
     from ..sources.docxparse import docx_media_payloads
+    from ..sources.htmlparse import sniff_container
+    from ..sources.mimeparse import mime_media_payloads
     from ..sources.pdfparse import pdf_media_payloads
+
+    extractors = {"docx": docx_media_payloads, "mime": mime_media_payloads,
+                  "pdf": pdf_media_payloads}
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -180,9 +186,9 @@ def media_from_pdfs(binary_docs: DataFrame) -> DataFrame:
             for doc_id, data in zip(pdf["doc_id"], pdf["content"]):
                 try:
                     raw = bytes(data)
-                    extract = (docx_media_payloads
-                               if raw[:4] == b"PK\x03\x04"
-                               else pdf_media_payloads)
+                    extract = extractors.get(sniff_container(raw))
+                    if extract is None:  # HTML: refs only, no payloads
+                        continue
                     rows = extract(raw, doc_id)
                 except Exception:
                     continue

@@ -402,12 +402,14 @@ def parse_html_spans(data: bytes | str, doc_id: str,
 
 
 def sniff_container(content: bytes) -> str:
-    """'pdf' | 'html' | 'docx' from the document bytes — the
+    """'pdf' | 'html' | 'docx' | 'mime' from the document bytes — the
     interleaved-crawl dispatch: a 100-TB web corpus carries all the
     container forms in one table, so the parse stage sniffs per
     document. ZIP packages are probed for the WordprocessingML main
     part; non-office ZIPs fall through to the PDF chain, which rejects
-    them as a COUNTED parse fallback instead of misparsing."""
+    them as a COUNTED parse fallback instead of misparsing. MIME
+    (MHTML/EML) wins only for header-shaped leading bytes, so HTML
+    quoting mail headers stays HTML."""
     head = content[:4096].lstrip()
     if head.startswith(b"%PDF"):
         return "pdf"
@@ -415,6 +417,11 @@ def sniff_container(content: bytes) -> str:
         from .docxparse import zip_container_form
 
         return zip_container_form(content) or "pdf"
+    if not head.startswith(b"<"):
+        from .mimeparse import looks_like_mime
+
+        if looks_like_mime(content):
+            return "mime"
     low = head[:2048].lower()
     if (low.startswith(b"<!doctype html") or b"<html" in low
             or b"<head" in low or b"<body" in low):

@@ -109,9 +109,10 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
     from ..schemas import DOC_SCHEMA
     from .docxparse import parse_docx_spans
     from .htmlparse import charset_of, parse_html_spans, sniff_container
+    from .mimeparse import parse_mime_spans
     from .pdfparse import parse_pdf_spans
 
-    if container not in ("auto", "pdf", "html", "docx"):
+    if container not in ("auto", "pdf", "html", "docx", "mime"):
         raise ValueError(f"unknown container {container!r}")
 
     out_schema = StructType(
@@ -139,6 +140,8 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
                                                  charset=charset_of(ctype))
                     elif form == "docx":
                         spans = parse_docx_spans(raw, doc_id)
+                    elif form == "mime":
+                        spans = parse_mime_spans(raw, doc_id)
                     else:
                         spans = parse_pdf_spans(raw, doc_id)
                 except Exception as e:  # fallback-chain terminal: empty page
