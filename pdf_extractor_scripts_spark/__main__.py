@@ -12,10 +12,11 @@ processors — SURVEY.md §3) collapse into one job:
     --mode batch       full pipeline + checkpoint/lineage/metrics + resume
     --mode single-doc  one document's extracted spans to stdout (--doc-id)
     --mode synthetic   run over the deterministic fixture corpus (--n-docs)
-    --mode media       distributed media decode audit over a PDF tree:
-                       per-codec real pixel decode (DCT/CCITT/JBIG2/JPX)
-                       with decoded/undecoded accounting; --output writes
-                       the feature rows as parquet
+    --mode media       distributed media decode audit over a document
+                       tree (PDF/DOCX/MHTML, container-sniffed): per-codec
+                       real pixel decode (DCT/CCITT/JBIG2/JPX/PNG) with
+                       decoded/undecoded accounting; --output writes the
+                       feature rows as parquet
 
     --input-format spans   (default) bucketed spans parquet table
     --input-format pdf     a directory of *.pdf files: binaryFile scan →
@@ -101,7 +102,7 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.spans import read_binary_docs
 
         feats = decode_pdf_media(
-            media_from_pdfs(read_binary_docs(spark, args.input))
+            media_from_pdfs(read_binary_docs(spark, args.input, glob="*"))
         )
         if args.output:
             feats.write.mode("overwrite").parquet(args.output)

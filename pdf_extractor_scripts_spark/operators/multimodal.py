@@ -343,6 +343,10 @@ def auto_pixel_decoder(filter_name: str, params: dict):
         from .jpegcodec import jpeg_pixel_stats
 
         return jpeg_pixel_stats
+    if filter_name == "PNG":
+        from .pngcodec import png_pixel_stats
+
+        return png_pixel_stats
     if "JBIG2Decode" in filter_name:
         from .jbig2codec import jbig2_pixel_stats
 
