@@ -27,6 +27,11 @@ processors — SURVEY.md §3) collapse into one job:
     --input-format docx    a directory of *.docx office documents: OOXML
                            package parse (sources/docxparse.py), headers/
                            footers excluded as page chrome
+    --input-format xlsx    a directory of *.xlsx spreadsheets: one page per
+                           worksheet, one text span per row (sources/
+                           xlsxparse.py — spreadsheet invoices)
+    --input-format odt     a directory of *.odt OpenDocument text files
+                           (sources/odtparse.py)
     --input-format mime    a directory of *.mht(ml) / *.eml MIME documents:
                            MHTML saved pages and mail with document
                            attachments (sources/mimeparse.py)
@@ -67,8 +72,8 @@ def main(argv: list[str] | None = None) -> int:
                    "with --input-format pdf/html/web, a directory of raw "
                    "documents")
     p.add_argument("--input-format",
-                   choices=["spans", "pdf", "html", "docx", "mime", "web",
-                            "warc"],
+                   choices=["spans", "pdf", "html", "docx", "xlsx", "odt",
+                            "mime", "web", "warc"],
                    default="spans",
                    help="web = a mixed crawl directory: every file, "
                    "container sniffed per document (PDF or HTML); "
@@ -140,7 +145,8 @@ def main(argv: list[str] | None = None) -> int:
             docs = parse_binary_to_spans(clean, fallback_acc=parse_fallbacks,
                                          container="auto",
                                          ctype_col="content_type")
-        elif args.input_format in ("pdf", "html", "docx", "mime", "web"):
+        elif args.input_format in ("pdf", "html", "docx", "xlsx", "odt",
+                                   "mime", "web"):
             import pyspark.sql.functions as F
 
             from .sources.spans import read_binary_docs, parse_binary_to_spans
@@ -149,6 +155,8 @@ def main(argv: list[str] | None = None) -> int:
                 "pdf": ("*.pdf", "pdf"),
                 "html": ("*.htm*", "html"),
                 "docx": ("*.docx", "docx"),
+                "xlsx": ("*.xlsx", "xlsx"),
+                "odt": ("*.odt", "odt"),
                 "mime": ("*.{mht,mhtml,eml}", "mime"),
                 "web": ("*", "auto"),
             }[args.input_format]

@@ -251,14 +251,24 @@ def docx_media_payloads(data: bytes, doc_id: str) -> list[dict]:
 
 
 def zip_container_form(content: bytes) -> str | None:
-    """'docx' when the ZIP bytes are a WordprocessingML package, else
-    None (XLSX/ODT/plain archives: no parser yet — the caller routes
-    them to the PDF fallback chain, which rejects them LOUDLY as a
-    counted parse fallback rather than misparsing)."""
+    """'docx' | 'xlsx' | 'odt' from the ZIP package's main part, else
+    None (plain archives: no parser — the caller routes them to the
+    PDF fallback chain, which rejects them LOUDLY as a counted parse
+    fallback rather than misparsing)."""
     try:
         with zipfile.ZipFile(io.BytesIO(content)) as zf:
-            if MAIN_PART in zf.namelist():
+            names = set(zf.namelist())
+            if MAIN_PART in names:
                 return "docx"
+            if "xl/workbook.xml" in names:
+                return "xlsx"
+            if "content.xml" in names:
+                from .odtparse import MIMETYPE
+
+                mt = (zf.read("mimetype").decode("ascii", "replace").strip()
+                      if "mimetype" in names else "")
+                if mt == MIMETYPE or not mt:
+                    return "odt"
     except Exception:
         return None
     return None

@@ -402,14 +402,15 @@ def parse_html_spans(data: bytes | str, doc_id: str,
 
 
 def sniff_container(content: bytes) -> str:
-    """'pdf' | 'html' | 'docx' | 'mime' from the document bytes — the
-    interleaved-crawl dispatch: a 100-TB web corpus carries all the
-    container forms in one table, so the parse stage sniffs per
-    document. ZIP packages are probed for the WordprocessingML main
-    part; non-office ZIPs fall through to the PDF chain, which rejects
-    them as a COUNTED parse fallback instead of misparsing. MIME
-    (MHTML/EML) wins only for header-shaped leading bytes, so HTML
-    quoting mail headers stays HTML."""
+    """'pdf' | 'html' | 'docx' | 'xlsx' | 'odt' | 'mime' from the
+    document bytes — the interleaved-crawl dispatch: a 100-TB web
+    corpus carries all the container forms in one table, so the parse
+    stage sniffs per document. ZIP packages are probed for their
+    office main part (word/document.xml, xl/workbook.xml,
+    content.xml); non-office ZIPs fall through to the PDF chain, which
+    rejects them as a COUNTED parse fallback instead of misparsing.
+    MIME (MHTML/EML) wins only for header-shaped leading bytes, so
+    HTML quoting mail headers stays HTML."""
     head = content[:4096].lstrip()
     if head.startswith(b"%PDF"):
         return "pdf"

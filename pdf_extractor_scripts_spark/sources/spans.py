@@ -110,9 +110,14 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
     from .docxparse import parse_docx_spans
     from .htmlparse import charset_of, parse_html_spans, sniff_container
     from .mimeparse import parse_mime_spans
+    from .odtparse import parse_odt_spans
     from .pdfparse import parse_pdf_spans
+    from .xlsxparse import parse_xlsx_spans
 
-    if container not in ("auto", "pdf", "html", "docx", "mime"):
+    forms = {"html": None, "docx": parse_docx_spans,
+             "mime": parse_mime_spans, "xlsx": parse_xlsx_spans,
+             "odt": parse_odt_spans, "pdf": None}
+    if container != "auto" and container not in forms:
         raise ValueError(f"unknown container {container!r}")
 
     out_schema = StructType(
@@ -138,10 +143,8 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
                     if form == "html":
                         spans = parse_html_spans(raw, doc_id,
                                                  charset=charset_of(ctype))
-                    elif form == "docx":
-                        spans = parse_docx_spans(raw, doc_id)
-                    elif form == "mime":
-                        spans = parse_mime_spans(raw, doc_id)
+                    elif forms.get(form) is not None:
+                        spans = forms[form](raw, doc_id)
                     else:
                         spans = parse_pdf_spans(raw, doc_id)
                 except Exception as e:  # fallback-chain terminal: empty page
