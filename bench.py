@@ -199,6 +199,61 @@ def _warc_tree(n_docs: int, repeat: int = 1, per_archive: int = 64) -> str:
     return root
 
 
+def _office_tree(n_docs: int) -> str:
+    """Office/mail mix: the same corpus docs cycled through the FOUR
+    non-crawl container forms — docx → xlsx → odt → mht (MHTML page
+    wrapping the HTML form) — the long tail a web corpus's office
+    share actually looks like. Idempotent."""
+    root = f"/tmp/spark_graft_officetree_{n_docs}"
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return root
+    from pdf_extractor_scripts_spark.fixtures import make_corpus
+    from pdf_extractor_scripts_spark.sources.docxparse import build_docx
+    from pdf_extractor_scripts_spark.sources.htmlparse import build_html
+    from pdf_extractor_scripts_spark.sources.mimeparse import build_mhtml
+    from pdf_extractor_scripts_spark.sources.odtparse import build_odt
+    from pdf_extractor_scripts_spark.sources.xlsxparse import build_xlsx
+
+    seen: dict[str, int] = {}
+    for i, d in enumerate(make_corpus(n_docs, seed=42)):
+        paras = [s["text"] for s in d["spans"]
+                 if s["kind"] == "text" and s["text"].strip()]
+        stem = d["doc_id"].rsplit(".", 1)[0]
+        form = i % 4
+        if form == 0:
+            path, data = stem + ".docx", build_docx(paras)
+        elif form == 1:
+            path, data = stem + ".xlsx", build_xlsx(
+                {"Sheet1": [[p] for p in paras]})
+        elif form == 2:
+            path, data = stem + ".odt", build_odt(paras)
+        else:
+            path, data = stem + ".mht", build_mhtml(
+                html=build_html(paras, title=d["doc_id"]).decode())
+        full = os.path.join(root, _uniq_path(path, seen))
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "wb") as f:
+            f.write(data)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def run_office_ingest(spark, root: str) -> float:
+    """Wall seconds for binaryFile scan of the office/mail tree →
+    container-sniffed parse (docx/xlsx/odt/mime)."""
+    from pdf_extractor_scripts_spark.sources.spans import (
+        parse_binary_to_spans,
+        read_binary_docs,
+    )
+
+    binary = read_binary_docs(spark, root, glob="*.{docx,xlsx,odt,mht}")
+    t0 = time.time()
+    _force(parse_binary_to_spans(binary, container="auto"))
+    return time.time() - t0
+
+
 def run_warc_ingest(spark, root: str) -> float:
     """Wall seconds for the full crawl-shipping path: binaryFile scan of
     *.warc.gz → archive explode (gunzip members, HTTP payload decode) →
@@ -339,6 +394,13 @@ def main() -> None:
     warc_sec = min(run_warc_ingest(spark, warc_root) for _ in range(2))
     timings["warc_ingest"] = round(warc_sec, 3)
 
+    # office/mail ingest (r6): the same corpus cycled through
+    # docx/xlsx/odt/mht — the office long tail, sniffed per document
+    office_root = _office_tree(n_pdfs)
+    office_sec = min(run_office_ingest(spark, office_root)
+                     for _ in range(2))
+    timings["office_ingest"] = round(office_sec, 3)
+
     # Targeted outlier retries (r4 VERDICT #1, baseline fixed r6 per r5
     # VERDICT #2): any query still >1.3x its MINIMUM HISTORICAL record
     # after the min-of-2 passes gets up to 2 more cache-cleared attempts,
@@ -379,6 +441,10 @@ def main() -> None:
         if p and warc_sec > 1.3 * p:
             warc_sec = min(warc_sec, run_warc_ingest(spark, warc_root))
             noise_retries["warc_ingest"] = 1
+        p = best.get("office_ingest")
+        if p and office_sec > 1.3 * p:
+            office_sec = min(office_sec, run_office_ingest(spark, office_root))
+            noise_retries["office_ingest"] = 1
 
     # recompute the minima: the retries above may have improved them
     ext_sec = min(ext_times)
@@ -386,6 +452,7 @@ def main() -> None:
     timings["pdf_ingest"] = round(pdf_sec, 3)
     timings["crawl_ingest"] = round(crawl_sec, 3)
     timings["warc_ingest"] = round(warc_sec, 3)
+    timings["office_ingest"] = round(office_sec, 3)
     docs_per_sec = round(n_docs / ext_sec, 2)
 
     # LSH bucket-size telemetry (no silent caps): the similarity family's

@@ -348,6 +348,12 @@ def auto_pixel_decoder(filter_name: str, params: dict):
         from .pngcodec import png_pixel_stats
 
         return png_pixel_stats
+    if filter_name in ("GIF", "BMP", "TIFF"):
+        from . import rastercodec
+
+        return {"GIF": rastercodec.gif_pixel_stats,
+                "BMP": rastercodec.bmp_pixel_stats,
+                "TIFF": rastercodec.tiff_pixel_stats}[filter_name]
     if "JBIG2Decode" in filter_name:
         from .jbig2codec import jbig2_pixel_stats
 
