@@ -199,12 +199,14 @@ def _warc_tree(n_docs: int, repeat: int = 1, per_archive: int = 64) -> str:
     return root
 
 
-def _office_tree(n_docs: int) -> str:
+def _office_tree(n_docs: int, repeat: int = 1) -> str:
     """Office/mail mix: the same corpus docs cycled through the FOUR
     non-crawl container forms — docx → xlsx → odt → mht (MHTML page
     wrapping the HTML form) — the long tail a web corpus's office
-    share actually looks like. Idempotent."""
-    root = f"/tmp/spark_graft_officetree_{n_docs}"
+    share actually looks like. ``repeat`` multiplies each document's
+    paragraphs for long-wall scaling runs. Idempotent."""
+    root = f"/tmp/spark_graft_officetree_{n_docs}" + (
+        f"_x{repeat}" if repeat > 1 else "")
     marker = os.path.join(root, ".complete")
     if os.path.exists(marker):
         return root
@@ -218,7 +220,7 @@ def _office_tree(n_docs: int) -> str:
     seen: dict[str, int] = {}
     for i, d in enumerate(make_corpus(n_docs, seed=42)):
         paras = [s["text"] for s in d["spans"]
-                 if s["kind"] == "text" and s["text"].strip()]
+                 if s["kind"] == "text" and s["text"].strip()] * repeat
         stem = d["doc_id"].rsplit(".", 1)[0]
         form = i % 4
         if form == 0:
@@ -827,6 +829,78 @@ def scaling_crawl() -> None:
             f"\n### Mixed-crawl ingest scaling ({n_files} files, every 3rd "
             f"HTML, x{repeat} content repeat, rounds={rounds}, "
             "interleaved)\n\n"
+            "| task slots (N) | best wall sec | files/sec |\n|---|---|---|\n"
+        )
+        for n in levels:
+            f.write(f"| {n} | {round(best[n], 2)} | {thr[n]} |\n")
+        f.write("\n| pair | parse eff | hardware ceiling | normalized |\n"
+                "|---|---|---|---|\n")
+        for p in stats:
+            f.write(
+                f"| {p['n']}→{p['4n']} | {p['efficiency']} | "
+                f"{p['hardware_ceiling']} | {p['normalized']} |\n"
+            )
+        f.write("\nPer-round pair ratios: " + "; ".join(
+            f"{p['n']}→{p['4n']}: {p['per_round']}" for p in stats) + "\n")
+
+
+def scaling_office() -> None:
+    """Office/mail ingest scaling (r6): binaryFile → container sniff →
+    DOCX/XLSX/ODT/MHTML parse at N vs 4N task slots. Per-document work
+    is ZIP inflate + ElementTree / email parse — a different CPU
+    profile from the PDF tokenizer, so it gets its own efficiency
+    evidence. Same interleaved min-of-rounds protocol and long-wall
+    sizing as --crawl-scaling; appends to BENCH/BASELINE.md and writes
+    BENCH/office_scaling.json."""
+    n_files = int(os.environ.get("SPARK_GRAFT_SCALE_PDFS", "20000"))
+    repeat = int(os.environ.get("SPARK_GRAFT_SCALE_PDF_REPEAT", "30"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    pairs = [(4, 16)]
+    levels = sorted({n for p in pairs for n in p})
+
+    from pdf_extractor_scripts_spark.sources.spans import (
+        parse_binary_to_spans,
+        read_binary_docs,
+    )
+
+    spark = make_session(32)
+    binary = read_binary_docs(
+        spark, _office_tree(n_files, repeat), glob="*.{docx,xlsx,odt,mht}"
+    ).localCheckpoint(eager=True)
+    _force(parse_binary_to_spans(binary.limit(512), container="auto"))
+    times: dict[int, list[float]] = {n: [] for n in levels}
+    for _ in range(rounds):
+        for n in levels:
+            t0 = time.time()
+            _force(parse_binary_to_spans(binary.coalesce(n),
+                                         container="auto"))
+            times[n].append(time.time() - t0)
+    spark.stop()
+
+    control = _cpu_control(levels)
+    stats = _pair_stats_for(times, pairs, control)
+    best = {n: min(ts) for n, ts in times.items()}
+    thr = {n: round(n_files / best[n], 1) for n in levels}
+    out = {
+        "metric": "office/mail ingest scaling N->4N "
+                  "(DOCX/XLSX/ODT/MHTML, container sniffing, interleaved)",
+        "value": stats[0]["efficiency"],
+        "unit": "efficiency",
+        "files": n_files,
+        "pages_repeat": repeat,
+        "best_wall_sec": {str(n): round(best[n], 2) for n in levels},
+        "throughput_files_per_sec": {str(n): thr[n] for n in levels},
+        "pairs": stats,
+    }
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/office_scaling.json", "w") as f:
+        json.dump(out, f, indent=1)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n### Office/mail ingest scaling ({n_files} files cycled "
+            f"docx/xlsx/odt/mht, x{repeat} content repeat, "
+            f"rounds={rounds}, interleaved)\n\n"
             "| task slots (N) | best wall sec | files/sec |\n|---|---|---|\n"
         )
         for n in levels:
@@ -1568,6 +1642,8 @@ if __name__ == "__main__":
         scaling_ingest()
     elif "--crawl-scaling" in sys.argv:
         scaling_crawl()
+    elif "--office-scaling" in sys.argv:
+        scaling_office()
     elif "--warc-scaling" in sys.argv:
         scaling_warc()
     elif "--media-scaling" in sys.argv:

@@ -32,6 +32,8 @@ processors — SURVEY.md §3) collapse into one job:
                            xlsxparse.py — spreadsheet invoices)
     --input-format odt     a directory of *.odt OpenDocument text files
                            (sources/odtparse.py)
+    --input-format text    a directory of *.txt plain-text documents (the
+                           WET-extract form): blank-line paragraphs
     --input-format mime    a directory of *.mht(ml) / *.eml MIME documents:
                            MHTML saved pages and mail with document
                            attachments (sources/mimeparse.py)
@@ -73,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
                    "documents")
     p.add_argument("--input-format",
                    choices=["spans", "pdf", "html", "docx", "xlsx", "odt",
-                            "mime", "web", "warc"],
+                            "text", "mime", "web", "warc"],
                    default="spans",
                    help="web = a mixed crawl directory: every file, "
                    "container sniffed per document (PDF or HTML); "
@@ -146,7 +148,7 @@ def main(argv: list[str] | None = None) -> int:
                                          container="auto",
                                          ctype_col="content_type")
         elif args.input_format in ("pdf", "html", "docx", "xlsx", "odt",
-                                   "mime", "web"):
+                                   "text", "mime", "web"):
             import pyspark.sql.functions as F
 
             from .sources.spans import read_binary_docs, parse_binary_to_spans
@@ -157,6 +159,7 @@ def main(argv: list[str] | None = None) -> int:
                 "docx": ("*.docx", "docx"),
                 "xlsx": ("*.xlsx", "xlsx"),
                 "odt": ("*.odt", "odt"),
+                "text": ("*.txt", "text"),
                 "mime": ("*.{mht,mhtml,eml}", "mime"),
                 "web": ("*", "auto"),
             }[args.input_format]

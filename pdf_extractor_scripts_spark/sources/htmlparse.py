@@ -430,6 +430,10 @@ def sniff_container(content: bytes) -> str:
     # BOM-prefixed or fragment HTML: any tag soup with no PDF header
     if low.startswith(b"\xef\xbb\xbf<") or low.startswith(b"<"):
         return "html"
+    from .textparse import looks_like_text
+
+    if looks_like_text(content):
+        return "text"  # WET conversion records, bare .txt — documents
     return "pdf"
 
 

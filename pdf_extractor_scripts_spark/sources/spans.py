@@ -107,16 +107,18 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
     from pyspark.sql.types import BooleanType, StringType, StructField, StructType
 
     from ..schemas import DOC_SCHEMA
+    from .compress import maybe_decompress
     from .docxparse import parse_docx_spans
     from .htmlparse import charset_of, parse_html_spans, sniff_container
     from .mimeparse import parse_mime_spans
     from .odtparse import parse_odt_spans
     from .pdfparse import parse_pdf_spans
+    from .textparse import parse_text_spans
     from .xlsxparse import parse_xlsx_spans
 
     forms = {"html": None, "docx": parse_docx_spans,
              "mime": parse_mime_spans, "xlsx": parse_xlsx_spans,
-             "odt": parse_odt_spans, "pdf": None}
+             "odt": parse_odt_spans, "text": None, "pdf": None}
     if container != "auto" and container not in forms:
         raise ValueError(f"unknown container {container!r}")
 
@@ -136,12 +138,24 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
             for doc_id, content, ctype in zip(
                     pdf["doc_id"], pdf["content"], ctypes):
                 err = None
-                raw = bytes(content)
-                form = container if container != "auto" \
-                    else sniff_container(raw)
                 try:
+                    # single-document compression wrappers (.pdf.gz,
+                    # .txt.xz ...) unwrap before sniffing, bomb-capped
+                    raw = maybe_decompress(bytes(content))
+                    form = container if container != "auto" \
+                        else sniff_container(raw)
+                    if (form == "pdf" and container == "auto"
+                            and not raw.lstrip()[:5].startswith(b"%PDF-")
+                            and (ctype or "").split(";")[0].strip().lower()
+                            == "text/plain"):
+                        # transport-declared plain text in a legacy charset
+                        # (windows-1252 WET records fail the UTF-8 sniff)
+                        form = "text"
                     if form == "html":
                         spans = parse_html_spans(raw, doc_id,
+                                                 charset=charset_of(ctype))
+                    elif form == "text":
+                        spans = parse_text_spans(raw, doc_id,
                                                  charset=charset_of(ctype))
                     elif forms.get(form) is not None:
                         spans = forms[form](raw, doc_id)

@@ -356,7 +356,9 @@ def build_warc(docs: list[dict], per_record_gzip: bool = True,
     ``per_record_gzip=True`` compresses record-at-time (the spec-blessed
     layout that keeps archives split-seekable); False writes plain WARC.
     A doc with a ``revisit_of`` key becomes a payload-less revisit record
-    pointing at that URL.
+    pointing at that URL; a doc with ``record_type`` "resource" or
+    "conversion" becomes a bare (non-HTTP) record whose block IS the
+    payload — the WET-sidecar form.
     """
     records = []
     info_block = b"software: pdf_extractor_scripts_spark fixture writer\r\n"
@@ -372,6 +374,11 @@ def build_warc(docs: list[dict], per_record_gzip: bool = True,
                        + d["revisit_of"].encode(),
                        b"WARC-Profile: http://netpreserve.org/warc/1.1/"
                        b"revisit/identical-payload-digest"]))
+            continue
+        if d.get("record_type") in ("resource", "conversion"):
+            records.append(_record(
+                d["record_type"], url, payload,
+                f"{d['record_type']}{i}:{url}", ctype))
             continue
         if with_requests:
             req = (b"GET / HTTP/1.1\r\nHost: example.test\r\n"

@@ -272,7 +272,10 @@ def test_sniff_container():
     assert sniff_container(b"  \n<!DOCTYPE html><html>") == "html"
     assert sniff_container(b"<HTML><BODY>x</BODY>") == "html"
     assert sniff_container(b"\xef\xbb\xbf<div>frag</div>") == "html"
-    assert sniff_container(b"random bytes") == "pdf"  # PDF path recovers
+    # printable bytes with no structure are plain TEXT documents (the
+    # WET-record form); binary garbage still falls to the PDF chain
+    assert sniff_container(b"random bytes") == "text"
+    assert sniff_container(b"\x01\x02 binary junk \x03") == "pdf"
 
 
 def test_auto_dispatch_and_pipeline(spark, tmpdir):
