@@ -286,7 +286,8 @@ def build_mhtml(html: str | None = None,
                 base: str = "https://page.test/",
                 subject: str = "Saved page",
                 subtype: str = "related",
-                charset: str = "utf-8") -> bytes:
+                charset: str = "utf-8",
+                boundary: str = "----=_spark-graft-fixture") -> bytes:
     """Deterministic MHTML/EML fixture writer. ``images``: absolute or
     base-relative URL → payload stored under Content-Location;
     ``cids``: Content-ID → payload (mail-style inline images);
@@ -296,7 +297,7 @@ def build_mhtml(html: str | None = None,
     import base64
     import quopri
 
-    b = "----=_spark-graft-fixture"
+    b = boundary
     lines: list[bytes] = [
         b"From: fixtures <fixtures@spark-graft.test>",
         b"Subject: " + subject.encode(),
