@@ -935,7 +935,19 @@ def scaling_warc() -> None:
         parse_binary_to_spans,
         read_binary_docs,
     )
-    from pdf_extractor_scripts_spark.sources.warcparse import docs_from_warcs
+    from pdf_extractor_scripts_spark.sources.warcparse import (
+        docs_from_warc_ranges,
+        docs_from_warcs,
+        index_warc_archives,
+    )
+
+    # SPARK_GRAFT_WARC_SPLIT_AB=1 interleaves a CDX-split variant
+    # (member-aligned range chunks instead of whole archives as the
+    # parallel unit) against the whole-archive path in the SAME
+    # session — the only comparison this box's noise permits
+    split_ab = os.environ.get("SPARK_GRAFT_WARC_SPLIT_AB") == "1"
+    split_members = int(os.environ.get("SPARK_GRAFT_WARC_SPLIT_MEMBERS",
+                                       "16"))
 
     spark = make_session(32)
     archives = read_binary_docs(
@@ -943,19 +955,37 @@ def scaling_warc() -> None:
     ).localCheckpoint(eager=True)
     n_archives = archives.count()
 
+    clean = ("archive_error IS NULL AND revisit_of IS NULL AND "
+             "(http_status IS NULL OR http_status BETWEEN 200 AND 299)")
+
     def run(n: int) -> float:
         t0 = time.time()
-        docs = docs_from_warcs(archives.coalesce(n)).filter(
-            "archive_error IS NULL AND revisit_of IS NULL AND "
-            "(http_status IS NULL OR http_status BETWEEN 200 AND 299)")
+        docs = docs_from_warcs(archives.coalesce(n)).filter(clean)
+        _force(parse_binary_to_spans(docs, container="auto"))
+        return time.time() - t0
+
+    ranges = None
+    if split_ab:
+        ranges = index_warc_archives(
+            archives, max_members=split_members
+        ).localCheckpoint(eager=True)
+        n_chunks = ranges.count()
+
+    def run_split(n: int) -> float:
+        t0 = time.time()
+        docs = docs_from_warc_ranges(
+            ranges.repartition(n, "warc_file", "offset")).filter(clean)
         _force(parse_binary_to_spans(docs, container="auto"))
         return time.time() - t0
 
     run(32)  # warmup (untimed)
     times: dict[int, list[float]] = {n: [] for n in levels}
+    split_times: dict[int, list[float]] = {n: [] for n in levels}
     for _ in range(rounds):
         for n in levels:
             times[n].append(run(n))
+            if split_ab:
+                split_times[n].append(run_split(n))
     spark.stop()
 
     control = _cpu_control(levels)
@@ -975,6 +1005,18 @@ def scaling_warc() -> None:
         "throughput_files_per_sec": {str(n): thr[n] for n in levels},
         "pairs": stats,
     }
+    if split_ab:
+        sbest = {n: min(ts) for n, ts in split_times.items()}
+        sstats = _pair_stats_for(split_times, pairs, control)
+        out["split_variant"] = {
+            "max_members": split_members,
+            "chunks": n_chunks,
+            "best_wall_sec": {str(n): round(sbest[n], 2) for n in levels},
+            "pairs": sstats,
+            "wall_ratio_whole_over_split": {
+                str(n): round(best[n] / max(sbest[n], 1e-9), 3)
+                for n in levels},
+        }
     print(json.dumps(out))
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/warc_scaling.json", "w") as f:
@@ -997,6 +1039,24 @@ def scaling_warc() -> None:
             )
         f.write("\nPer-round pair ratios: " + "; ".join(
             f"{p['n']}→{p['4n']}: {p['per_round']}" for p in stats) + "\n")
+        if split_ab:
+            sv = out["split_variant"]
+            f.write(
+                f"\nCDX-split variant (same session, interleaved; "
+                f"max_members={split_members} → {n_chunks} chunks): "
+                "best walls "
+                + ", ".join(f"{n} slots {sv['best_wall_sec'][str(n)]}s"
+                            for n in levels)
+                + "; efficiency "
+                + ", ".join(
+                    f"{p['n']}→{p['4n']} {p['efficiency']} "
+                    f"(normalized {p['normalized']})"
+                    for p in sv["pairs"])
+                + "; whole/split wall ratios "
+                + ", ".join(
+                    f"{n}: {sv['wall_ratio_whole_over_split'][str(n)]}"
+                    for n in levels)
+                + "\n")
 
 
 def scaling_media() -> None:

@@ -30,8 +30,10 @@ processors — SURVEY.md §3) collapse into one job:
     --input-format xlsx    a directory of *.xlsx spreadsheets: one page per
                            worksheet, one text span per row (sources/
                            xlsxparse.py — spreadsheet invoices)
-    --input-format odt     a directory of *.odt OpenDocument text files
-                           (sources/odtparse.py)
+    --input-format odt     a directory of *.odt/*.ods OpenDocument files
+                           (sources/odtparse.py — text and spreadsheets)
+    --input-format rtf     a directory of *.rtf legacy office documents
+                           (sources/rtfparse.py)
     --input-format text    a directory of *.txt plain-text documents (the
                            WET-extract form): blank-line paragraphs
     --input-format mime    a directory of *.mht(ml) / *.eml MIME documents:
@@ -75,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
                    "documents")
     p.add_argument("--input-format",
                    choices=["spans", "pdf", "html", "docx", "xlsx", "odt",
-                            "text", "mime", "web", "warc"],
+                            "rtf", "text", "mime", "web", "warc"],
                    default="spans",
                    help="web = a mixed crawl directory: every file, "
                    "container sniffed per document (PDF or HTML); "
@@ -148,7 +150,7 @@ def main(argv: list[str] | None = None) -> int:
                                          container="auto",
                                          ctype_col="content_type")
         elif args.input_format in ("pdf", "html", "docx", "xlsx", "odt",
-                                   "text", "mime", "web"):
+                                   "rtf", "text", "mime", "web"):
             import pyspark.sql.functions as F
 
             from .sources.spans import read_binary_docs, parse_binary_to_spans
@@ -158,7 +160,8 @@ def main(argv: list[str] | None = None) -> int:
                 "html": ("*.htm*", "html"),
                 "docx": ("*.docx", "docx"),
                 "xlsx": ("*.xlsx", "xlsx"),
-                "odt": ("*.odt", "odt"),
+                "odt": ("*.{odt,ods}", "odt"),
+                "rtf": ("*.rtf", "rtf"),
                 "text": ("*.txt", "text"),
                 "mime": ("*.{mht,mhtml,eml}", "mime"),
                 "web": ("*", "auto"),

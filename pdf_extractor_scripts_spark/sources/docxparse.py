@@ -263,12 +263,12 @@ def zip_container_form(content: bytes) -> str | None:
             if "xl/workbook.xml" in names:
                 return "xlsx"
             if "content.xml" in names:
-                from .odtparse import MIMETYPE
+                from .odtparse import MIMETYPE, MIMETYPE_ODS
 
                 mt = (zf.read("mimetype").decode("ascii", "replace").strip()
                       if "mimetype" in names else "")
-                if mt == MIMETYPE or not mt:
-                    return "odt"
+                if mt in (MIMETYPE, MIMETYPE_ODS) or not mt:
+                    return "odt"  # the ODT parser handles both bodies
     except Exception:
         return None
     return None

@@ -414,6 +414,8 @@ def sniff_container(content: bytes) -> str:
     head = content[:4096].lstrip()
     if head.startswith(b"%PDF"):
         return "pdf"
+    if head.startswith(b"{\\rtf"):
+        return "rtf"
     if content[:4] == b"PK\x03\x04":
         from .docxparse import zip_container_form
 

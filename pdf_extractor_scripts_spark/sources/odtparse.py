@@ -1,4 +1,4 @@
-"""Pure-stdlib ODT (OpenDocument Text, ISO/IEC 26300) parsing.
+"""Pure-stdlib ODT/ODS (OpenDocument, ISO/IEC 26300) parsing.
 
 The OpenDocument sibling of the DOCX half — LibreOffice/OpenOffice
 documents are a steady share of any real crawl's office content. An
@@ -12,6 +12,13 @@ scheme. Encoded whitespace (``text:s``/``text:tab``/
 and tracked-change records are skipped (the accepted main-text view);
 page headers/footers live in ``styles.xml``, which the parse never
 opens — the same structural chrome exclusion as DOCX.
+
+ODS spreadsheets share the package format with a different body
+(``office:spreadsheet``): the XLSX mapping applies — one page per
+sheet (``table:table``), the sheet name as the page's first text
+span, one text span per non-empty row. ODS cell/row repetition
+(``table:number-columns-repeated``) is honored with a cap so a
+sheet padded with a million repeated empties stays O(content).
 """
 
 from __future__ import annotations
@@ -28,6 +35,8 @@ _DRAW = "{urn:oasis:names:tc:opendocument:xmlns:drawing:1.0}"
 _XLINK = "{http://www.w3.org/1999/xlink}"
 
 MIMETYPE = "application/vnd.oasis.opendocument.text"
+MIMETYPE_ODS = "application/vnd.oasis.opendocument.spreadsheet"
+_REPEAT_CAP = 256  # repeated-cell expansion bound
 
 
 class OdtError(ValueError):
@@ -71,9 +80,12 @@ def _parse(data: bytes, doc_id: str) -> tuple[list[dict], list[dict]]:
     except ET.ParseError as e:
         raise OdtError(f"malformed content.xml: {e}") from None
     body = root.find(f"{_OFFICE}body")
+    if body is not None and body.find(f"{_OFFICE}spreadsheet") is not None:
+        return _parse_sheets(body.find(f"{_OFFICE}spreadsheet")), []
     text_el = body.find(f"{_OFFICE}text") if body is not None else None
     if text_el is None:
-        raise OdtError("content.xml has no office:body/office:text")
+        raise OdtError("content.xml has no office:body/office:text"
+                       " (or office:spreadsheet)")
 
     spans: list[dict] = [{"kind": "page_break", "text": "=== PAGE 1 ===",
                           "media_ref": "", "offset": 0}]
@@ -157,8 +169,44 @@ def _events_with_row_coherence_nested(el) -> Iterator[tuple]:
             yield from _events_with_row_coherence_nested(child)
 
 
+def _parse_sheets(spreadsheet) -> list[dict]:
+    """office:spreadsheet → the XLSX page-per-sheet mapping."""
+    spans: list[dict] = []
+    off = 0
+    for page, tbl in enumerate(spreadsheet.findall(f"{_TABLE}table"),
+                               start=1):
+        spans.append({"kind": "page_break", "text": f"=== PAGE {page} ===",
+                      "media_ref": "", "offset": off})
+        off += 1
+        name = " ".join((tbl.get(f"{_TABLE}name") or "").split())
+        if name:
+            spans.append({"kind": "text", "text": name,
+                          "media_ref": "", "offset": off})
+            off += 1
+        for row in tbl.findall(f"{_TABLE}table-row"):
+            cells: list[str] = []
+            for tc in row.findall(f"{_TABLE}table-cell"):
+                parts: list[str] = []
+                for ev in _para_events(tc):
+                    if ev[0] == "text":
+                        parts.append(ev[1])
+                    parts.append(" ")
+                text = " ".join("".join(parts).split())
+                rep = min(int(tc.get(f"{_TABLE}number-columns-repeated",
+                                     "1") or "1"), _REPEAT_CAP)
+                cells.extend([text] * (rep if text else 1))
+            line = " ".join(" ".join(cells).split())
+            if line:
+                spans.append({"kind": "text", "text": line,
+                              "media_ref": "", "offset": off})
+                off += 1
+    if not spans:
+        raise OdtError("spreadsheet has no sheets")
+    return spans
+
+
 def parse_odt_spans(data: bytes, doc_id: str) -> list[dict]:
-    """ODT bytes → ordered (kind, text, media_ref, offset) spans."""
+    """ODT/ODS bytes → ordered (kind, text, media_ref, offset) spans."""
     return _parse(data, doc_id)[0]
 
 
@@ -175,6 +223,59 @@ def odt_media_payloads(data: bytes, doc_id: str) -> list[dict]:
 def _esc(s: str) -> str:
     return (s.replace("&", "&amp;").replace("<", "&lt;")
             .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def build_ods(sheets: dict[str, list[list[str]]],
+              repeated: dict | None = None) -> bytes:
+    """Deterministic ODS fixture writer: sheet name → rows of cell
+    strings. ``repeated``: (sheet, row, col) → count adds a
+    number-columns-repeated attribute to that cell."""
+    repeated = repeated or {}
+    tables = []
+    for sname, rows in sheets.items():
+        xml_rows = []
+        for ri, row in enumerate(rows):
+            cells = []
+            for ci, val in enumerate(row):
+                rep = repeated.get((sname, ri, ci))
+                attr = (f' table:number-columns-repeated="{rep}"'
+                        if rep else "")
+                cells.append(f"<table:table-cell{attr}>"
+                             f"<text:p>{_esc(str(val))}</text:p>"
+                             "</table:table-cell>")
+            xml_rows.append(f"<table:table-row>{''.join(cells)}"
+                            "</table:table-row>")
+        tables.append(f'<table:table table:name="{_esc(sname)}">'
+                      f"{''.join(xml_rows)}</table:table>")
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">'
+        f"<office:body><office:spreadsheet>{''.join(tables)}"
+        "</office:spreadsheet></office:body></office:document-content>"
+    ).encode()
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<manifest:manifest xmlns:manifest='
+        '"urn:oasis:names:tc:opendocument:xmlns:manifest:1.0">'
+        '<manifest:file-entry manifest:full-path="/" '
+        f'manifest:media-type="{MIMETYPE_ODS}"/>'
+        '<manifest:file-entry manifest:full-path="content.xml" '
+        'manifest:media-type="text/xml"/></manifest:manifest>'
+    ).encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        info = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        info.compress_type = zipfile.ZIP_STORED
+        zf.writestr(info, MIMETYPE_ODS)
+        for name, data in sorted({"content.xml": content,
+                                  "META-INF/manifest.xml": manifest}.items()):
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, data)
+    return buf.getvalue()
 
 
 def build_odt(paragraphs: list[str],
