@@ -200,12 +200,12 @@ def _warc_tree(n_docs: int, repeat: int = 1, per_archive: int = 64) -> str:
 
 
 def _office_tree(n_docs: int, repeat: int = 1) -> str:
-    """Office/mail mix: the same corpus docs cycled through the FOUR
+    """Office/mail mix: the same corpus docs cycled through the SEVEN
     non-crawl container forms — docx → xlsx → odt → mht (MHTML page
-    wrapping the HTML form) — the long tail a web corpus's office
-    share actually looks like. ``repeat`` multiplies each document's
-    paragraphs for long-wall scaling runs. Idempotent."""
-    root = f"/tmp/spark_graft_officetree_{n_docs}" + (
+    wrapping the HTML form) → rtf → ods → pptx — the long tail a web
+    corpus's office share actually looks like. ``repeat`` multiplies
+    each document's paragraphs for long-wall scaling runs. Idempotent."""
+    root = f"/tmp/spark_graft_officetree7_{n_docs}" + (
         f"_x{repeat}" if repeat > 1 else "")
     marker = os.path.join(root, ".complete")
     if os.path.exists(marker):
@@ -214,7 +214,12 @@ def _office_tree(n_docs: int, repeat: int = 1) -> str:
     from pdf_extractor_scripts_spark.sources.docxparse import build_docx
     from pdf_extractor_scripts_spark.sources.htmlparse import build_html
     from pdf_extractor_scripts_spark.sources.mimeparse import build_mhtml
-    from pdf_extractor_scripts_spark.sources.odtparse import build_odt
+    from pdf_extractor_scripts_spark.sources.odtparse import (
+        build_ods,
+        build_odt,
+    )
+    from pdf_extractor_scripts_spark.sources.pptxparse import build_pptx
+    from pdf_extractor_scripts_spark.sources.rtfparse import build_rtf
     from pdf_extractor_scripts_spark.sources.xlsxparse import build_xlsx
 
     seen: dict[str, int] = {}
@@ -222,7 +227,7 @@ def _office_tree(n_docs: int, repeat: int = 1) -> str:
         paras = [s["text"] for s in d["spans"]
                  if s["kind"] == "text" and s["text"].strip()] * repeat
         stem = d["doc_id"].rsplit(".", 1)[0]
-        form = i % 4
+        form = i % 7
         if form == 0:
             path, data = stem + ".docx", build_docx(paras)
         elif form == 1:
@@ -230,9 +235,17 @@ def _office_tree(n_docs: int, repeat: int = 1) -> str:
                 {"Sheet1": [[p] for p in paras]})
         elif form == 2:
             path, data = stem + ".odt", build_odt(paras)
-        else:
+        elif form == 3:
             path, data = stem + ".mht", build_mhtml(
                 html=build_html(paras, title=d["doc_id"]).decode())
+        elif form == 4:
+            path, data = stem + ".rtf", build_rtf(paras)
+        elif form == 5:
+            path, data = stem + ".ods", build_ods(
+                {"Sheet1": [[p] for p in paras]})
+        else:
+            path, data = stem + ".pptx", build_pptx(
+                [{"title": d["doc_id"], "bullets": paras}])
         full = os.path.join(root, _uniq_path(path, seen))
         os.makedirs(os.path.dirname(full), exist_ok=True)
         with open(full, "wb") as f:
@@ -244,13 +257,13 @@ def _office_tree(n_docs: int, repeat: int = 1) -> str:
 
 def run_office_ingest(spark, root: str) -> float:
     """Wall seconds for binaryFile scan of the office/mail tree →
-    container-sniffed parse (docx/xlsx/odt/mime)."""
+    container-sniffed parse (docx/xlsx/odt/mht/rtf/ods/pptx)."""
     from pdf_extractor_scripts_spark.sources.spans import (
         parse_binary_to_spans,
         read_binary_docs,
     )
 
-    binary = read_binary_docs(spark, root, glob="*.{docx,xlsx,odt,mht}")
+    binary = read_binary_docs(spark, root, glob="*.{docx,xlsx,odt,mht,rtf,ods,pptx}")
     t0 = time.time()
     _force(parse_binary_to_spans(binary, container="auto"))
     return time.time() - t0
@@ -396,8 +409,8 @@ def main() -> None:
     warc_sec = min(run_warc_ingest(spark, warc_root) for _ in range(2))
     timings["warc_ingest"] = round(warc_sec, 3)
 
-    # office/mail ingest (r6): the same corpus cycled through
-    # docx/xlsx/odt/mht — the office long tail, sniffed per document
+    # office/mail ingest (r6): the same corpus cycled through all seven
+    # office/mail forms (docx/xlsx/odt/mht/rtf/ods/pptx), sniffed per doc
     office_root = _office_tree(n_pdfs)
     office_sec = min(run_office_ingest(spark, office_root)
                      for _ in range(2))
@@ -865,7 +878,7 @@ def scaling_office() -> None:
 
     spark = make_session(32)
     binary = read_binary_docs(
-        spark, _office_tree(n_files, repeat), glob="*.{docx,xlsx,odt,mht}"
+        spark, _office_tree(n_files, repeat), glob="*.{docx,xlsx,odt,mht,rtf,ods,pptx}"
     ).localCheckpoint(eager=True)
     _force(parse_binary_to_spans(binary.limit(512), container="auto"))
     times: dict[int, list[float]] = {n: [] for n in levels}

@@ -34,6 +34,8 @@ processors — SURVEY.md §3) collapse into one job:
                            (sources/odtparse.py — text and spreadsheets)
     --input-format rtf     a directory of *.rtf legacy office documents
                            (sources/rtfparse.py)
+    --input-format pptx    a directory of *.pptx slide decks: one page per
+                           slide, notes/masters excluded (sources/pptxparse.py)
     --input-format text    a directory of *.txt plain-text documents (the
                            WET-extract form): blank-line paragraphs
     --input-format mime    a directory of *.mht(ml) / *.eml MIME documents:
@@ -77,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
                    "documents")
     p.add_argument("--input-format",
                    choices=["spans", "pdf", "html", "docx", "xlsx", "odt",
-                            "rtf", "text", "mime", "web", "warc"],
+                            "rtf", "pptx", "text", "mime", "web", "warc"],
                    default="spans",
                    help="web = a mixed crawl directory: every file, "
                    "container sniffed per document (PDF or HTML); "
@@ -150,7 +152,8 @@ def main(argv: list[str] | None = None) -> int:
                                          container="auto",
                                          ctype_col="content_type")
         elif args.input_format in ("pdf", "html", "docx", "xlsx", "odt",
-                                   "rtf", "text", "mime", "web"):
+                                   "rtf", "pptx", "text", "mime",
+                                   "web"):
             import pyspark.sql.functions as F
 
             from .sources.spans import read_binary_docs, parse_binary_to_spans
@@ -162,6 +165,7 @@ def main(argv: list[str] | None = None) -> int:
                 "xlsx": ("*.xlsx", "xlsx"),
                 "odt": ("*.{odt,ods}", "odt"),
                 "rtf": ("*.rtf", "rtf"),
+                "pptx": ("*.pptx", "pptx"),
                 "text": ("*.txt", "text"),
                 "mime": ("*.{mht,mhtml,eml}", "mime"),
                 "web": ("*", "auto"),

@@ -262,6 +262,8 @@ def zip_container_form(content: bytes) -> str | None:
                 return "docx"
             if "xl/workbook.xml" in names:
                 return "xlsx"
+            if "ppt/presentation.xml" in names:
+                return "pptx"
             if "content.xml" in names:
                 from .odtparse import MIMETYPE, MIMETYPE_ODS
 

@@ -113,6 +113,7 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
     from .mimeparse import parse_mime_spans
     from .odtparse import parse_odt_spans
     from .pdfparse import parse_pdf_spans
+    from .pptxparse import parse_pptx_spans
     from .rtfparse import parse_rtf_spans
     from .textparse import parse_text_spans
     from .xlsxparse import parse_xlsx_spans
@@ -120,7 +121,7 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
     forms = {"html": None, "docx": parse_docx_spans,
              "mime": parse_mime_spans, "xlsx": parse_xlsx_spans,
              "odt": parse_odt_spans, "rtf": parse_rtf_spans,
-             "text": None, "pdf": None}
+             "pptx": parse_pptx_spans, "text": None, "pdf": None}
     if container != "auto" and container not in forms:
         raise ValueError(f"unknown container {container!r}")
 
