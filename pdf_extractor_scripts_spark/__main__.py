@@ -36,6 +36,9 @@ processors — SURVEY.md §3) collapse into one job:
                            (sources/rtfparse.py)
     --input-format pptx    a directory of *.pptx slide decks: one page per
                            slide, notes/masters excluded (sources/pptxparse.py)
+    --input-format epub    a directory of *.epub books: one page per spine
+                           chapter, classifier-off block extraction
+                           (sources/epubparse.py)
     --input-format text    a directory of *.txt plain-text documents (the
                            WET-extract form): blank-line paragraphs
     --input-format mime    a directory of *.mht(ml) / *.eml MIME documents:
@@ -79,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
                    "documents")
     p.add_argument("--input-format",
                    choices=["spans", "pdf", "html", "docx", "xlsx", "odt",
-                            "rtf", "pptx", "text", "mime", "web", "warc"],
+                            "rtf", "pptx", "epub", "text", "mime", "web", "warc"],
                    default="spans",
                    help="web = a mixed crawl directory: every file, "
                    "container sniffed per document (PDF or HTML); "
@@ -152,7 +155,7 @@ def main(argv: list[str] | None = None) -> int:
                                          container="auto",
                                          ctype_col="content_type")
         elif args.input_format in ("pdf", "html", "docx", "xlsx", "odt",
-                                   "rtf", "pptx", "text", "mime",
+                                   "rtf", "pptx", "epub", "text", "mime",
                                    "web"):
             import pyspark.sql.functions as F
 
@@ -166,6 +169,7 @@ def main(argv: list[str] | None = None) -> int:
                 "odt": ("*.{odt,ods}", "odt"),
                 "rtf": ("*.rtf", "rtf"),
                 "pptx": ("*.pptx", "pptx"),
+                "epub": ("*.epub", "epub"),
                 "text": ("*.txt", "text"),
                 "mime": ("*.{mht,mhtml,eml}", "mime"),
                 "web": ("*", "auto"),

@@ -177,11 +177,12 @@ def media_from_pdfs(binary_docs: DataFrame) -> DataFrame:
     from ..sources.mimeparse import mime_media_payloads
     from ..sources.odtparse import odt_media_payloads
     from ..sources.pdfparse import pdf_media_payloads
+    from ..sources.epubparse import epub_media_payloads
     from ..sources.pptxparse import pptx_media_payloads
 
     extractors = {"docx": docx_media_payloads, "mime": mime_media_payloads,
                   "odt": odt_media_payloads, "pptx": pptx_media_payloads,
-                  "pdf": pdf_media_payloads}
+                  "epub": epub_media_payloads, "pdf": pdf_media_payloads}
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -251,10 +251,10 @@ def docx_media_payloads(data: bytes, doc_id: str) -> list[dict]:
 
 
 def zip_container_form(content: bytes) -> str | None:
-    """'docx' | 'xlsx' | 'odt' from the ZIP package's main part, else
-    None (plain archives: no parser — the caller routes them to the
-    PDF fallback chain, which rejects them LOUDLY as a counted parse
-    fallback rather than misparsing)."""
+    """'docx' | 'xlsx' | 'pptx' | 'epub' | 'odt' from the ZIP
+    package's main part, else None (plain archives: no parser — the
+    caller routes them to the PDF fallback chain, which rejects them
+    LOUDLY as a counted parse fallback rather than misparsing)."""
     try:
         with zipfile.ZipFile(io.BytesIO(content)) as zf:
             names = set(zf.namelist())
@@ -264,6 +264,12 @@ def zip_container_form(content: bytes) -> str | None:
                 return "xlsx"
             if "ppt/presentation.xml" in names:
                 return "pptx"
+            if "META-INF/container.xml" in names:
+                mt = (zf.read("mimetype").decode("ascii", "replace").strip()
+                      if "mimetype" in names else "")
+                if mt == "application/epub+zip" or (
+                        not mt and "content.xml" not in names):
+                    return "epub"
             if "content.xml" in names:
                 from .odtparse import MIMETYPE, MIMETYPE_ODS
 

@@ -358,10 +358,16 @@ def charset_of(content_type: str | None) -> str | None:
 
 
 def extract_main_blocks(data: bytes | str,
-                        charset: str | None = None) -> list[dict]:
+                        charset: str | None = None,
+                        classify: bool = True) -> list[dict]:
     """HTML → ordered retained blocks: [{"text", "images", "heading"}].
     The debugging/analysis surface; `parse_html_spans` is the span
-    emitter over it. ``charset``: transport-layer encoding hint."""
+    emitter over it. ``charset``: transport-layer encoding hint.
+    ``classify=False`` keeps every non-empty block (script/style/
+    hidden content is still excluded by the parser itself) — the right
+    model for chrome-free documents like EPUB book chapters, where the
+    web classifier's word-count rules would drop short dialogue
+    lines."""
     if isinstance(data, bytes):
         text = _decode_html(data, charset=charset)
     else:
@@ -369,7 +375,8 @@ def extract_main_blocks(data: bytes | str,
     parser = _BlockParser()
     parser.feed(text)
     parser.close()
-    flags = _classify(parser.blocks)
+    flags = _classify(parser.blocks) if classify \
+        else [bool(b.text() or b.images) for b in parser.blocks]
     return [
         {"text": b.text(), "images": list(b.images), "heading": b.heading}
         for b, keep in zip(parser.blocks, flags) if keep

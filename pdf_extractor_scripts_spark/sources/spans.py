@@ -109,6 +109,7 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
     from ..schemas import DOC_SCHEMA
     from .compress import maybe_decompress
     from .docxparse import parse_docx_spans
+    from .epubparse import parse_epub_spans
     from .htmlparse import charset_of, parse_html_spans, sniff_container
     from .mimeparse import parse_mime_spans
     from .odtparse import parse_odt_spans
@@ -121,7 +122,8 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
     forms = {"html": None, "docx": parse_docx_spans,
              "mime": parse_mime_spans, "xlsx": parse_xlsx_spans,
              "odt": parse_odt_spans, "rtf": parse_rtf_spans,
-             "pptx": parse_pptx_spans, "text": None, "pdf": None}
+             "pptx": parse_pptx_spans, "epub": parse_epub_spans,
+             "text": None, "pdf": None}
     if container != "auto" and container not in forms:
         raise ValueError(f"unknown container {container!r}")
 
