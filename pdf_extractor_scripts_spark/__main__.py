@@ -41,6 +41,10 @@ processors — SURVEY.md §3) collapse into one job:
                            (sources/epubparse.py)
     --input-format text    a directory of *.txt plain-text documents (the
                            WET-extract form): blank-line paragraphs
+    --input-format md      a directory of *.md markdown documents (READMEs,
+                           docs sites); images become media spans
+    --input-format csv     a directory of *.csv/*.tsv delimited records:
+                           one row-coherent span per record
     --input-format mime    a directory of *.mht(ml) / *.eml MIME documents:
                            MHTML saved pages and mail with document
                            attachments (sources/mimeparse.py)
@@ -82,7 +86,8 @@ def main(argv: list[str] | None = None) -> int:
                    "documents")
     p.add_argument("--input-format",
                    choices=["spans", "pdf", "html", "docx", "xlsx", "odt",
-                            "rtf", "pptx", "epub", "text", "mime", "web", "warc"],
+                            "rtf", "pptx", "epub", "text", "md", "csv", "mime", "web",
+                            "warc"],
                    default="spans",
                    help="web = a mixed crawl directory: every file, "
                    "container sniffed per document (PDF or HTML); "
@@ -155,8 +160,8 @@ def main(argv: list[str] | None = None) -> int:
                                          container="auto",
                                          ctype_col="content_type")
         elif args.input_format in ("pdf", "html", "docx", "xlsx", "odt",
-                                   "rtf", "pptx", "epub", "text", "mime",
-                                   "web"):
+                                   "rtf", "pptx", "epub", "text", "md",
+                                   "csv", "mime", "web"):
             import pyspark.sql.functions as F
 
             from .sources.spans import read_binary_docs, parse_binary_to_spans
@@ -171,6 +176,8 @@ def main(argv: list[str] | None = None) -> int:
                 "pptx": ("*.pptx", "pptx"),
                 "epub": ("*.epub", "epub"),
                 "text": ("*.txt", "text"),
+                "md": ("*.md", "md"),
+                "csv": ("*.{csv,tsv}", "csv"),
                 "mime": ("*.{mht,mhtml,eml}", "mime"),
                 "web": ("*", "auto"),
             }[args.input_format]

@@ -439,8 +439,13 @@ def sniff_container(content: bytes) -> str:
     # BOM-prefixed or fragment HTML: any tag soup with no PDF header
     if low.startswith(b"\xef\xbb\xbf<") or low.startswith(b"<"):
         return "html"
+    from .mdparse import looks_like_csv, looks_like_markdown
     from .textparse import looks_like_text
 
+    if looks_like_markdown(content):
+        return "md"  # README/docs-site corpora
+    if looks_like_csv(content):
+        return "csv"  # delimiter-consistent records
     if looks_like_text(content):
         return "text"  # WET conversion records, bare .txt — documents
     return "pdf"

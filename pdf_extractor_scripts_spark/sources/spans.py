@@ -111,6 +111,7 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
     from .docxparse import parse_docx_spans
     from .epubparse import parse_epub_spans
     from .htmlparse import charset_of, parse_html_spans, sniff_container
+    from .mdparse import parse_csv_spans, parse_md_spans
     from .mimeparse import parse_mime_spans
     from .odtparse import parse_odt_spans
     from .pdfparse import parse_pdf_spans
@@ -123,7 +124,7 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
              "mime": parse_mime_spans, "xlsx": parse_xlsx_spans,
              "odt": parse_odt_spans, "rtf": parse_rtf_spans,
              "pptx": parse_pptx_spans, "epub": parse_epub_spans,
-             "text": None, "pdf": None}
+             "md": None, "csv": None, "text": None, "pdf": None}
     if container != "auto" and container not in forms:
         raise ValueError(f"unknown container {container!r}")
 
@@ -162,6 +163,12 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
                     elif form == "text":
                         spans = parse_text_spans(raw, doc_id,
                                                  charset=charset_of(ctype))
+                    elif form == "md":
+                        spans = parse_md_spans(raw, doc_id,
+                                               charset=charset_of(ctype))
+                    elif form == "csv":
+                        spans = parse_csv_spans(raw, doc_id,
+                                                charset=charset_of(ctype))
                     elif forms.get(form) is not None:
                         spans = forms[form](raw, doc_id)
                     else:

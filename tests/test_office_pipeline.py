@@ -70,7 +70,8 @@ def test_sniffer_never_crashes_on_random_bytes(data):
     from pdf_extractor_scripts_spark.sources.htmlparse import sniff_container
 
     assert sniff_container(data) in ("pdf", "html", "docx", "xlsx",
-                                     "odt", "rtf", "pptx", "epub", "mime", "text")
+                                     "odt", "rtf", "pptx", "epub", "mime", "text",
+                                     "md", "csv")
 
 
 @settings(max_examples=40, deadline=None)
