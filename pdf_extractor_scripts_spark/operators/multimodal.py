@@ -172,6 +172,7 @@ def media_from_pdfs(binary_docs: DataFrame) -> DataFrame:
     A zero-shuffle Arrow map stage; docs that fail to parse contribute
     no rows (the SPAN ingest path counts those fallbacks — this stage
     is payload extraction only)."""
+    from ..sources.compress import maybe_decompress
     from ..sources.docxparse import docx_media_payloads
     from ..sources.htmlparse import sniff_container
     from ..sources.mimeparse import mime_media_payloads
@@ -189,7 +190,9 @@ def media_from_pdfs(binary_docs: DataFrame) -> DataFrame:
             refs, payloads, filters, params = [], [], [], []
             for doc_id, data in zip(pdf["doc_id"], pdf["content"]):
                 try:
-                    raw = bytes(data)
+                    # same unwrap as the span ingest path, so .pdf.gz
+                    # docs appear in BOTH the spans and the media audit
+                    raw = maybe_decompress(bytes(data))
                     extract = extractors.get(sniff_container(raw))
                     if extract is None:  # HTML: refs only, no payloads
                         continue

@@ -39,6 +39,12 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 # BT.601 integer luma weights (the jpegcodec convention)
 _LR, _LG, _LB = 299, 587, 114
 
+# bomb discipline (the compress.py rule applied to images): IHDR dims
+# are attacker-controlled 32-bit fields, so cap the pixel count BEFORE
+# allocating and cap the IDAT inflate at the geometry's own size — a
+# 100-byte crafted payload must not demand gigabytes
+MAX_PIXELS = 1 << 26  # 67 Mpx ≈ any real document image, ≪ executor heap
+
 
 class PngError(ValueError):
     pass
@@ -156,9 +162,19 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         raise PngError(f"illegal bit depth {depth} for color type {color}")
     if w == 0 or h == 0:
         raise PngError("zero-dimension image")
+    if w * h > MAX_PIXELS:
+        raise PngError(f"image {w}x{h} exceeds the {MAX_PIXELS}-pixel cap")
     channels = _CHANNELS[color]
+    # the geometry bounds the legitimate inflate size exactly: rows of
+    # (1 + rowlen) bytes per pass; Adam7's seven passes never exceed
+    # 2x the non-interlaced size
+    rowlen_full = (w * channels * depth + 7) // 8
+    raw_cap = 2 * h * (1 + rowlen_full) + 64
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = d.decompress(bytes(idat), raw_cap)
+        if not d.eof and (d.unconsumed_tail or d.decompress(b"", 1)):
+            raise PngError("IDAT inflates past the image geometry (bomb)")
     except zlib.error as e:
         raise PngError(f"IDAT inflate failed: {e}") from None
 

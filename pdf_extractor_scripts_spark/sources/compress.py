@@ -55,17 +55,25 @@ def maybe_decompress(data: bytes, cap: int = MAX_DECOMPRESSED) -> bytes:
     if data[:2] == b"\x1f\x8b":
         import zlib
 
-        d = zlib.decompressobj(31)
         out = bytearray()
-        tail = data
-        while tail and not d.eof:
-            out += d.decompress(tail, 1 << 20)
-            if len(out) > cap:
-                raise BombError(
-                    f"decompressed payload exceeds {cap >> 20} MiB cap")
-            tail = d.unconsumed_tail
-        if not d.eof:
-            raise ValueError("truncated/corrupt gzip stream")
+        member = data
+        # multi-MEMBER gzip (pigz, chunked-append pipelines) is one
+        # logical stream: decode every member, or the document is
+        # silently truncated to member 1
+        while member[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(31)
+            tail = member
+            while tail and not d.eof:
+                out += d.decompress(tail, 1 << 20)
+                if len(out) > cap:
+                    raise BombError(
+                        f"decompressed payload exceeds {cap >> 20} MiB cap")
+                tail = d.unconsumed_tail
+            if not d.eof:
+                raise ValueError("truncated/corrupt gzip stream")
+            member = d.unused_data
+        if member.strip(b"\x00"):  # zero padding is legal; bytes aren't
+            raise ValueError("trailing garbage after gzip stream")
         inner = bytes(out)
     elif data[:3] == b"BZh":
         import bz2

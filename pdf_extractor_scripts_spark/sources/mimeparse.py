@@ -171,8 +171,26 @@ def _parse(data: bytes, doc_id: str,
     base = (_part_location(root) or _part_location(msg) or "") \
         if root is not None else ""
     store: dict[str, tuple] = {}
-    resources = [p for p in msg.walk() if p is not root
-                 and not p.is_multipart()]
+    # sibling parts of THIS message only: multipart containers recurse
+    # structurally, but a message/rfc822 part is a whole nested
+    # DOCUMENT — it stays one opaque resource here (the attachment
+    # loop below hands it back to _parse), and its inner parts must
+    # NOT leak into the outer message's store or attachment list
+    # (msg.walk() would mis-attribute them to the outer doc_id)
+    resources: list = []
+
+    def _collect(container):
+        for p in container.iter_parts():
+            if p is root:
+                continue
+            if p.get_content_type() == "message/rfc822" \
+                    or not p.is_multipart():
+                resources.append(p)
+            else:
+                _collect(p)
+
+    if msg.is_multipart():
+        _collect(msg)
     for p in resources:
         if not p.get_content_type().startswith("image/"):
             continue

@@ -102,10 +102,14 @@ def _parse(data: bytes, doc_id: str) -> tuple[list[dict], list[dict]]:
                           "media_ref": "", "offset": off})
             off += 1
         for href in seg_imgs:
-            internal = href in names or href.lstrip("./") in names
+            # strip ONE leading "./" only — lstrip would eat "../"
+            # segments and bind a parent-relative href to the WRONG
+            # package entry; unresolvable hrefs fall to External
+            cand = href[2:] if href.startswith("./") else href
+            internal = href in names or cand in names
             if internal:
                 ref = f"img://{doc_id}/1/{img_i}"
-                raw = zf.read(href if href in names else href.lstrip("./"))
+                raw = zf.read(href if href in names else cand)
                 from .docxparse import _image_filter
 
                 payloads.append({"media_ref": ref, "payload": raw,

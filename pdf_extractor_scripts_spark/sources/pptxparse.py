@@ -57,10 +57,14 @@ def _slide_parts(zf: zipfile.ZipFile) -> list[str]:
         if part and part in names:
             out.append(part)
     if not out:
-        # fall back to natural-order slide parts (decks written
-        # without a sldIdLst)
-        out = sorted(n for n in names
-                     if re.fullmatch(r"ppt/slides/slide\d+\.xml", n))
+        # fall back to NUMERIC-order slide parts (decks written
+        # without a sldIdLst) — lexicographic would put slide10
+        # before slide2
+        out = sorted(
+            (n for n in names
+             if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1])
+                              .group()))
     if not out:
         raise PptxError("presentation has no slides")
     return out

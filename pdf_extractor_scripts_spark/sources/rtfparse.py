@@ -64,6 +64,12 @@ def parse_rtf_spans(data: bytes, doc_id: str) -> list[dict]:
     def flush():
         nonlocal off
         text = " ".join("".join(parts).split())
+        # Word writes astral chars (emoji) as \uN UTF-16 surrogate
+        # PAIRS; combine them (and replace lone surrogates) — an
+        # unpaired surrogate in a Python str crashes the whole Arrow
+        # batch downstream, not just this document
+        text = text.encode("utf-16-le", "surrogatepass").decode(
+            "utf-16-le", "replace")
         if text:
             spans.append({"kind": "text", "text": text,
                           "media_ref": "", "offset": off})
@@ -235,15 +241,24 @@ def build_rtf(paragraphs: list[str],
             elif o < 128:
                 out.append(ch)
             elif unicode_escapes:
-                v = o if o < 32768 else o - 65536
-                out.append(f"\\u{v}?")
+                out.append(_u_escape(o))
             else:
                 try:
                     out.append("\\'" + ch.encode(cp).hex())
                 except UnicodeEncodeError:
-                    v = o if o < 32768 else o - 65536
-                    out.append(f"\\u{v}?")
+                    out.append(_u_escape(o))
         return "".join(out)
+
+    def _u_escape(o: int) -> str:
+        # \uN params are signed 16-bit; astral chars are written as a
+        # UTF-16 surrogate PAIR of \uN escapes (how Word does it)
+        if o > 0xFFFF:
+            units = chr(o).encode("utf-16-be")
+            return "".join(
+                _u_escape(int.from_bytes(units[i:i + 2], "big"))
+                for i in range(0, 4, 2))
+        v = o if o < 32768 else o - 65536
+        return f"\\u{v}?"
 
     body = ["{\\rtf1\\ansi"]
     if codepage:

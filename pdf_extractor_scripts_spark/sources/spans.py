@@ -117,7 +117,7 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
     from .pdfparse import parse_pdf_spans
     from .pptxparse import parse_pptx_spans
     from .rtfparse import parse_rtf_spans
-    from .textparse import parse_text_spans
+    from .textparse import parse_text_spans, plausible_declared_text
     from .xlsxparse import parse_xlsx_spans
 
     forms = {"html": None, "docx": parse_docx_spans,
@@ -153,9 +153,12 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
                     if (form == "pdf" and container == "auto"
                             and not raw.lstrip()[:5].startswith(b"%PDF-")
                             and (ctype or "").split(";")[0].strip().lower()
-                            == "text/plain"):
+                            == "text/plain"
+                            and plausible_declared_text(raw)):
                         # transport-declared plain text in a legacy charset
-                        # (windows-1252 WET records fail the UTF-8 sniff)
+                        # (windows-1252 WET records fail the UTF-8 sniff);
+                        # binary served as text/plain fails the control-
+                        # byte floor and stays a counted fallback
                         form = "text"
                     if form == "html":
                         spans = parse_html_spans(raw, doc_id,

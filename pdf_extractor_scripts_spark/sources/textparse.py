@@ -46,6 +46,19 @@ def parse_text_spans(data: bytes | str, doc_id: str,
     return spans
 
 
+def plausible_declared_text(content: bytes) -> bool:
+    """Sanity floor for TRANSPORT-declared text/plain: non-empty and
+    free of control bytes (beyond whitespace) in the first 4 KB. A
+    JPEG/ZIP served as text/plain by a misconfigured server fails
+    this and stays a loud PDF-chain fallback instead of becoming
+    mojibake 'paragraphs'; legacy single-byte charsets (the
+    windows-1252 WET record) pass — they use no control bytes."""
+    head = content[:4096]
+    if not head.strip():
+        return False
+    return not any(b in _CTL for b in head)
+
+
 def looks_like_text(content: bytes) -> bool:
     """Conservative plain-text sniff: non-empty, valid UTF-8 (in the
     first 4 KB, cut at a codepoint boundary), no control bytes beyond

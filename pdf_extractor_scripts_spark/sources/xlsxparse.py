@@ -89,7 +89,10 @@ def _cell_text(c, shared: list[str]) -> str:
     raw = (v.text or "") if v is not None else ""
     if ctype == "s":
         try:
-            return shared[int(raw)]
+            i = int(raw)
+            if not 0 <= i < len(shared):  # negative would alias the tail
+                raise IndexError
+            return shared[i]
         except (ValueError, IndexError):
             raise XlsxError(f"shared-string index {raw!r} out of range")
     if ctype == "b":
