@@ -45,6 +45,9 @@ processors — SURVEY.md §3) collapse into one job:
                            docs sites); images become media spans
     --input-format csv     a directory of *.csv/*.tsv delimited records:
                            one row-coherent span per record
+    --input-format feed    a directory of RSS/Atom feeds (*.xml/*.rss/
+                           *.atom): one page per entry, escaped-HTML
+                           bodies through the block extractor
     --input-format mime    a directory of *.mht(ml) / *.eml MIME documents:
                            MHTML saved pages and mail with document
                            attachments (sources/mimeparse.py)
@@ -86,8 +89,8 @@ def main(argv: list[str] | None = None) -> int:
                    "documents")
     p.add_argument("--input-format",
                    choices=["spans", "pdf", "html", "docx", "xlsx", "odt",
-                            "rtf", "pptx", "epub", "text", "md", "csv", "mime", "web",
-                            "warc"],
+                            "rtf", "pptx", "epub", "text", "md", "csv", "feed", "mime",
+                            "web", "warc"],
                    default="spans",
                    help="web = a mixed crawl directory: every file, "
                    "container sniffed per document (PDF or HTML); "
@@ -161,7 +164,7 @@ def main(argv: list[str] | None = None) -> int:
                                          ctype_col="content_type")
         elif args.input_format in ("pdf", "html", "docx", "xlsx", "odt",
                                    "rtf", "pptx", "epub", "text", "md",
-                                   "csv", "mime", "web"):
+                                   "csv", "feed", "mime", "web"):
             import pyspark.sql.functions as F
 
             from .sources.spans import read_binary_docs, parse_binary_to_spans
@@ -178,6 +181,7 @@ def main(argv: list[str] | None = None) -> int:
                 "text": ("*.txt", "text"),
                 "md": ("*.md", "md"),
                 "csv": ("*.{csv,tsv}", "csv"),
+                "feed": ("*.{xml,rss,atom}", "feed"),
                 "mime": ("*.{mht,mhtml,eml}", "mime"),
                 "web": ("*", "auto"),
             }[args.input_format]

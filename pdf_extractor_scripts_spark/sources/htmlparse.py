@@ -432,6 +432,11 @@ def sniff_container(content: bytes) -> str:
 
         if looks_like_mime(content):
             return "mime"
+    if head.startswith(b"<"):
+        from .feedparse import looks_like_feed
+
+        if looks_like_feed(content):
+            return "feed"  # root-element match only: <rss/<feed/<rdf:RDF
     low = head[:2048].lower()
     if (low.startswith(b"<!doctype html") or b"<html" in low
             or b"<head" in low or b"<body" in low):

@@ -110,6 +110,7 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
     from .compress import maybe_decompress
     from .docxparse import parse_docx_spans
     from .epubparse import parse_epub_spans
+    from .feedparse import parse_feed_spans
     from .htmlparse import charset_of, parse_html_spans, sniff_container
     from .mdparse import parse_csv_spans, parse_md_spans
     from .mimeparse import parse_mime_spans
@@ -124,6 +125,7 @@ def parse_binary_to_spans(binary_docs: DataFrame, fallback_acc=None,
              "mime": parse_mime_spans, "xlsx": parse_xlsx_spans,
              "odt": parse_odt_spans, "rtf": parse_rtf_spans,
              "pptx": parse_pptx_spans, "epub": parse_epub_spans,
+             "feed": parse_feed_spans,
              "md": None, "csv": None, "text": None, "pdf": None}
     if container != "auto" and container not in forms:
         raise ValueError(f"unknown container {container!r}")

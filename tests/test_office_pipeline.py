@@ -71,7 +71,7 @@ def test_sniffer_never_crashes_on_random_bytes(data):
 
     assert sniff_container(data) in ("pdf", "html", "docx", "xlsx",
                                      "odt", "rtf", "pptx", "epub", "mime", "text",
-                                     "md", "csv")
+                                     "md", "csv", "feed")
 
 
 @settings(max_examples=40, deadline=None)
