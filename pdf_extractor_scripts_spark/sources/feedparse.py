@@ -132,8 +132,18 @@ def parse_feed_spans(data: bytes, doc_id: str) -> list[dict]:
             if body is None or not _text(body):
                 body = entry.find(f"{_ATOM}summary")
             if body is not None:
-                if body.get("type") in ("html", "xhtml"):
+                if body.get("type") == "html":
+                    # escaped HTML: itertext gives the MARKUP string
                     emit_body("".join(body.itertext()))
+                elif body.get("type") == "xhtml":
+                    # real XML children (a single xhtml div): each
+                    # block child is a paragraph — itertext alone
+                    # would glue adjacent <p> texts together
+                    div = next(iter(body), None)
+                    for child in (div if div is not None else body):
+                        emit_text(_text(child))
+                    if div is None:
+                        emit_text(_text(body))
                 else:
                     emit_text(_text(body))
             for link in entry.findall(f"{_ATOM}link"):

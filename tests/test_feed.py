@@ -91,3 +91,16 @@ def test_auto_parse_covers_feeds(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["parse_ok"]
     assert _texts(rows[0]["spans"]) == ["Feed Title", "P1",
                                         "feed body text"]
+
+
+def test_atom_xhtml_content_extracts_text():
+    # type="xhtml" content is REAL XML children, not escaped markup
+    data = (b'<?xml version="1.0"?>'
+            b'<feed xmlns="http://www.w3.org/2005/Atom">'
+            b"<title>X</title><entry><title>E</title>"
+            b'<content type="xhtml">'
+            b'<div xmlns="http://www.w3.org/1999/xhtml">'
+            b"<p>xhtml body text</p><p>second para</p></div>"
+            b"</content></entry></feed>")
+    spans = parse_feed_spans(data, "f")
+    assert _texts(spans) == ["X", "E", "xhtml body text", "second para"]
