@@ -895,8 +895,8 @@ def scaling_office() -> None:
     best = {n: min(ts) for n, ts in times.items()}
     thr = {n: round(n_files / best[n], 1) for n in levels}
     out = {
-        "metric": "office/mail ingest scaling N->4N "
-                  "(DOCX/XLSX/ODT/MHTML, container sniffing, interleaved)",
+        "metric": "office/mail ingest scaling N->4N (DOCX/XLSX/ODT/"
+                  "MHTML/RTF/ODS/PPTX, container sniffing, interleaved)",
         "value": stats[0]["efficiency"],
         "unit": "efficiency",
         "files": n_files,
@@ -912,7 +912,7 @@ def scaling_office() -> None:
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
             f"\n### Office/mail ingest scaling ({n_files} files cycled "
-            f"docx/xlsx/odt/mht, x{repeat} content repeat, "
+            f"docx/xlsx/odt/mht/rtf/ods/pptx, x{repeat} content repeat, "
             f"rounds={rounds}, interleaved)\n\n"
             "| task slots (N) | best wall sec | files/sec |\n|---|---|---|\n"
         )
