@@ -55,25 +55,48 @@ def maybe_decompress(data: bytes, cap: int = MAX_DECOMPRESSED) -> bytes:
     if data[:2] == b"\x1f\x8b":
         import zlib
 
-        out = bytearray()
-        member = data
         # multi-MEMBER gzip (pigz, chunked-append pipelines) is one
         # logical stream: decode every member, or the document is
-        # silently truncated to member 1
-        while member[:2] == b"\x1f\x8b":
-            d = zlib.decompressobj(31)
-            tail = member
-            while tail and not d.eof:
-                out += d.decompress(tail, 1 << 20)
+        # silently truncated to member 1. Input is fed in fixed-size
+        # chunks from an offset so carry buffers stay ≤1 MiB — feeding
+        # the whole remaining tail per member would memcpy O(members²)
+        # bytes (a 20 MB file of empty members → terabytes of copying,
+        # which the OUTPUT cap alone never catches).
+        out = bytearray()
+        pos = 0
+        pending = b""  # post-member carry (≤ one chunk)
+        members = 0
+        d = None
+        while True:
+            if d is None:
+                while len(pending) < 2 and pos < len(data):
+                    pending += data[pos:pos + (1 << 20)]
+                    pos += 1 << 20
+                if not pending.strip(b"\x00"):
+                    break  # zero padding after the last member is legal
+                if pending[:2] != b"\x1f\x8b":
+                    raise ValueError("trailing garbage after gzip stream")
+                members += 1
+                if members > 65536:
+                    raise BombError("gzip member count exceeds 65536")
+                d = zlib.decompressobj(31)
+            feed = pending or data[pos:pos + (1 << 20)]
+            if not pending:
+                pos += 1 << 20
+            pending = b""
+            if not feed:
+                raise ValueError("truncated/corrupt gzip stream")
+            while feed and not d.eof:
+                out += d.decompress(feed, 1 << 20)
                 if len(out) > cap:
                     raise BombError(
                         f"decompressed payload exceeds {cap >> 20} MiB cap")
-                tail = d.unconsumed_tail
-            if not d.eof:
-                raise ValueError("truncated/corrupt gzip stream")
-            member = d.unused_data
-        if member.strip(b"\x00"):  # zero padding is legal; bytes aren't
-            raise ValueError("trailing garbage after gzip stream")
+                feed = d.unconsumed_tail
+            if d.eof:
+                pending = d.unused_data
+                d = None
+                if not pending and pos >= len(data):
+                    break
         inner = bytes(out)
     elif data[:3] == b"BZh":
         import bz2

@@ -286,9 +286,7 @@ def zip_container_form(content: bytes) -> str | None:
 # fixture writer
 
 
-def _esc(s: str) -> str:
-    return (s.replace("&", "&amp;").replace("<", "&lt;")
-            .replace(">", "&gt;").replace('"', "&quot;"))
+from .xmlutil import xml_escape as _esc  # noqa: E402
 
 
 def _run(text: str) -> str:

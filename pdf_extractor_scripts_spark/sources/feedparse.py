@@ -47,6 +47,30 @@ def _text(el) -> str:
     return " ".join("".join(el.itertext()).split()) if el is not None else ""
 
 
+_XHTML_BLOCKS = {"p", "div", "ul", "ol", "li", "table", "tr",
+                 "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6"}
+
+
+def _xhtml_paras(el) -> list[str]:
+    """Mixed-content xhtml → paragraph strings: block children split
+    paragraphs (recursively), inline children and their TAILS stay in
+    the current paragraph — itertext alone glues adjacent <p>s and a
+    child-only loop loses el.text and every .tail."""
+    paras: list[str] = []
+    cur: list[str] = [el.text or ""]
+    for child in el:
+        local = child.tag.rsplit("}", 1)[-1].lower()
+        if local in _XHTML_BLOCKS:
+            paras.append("".join(cur))
+            cur = []
+            paras.extend(_xhtml_paras(child))
+        else:
+            cur.append("".join(child.itertext()))
+        cur.append(child.tail or "")
+    paras.append("".join(cur))
+    return [p for p in (" ".join(x.split()) for x in paras) if p]
+
+
 def _html_blocks(markup: str) -> list[dict]:
     from .htmlparse import extract_main_blocks
 
@@ -136,14 +160,11 @@ def parse_feed_spans(data: bytes, doc_id: str) -> list[dict]:
                     # escaped HTML: itertext gives the MARKUP string
                     emit_body("".join(body.itertext()))
                 elif body.get("type") == "xhtml":
-                    # real XML children (a single xhtml div): each
-                    # block child is a paragraph — itertext alone
-                    # would glue adjacent <p> texts together
-                    div = next(iter(body), None)
-                    for child in (div if div is not None else body):
-                        emit_text(_text(child))
-                    if div is None:
-                        emit_text(_text(body))
+                    # real XML children (a single xhtml div): walk the
+                    # MIXED content — block children split paragraphs,
+                    # inline children and tails stay in place
+                    for para in _xhtml_paras(body):
+                        emit_text(para)
                 else:
                     emit_text(_text(body))
             for link in entry.findall(f"{_ATOM}link"):
@@ -158,9 +179,7 @@ def parse_feed_spans(data: bytes, doc_id: str) -> list[dict]:
 # fixture writer
 
 
-def _esc(s: str) -> str:
-    return (s.replace("&", "&amp;").replace("<", "&lt;")
-            .replace(">", "&gt;"))
+from .xmlutil import xml_attr, xml_escape as _esc  # noqa: E402
 
 
 def build_rss(title: str, items: list[dict]) -> bytes:
@@ -173,7 +192,7 @@ def build_rss(title: str, items: list[dict]) -> bytes:
         if it.get("html"):
             parts.append(f"<description>{_esc(it['html'])}</description>")
         if it.get("enclosure"):
-            parts.append(f'<enclosure url="{it["enclosure"]}" '
+            parts.append(f'<enclosure url={xml_attr(it["enclosure"])} '
                          'type="audio/mpeg" length="1"/>')
         parts.append("</item>")
     parts.append("</channel>")
@@ -192,7 +211,8 @@ def build_atom(title: str, entries: list[dict]) -> bytes:
             parts.append(
                 f'<content type="html">{_esc(e["html"])}</content>')
         if e.get("enclosure"):
-            parts.append(f'<link rel="enclosure" href="{e["enclosure"]}"/>')
+            parts.append(
+                f'<link rel="enclosure" href={xml_attr(e["enclosure"])}/>')
         parts.append("</entry>")
     return (b'<?xml version="1.0" encoding="UTF-8"?>'
             b'<feed xmlns="http://www.w3.org/2005/Atom">'

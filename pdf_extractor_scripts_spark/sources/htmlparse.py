@@ -418,6 +418,11 @@ def sniff_container(content: bytes) -> str:
     rejects them as a COUNTED parse fallback instead of misparsing.
     MIME (MHTML/EML) wins only for header-shaped leading bytes, so
     HTML quoting mail headers stays HTML."""
+    if content[:3] == b"\xef\xbb\xbf":
+        # a UTF-8 BOM wraps any text-family form (Windows-generated
+        # feeds/markdown/csv); every text parser strips it itself, so
+        # sniff the content BEHIND it
+        content = content[3:]
     head = content[:4096].lstrip()
     if head.startswith(b"%PDF"):
         return "pdf"

@@ -218,9 +218,7 @@ def pptx_media_payloads(data: bytes, doc_id: str) -> list[dict]:
 # fixture writer
 
 
-def _esc(s: str) -> str:
-    return (s.replace("&", "&amp;").replace("<", "&lt;")
-            .replace(">", "&gt;").replace('"', "&quot;"))
+from .xmlutil import xml_escape as _esc  # noqa: E402
 
 
 def build_pptx(slides: list[dict]) -> bytes:

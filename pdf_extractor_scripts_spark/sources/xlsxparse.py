@@ -161,9 +161,7 @@ def parse_xlsx_spans(data: bytes, doc_id: str) -> list[dict]:
 # fixture writer
 
 
-def _esc(s: str) -> str:
-    return (s.replace("&", "&amp;").replace("<", "&lt;")
-            .replace(">", "&gt;").replace('"', "&quot;"))
+from .xmlutil import xml_escape as _esc  # noqa: E402
 
 
 def build_xlsx(sheets: dict[str, list[list]],

@@ -232,3 +232,88 @@ def test_odt_parent_relative_href_falls_to_external():
     media = [s["media_ref"] for s in parse_odt_spans(blob, "d")
              if s["kind"] == "media"]
     assert media == ["../Pictures/pic.png"]
+
+
+def test_atom_xhtml_mixed_content_keeps_text_and_tails():
+    from pdf_extractor_scripts_spark.sources.feedparse import (
+        parse_feed_spans,
+    )
+
+    # the RFC 4287 canonical example: div text + inline child + tail
+    data = (b'<?xml version="1.0"?>'
+            b'<feed xmlns="http://www.w3.org/2005/Atom">'
+            b"<title>X</title><entry><title>E</title>"
+            b'<content type="xhtml">'
+            b'<div xmlns="http://www.w3.org/1999/xhtml">'
+            b"This is <b>XHTML</b> content.</div>"
+            b"</content></entry></feed>")
+    texts = [s["text"] for s in parse_feed_spans(data, "f")
+             if s["kind"] == "text"]
+    assert texts == ["X", "E", "This is XHTML content."]
+    # child-less div still emits its text
+    data2 = data.replace(b"This is <b>XHTML</b> content.",
+                         b"plain text only")
+    texts = [s["text"] for s in parse_feed_spans(data2, "f")
+             if s["kind"] == "text"]
+    assert texts == ["X", "E", "plain text only"]
+
+
+def test_many_member_gzip_is_linear_and_capped():
+    import time
+
+    from pdf_extractor_scripts_spark.sources.compress import (
+        BombError,
+        maybe_decompress,
+    )
+
+    one = gzip.compress(b"")
+    t0 = time.time()
+    assert maybe_decompress(one * 60000) == b""
+    # linear input feeding: 60k members decode in well under a second;
+    # the old whole-tail-per-member loop memcpy'd O(members²) bytes
+    # (~36 GB here) and took minutes
+    assert time.time() - t0 < 5.0
+    with pytest.raises(BombError, match="member count"):
+        maybe_decompress(one * 70000)
+
+
+def test_bom_prefixed_feeds_and_text_sniff_correctly():
+    from pdf_extractor_scripts_spark.sources.feedparse import (
+        build_rss,
+        parse_feed_spans,
+    )
+    from pdf_extractor_scripts_spark.sources.htmlparse import (
+        sniff_container,
+    )
+
+    bom_feed = b"\xef\xbb\xbf" + build_rss("T", [
+        {"title": "P", "html": "<p>body</p>"}])
+    assert sniff_container(bom_feed) == "feed"
+    texts = [s["text"] for s in parse_feed_spans(bom_feed, "f")
+             if s["kind"] == "text"]
+    assert texts[0] == "T"
+    assert sniff_container(b"\xef\xbb\xbf# Title\n\nbody") == "md"
+    assert sniff_container(b"\xef\xbb\xbfa,b\n1,2\n3,4\n") == "csv"
+
+
+def test_fixture_writers_escape_attribute_urls():
+    from pdf_extractor_scripts_spark.sources.feedparse import (
+        build_atom,
+        build_rss,
+        parse_feed_spans,
+    )
+
+    url = 'https://x.test/ep?id=1&fmt=mp3&q="x"'
+    for blob in (build_rss("t", [{"title": "x", "enclosure": url}]),
+                 build_atom("t", [{"title": "x", "enclosure": url}])):
+        spans = parse_feed_spans(blob, "f")  # must parse: valid XML
+        assert [s["media_ref"] for s in spans
+                if s["kind"] == "media"] == [url]
+
+
+def test_single_shared_xml_escape_helper():
+    import pdf_extractor_scripts_spark.sources.docxparse as m1
+    import pdf_extractor_scripts_spark.sources.feedparse as m2
+    import pdf_extractor_scripts_spark.sources.xmlutil as xu
+
+    assert m1._esc is xu.xml_escape and m2._esc is xu.xml_escape
