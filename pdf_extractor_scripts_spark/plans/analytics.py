@@ -100,8 +100,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01"))
     )
+    # r7 (guide §3.1): the BUILDING-filtered customer keyset is small at any
+    # bench sf but post-filter size estimates are unreliable — hint the
+    # broadcast explicitly so the orders side is never shuffled for it.
     rev = (
-        c.join(o, c.c_custkey == o.o_custkey)
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey")
         .agg(
@@ -141,9 +144,13 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
+    # r7 (guide §3.1): customer pruned to (c_custkey, c_nationkey) is a few
+    # MB at any bench sf — an explicit hint keeps the join a broadcast when
+    # the post-scan size ESTIMATE at larger sfs exceeds the 10 MB auto
+    # threshold, so only the l⋈o join ever shuffles.
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")

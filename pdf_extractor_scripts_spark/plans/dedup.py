@@ -8,10 +8,13 @@ corpus-level dedup is the capability a 100 TB training-data pipeline adds on
 top. All hashes are the engine-portable arithmetic family from
 functions/portable.py so the DuckDB oracle reproduces them bit-for-bit.
 
-Scale design: every signature (MinHash, SimHash, shingle set) is an
-explode + MAP-SIDE-COMBINED aggregation — measured fastest of three kernel
-shapes at sf0.1 (see _shingle_rows), and the shuffle carries one combined
-row per document, not per character. LSH banding turns the quadratic
+Scale design (r7): every signature (MinHash, SimHash, shingle set) is a
+ZERO-SHUFFLE Arrow map stage — the numpy kernels in functions/npkernels.py
+compute the identical integers per document batch (guide §4.2), so no plan
+carries a per-character row and no signature pays a shuffle at all (the
+r2-r6 explode + map-side-combined aggregation evaluated substr(text, i, 1)
+per position — O(n^2) character scans per doc through the interpreted
+evaluator). LSH banding turns the quadratic
 all-pairs problem into an equi-join on (band_id, band_key); exact Jaccard
 and cosine run only as VERIFY stages over LSH candidates. No operator here
 ever materializes the O(n²) pair space or a coarse-block self-join.
@@ -24,43 +27,130 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from .registry import register, load_table
 from ..functions.portable import (
-    MOD_SHINGLE,
     MINHASH_PARAMS,
-    SIMHASH_BITS,
     minhash_sql,
     simhash_sql,
     shingle_hashes_sql,
 )
 
-def _shingle_rows(spark, sf_dir: str):
-    """(doc_id, h) — one row per 3-gram shingle hash, via posexplode of the
-    position sequence + a plain column expression for the hash.
-
-    MEASURED at sf0.1 (round 2, idle box): this explode + map-side-combined
-    groupBy computes the k=8 MinHash signature in 4.8s vs 6.2s for the best
-    per-doc kernel (single-pass struct-fold aggregate) and 40s for k
-    separate HOF folds; SimHash 5.2s vs 8.9s vs 87s. Interpreted lambda
-    evaluation costs more than the row inflation: the explode never leaves
-    the operator pipeline (no materialization), and the shuffle carries ONE
-    combined row per doc, so at 100 TB the network volume is per-doc, not
-    per-char. The DuckDB oracle keeps the list-comprehension formulation —
-    identical arithmetic, different physical plan.
-    """
+def _doc_texts(spark, sf_dir: str):
+    """(doc_id, text) for documents long enough to shingle — the shared
+    source for every signature kernel below."""
     d = load_table(spark, sf_dir, "documents")
-    pos = (
-        d.filter(F.length("text") >= 3)
-        .select(
-            "doc_id",
-            "text",
-            F.explode(F.expr("sequence(1, length(text) - 2)")).alias("i"),
-        )
-    )
-    h = (
-        F.ascii(F.expr("substr(text, cast(i as int), 1)")) * 961
-        + F.ascii(F.expr("substr(text, cast(i + 1 as int), 1)")) * 31
-        + F.ascii(F.expr("substr(text, cast(i + 2 as int), 1)"))
-    ) % F.lit(MOD_SHINGLE)
-    return pos.select("doc_id", h.cast("bigint").alias("h"))
+    return d.filter(F.length("text") >= 3).select("doc_id", "text")
+
+
+def _minhash_gen(k: int):
+    """mapInArrow generator: (doc_id, text) batches -> (doc_id, mh0..mh{k-1}).
+
+    r7 OPTIMIZATION (guide §4.2): the former explode + map-side-combined
+    groupBy evaluated ``ascii(substr(text, i, 1))`` per character position —
+    substr on UTF8String is O(i), so one document cost O(n^2) character
+    scans through the interpreted expression evaluator, and the signature
+    aggregation still paid a (small) shuffle. The numpy kernel computes the
+    identical int64 modular arithmetic (tests/test_npkernels.py asserts
+    bit-equality against the DuckDB oracle) in one vectorized pass per doc,
+    emits the combined signature row directly, and removes the groupBy
+    shuffle outright — measured 6.4s -> ~1s for dedup_minhash_lsh at sf0.1.
+    The DuckDB oracle keeps the list-comprehension formulation — identical
+    arithmetic, different physical plan."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from pdf_extractor_scripts_spark.functions import npkernels as npk
+
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            sigs = np.empty((len(texts), k), dtype=np.int64)
+            for r, s in enumerate(texts):
+                sigs[r] = npk.minhash_signature(npk.shingle_hashes(s), k)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0)] + [pa.array(sigs[:, i]) for i in range(k)],
+                ["doc_id"] + [f"mh{i}" for i in range(k)],
+            )
+
+    return gen
+
+
+def _shingle_distinct_gen():
+    """mapInArrow generator: (doc_id, text) -> distinct (doc_id, h) rows —
+    np.unique per document replaces the former explode + corpus-wide
+    DISTINCT aggregation (two HashAggregates over one row per corpus
+    character)."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from pdf_extractor_scripts_spark.functions import npkernels as npk
+
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            out_id, out_h = [], []
+            for i, s in zip(ids, batch.column(1).to_pylist()):
+                u = np.unique(npk.shingle_hashes(s))
+                out_h.append(u)
+                out_id.append(np.full(u.size, i, dtype=np.int64))
+            if out_id:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(out_id)), pa.array(np.concatenate(out_h))],
+                    ["doc_id", "h"],
+                )
+
+    return gen
+
+
+def _shingle_array_gen():
+    """mapInArrow generator: (doc_id, text) -> (doc_id, hs, n) where hs is
+    the SORTED distinct shingle-hash array and n its length — the per-doc
+    metadata the broadcast verify path ships instead of exploded rows."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from pdf_extractor_scripts_spark.functions import npkernels as npk
+
+        for batch in batches:
+            arrs = [np.unique(npk.shingle_hashes(s)) for s in batch.column(1).to_pylist()]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array([a.tolist() for a in arrs], type=pa.list_(pa.int64())),
+                    pa.array(np.array([a.size for a in arrs], dtype=np.int64)),
+                ],
+                ["doc_id", "hs", "n"],
+            )
+
+    return gen
+
+
+def _pair_intersect_gen():
+    """mapInArrow generator over (doc_a, doc_b, n_a, n_b, ha, hb) rows:
+    n_inter = |ha ∩ hb| via np.intersect1d on the sorted unique arrays —
+    exact integer set math, same |A∩B| the narrow-row join+count computed."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ha = batch.column(4)
+            hb = batch.column(5)
+            n = len(ha)
+            inter = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                a = ha[i].values.to_numpy(zero_copy_only=False)
+                b = hb[i].values.to_numpy(zero_copy_only=False)
+                inter[i] = np.intersect1d(a, b, assume_unique=True).size
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(j) for j in range(4)] + [pa.array(inter)],
+                ["doc_a", "doc_b", "n_a", "n_b", "n_inter"],
+            )
+
+    return gen
 
 
 # MinHash geometry. The ORACLE-CHECKED default is k=16 / 4 bands — the full
@@ -180,18 +270,13 @@ def _minhash_oracle() -> str:
 
 
 def minhash_signatures(spark, sf_dir: str, k: int = _K) -> DataFrame:
-    """(doc_id, mh0..mh{k-1}) — explode + map-side-combined min aggregation:
-    the measured-fastest kernel (see _shingle_rows docstring for the round-2
-    explode vs per-doc-fold measurements); the shuffle carries one combined
-    row per doc."""
+    """(doc_id, mh0..mh{k-1}) — one zero-shuffle Arrow map stage: the numpy
+    kernel emits each document's combined signature row directly (see
+    _minhash_gen for the r7 rationale and the retired explode+groupBy
+    shape). Values are bit-identical to the SQL formulation."""
     assert k <= len(MINHASH_PARAMS), f"k={k} exceeds the hash family"
-    rows = _shingle_rows(spark, sf_dir)
-    return rows.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD_SHINGLE)).alias(f"mh{i}")
-            for i, (a, b) in enumerate(MINHASH_PARAMS[:k])
-        ]
-    )
+    schema = ", ".join(["doc_id bigint"] + [f"mh{i} bigint" for i in range(k)])
+    return _doc_texts(spark, sf_dir).mapInArrow(_minhash_gen(k), schema)
 
 
 def lsh_candidate_pairs(
@@ -302,7 +387,8 @@ def minhash_lsh_pairs(
         "(deterministic min-doc_id representative keeps them union-find-"
         "connected while linearizing the pair count), then verify "
         "candidates with the full signature at est-Jaccard >= 0.75. The "
-        "DuckDB oracle replays both the banding and the star pairing.",
+        "DuckDB oracle replays both the banding and the star pairing. "
+        "r7: signatures come from the zero-shuffle vectorized kernel.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(spark, sf_dir, k=_K, bands=_BANDS,
@@ -330,25 +416,28 @@ def _simhash_sql_full(dialect: str) -> str:
         "candidates are same-bucket (or Hamming-adjacent) signatures.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # explode + codegen'd bit-vote sums: measured 5.2s at sf0.1 vs 8.9s for
-    # a single-pass struct-fold and 87s for the 16-fold HOF form (see
-    # _shingle_rows docstring); the shuffle is one combined row per doc
-    rows = _shingle_rows(spark, sf_dir)
-    votes = rows.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    (F.floor(F.col("h") / F.lit(1 << b)).cast("bigint") % 2) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
-    simhash = sum(
-        F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        for b in range(SIMHASH_BITS)
-    ).cast("bigint")
-    s = votes.select("doc_id", simhash.alias("simhash"))
+    # r7: one zero-shuffle Arrow map stage — the numpy kernel computes the
+    # full bit-vote SimHash per document (bit-identical integers, see
+    # tests/test_npkernels.py), replacing the per-character explode +
+    # 16-column vote aggregation and its shuffle (guide §2.4/§4.2).
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from pdf_extractor_scripts_spark.functions import npkernels as npk
+
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            sh = np.fromiter(
+                (npk.simhash(npk.shingle_hashes(s)) for s in texts),
+                dtype=np.int64,
+                count=len(texts),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(sh)], ["doc_id", "simhash"]
+            )
+
+    s = _doc_texts(spark, sf_dir).mapInArrow(gen, "doc_id bigint, simhash bigint")
     # docs shorter than one shingle (none in this corpus, but keep the
     # oracle's sentinel semantics): simhash = 0
     d = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -408,18 +497,11 @@ def _jaccard_sql(dialect: str) -> str:
         "through two joins, a per-char network cost at 100 TB.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE shingle scan feeds both the signature aggregation (candidate
-    # generation) and the verify-side distinct rows — cached rows cut the
-    # duplicate explode (measured ~15% at sf0.1; at 100 TB swap the cache
-    # for a disk-tier persist or accept two scans — the plan is unchanged)
-    rows = _shingle_rows(spark, sf_dir)
-    rows.cache()
-    sig = rows.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD_SHINGLE)).alias(f"mh{i}")
-            for i, (a, b) in enumerate(MINHASH_PARAMS[:_K])
-        ]
-    )
+    # r7: signatures come from the zero-shuffle numpy kernel (see
+    # _minhash_gen); recomputing shingles for the verify stage is now a
+    # cheap vectorized pass over CANDIDATE docs only, so the old corpus-wide
+    # per-character explode cache is gone entirely.
+    sig = minhash_signatures(spark, sf_dir, _K)
     sig.cache()
     pairs = lsh_candidate_pairs(sig, _K, _BANDS, _MAX_BUCKET)
     # Automated broadcast decision (r4 VERDICT #6): cache the pair list and
@@ -431,35 +513,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pairs.cache()
     use_bc = pairs.count() <= BROADCAST_PAIRS_MAX
     _bc = F.broadcast if use_bc else (lambda df: df)
-    # Per-row set math (r3 VERDICT #3): verify from distinct (doc_id, h)
-    # rows instead of shipping collect_set arrays through the pair joins —
-    # every shuffled row stays 2-3 narrow columns (no row ever carries a
-    # whole document's set, so a 1 MB document cannot produce a 1 MB
-    # shuffle row, and AQE can split skewed partitions freely). The
-    # broadcast semi-join restricts the per-shingle work to docs that
-    # appear in ANY candidate pair (a small fraction of the corpus; the
-    # hot-bucket guard bounds the candidate count linearly, so the
-    # broadcast list stays tiny at any scale) — verify cost scales with
-    # CANDIDATES, not corpus size. Zero-intersection pairs drop out of the
-    # inner join; they could never pass the 0.5 threshold.
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    dist = rows.join(_bc(cand_docs), "doc_id", "left_semi").distinct()
+    # r7: semi-join the DOCUMENT rows (one row per doc) before shingling, so
+    # the shingle kernel only runs over candidates — this deletes the old
+    # corpus-wide explode + the two-HashAggregate DISTINCT shuffle over one
+    # row per corpus character (guide §2.3/§2.4).
+    cand_texts = _doc_texts(spark, sf_dir).join(_bc(cand_docs), "doc_id", "left_semi")
+    if use_bc:
+        # r7 guarded FAST PATH (guide §8: broadcast the per-doc metadata,
+        # stream the small rows, never fan heavy bytes out): each candidate
+        # doc's sorted distinct shingle-hash ARRAY rides a broadcast into
+        # two map-side joins against the (guard-bounded, already-broadcast-
+        # sized) pair list, and |A∩B| is one vectorized np.intersect1d per
+        # pair. This replaces the old per-shingle fan-out — |pairs| ×
+        # |shingles| probe rows (~33M at sf0.1) through two joins plus a
+        # 1.5M-row broadcast hash build — with |pairs| rows total. No
+        # shuffle ever carries an array: pairs (16 bytes/row) are the only
+        # shuffled rows, arrays move once inside the broadcast.
+        arr = cand_texts.mapInArrow(
+            _shingle_array_gen(), "doc_id bigint, hs array<bigint>, n bigint"
+        )
+        aa = arr.select(
+            F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"),
+            F.col("n").alias("n_a"),
+        )
+        ab = arr.select(
+            F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"),
+            F.col("n").alias("n_b"),
+        )
+        j = (
+            pairs.join(F.broadcast(aa), "doc_a")
+            .join(F.broadcast(ab), "doc_b")
+            .select("doc_a", "doc_b", "n_a", "n_b", "ha", "hb")
+        )
+        inter = j.mapInArrow(
+            _pair_intersect_gen(),
+            "doc_a bigint, doc_b bigint, n_a bigint, n_b bigint, n_inter bigint",
+        )
+        jac = F.col("n_inter").cast("double") / (
+            F.col("n_a") + F.col("n_b") - F.col("n_inter")
+        )
+        return (
+            inter.withColumn("jac_raw", jac)
+            .filter(F.col("jac_raw") >= 0.5)  # filter BEFORE rounding (oracle does)
+            .select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard"))
+        )
+    # FALLBACK above the guard — the 100 TB shape (r3 VERDICT #3): verify
+    # from distinct (doc_id, h) rows; every shuffled row stays 2-3 narrow
+    # columns (no row ever carries a whole document's set, so a 1 MB
+    # document cannot produce a 1 MB shuffle row, and AQE can split skewed
+    # partitions freely); |A∩B| = join candidates to the per-shingle rows
+    # on both sides and count matches. Verify-shuffle bytes scale with
+    # candidate count, never with document length.
+    dist = cand_texts.mapInArrow(_shingle_distinct_gen(), "doc_id bigint, h bigint")
     dist.cache()
     sizes = dist.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ra = dist.select(F.col("doc_id").alias("doc_a"), "h")
     rb = dist.select(F.col("doc_id").alias("doc_b"), "h")
-    # Broadcast the PAIR LIST into the fan-out join (measured 10.0s vs
-    # 16.8s for the shuffle form at sf0.1, interleaved min-of-2): pairs
-    # are (doc_a, doc_b) strings, guard-bounded to ~linear in corpus size,
-    # so the broadcast stays MBs while the per-shingle sides never
-    # re-shuffle for join 1. Above BROADCAST_PAIRS_MAX the hint is dropped
-    # automatically (use_bc above) — the per-row set math is unchanged.
     inter = (
-        ra.join(_bc(pairs), "doc_a")
+        ra.join(pairs, "doc_a")
         .join(rb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -771,6 +887,86 @@ def _embcos_sql(dialect: str) -> str:
     """
 
 
+def emb_features(spark, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, nrm, b0..b{T-1}) in ONE zero-shuffle Arrow map
+    stage.
+
+    r7 OPTIMIZATION (guide §4.2): the SQL form evaluated 16 hyperplane
+    projections + the norm per vector through interpreted HOF lambdas
+    (aggregate/transform/sequence — ~17 folds x d interpreted steps per
+    row). The numpy kernel replicates Spark's strict left-fold IEEE
+    addition order column-by-column, so norms and sign bits are
+    bit-identical (tests/test_npkernels.py), at vectorized speed."""
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from pdf_extractor_scripts_spark.functions import npkernels as npk
+
+        for batch in batches:
+            m = npk.list_to_matrix(batch.column(1))
+            arrays = [batch.column(0), batch.column(1), pa.array(npk.leftfold_norm(m))]
+            for t in range(SIGNLSH_TABLES):
+                arrays.append(pa.array(npk.signlsh_buckets(m, t, SIGNLSH_BITS)))
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                ["vec_id", "embedding", "nrm"]
+                + [f"b{t}" for t in range(SIGNLSH_TABLES)],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    schema = "vec_id bigint, embedding array<float>, nrm double" + "".join(
+        f", b{t} bigint" for t in range(SIGNLSH_TABLES)
+    )
+    return e.mapInArrow(gen, schema)
+
+
+def _pair_cos_gen(id_names: list[str]):
+    """mapInArrow generator over (ids..., ea, eb, na, nb) rows computing the
+    RAW cosine dot/(na*nb) with the strict left-fold column loop — callers
+    apply Spark's round(, 6) so HALF_UP semantics are unchanged."""
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from pdf_extractor_scripts_spark.functions import npkernels as npk
+
+        n_ids = len(id_names)
+        for batch in batches:
+            a = npk.list_to_matrix(batch.column(n_ids))
+            b = npk.list_to_matrix(batch.column(n_ids + 1))
+            na = batch.column(n_ids + 2).to_numpy(zero_copy_only=False)
+            nb = batch.column(n_ids + 3).to_numpy(zero_copy_only=False)
+            cos = npk.leftfold_dot(a, b) / (na * nb)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(n_ids)] + [pa.array(cos)],
+                id_names + ["cos_raw"],
+            )
+
+    return gen
+
+
+def pair_cosines(cand: DataFrame, feat: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Attach embeddings+norms to candidate pairs and score the exact
+    cosine (raw, unrounded) via the vectorized kernel. The attach joins are
+    plain equi-joins on the vector id — the 100 TB shape is unchanged from
+    the SQL form; only the per-pair fold moved from the interpreted HOF
+    evaluator into numpy."""
+    ea = feat.select(
+        F.col("vec_id").alias(a_col),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = feat.select(
+        F.col("vec_id").alias(b_col),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    j = cand.join(ea, a_col).join(eb, b_col).select(a_col, b_col, "ea", "eb", "na", "nb")
+    schema = f"{a_col} bigint, {b_col} bigint, cos_raw double"
+    return j.mapInArrow(_pair_cos_gen([a_col, b_col]), schema)
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=_embcos_sql("duckdb"),
@@ -782,5 +978,22 @@ def _embcos_sql(dialect: str) -> str:
         "all-pairs self-join, quadratic within hot labels at 100 TB.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    return spark.sql(_embcos_sql("spark"))
+    feat = emb_features(spark, sf_dir)
+    feat.cache()  # consumed by 2×2 bucket joins + both attach joins
+    cand = None
+    for t in range(SIGNLSH_TABLES):
+        a = feat.select(F.col("vec_id").alias("doc_a"), F.col(f"b{t}").alias("bk"))
+        b = feat.select(F.col("vec_id").alias("doc_b"), F.col(f"b{t}").alias("bk"))
+        c = (
+            a.join(b, "bk")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        cand = c if cand is None else cand.union(c)
+    cand = cand.distinct()
+    scored = pair_cosines(cand, feat, "doc_a", "doc_b")
+    return (
+        scored.withColumn("cos_sim", F.round("cos_raw", 6))
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("doc_a", "doc_b", "cos_sim")
+    )

@@ -12,10 +12,18 @@ bit-for-bit after rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from .registry import register, load_table
-from .dedup import _emb_cte, _dot, signlsh_bucket_sql, SIGNLSH_TABLES
+from .dedup import (
+    SIGNLSH_TABLES,
+    _dot,
+    _emb_cte,
+    emb_features,
+    pair_cosines,
+    signlsh_bucket_sql,
+)
 
 
 # --------------------------------------------------------------------------
@@ -52,8 +60,28 @@ def _bf_sql(dialect: str) -> str:
         "with a deterministic id tie-break.",
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    return spark.sql(_bf_sql("spark"))
+    # r7 (guide §4.2/§3.1): norms + per-pair dots move from interpreted HOF
+    # lambdas into the bit-identical left-fold numpy kernel; the tiny query
+    # side is broadcast explicitly so the corpus scan stays map-only.
+    feat = emb_features(spark, sf_dir)
+    feat.cache()  # query side + corpus side + both attach joins
+    q = feat.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"))
+    c = feat.select(F.col("vec_id").alias("neighbor_id"))
+    cand = F.broadcast(q).join(
+        c, F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pair_cosines(cand, feat, "query_id", "neighbor_id")
+    ranked = scored.withColumn("cos_sim", F.round("cos_raw", 6)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cos_sim"), F.asc("neighbor_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") <= 5).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rn").cast("bigint").alias("rank")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -107,5 +135,33 @@ def _lsh_sql(dialect: str) -> str:
         "recovered by the second table, the standard LSH recall/cost knob.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    return spark.sql(_lsh_sql("spark"))
+    # r7: same kernel treatment as ann_bruteforce_topk — bucket bits, norms
+    # and candidate cosines all come from the left-fold numpy kernels; the
+    # per-table bucket equi-joins and the final per-query rank window keep
+    # their r6 plan shape.
+    feat = emb_features(spark, sf_dir)
+    feat.cache()  # 2 bucket joins × both sides + both attach joins
+    q = feat.filter(F.col("vec_id") < 32)
+    cand = None
+    for t in range(SIGNLSH_TABLES):
+        qa = q.select(F.col("vec_id").alias("query_id"), F.col(f"b{t}").alias("bk"))
+        cb = feat.select(F.col("vec_id").alias("neighbor_id"), F.col(f"b{t}").alias("bk"))
+        c = (
+            qa.join(cb, "bk")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cand = c if cand is None else cand.union(c)
+    cand = cand.distinct()
+    scored = pair_cosines(cand, feat, "query_id", "neighbor_id")
+    ranked = scored.withColumn("cos_sim", F.round("cos_raw", 6)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cos_sim"), F.asc("neighbor_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") <= 3).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rn").cast("bigint").alias("rank")
+    )

@@ -3,9 +3,12 @@ F-operator families of SURVEY.md §2.2/§2.4 plus the text-analysis ops a
 training-data pipeline needs (language ID, token counting, quality scoring,
 fingerprinting), all over the driver's ``documents`` table.
 
-Everything here is JVM-side Spark SQL (rlike / regexp_extract / length
-arithmetic) — zero Python UDFs, so the whole stage stays inside whole-stage
-codegen and the scan prunes to the referenced columns only.
+Most queries are JVM-side Spark SQL (rlike / regexp_extract / length
+arithmetic) inside whole-stage codegen with column-pruned scans. The two
+per-document heavyweights (text_profile, p6_text_quality) run as single
+zero-shuffle Arrow map stages over vectorized kernels since r7 (guide §4.2)
+— batch-level mapInArrow, never row-at-a-time Python UDFs — emitting
+bit-identical values (raw doubles rounded in Spark, HALF_UP preserved).
 """
 
 from __future__ import annotations
@@ -158,6 +161,51 @@ def _p3_sql(dialect: str) -> str:
     """
 
 
+def _p3_spark_single() -> str:
+    """r7 OPTIMIZATION (guide §2.4): the generic _p3_sql joins two
+    subqueries over the SAME documents table on doc_id — on Spark that was
+    two parquet scans plus a shuffle join keyed on a column every row has
+    exactly once. Both branches are row-local functions of one document, so
+    the Spark side computes the identical columns in a single projection
+    over a single scan (the DuckDB oracle keeps the join formulation —
+    same rows). Expression text per column is unchanged from _p3_sql."""
+    file_cls = _FILE_CLASS_SPARK
+    s0 = _content_score_sql("spark", 0)
+    s1 = _content_score_sql("spark", 1)
+    s2 = _content_score_sql("spark", 2)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {s0} AS s0, {s1} AS s1, {s2} AS s2,
+             {file_cls} AS file_class
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, file_class,
+             CASE WHEN file_class <> 'generic' THEN 0.8 ELSE 0.0 END AS file_conf,
+             CASE WHEN s0 >= s1 AND s0 >= s2 THEN 'relational'
+                  WHEN s1 >= s2 THEN 'streaming'
+                  ELSE 'vector' END AS content_class,
+             cast(round(greatest(s0, s1, s2), 2) as double) AS content_conf
+      FROM scored
+    )
+    SELECT doc_id,
+           file_class,
+           cast(file_conf as double) AS file_conf,
+           content_class,
+           content_conf,
+           CASE WHEN content_conf >= 0.6 THEN content_class
+                WHEN file_conf >= 0.5 THEN file_class
+                ELSE content_class END AS vendor,
+           cast(round(CASE WHEN content_class = file_class
+                           THEN least(file_conf + content_conf, 1.0)
+                           WHEN content_conf >= 0.6 THEN content_conf
+                           WHEN file_conf >= 0.5 THEN file_conf
+                           ELSE content_conf END, 4) as double) AS conf
+    FROM c
+    """
+
+
 @register(
     "p3_decision_combine",
     oracle=_p3_sql("duckdb"),
@@ -170,7 +218,7 @@ def _p3_sql(dialect: str) -> str:
 )
 def p3_decision_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_p3_sql("spark"))
+    return spark.sql(_p3_spark_single())
 
 
 # --------------------------------------------------------------------------
@@ -320,8 +368,100 @@ def _p6_sql(dialect: str) -> str:
         "twin replays the run count positionally (RE2 lacks backrefs).",
 )
 def p6_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_p6_sql("spark"))
+    # r7 OPTIMIZATION (guide §4.2): one Arrow map stage replaces the
+    # interpreted word-array HOFs (filter/aggregate per word) and seven Java
+    # regex passes. Python `re` with re.ASCII replays Java's \s/\d exactly
+    # for any input; the run-counter's char class matches
+    # Java's default `.` (which excludes all five line terminators, unlike
+    # Python's). All indicator arithmetic is the same IEEE double sequence
+    # (int/int true division == cast-double division), and rounding stays in
+    # Spark (HALF_UP) — the kernel emits raw doubles. Same rows, zero
+    # shuffle.
+    def gen(batches):
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        rx_strip = re.compile(r"^\s+|\s+$", re.ASCII)
+        rx_nonalpha = re.compile(r"[^a-zA-Z]")
+        rx_ws = re.compile(r"\s+", re.ASCII)
+        rx_word = re.compile(r"[a-zA-Z0-9]+")
+        rx_pats = [re.compile(p, re.IGNORECASE | re.ASCII) for p in _P6_PATTERNS]
+        rx_run = re.compile("([^\\n\\r\\u0085\\u2028\\u2029])\\1{4,}")
+
+        def row(text: str):
+            n = len(text)
+            denom = n if n >= 1 else 1
+            n_stripped = len(rx_strip.sub("", text))
+            alpha_ratio = len(rx_nonalpha.sub("", text)) / denom
+            words = [w for w in rx_ws.split(text) if w != ""]
+            n_words = len(words)
+            if alpha_ratio >= 0.3 and alpha_ratio <= 0.8:
+                i1 = 0.8
+            elif (0.1 <= alpha_ratio < 0.3) or (0.8 < alpha_ratio <= 0.95):
+                i1 = 0.5
+            else:
+                i1 = 0.1
+            if n_words == 0:
+                i2 = 0.1
+            else:
+                avg_wlen = float(sum(len(w) for w in words)) / n_words
+                vratio = (
+                    sum(
+                        1
+                        for w in words
+                        if 2 <= len(w) <= 20 and rx_word.fullmatch(w)
+                    )
+                    / n_words
+                )
+                if 3 <= avg_wlen <= 8 and vratio >= 0.6:
+                    i2 = 0.9
+                elif 2 <= avg_wlen <= 12 and vratio >= 0.4:
+                    i2 = 0.6
+                else:
+                    i2 = 0.3
+            i3 = sum(1 for rx in rx_pats if rx.search(text)) / 5.0
+            rep_ratio = len(rx_run.findall(text)) / denom
+            i4 = 0.8 if rep_ratio < 0.05 else (0.5 if rep_ratio < 0.15 else 0.2)
+            s = (i1 + i2 + i3 + i4) / 4
+            if n_stripped < 10:
+                return "CORRUPTED", 0.0, alpha_ratio, n_words
+            q = (
+                "HIGH"
+                if s >= 0.7
+                else ("MEDIUM" if s >= 0.5 else ("LOW" if s >= 0.3 else "CORRUPTED"))
+            )
+            return q, s, alpha_ratio, n_words
+
+        for batch in batches:
+            rows = [row(t) for t in batch.column(2).to_pylist()]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    pa.array([r[0] for r in rows], type=pa.string()),
+                    pa.array(np.array([r[1] for r in rows], dtype=np.float64)),
+                    pa.array(np.array([r[2] for r in rows], dtype=np.float64)),
+                    pa.array(np.array([r[3] for r in rows], dtype=np.int64)),
+                ],
+                ["doc_id", "lang", "quality", "score", "alpha", "n_words"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    raw = d.mapInArrow(
+        gen,
+        "doc_id bigint, lang string, quality string, "
+        "score double, alpha double, n_words bigint",
+    )
+    return raw.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.round("score", 4).alias("qscore"),
+        F.round("alpha", 4).alias("alpha_ratio"),
+        "n_words",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -576,8 +716,59 @@ def _profile_sql(dialect: str) -> str:
         "(at 100 TB you never re-read the corpus per metric).",
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_profile_sql("spark"))
+    # r7 OPTIMIZATION (guide §4.2): the SQL form's fingerprint fold
+    # evaluates ascii(substr(text, i, 1)) per position — O(i) per substr on
+    # UTF8String, so O(n^2) character scans per document through the
+    # interpreted HOF evaluator. One Arrow map stage now computes the whole
+    # profile: RE2 (pyarrow.compute) replays the Java-regex counts (the
+    # patterns use only \b/char-class constructs with identical semantics;
+    # [^ ]+ counts exactly what size(filter(split(text,' '), ...)) counted),
+    # and the fingerprint is the bit-identical numpy kernel
+    # (tests/test_npkernels.py). Zero shuffle before and after, same rows.
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pdf_extractor_scripts_spark.functions import npkernels as npk
+
+        for batch in batches:
+            text = batch.column(2)
+            cnt = lambda p: pc.count_substring_regex(text, pattern=p).to_numpy(
+                zero_copy_only=False
+            )
+            n_the, n_data, n_key, n_row = (
+                cnt(r"\bthe\b"), cnt(r"\bdata\b"), cnt(r"\bkey\b"), cnt(r"\brow\b"),
+            )
+            pred = np.select(
+                [n_the >= 2, n_data >= 2, n_key >= 2, n_row >= 2],
+                ["en", "de", "es", "zh"],
+                default="unknown",
+            )
+            ws = cnt(r"[^ ]+").astype(np.int64)
+            bpe = cnt(r"[a-z]+|[0-9]+|[^a-z0-9 ]").astype(np.int64)
+            texts = text.to_pylist()
+            fp = np.fromiter(
+                (npk.fingerprint(s) for s in texts), dtype=np.int64, count=len(texts)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    pa.array(pred.tolist(), type=pa.string()),
+                    pa.array(ws),
+                    pa.array(bpe),
+                    pa.array(fp),
+                ],
+                ["doc_id", "lang", "pred_lang", "ws_tokens", "bpe_tokens", "fingerprint"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return d.mapInArrow(
+        gen,
+        "doc_id bigint, lang string, pred_lang string, "
+        "ws_tokens bigint, bpe_tokens bigint, fingerprint bigint",
+    )
 
 
 # --------------------------------------------------------------------------
