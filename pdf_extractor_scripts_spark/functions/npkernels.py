@@ -85,6 +85,89 @@ def fingerprint(s: str) -> int:
 
 
 # --------------------------------------------------------------------------
+# Whole-batch text kernels: one concatenated codepoint array per Arrow batch,
+# per-document reductions via np.*.reduceat — no per-document Python loop.
+# Bit-identical to the scalar kernels above (asserted in tests).
+# --------------------------------------------------------------------------
+def _batch_codepoints(texts: list[str]):
+    """(cp, starts, lens) for the concatenated texts: cp is one int64 code-
+    point array, doc d spans cp[starts[d]:starts[d]+lens[d]]."""
+    joined = "".join(texts)
+    cp = (
+        np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+        if joined
+        else np.empty(0, dtype=np.int64)
+    )
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    ends = np.cumsum(lens)
+    return cp, ends - lens, lens
+
+
+def _batch_shingles(texts: list[str]):
+    """(h, starts, invalid) over the concatenated batch: h[i] is the shingle
+    hash starting at global char i; positions whose 3-gram crosses a doc
+    boundary are listed in ``invalid`` (callers overwrite them with a
+    neutral element before reducing). Requires every text length >= 3."""
+    cp, starts, lens = _batch_codepoints(texts)
+    if cp.size < 3:
+        return np.empty(0, dtype=np.int64), starts, np.empty(0, dtype=np.int64)
+    h = (cp[:-2] * 961 + cp[1:-1] * 31 + cp[2:]) % MOD_SHINGLE
+    ends = starts + lens
+    invalid = np.concatenate([ends - 2, ends - 1])
+    invalid = invalid[invalid < h.size]
+    return h, starts, invalid
+
+
+def minhash_batch(texts: list[str], k: int) -> np.ndarray:
+    """(n_docs, k) int64 minhash signatures for a whole batch — vectorized
+    twin of per-doc minhash_signature(shingle_hashes(s), k)."""
+    n = len(texts)
+    if n == 0:
+        return np.empty((0, k), dtype=np.int64)
+    h, starts, invalid = _batch_shingles(texts)
+    out = np.empty((n, k), dtype=np.int64)
+    for i in range(k):
+        m = (_A[i] * h + _B[i]) % MOD_SHINGLE
+        m[invalid] = MOD_SHINGLE  # > any (a*h+b) % MOD — never the min
+        out[:, i] = np.minimum.reduceat(m, starts)
+    return out
+
+
+def simhash_batch(texts: list[str]) -> np.ndarray:
+    """(n_docs,) int64 SimHash values for a whole batch — vectorized twin of
+    per-doc simhash(shingle_hashes(s))."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    h, starts, invalid = _batch_shingles(texts)
+    out = np.zeros(n, dtype=np.int64)
+    for b in range(SIMHASH_BITS):
+        votes = 2 * ((h >> b) & 1) - 1
+        votes[invalid] = 0  # boundary-crossing shingles contribute nothing
+        out += (np.add.reduceat(votes, starts) > 0).astype(np.int64) << b
+    return out
+
+
+def fingerprint_batch(texts: list[str]) -> np.ndarray:
+    """(n_docs,) int64 fingerprints for a whole batch — vectorized twin of
+    per-doc fingerprint(s). Docs may be any length including empty."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    cp, starts, lens = _batch_codepoints(texts)
+    out = np.zeros(n, dtype=np.int64)
+    nonempty = lens > 0
+    if cp.size:
+        pos = np.arange(cp.size, dtype=np.int64) - np.repeat(starts, lens) + 1
+        prod = cp * ((pos % 97) + 1)
+        # reduceat needs strictly valid segment starts; empty docs would
+        # repeat a start index — reduce over non-empty docs only.
+        ne_starts = starts[nonempty]
+        out[nonempty] = np.add.reduceat(prod, ne_starts) % _FP_MOD
+    return out
+
+
+# --------------------------------------------------------------------------
 # Embedding kernels — strict left-fold doubles
 # --------------------------------------------------------------------------
 def leftfold_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:

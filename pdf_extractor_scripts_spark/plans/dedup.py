@@ -25,7 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .registry import register, load_table
+from .registry import register, load_table, spread
 from ..functions.portable import (
     MINHASH_PARAMS,
     minhash_sql,
@@ -37,7 +37,7 @@ def _doc_texts(spark, sf_dir: str):
     """(doc_id, text) for documents long enough to shingle — the shared
     source for every signature kernel below."""
     d = load_table(spark, sf_dir, "documents")
-    return d.filter(F.length("text") >= 3).select("doc_id", "text")
+    return spread(d.filter(F.length("text") >= 3).select("doc_id", "text"))
 
 
 def _minhash_gen(k: int):
@@ -56,16 +56,12 @@ def _minhash_gen(k: int):
     arithmetic, different physical plan."""
 
     def gen(batches):
-        import numpy as np
         import pyarrow as pa
 
         from pdf_extractor_scripts_spark.functions import npkernels as npk
 
         for batch in batches:
-            texts = batch.column(1).to_pylist()
-            sigs = np.empty((len(texts), k), dtype=np.int64)
-            for r, s in enumerate(texts):
-                sigs[r] = npk.minhash_signature(npk.shingle_hashes(s), k)
+            sigs = npk.minhash_batch(batch.column(1).to_pylist(), k)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0)] + [pa.array(sigs[:, i]) for i in range(k)],
                 ["doc_id"] + [f"mh{i}" for i in range(k)],
@@ -114,13 +110,20 @@ def _shingle_array_gen():
         from pdf_extractor_scripts_spark.functions import npkernels as npk
 
         for batch in batches:
-            arrs = [np.unique(npk.shingle_hashes(s)) for s in batch.column(1).to_pylist()]
+            # int32 payload: shingle hashes are < 2^20, and the arrays are
+            # re-shipped once per PAIR through the broadcast joins below —
+            # halving the element width halves the dominant Arrow traffic.
+            arrs = [
+                np.unique(npk.shingle_hashes(s)).astype(np.int32)
+                for s in batch.column(1).to_pylist()
+            ]
+            sizes = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
+            flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int32)
+            offsets = np.zeros(len(arrs) + 1, dtype=np.int32)
+            np.cumsum(sizes, out=offsets[1:])
+            hs = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat))
             yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column(0),
-                    pa.array([a.tolist() for a in arrs], type=pa.list_(pa.int64())),
-                    pa.array(np.array([a.size for a in arrs], dtype=np.int64)),
-                ],
+                [batch.column(0), hs, pa.array(sizes)],
                 ["doc_id", "hs", "n"],
             )
 
@@ -139,11 +142,16 @@ def _pair_intersect_gen():
         for batch in batches:
             ha = batch.column(4)
             hb = batch.column(5)
+            # zero-copy offset/value views — no per-row ListScalar objects
+            va = ha.values.to_numpy(zero_copy_only=False)
+            oa = ha.offsets.to_numpy(zero_copy_only=False)
+            vb = hb.values.to_numpy(zero_copy_only=False)
+            ob = hb.offsets.to_numpy(zero_copy_only=False)
             n = len(ha)
             inter = np.empty(n, dtype=np.int64)
             for i in range(n):
-                a = ha[i].values.to_numpy(zero_copy_only=False)
-                b = hb[i].values.to_numpy(zero_copy_only=False)
+                a = va[oa[i]:oa[i + 1]]
+                b = vb[ob[i]:ob[i + 1]]
                 inter[i] = np.intersect1d(a, b, assume_unique=True).size
             yield pa.RecordBatch.from_arrays(
                 [batch.column(j) for j in range(4)] + [pa.array(inter)],
@@ -427,12 +435,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pdf_extractor_scripts_spark.functions import npkernels as npk
 
         for batch in batches:
-            texts = batch.column(1).to_pylist()
-            sh = np.fromiter(
-                (npk.simhash(npk.shingle_hashes(s)) for s in texts),
-                dtype=np.int64,
-                count=len(texts),
-            )
+            sh = npk.simhash_batch(batch.column(1).to_pylist())
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), pa.array(sh)], ["doc_id", "simhash"]
             )
@@ -535,20 +538,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle ever carries an array: pairs (16 bytes/row) are the only
         # shuffled rows, arrays move once inside the broadcast.
         arr = cand_texts.mapInArrow(
-            _shingle_array_gen(), "doc_id bigint, hs array<bigint>, n bigint"
+            _shingle_array_gen(), "doc_id bigint, hs array<int>, n bigint"
         )
-        aa = arr.select(
-            F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"),
-            F.col("n").alias("n_a"),
-        )
-        ab = arr.select(
-            F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"),
-            F.col("n").alias("n_b"),
-        )
+        # Join the SAME broadcast relation twice via aliases: the two
+        # exchanges canonicalize identically, so the second join reuses the
+        # first's built relation (ReusedExchange) — one array broadcast
+        # build instead of two.
+        aa = F.broadcast(arr).alias("aa")
+        ab = F.broadcast(arr).alias("ab")
         j = (
-            pairs.join(F.broadcast(aa), "doc_a")
-            .join(F.broadcast(ab), "doc_b")
-            .select("doc_a", "doc_b", "n_a", "n_b", "ha", "hb")
+            pairs.join(aa, F.col("doc_a") == F.col("aa.doc_id"))
+            .join(ab, F.col("doc_b") == F.col("ab.doc_id"))
+            .select(
+                "doc_a", "doc_b",
+                F.col("aa.n").alias("n_a"), F.col("ab.n").alias("n_b"),
+                F.col("aa.hs").alias("ha"), F.col("ab.hs").alias("hb"),
+            )
         )
         inter = j.mapInArrow(
             _pair_intersect_gen(),
@@ -914,6 +919,10 @@ def emb_features(spark, sf_dir: str) -> DataFrame:
                 + [f"b{t}" for t in range(SIGNLSH_TABLES)],
             )
 
+    # No spread() here: the feature kernel is cheap even single-core (the
+    # embeddings table is narrow), and the expensive downstream stages
+    # (bucket groups / pair joins) parallelize via their own shuffle
+    # partitioning — an up-front repartition only adds an exchange.
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     schema = "vec_id bigint, embedding array<float>, nrm double" + "".join(
         f", b{t} bigint" for t in range(SIGNLSH_TABLES)
@@ -967,6 +976,56 @@ def pair_cosines(cand: DataFrame, feat: DataFrame, a_col: str, b_col: str) -> Da
     return j.mapInArrow(_pair_cos_gen([a_col, b_col]), schema)
 
 
+def _bucket_cos_fn():
+    """applyInPandas group kernel: all (vec_id_a < vec_id_b) cosines within
+    one sign-LSH bucket, computed as 64 rank-1 updates (one per dimension)
+    so every pairwise dot accumulates in the exact left-fold IEEE order.
+    Blockwise over rows to bound the m×m accumulator."""
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "doc_a": np.empty(0, dtype=np.int64),
+                "doc_b": np.empty(0, dtype=np.int64),
+                "cos_raw": np.empty(0, dtype=np.float64),
+            }
+        )
+        if m < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        e = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy()[order]
+        d = e.shape[1]
+        out_a, out_b, out_c = [], [], []
+        block = 2048
+        for i0 in range(0, m - 1, block):
+            i1 = min(i0 + block, m)
+            acc = np.zeros((i1 - i0, m), dtype=np.float64)
+            for j in range(d):
+                acc += np.outer(e[i0:i1, j], e[:, j])
+            cos = acc / np.outer(nrm[i0:i1], nrm)
+            rows, cols = np.nonzero(
+                np.arange(m)[None, :] > (i0 + np.arange(i1 - i0))[:, None]
+            )
+            out_a.append(ids[rows + i0])
+            out_b.append(ids[cols])
+            out_c.append(cos[rows, cols])
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
+
+    return fn
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=_embcos_sql("duckdb"),
@@ -978,22 +1037,28 @@ def pair_cosines(cand: DataFrame, feat: DataFrame, a_col: str, b_col: str) -> Da
         "all-pairs self-join, quadratic within hot labels at 100 TB.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r7 SECOND PASS (guide §8 / §2.3): the candidate bucket equi-joins +
+    # per-pair attach joins shipped BOTH embeddings across the Python
+    # boundary once per candidate pair — quadratic bytes in bucket size
+    # (the pair count itself is the quadratic semantics). Grouping each
+    # sign-LSH table by bucket instead moves every vector ONCE per table
+    # (a few MB shuffled) and scores all in-bucket pairs vectorized in the
+    # group kernel; the union of both tables is distinct-ed on the
+    # bit-identical raw cosine, reproducing the SQL's UNION of per-table
+    # candidates exactly. Parallelism = #non-empty buckets × tables (the
+    # SIGNLSH_BITS knob bounds bucket size at production scale).
     feat = emb_features(spark, sf_dir)
-    feat.cache()  # consumed by 2×2 bucket joins + both attach joins
-    cand = None
+    feat.cache()  # grouped twice (once per sign-LSH table)
+    scored = None
     for t in range(SIGNLSH_TABLES):
-        a = feat.select(F.col("vec_id").alias("doc_a"), F.col(f"b{t}").alias("bk"))
-        b = feat.select(F.col("vec_id").alias("doc_b"), F.col(f"b{t}").alias("bk"))
-        c = (
-            a.join(b, "bk")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
+        g = feat.select("vec_id", "embedding", "nrm", F.col(f"b{t}").alias("bk"))
+        s = g.groupBy("bk").applyInPandas(
+            _bucket_cos_fn(), "doc_a bigint, doc_b bigint, cos_raw double"
         )
-        cand = c if cand is None else cand.union(c)
-    cand = cand.distinct()
-    scored = pair_cosines(cand, feat, "doc_a", "doc_b")
+        scored = s if scored is None else scored.union(s)
     return (
-        scored.withColumn("cos_sim", F.round("cos_raw", 6))
+        scored.distinct()
+        .withColumn("cos_sim", F.round("cos_raw", 6))
         .filter(F.col("cos_sim") >= 0.3)
         .select("doc_a", "doc_b", "cos_sim")
     )

@@ -67,6 +67,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition UP to the session's default parallelism when
+    the source partitioning is narrower — and a no-op otherwise.
+
+    r7 (guide §2.5, input skew): the bench parquet tables are single files
+    with one row group, so their scans plan exactly ONE task; every
+    downstream per-row stage (vectorized Arrow kernels, regex projections)
+    then runs on one core of the 32. The conditional keeps this scale-safe:
+    a real corpus scan already wider than the session never reshuffles, so
+    at 100 TB this is a no-op, while the pathological single-file input
+    pays one tiny shuffle (the table is by definition < one split) to light
+    up the whole executor. Round-robin repartition is retry-deterministic
+    (sortBeforeRepartition stays on)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _utc(spark: SparkSession) -> None:
     """Timestamp-bearing queries must agree with DuckDB's naive-UTC epoch."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .registry import register, load_table
+from .registry import register, load_table, spread
 from ..functions.portable import char_ratio, fingerprint_sql
 
 # ---------------------------------------------------------------------------
@@ -217,7 +217,9 @@ def _p3_spark_single() -> str:
         "every stage's per-doc columns (subsumes the former p1/p2 gates).",
 )
 def p3_decision_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # r7: spread() widens the single-file scan so the per-doc regex/HOF
+    # projection parallelizes (no-op on already-wide inputs)
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
     return spark.sql(_p3_spark_single())
 
 
@@ -250,7 +252,9 @@ def _p4_sql(dialect: str) -> str:
                   # the route split inside gated p8_routing
 )
 def p4_text_density(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # r7: spread() widens the single-file scan so the per-doc regex/HOF
+    # projection parallelizes (no-op on already-wide inputs)
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
     return spark.sql(_p4_sql("spark"))
 
 
@@ -448,7 +452,7 @@ def p6_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ["doc_id", "lang", "quality", "score", "alpha", "n_words"],
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
     raw = d.mapInArrow(
         gen,
         "doc_id bigint, lang string, quality string, "
@@ -494,7 +498,9 @@ def _p8_sql(dialect: str) -> str:
         "sees route='ocr' rows.",
 )
 def p8_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # r7: spread() widens the single-file scan so the per-doc regex/HOF
+    # projection parallelizes (no-op on already-wide inputs)
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
     return spark.sql(_p8_sql("spark"))
 
 
@@ -535,7 +541,9 @@ def _f1_sql(dialect: str) -> str:
         "full ~30-field bank runs as one pandas UDF in operators/.",
 )
 def f1_pattern_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # r7: spread() widens the single-file scan so the per-doc regex/HOF
+    # projection parallelizes (no-op on already-wide inputs)
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
     return spark.sql(_f1_sql("spark"))
 
 
@@ -605,7 +613,9 @@ def _langid_sql(dialect: str) -> str:
     gated=False,  # per-doc pred_lang is gated inside text_profile
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # r7: spread() widens the single-file scan so the per-doc regex/HOF
+    # projection parallelizes (no-op on already-wide inputs)
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
     return spark.sql(_langid_sql("spark"))
 
 
@@ -640,7 +650,9 @@ def _tokcnt_sql(dialect: str) -> str:
     gated=False,  # per-doc ws/bpe token counts are gated inside text_profile
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # r7: spread() widens the single-file scan so the per-doc regex/HOF
+    # projection parallelizes (no-op on already-wide inputs)
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
     return spark.sql(_tokcnt_sql("spark"))
 
 
@@ -667,7 +679,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus CHARACTER through the aggregation — ~100x row inflation the
     # round-1 judge flagged; the fold computes the same integers in one
     # pass over each doc's own character sequence.
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars"))
     fp = fingerprint_sql("text", "spark")
     return d.select(
         "doc_id", F.expr(fp).alias("fingerprint"), "n_chars"
@@ -747,10 +759,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             ws = cnt(r"[^ ]+").astype(np.int64)
             bpe = cnt(r"[a-z]+|[0-9]+|[^a-z0-9 ]").astype(np.int64)
-            texts = text.to_pylist()
-            fp = np.fromiter(
-                (npk.fingerprint(s) for s in texts), dtype=np.int64, count=len(texts)
-            )
+            fp = npk.fingerprint_batch(text.to_pylist())
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(0),
@@ -763,7 +772,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ["doc_id", "lang", "pred_lang", "ws_tokens", "bpe_tokens", "fingerprint"],
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
     return d.mapInArrow(
         gen,
         "doc_id bigint, lang string, pred_lang string, "
@@ -841,7 +850,9 @@ def _f3_sql_real(dialect: str) -> str:
         "both engines.",
 )
 def f3_position_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # r7: spread() widens the single-file scan so the per-doc regex/HOF
+    # projection parallelizes (no-op on already-wide inputs)
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
     return spark.sql(_f3_sql_real("spark"))
 
 
@@ -882,7 +893,9 @@ def _topterms_sql(dialect: str) -> str:
         "profiling pass uses.",
 )
 def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # r7: spread() widens the single-file scan so the per-doc regex/HOF
+    # projection parallelizes (no-op on already-wide inputs)
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
     return spark.sql(_topterms_sql("spark"))
 
 
@@ -1013,5 +1026,7 @@ def _tfidf_sql(dialect: str) -> str:
         "token).",
 )
 def f16_tfidf_field_context(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # r7: spread() widens the single-file scan so the per-doc regex/HOF
+    # projection parallelizes (no-op on already-wide inputs)
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView("documents")
     return spark.sql(_tfidf_sql("spark"))

@@ -185,6 +185,39 @@ def test_leftfold_dot_bit_exact_vs_duckdb(duck):
     duck.unregister("pairs")
 
 
+def test_batch_kernels_match_scalar_kernels():
+    """The reduceat whole-batch kernels must agree exactly with the per-doc
+    scalar kernels (which the DuckDB tests above pin to the oracle)."""
+    shingleable = [t for t in TEXTS if len(t) >= 3]
+    mb = npk.minhash_batch(shingleable, 16)
+    sb = npk.simhash_batch(shingleable)
+    for r, t in enumerate(shingleable):
+        h = npk.shingle_hashes(t)
+        assert list(mb[r]) == list(npk.minhash_signature(h, 16)), t[:40]
+        assert int(sb[r]) == npk.simhash(h), t[:40]
+    fb = npk.fingerprint_batch(TEXTS)
+    for r, t in enumerate(TEXTS):
+        assert int(fb[r]) == npk.fingerprint(t), t[:40]
+    # narrow k + empty batch edges
+    assert npk.minhash_batch([], 8).shape == (0, 8)
+    assert npk.simhash_batch([]).size == 0
+    assert npk.fingerprint_batch([]).size == 0
+    m8 = npk.minhash_batch(shingleable, 8)
+    for r, t in enumerate(shingleable):
+        assert list(m8[r]) == list(npk.minhash_signature(npk.shingle_hashes(t), 8))
+
+
+def test_batch_kernels_single_and_min_length_docs():
+    one = ["abc"]
+    assert list(npk.minhash_batch(one, 16)[0]) == list(
+        npk.minhash_signature(npk.shingle_hashes("abc"), 16)
+    )
+    assert int(npk.simhash_batch(one)[0]) == npk.simhash(npk.shingle_hashes("abc"))
+    mixed = ["", "x", "hello world"]
+    fb = npk.fingerprint_batch(mixed)
+    assert [int(v) for v in fb] == [npk.fingerprint(t) for t in mixed]
+
+
 def test_leftfold_differs_from_pairwise_sum_sometimes():
     """Sanity check that the left-fold discipline is actually load-bearing:
     over many random vectors, np.dot/np.sum (pairwise) must disagree with
