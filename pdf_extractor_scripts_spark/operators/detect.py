@@ -127,31 +127,49 @@ def with_assembled_text(df: DataFrame) -> DataFrame:
     # pass over spans than joining everything again; detection is rlike/
     # contains — insensitive to the block ordering). oracle.py builds the
     # identical string.
-    return (
-        df.withColumn("text_route_text", F.expr(_joined_expr(["page_break", "text"])))
-        .withColumn("ocr_e1", F.expr(e1))
-        .withColumn("ocr_e2", F.expr(e2))
-        .withColumn("ocr_route_text", F.expr(select_expr))
-        .drop("ocr_e1", "ocr_e2")
-        .withColumn(
-            "all_text",
-            F.concat_ws("\n", F.col("text_route_text"), F.col("ocr_route_text")),
-        )
+    # layered selects instead of a withColumn chain — one analyzer pass per
+    # dependency layer (see colutil module docstring)
+    from .colutil import add_cols, replace_cols
+
+    df = add_cols(
+        df,
+        text_route_text=F.expr(_joined_expr(["page_break", "text"])),
+        ocr_e1=F.expr(e1),
+        ocr_e2=F.expr(e2),
     )
+    df = add_cols(df, ocr_route_text=F.expr(select_expr))
+    return replace_cols(
+        df,
+        drop=("ocr_e1", "ocr_e2"),
+        all_text=F.concat_ws("\n", F.col("text_route_text"), F.col("ocr_route_text")),
+    )
+
+
+def _sq(s: str) -> str:
+    """Escape a Python string for a Spark SQL '...' literal (backslashes
+    are interpreted inside SQL literals, unlike py4j-passed patterns)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
 
 
 def _content_score(vendor: str) -> Column:
     """+0.3 per content-pattern hit (re.IGNORECASE), +0.1 per lowercased
-    keyword, cap 1.0 (vendor_detector.py:120-143)."""
-    hits = sum(
-        F.when(F.col("all_text").rlike(f"(?i){p}"), 1).otherwise(0)
+    keyword, cap 1.0 (vendor_detector.py:120-143).
+
+    r7: built as ONE SQL string instead of a per-pattern Column loop —
+    every fine-grained Column op is a py4j roundtrip, and the detection
+    construction made thousands of them per pipeline build (profiled: >1 s
+    of every timed run was driver-side construction). D-suffixed literals
+    keep the arithmetic DOUBLE exactly like the former F.lit floats
+    (Spark parses bare 0.3 as DECIMAL — different arithmetic)."""
+    hits = " + ".join(
+        f"(CASE WHEN all_text rlike '(?i){_sq(p)}' THEN 1 ELSE 0 END)"
         for p in C.CONTENT_PATTERNS[vendor]
     )
-    kws = sum(
-        F.when(F.lower(F.col("all_text")).contains(k.lower()), 1).otherwise(0)
+    kws = " + ".join(
+        f"(CASE WHEN contains(lower(all_text), '{_sq(k.lower())}') THEN 1 ELSE 0 END)"
         for k in C.CONTENT_KEYWORDS[vendor]
     )
-    return F.least(F.lit(0.3) * hits + F.lit(0.1) * kws, F.lit(1.0))
+    return F.expr(f"least(0.3D * ({hits}) + 0.1D * ({kws}), 1.0D)")
 
 
 def with_vendor(df: DataFrame) -> DataFrame:
@@ -160,19 +178,27 @@ def with_vendor(df: DataFrame) -> DataFrame:
     # case-insensitive like the reference (vendor_detector.py:98-104
     # matches the lowercased filename with re.IGNORECASE); full doc_id is
     # our filename analog (the ^vendor/ prefixes need the path)
-    file_vendor = F.lit(None).cast("string")
-    for vendor, pats in reversed(list(C.FILENAME_PATTERNS.items())):
-        cond = F.lit(False)
-        for p in pats:
-            cond = cond | F.col("doc_id").rlike(f"(?i){p}")
-        file_vendor = F.when(cond, F.lit(vendor)).otherwise(file_vendor)
-    df = df.withColumn("file_vendor", file_vendor).withColumn(
-        "file_conf", F.when(F.col("file_vendor").isNotNull(), 0.8).otherwise(0.0)
+    from .colutil import add_cols, replace_cols
+
+    # first dict entry wins — identical precedence to the former reversed
+    # when/otherwise fold, as one parsed CASE instead of a py4j loop (r7)
+    fv_branches = " ".join(
+        "WHEN ("
+        + " OR ".join(f"doc_id rlike '(?i){_sq(p)}'" for p in pats)
+        + f") THEN '{vendor}'"
+        for vendor, pats in C.FILENAME_PATTERNS.items()
+    )
+    file_vendor = F.expr(
+        f"CASE {fv_branches} ELSE cast(null as string) END"
     )
 
     vendors = list(C.CONTENT_PATTERNS.keys())
-    for v in vendors:
-        df = df.withColumn(f"score_{v}", _content_score(v))
+    # layer 1: filename vendor + the independent per-vendor content scores
+    df = add_cols(
+        df,
+        file_vendor=file_vendor,
+        **{f"score_{v}": _content_score(v) for v in vendors},
+    )
     # argmax with strict-greater (first vendor wins ties) — mirrors the
     # oracle's `if score > best_score` loop.
     best_v, best_s = F.lit(None).cast("string"), F.lit(0.0)
@@ -180,15 +206,20 @@ def with_vendor(df: DataFrame) -> DataFrame:
         is_better = F.col(f"score_{v}") > best_s
         best_v = F.when(is_better, F.lit(v)).otherwise(best_v)
         best_s = F.when(is_better, F.col(f"score_{v}")).otherwise(best_s)
-    df = df.withColumn("content_vendor", best_v).withColumn("content_conf", best_s)
-
+    # layer 2: columns over layer 1
+    df = add_cols(
+        df,
+        file_conf=F.when(F.col("file_vendor").isNotNull(), 0.8).otherwise(0.0),
+        content_vendor=best_v,
+        content_conf=best_s,
+    )
     vendor = (
         F.when(F.col("content_conf") >= 0.6, F.col("content_vendor"))
         .when((F.col("file_conf") >= 0.5) & F.col("file_vendor").isNotNull(), F.col("file_vendor"))
         .when(F.col("content_conf") > 0, F.col("content_vendor"))
         .otherwise(F.lit("generic"))
     )
-    df = df.withColumn("vendor", vendor)
+    df = add_cols(df, vendor=vendor)
     agree = (
         F.col("file_vendor").isNotNull()
         & (F.col("content_vendor") == F.col("file_vendor"))
@@ -205,16 +236,24 @@ def with_vendor(df: DataFrame) -> DataFrame:
     conf = F.when(
         agree, F.least(F.col("file_conf") + F.col("content_conf"), F.lit(1.0))
     ).otherwise(base)
-    drop = [f"score_{v}" for v in vendors]
-    return df.withColumn("vendor_conf", F.round(conf, 4)).drop(*drop)
+    return replace_cols(
+        df,
+        drop=tuple(f"score_{v}" for v in vendors),
+        vendor_conf=F.round(conf, 4),
+    )
 
 
-def _vendor_map(mapping: dict[str, float | int]) -> Column:
-    c = F.lit(mapping["generic"])
-    for v, val in mapping.items():
-        if v != "generic":
-            c = F.when(F.col("vendor") == v, F.lit(val)).otherwise(c)
-    return c
+def _vendor_map_sql(mapping: dict[str, float | int], float_vals: bool) -> str:
+    """Per-vendor constant lookup as one CASE (branches are mutually
+    exclusive, so ordering is irrelevant — same values as the former
+    when/otherwise fold). Float maps get D-suffixed double literals."""
+    sfx = "D" if float_vals else ""
+    branches = " ".join(
+        f"WHEN '{v}' THEN {val!r}{sfx}"
+        for v, val in mapping.items()
+        if v != "generic"
+    )
+    return f"CASE vendor {branches} ELSE {mapping['generic']!r}{sfx} END"
 
 
 def with_route(df: DataFrame) -> DataFrame:
@@ -225,17 +264,16 @@ def with_route(df: DataFrame) -> DataFrame:
     spans array (struct accumulator: current page + set of text pages) —
     one pass, JVM-side, no explode.
     """
-    df = df.withColumn(
-        "n_text_chars",
-        F.expr(
+    from .colutil import add_cols, replace_cols
+
+    df = add_cols(
+        df,
+        n_text_chars=F.expr(
             "aggregate(filter(spans, s -> s.kind = 'text'), 0L, "
             "(acc, s) -> acc + length(s.text))"
         ),
-    ).withColumn(
-        "n_pages",
-        F.expr("greatest(1, size(filter(spans, s -> s.kind = 'page_break')))"),
-    ).withColumn(
-        "n_text_pages",
+        n_pages=F.expr("greatest(1, size(filter(spans, s -> s.kind = 'page_break')))"),
+        n_text_pages=
         # O(1)-per-element fold: spans arrive in offset order, so "pages with
         # text" is countable with (current page, last counted page, count) —
         # no per-element set union.
@@ -250,39 +288,55 @@ def with_route(df: DataFrame) -> DataFrame:
             "acc -> acc.cnt)"
         ),
     )
-    thr = _vendor_map(C.TEXT_THRESHOLDS)
-    mr = _vendor_map(C.MIN_TEXT_RATIO)
-    ratio = F.col("n_text_pages") / F.col("n_pages")
+    # r7: the per-vendor threshold maps, the spec/generic route cascades
+    # and the fallback-side pick are built as SQL text (one parse each)
+    # instead of py4j Column chains; numeric semantics unchanged (float
+    # thresholds appear only in comparisons, where DECIMAL-vs-DOUBLE
+    # literal typing is value-equivalent — D suffixes keep them double
+    # anyway).
+    thr = _vendor_map_sql(C.TEXT_THRESHOLDS, float_vals=False)
+    mr = _vendor_map_sql(C.MIN_TEXT_RATIO, float_vals=True)
+    ratio = "(n_text_pages / n_pages)"
     # Specialized vendors keep the chars/ratio gates — the reference
     # dispatches them to their vendor processors BEFORE the recommended
     # method is consulted (fallback_processor.py:196-209), so the P8
     # cascade is advisory there; our split models the specialized
     # processors' own behavior.
     spec_route = (
-        F.when((F.col("n_text_chars") >= thr) & (ratio >= mr), "text")
-        .when(F.col("n_text_chars") >= thr, "hybrid")
-        .otherwise("ocr")
+        f"CASE WHEN n_text_chars >= ({thr}) AND {ratio} >= ({mr}) THEN 'text' "
+        f"WHEN n_text_chars >= ({thr}) THEN 'hybrid' ELSE 'ocr' END"
     )
-    df = df.withColumn("g_det", F.expr(_generic_det_fold_sql()))
-    df = df.withColumn(
-        "g_qscore",
-        F.when(F.col("vendor") == "generic", _generic_quality_score()),
+    df = add_cols(df, g_det=F.expr(_generic_det_fold_sql()))
+    df = add_cols(
+        df,
+        g_qscore=F.expr(
+            f"CASE WHEN vendor = 'generic' THEN ({_generic_qscore_sql()}) END"
+        ),
     )
-    route = F.when(F.col("vendor") != "generic", spec_route).otherwise(
-        _generic_route(F.col("g_qscore"))
+    gthr = C.TEXT_THRESHOLDS["generic"]
+    mr_g = C.MIN_TEXT_RATIO["generic"]
+    qthr = C.QUALITY_THRESHOLDS["generic"]
+    has_text = f"((g_det.chars > {gthr}) AND (g_det.tp / n_pages >= {mr_g!r}D))"
+    mixed = "(g_det.hy > 0)"
+    generic_route = (
+        f"CASE WHEN {has_text} AND (g_qscore >= {qthr!r}D) "
+        f"AND NOT ({mixed} AND (g_det.im > g_det.tx)) THEN 'text' "
+        f"WHEN {has_text} THEN 'hybrid' ELSE 'ocr' END"
     )
-    df = df.withColumn("route", route)
+    df = add_cols(
+        df,
+        route=F.expr(
+            f"CASE WHEN vendor != 'generic' THEN ({spec_route}) "
+            f"ELSE ({generic_route}) END"
+        ),
+    )
     # which side a generic hybrid tries FIRST (audit §21): text for the
     # mixed-majority branch, OCR for the low-quality branch
-    fbp = F.when(
-        (F.col("vendor") == "generic") & (F.col("route") == "hybrid"),
-        F.when(
-            F.col("g_qscore") >= C.QUALITY_THRESHOLDS["generic"], "text"
-        ).otherwise("ocr"),
+    fbp = F.expr(
+        f"CASE WHEN vendor = 'generic' AND route = 'hybrid' THEN "
+        f"(CASE WHEN g_qscore >= {qthr!r}D THEN 'text' ELSE 'ocr' END) END"
     )
-    return df.withColumn("fb_primary", fbp).drop(
-        "g_det", "g_qscore"
-    )
+    return replace_cols(df, drop=("g_det", "g_qscore"), fb_primary=fbp)
 
 
 def _generic_det_fold_sql() -> str:
@@ -330,7 +384,7 @@ def _generic_det_fold_sql() -> str:
     END"""
 
 
-def _generic_quality_score():
+def _generic_qscore_sql() -> str:
     """The LIVE P8 cascade's P6 quality score for generic documents
     (audit §20, pdf_text_detector.py:633-688), natively over the 200-char
     detection sample; the arithmetic mirrors oracle._quality_score
@@ -341,63 +395,40 @@ def _generic_quality_score():
     (tier >= MEDIUM is subsumed — config.QUALITY_THRESHOLDS are all >=
     0.5); an image-page majority in mixed content forces the fallback
     route."""
-    sample = F.col("g_det.sample")
-    slen = F.length(sample)
-    stripped = F.length(F.regexp_replace(sample, r"^\s+|\s+$", ""))
-    ar = (slen - F.length(F.regexp_replace(sample, "[A-Za-z]", ""))).cast(
-        "double"
-    ) / slen
+    # r7: one parsed SQL expression instead of ~100 py4j Column calls per
+    # build. Every float literal carries the D suffix so the arithmetic
+    # stays pure DOUBLE, bit-identical to the former F.lit-based Columns
+    # (bare 0.8 would parse as DECIMAL and change the (i1+i2) addition).
+    s = "g_det.sample"
+    slen = f"length({s})"
+    stripped = f"length(regexp_replace({s}, '^\\\\s+|\\\\s+$', ''))"
+    ar = f"(cast(({slen} - length(regexp_replace({s}, '[A-Za-z]', ''))) as double) / {slen})"
     i1 = (
-        F.when((ar >= 0.3) & (ar <= 0.8), 0.8)
-        .when(((ar >= 0.1) & (ar < 0.3)) | ((ar > 0.8) & (ar <= 0.95)), 0.5)
-        .otherwise(0.1)
+        f"CASE WHEN {ar} >= 0.3D AND {ar} <= 0.8D THEN 0.8D "
+        f"WHEN ({ar} >= 0.1D AND {ar} < 0.3D) OR ({ar} > 0.8D AND {ar} <= 0.95D) THEN 0.5D "
+        f"ELSE 0.1D END"
     )
-    words = F.filter(F.split(sample, r"\s+"), lambda w: w != "")
-    nw = F.size(words)
-    awl = F.aggregate(
-        words, F.lit(0), lambda a, w: a + F.length(w)
-    ).cast("double") / nw
-    vr = F.size(
-        F.filter(
-            words,
-            lambda w: (F.length(w) >= 2)
-            & (F.length(w) <= 20)
-            & w.rlike("^[a-zA-Z0-9]+$"),
-        )
-    ).cast("double") / nw
+    words = f"filter(split({s}, '\\\\s+'), w -> w != '')"
+    nw = f"size({words})"
+    awl = f"(cast(aggregate({words}, 0, (a, w) -> a + length(w)) as double) / {nw})"
+    vr = (
+        f"(cast(size(filter({words}, w -> length(w) >= 2 AND length(w) <= 20 "
+        f"AND w rlike '^[a-zA-Z0-9]+$')) as double) / {nw})"
+    )
     i2 = (
-        F.when(nw == 0, 0.1)
-        .when((awl >= 3) & (awl <= 8) & (vr >= 0.6), 0.9)
-        .when((awl >= 2) & (awl <= 12) & (vr >= 0.4), 0.6)
-        .otherwise(0.3)
+        f"CASE WHEN {nw} = 0 THEN 0.1D "
+        f"WHEN {awl} >= 3 AND {awl} <= 8 AND {vr} >= 0.6D THEN 0.9D "
+        f"WHEN {awl} >= 2 AND {awl} <= 12 AND {vr} >= 0.4D THEN 0.6D "
+        f"ELSE 0.3D END"
     )
-    hits = None
-    for p in C.P6_INVOICE_PATTERNS:
-        h = F.when(sample.rlike("(?i)" + p), 1).otherwise(0)
-        hits = h if hits is None else hits + h
-    i3 = F.least(hits.cast("double") / len(C.P6_INVOICE_PATTERNS), F.lit(1.0))
-    rr = F.regexp_count(sample, F.lit(r"(.)\1{4,}")).cast("double") / slen
-    i4 = F.when(rr < 0.05, 0.8).when(rr < 0.15, 0.5).otherwise(0.2)
-    return F.when(sample.isNull() | (stripped < 10), 0.0).otherwise(
-        (((i1 + i2) + i3) + i4) / 4
+    hits = " + ".join(
+        f"(CASE WHEN {s} rlike '(?i){_sq(p)}' THEN 1 ELSE 0 END)"
+        for p in C.P6_INVOICE_PATTERNS
     )
-
-
-def _generic_route(score):
-    gthr = C.TEXT_THRESHOLDS["generic"]
-    has_text = (F.col("g_det.chars") > gthr) & (
-        F.col("g_det.tp") / F.col("n_pages") >= C.MIN_TEXT_RATIO["generic"]
-    )
-    # P7 classification (audit §24): mixed iff ANY hybrid page; the
-    # image>text comparison uses the EXCLUSIVE per-class counts
-    mixed = F.col("g_det.hy") > 0
+    i3 = f"least(cast(({hits}) as double) / {len(C.P6_INVOICE_PATTERNS)}, 1.0D)"
+    rr = f"(cast(regexp_count({s}, '(.)\\\\1{{4,}}') as double) / {slen})"
+    i4 = f"CASE WHEN {rr} < 0.05D THEN 0.8D WHEN {rr} < 0.15D THEN 0.5D ELSE 0.2D END"
     return (
-        F.when(
-            has_text
-            & (score >= C.QUALITY_THRESHOLDS["generic"])
-            & ~(mixed & (F.col("g_det.im") > F.col("g_det.tx"))),
-            "text",
-        )
-        .when(has_text, "hybrid")
-        .otherwise("ocr")
+        f"CASE WHEN {s} IS NULL OR {stripped} < 10 THEN 0.0D "
+        f"ELSE (((({i1}) + ({i2})) + ({i3})) + ({i4})) / 4 END"
     )

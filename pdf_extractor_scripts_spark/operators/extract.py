@@ -129,16 +129,19 @@ def with_extraction(df: DataFrame) -> DataFrame:
     has = lambda kind: F.expr(
         f"exists(spans, s -> s.kind = '{kind}' and trim(s.text) <> '')"
     )
-    return (
-        df.withColumn(
-            "res_both",
-            extract_udf(
-                F.col("vendor"), F.col("route"), F.col("fb_primary"),
-                has("media_text"), has("media_text_alt"),
-                text_in, ocr_in, e1f, e2f,
-            ),
-        )
-        .withColumn("res_t", F.col("res_both.t"))
-        .withColumn("res_o", F.col("res_both.o"))
-        .drop("res_both")
+    from .colutil import add_cols, replace_cols
+
+    df = add_cols(
+        df,
+        res_both=extract_udf(
+            F.col("vendor"), F.col("route"), F.col("fb_primary"),
+            has("media_text"), has("media_text_alt"),
+            text_in, ocr_in, e1f, e2f,
+        ),
+    )
+    return replace_cols(
+        df,
+        drop=("res_both",),
+        res_t=F.col("res_both.t"),
+        res_o=F.col("res_both.o"),
     )

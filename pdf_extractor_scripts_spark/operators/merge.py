@@ -65,33 +65,34 @@ def _merged_fields_expr() -> str:
 
 
 def with_merge(df: DataFrame) -> DataFrame:
-    df = df.withColumn(
-        "mt", F.expr("map_from_entries(coalesce(res_t.fields, array()))")
-    ).withColumn("mo", F.expr("map_from_entries(coalesce(res_o.fields, array()))"))
-    df = df.withColumn("merged_fields", F.expr(_merged_fields_expr()))
-    df = df.withColumn(
-        "merged_items",
-        F.expr(
+    from .colutil import add_cols, replace_cols
+
+    df = add_cols(
+        df,
+        mt=F.expr("map_from_entries(coalesce(res_t.fields, array()))"),
+        mo=F.expr("map_from_entries(coalesce(res_o.fields, array()))"),
+    )
+    # F13 additional_info (audit §18/§21): document-level, schlage-only,
+    # harvested from the text the extraction settled on — hybrids resolve
+    # to ONE extraction upstream (the kernel's O6/P10 chain), so the
+    # result rides whichever slot is populated
+    return replace_cols(
+        df,
+        drop=("mt", "mo"),
+        merged_fields=F.expr(_merged_fields_expr()),
+        merged_items=F.expr(
             "CASE WHEN res_t.items IS NOT NULL AND size(res_t.items) > 0 "
             "THEN res_t.items "
             "WHEN res_o.items IS NOT NULL THEN res_o.items "
             "ELSE cast(array() as array<struct<line:string, serialized:string, "
             "marks:array<string>>>) END"
         ),
-    )
-    # F13 additional_info (audit §18/§21): document-level, schlage-only,
-    # harvested from the text the extraction settled on — hybrids resolve
-    # to ONE extraction upstream (the kernel's O6/P10 chain), so the
-    # result rides whichever slot is populated
-    df = df.withColumn(
-        "merged_info",
-        F.expr(
+        merged_info=F.expr(
             "CASE WHEN res_t.info IS NOT NULL THEN res_t.info "
             "WHEN res_o.info IS NOT NULL THEN res_o.info "
             "ELSE cast(array() as array<string>) END"
         ),
     )
-    return df.drop("mt", "mo")
 
 
 _ITEMS_SORTED = """
@@ -152,16 +153,15 @@ def _confidence_expr() -> str:
 
 
 def with_emission(df: DataFrame) -> DataFrame:
-    df = df.withColumn("out_spans", F.expr(_OUT_SPANS))
-    df = df.withColumn("extraction_confidence", F.expr(_confidence_expr()))
-    df = df.withColumn(
-        "validation_failed",
-        F.expr(
+    from .colutil import add_cols
+
+    return add_cols(
+        df,
+        out_spans=F.expr(_OUT_SPANS),
+        extraction_confidence=F.expr(_confidence_expr()),
+        validation_failed=F.expr(
             "CASE WHEN exists(merged_fields, f -> f.key = 'header.invoice_number') "
             "THEN 0 ELSE 1 END"
         ),
-    ).withColumn(
-        "ocr_used",
-        F.when(F.col("route").isin("ocr", "hybrid"), 1).otherwise(0),
+        ocr_used=F.when(F.col("route").isin("ocr", "hybrid"), 1).otherwise(0),
     )
-    return df

@@ -18,6 +18,8 @@ from __future__ import annotations
 import math
 import struct
 
+from .pngcodec import MAX_PIXELS
+
 _LR, _LG, _LB = 299, 587, 114
 
 
@@ -129,6 +131,8 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes]:
         pos += 1
         if w == 0 or h == 0:
             raise RasterError("zero-dimension GIF frame")
+        if w * h > MAX_PIXELS:
+            raise RasterError(f"GIF frame {w}x{h} exceeds the {MAX_PIXELS}-pixel cap")
         idx = _gif_lzw_decode(bytes(comp), min_code, w * h)
         if len(idx) < w * h:
             raise RasterError("GIF pixel data underruns the frame")
@@ -240,6 +244,10 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
     h = abs(h_raw)
     if w <= 0 or h == 0:
         raise RasterError("bad BMP dimensions")
+    if w * h > MAX_PIXELS:
+        # r7 (ADVICE): header dims are attacker-controlled 32-bit ints — a
+        # 70-byte file could otherwise demand a multi-GB luma buffer
+        raise RasterError(f"BMP {w}x{h} exceeds the {MAX_PIXELS}-pixel cap")
     pal = []
     if bpp <= 8:
         (ncol,) = struct.unpack("<I", data[46:50])
@@ -370,6 +378,8 @@ def decode_tiff(data: bytes) -> tuple[int, int, bytes]:
         return v[0]
 
     w, h = one(256), one(257)
+    if w * h > MAX_PIXELS:
+        raise RasterError(f"TIFF {w}x{h} exceeds the {MAX_PIXELS}-pixel cap")
     comp = one(259, 1)
     photometric = one(262, 1)
     spp = one(277, 1)
@@ -394,7 +404,9 @@ def decode_tiff(data: bytes) -> tuple[int, int, bytes]:
         if comp == 1:
             dec = strip[:need]
         elif comp == 5:
-            dec = _lzw_decode(strip)[:need]
+            # max_out caps the LZW expansion at the strip's geometry (r7,
+            # ADVICE: unbounded decode could balloon ~2700x before slicing)
+            dec = _lzw_decode(strip, max_out=need)
         elif comp == 32773:
             dec = _tiff_packbits(strip, need)
         else:

@@ -23,8 +23,14 @@ from pyspark.sql import DataFrame
 
 
 def with_weight(df: DataFrame, heavy_span_threshold: int = 400) -> DataFrame:
-    return df.withColumn("weight", F.size("spans")).withColumn(
-        "is_heavy", (F.col("weight") > heavy_span_threshold).cast("int")
+    from .colutil import add_cols
+
+    # size(spans) inlined twice — cheaper than a second analyzer pass over
+    # the accumulated mega-plan just to reference the weight column
+    return add_cols(
+        df,
+        weight=F.size("spans"),
+        is_heavy=(F.size("spans") > heavy_span_threshold).cast("int"),
     )
 
 

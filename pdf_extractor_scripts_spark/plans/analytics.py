@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .registry import register, load_table, _utc
+from .registry import register, load_table, spread, _utc
 
 
 # --------------------------------------------------------------------------
@@ -415,7 +415,15 @@ def j4_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle-once).",
 )
 def j6_order_line_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # r7 (guide §2.5): the single-file lineitem scan plans ONE task, so the
+    # partial ObjectHashAggregate (list building) ran on one core; spread()
+    # widens it (no-op on already-wide inputs). Results are unaffected:
+    # array_sort makes items_sig order-deterministic.
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey"
+        )
+    )
     item = F.struct(F.col("l_linenumber"), F.col("l_partkey"))
     return li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_items"),

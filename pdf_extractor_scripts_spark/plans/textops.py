@@ -401,14 +401,18 @@ def p6_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             alpha_ratio = len(rx_nonalpha.sub("", text)) / denom
             words = [w for w in rx_ws.split(text) if w != ""]
             n_words = len(words)
+            # i1/i2/i4 in TENTHS: Spark parses the SQL's 0.8/0.5/... branch
+            # literals as DECIMAL(1,1), so (i1 + i2) is computed EXACTLY in
+            # decimal before i3 (a double) promotes the sum — replicated
+            # here as integer tenths with one correctly-rounded /10.
             if alpha_ratio >= 0.3 and alpha_ratio <= 0.8:
-                i1 = 0.8
+                i1t = 8
             elif (0.1 <= alpha_ratio < 0.3) or (0.8 < alpha_ratio <= 0.95):
-                i1 = 0.5
+                i1t = 5
             else:
-                i1 = 0.1
+                i1t = 1
             if n_words == 0:
-                i2 = 0.1
+                i2t = 1
             else:
                 avg_wlen = float(sum(len(w) for w in words)) / n_words
                 vratio = (
@@ -420,15 +424,17 @@ def p6_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / n_words
                 )
                 if 3 <= avg_wlen <= 8 and vratio >= 0.6:
-                    i2 = 0.9
+                    i2t = 9
                 elif 2 <= avg_wlen <= 12 and vratio >= 0.4:
-                    i2 = 0.6
+                    i2t = 6
                 else:
-                    i2 = 0.3
+                    i2t = 3
             i3 = sum(1 for rx in rx_pats if rx.search(text)) / 5.0
             rep_ratio = len(rx_run.findall(text)) / denom
-            i4 = 0.8 if rep_ratio < 0.05 else (0.5 if rep_ratio < 0.15 else 0.2)
-            s = (i1 + i2 + i3 + i4) / 4
+            i4t = 8 if rep_ratio < 0.05 else (5 if rep_ratio < 0.15 else 2)
+            # ((decimal(i1+i2) -> double) + i3_double) + (decimal(i4) ->
+            # double), then / 4 — the exact promotion sequence of the SQL
+            s = (((i1t + i2t) / 10 + i3) + i4t / 10) / 4
             if n_stripped < 10:
                 return "CORRUPTED", 0.0, alpha_ratio, n_words
             q = (
@@ -575,7 +581,9 @@ def _f14_sql(dialect: str) -> str:
         "→ regexp_extract → try_cast → corpus aggregate.",
 )
 def f14_totals_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # r7: spread() widens the single-file orders scan so the per-row
+    # render + regex extraction parallelizes (guide §2.5)
+    spread(load_table(spark, sf_dir, "orders")).createOrReplaceTempView("orders")
     return spark.sql(_f14_sql("spark"))
 
 

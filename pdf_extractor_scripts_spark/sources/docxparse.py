@@ -184,7 +184,18 @@ def _parse(data: bytes, doc_id: str) -> tuple[list[dict], list[dict]]:
                                  "filter": "External", "params": {}})
             else:
                 ref = f"img://{doc_id}/{page}/{img_i}"
-                part = "word/" + target.lstrip("/")
+                # dot-segment normalization, matching pptxparse._slide_rels
+                # (r7 ADVICE fix: a Target like ../media/img.png previously
+                # resolved to a nonexistent part and yielded an empty
+                # payload silently)
+                norm: list[str] = []
+                for p in ("word/" + target.lstrip("/")).split("/"):
+                    if p == "..":
+                        if norm:
+                            norm.pop()
+                    elif p != ".":
+                        norm.append(p)
+                part = "/".join(norm)
                 raw = zf.read(part) if target and part in names else b""
                 payloads.append({"media_ref": ref, "payload": raw,
                                  "filter": _image_filter(raw, target),

@@ -119,8 +119,12 @@ def parse_feed_spans(data: bytes, doc_id: str) -> list[dict]:
 
     tag = root.tag.lower()
     if tag == "rss" or tag.endswith("}rdf"):
-        channel = (root.find("channel")
-                   or root.find(f"{_RSS1}channel"))
+        # explicit None check: Element truthiness is deprecated (Python
+        # 3.12+) and would treat a present-but-childless <channel/> as
+        # missing (r7 ADVICE fix)
+        channel = root.find("channel")
+        if channel is None:
+            channel = root.find(f"{_RSS1}channel")
         page(1)
         if channel is not None:
             emit_text(_text(channel.find("title")

@@ -247,9 +247,13 @@ def _parse(data: bytes, doc_id: str,
         except Exception:
             # a corrupt attachment doesn't sink the mail body: the
             # container-level fallback accounting is per DOCUMENT, so
-            # signal with a marker page instead of dropping the doc
+            # signal with a marker page instead of dropping the doc.
+            # The marker numbers itself as the NEXT page of the running
+            # stream (r7 ADVICE fix: the old hardcoded '=== PAGE 1 ==='
+            # masqueraded as a duplicate first page mid-stream).
+            n_pages = 1 + sum(1 for s in spans if s["kind"] == "page_break")
             spans.append({"kind": "page_break",
-                          "text": "=== PAGE 1 ===",
+                          "text": f"=== PAGE {n_pages} ===",
                           "media_ref": "", "offset": 0})
 
     for i, s in enumerate(spans):  # re-sequence the concatenated stream

@@ -1035,9 +1035,13 @@ def _unpredict(data: bytes, parms: dict) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+def _lzw_decode(data: bytes, early: int = 1, max_out: int | None = None) -> bytes:
     """PDF LZWDecode: MSB-first variable-width codes 9→12 bits, clear code
-    256, EOD 257, /EarlyChange (default 1) widens one code early."""
+    256, EOD 257, /EarlyChange (default 1) widens one code early.
+
+    ``max_out`` caps the decoded size (r7, ADVICE: LZW expands up to ~2700x,
+    so a small crafted strip can otherwise balloon past executor memory);
+    callers that know the geometry pass the expected byte count."""
     out = bytearray()
     table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
     next_code = 258
@@ -1071,6 +1075,8 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
                 next_code += 1
             out += entry
             prev = entry
+            if max_out is not None and len(out) >= max_out:
+                return bytes(out[:max_out])
             if next_code >= (1 << width) - early and width < 12:
                 width += 1
     return bytes(out)

@@ -185,3 +185,45 @@ def test_office_media_audit_decodes_legacy_rasters(spark, tmp_path):
                                          glob="*.docx"))).collect()
     got = {r["filter"]: r["decoded"] for r in feats}
     assert got == {"GIF": True, "BMP": True, "TIFF": True}
+
+
+# -------------------------------------------------- r7 allocation guards
+
+def test_bmp_guard_rejects_attacker_dims():
+    """r7 (ADVICE): header dims are attacker-controlled — a tiny file must
+    not demand a multi-GB luma buffer."""
+    data = bytearray(encode_bmp(GRAY4, 4, 3))
+    struct.pack_into("<ii", data, 18, 50_000, 50_000)  # 2.5 Gpx claim
+    with pytest.raises(RasterError, match="pixel cap"):
+        decode_bmp(bytes(data))
+
+
+def test_gif_guard_rejects_huge_frame():
+    data = bytearray(encode_gif(bytes([0, 1, 2, 3]), 2, 2, PAL_GRAY))
+    # image descriptor follows header(6)+LSD(7)+GCT(12): find 0x2C intro
+    pos = bytes(data).index(b"\x2c")
+    struct.pack_into("<HH", data, pos + 5, 60_000, 60_000)  # frame w,h
+    with pytest.raises(RasterError, match="pixel cap"):
+        decode_gif(bytes(data))
+
+
+def test_tiff_guard_rejects_huge_dims():
+    data = bytearray(encode_tiff(GRAY4, 4, 3))
+    # patch ImageWidth (tag 256) value in the IFD
+    import pdf_extractor_scripts_spark.operators.rastercodec as rc
+    (off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, off)
+    for i in range(n):
+        base = off + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", data, base)
+        if tag in (256, 257):
+            struct.pack_into("<I", data, base + 8, 70_000)
+    with pytest.raises(RasterError, match="pixel cap"):
+        decode_tiff(bytes(data))
+
+
+def test_tiff_lzw_decode_is_capped():
+    """The LZW expansion is capped at the strip geometry: decoding still
+    succeeds for well-formed input (cap == exact need)."""
+    w, h, px = decode_tiff(encode_tiff(GRAY4, 4, 3, compression=5))
+    assert (w, h, bytes(px)) == (4, 3, GRAY4)
