@@ -415,14 +415,12 @@ def j4_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle-once).",
 )
 def j6_order_line_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r7 (guide §2.5): the single-file lineitem scan plans ONE task, so the
-    # partial ObjectHashAggregate (list building) ran on one core; spread()
-    # widens it (no-op on already-wide inputs). Results are unaffected:
-    # array_sort makes items_sig order-deterministic.
-    li = spread(
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_linenumber", "l_partkey"
-        )
+    # r7: column-pruned up front; spread() was A/B-tested here (the
+    # single-file scan runs the partial list-building agg on one core) and
+    # measured a WASH at both sf0.1 and 10x — the groupBy exchange
+    # redistributes anyway — so the extra shuffle is not taken.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
     )
     item = F.struct(F.col("l_linenumber"), F.col("l_partkey"))
     return li.groupBy("l_orderkey").agg(

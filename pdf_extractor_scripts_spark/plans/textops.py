@@ -581,9 +581,10 @@ def _f14_sql(dialect: str) -> str:
         "→ regexp_extract → try_cast → corpus aggregate.",
 )
 def f14_totals_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r7: spread() widens the single-file orders scan so the per-row
-    # render + regex extraction parallelizes (guide §2.5)
-    spread(load_table(spark, sf_dir, "orders")).createOrReplaceTempView("orders")
+    # spread() A/B-tested here and NOT taken: the codegen'd render+regex is
+    # fast enough that the repartition shuffle costs more than the
+    # parallelism buys at both bench scales.
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_f14_sql("spark"))
 
 
