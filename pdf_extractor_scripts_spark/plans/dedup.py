@@ -955,27 +955,6 @@ def _pair_cos_gen(id_names: list[str]):
     return gen
 
 
-def pair_cosines(cand: DataFrame, feat: DataFrame, a_col: str, b_col: str) -> DataFrame:
-    """Attach embeddings+norms to candidate pairs and score the exact
-    cosine (raw, unrounded) via the vectorized kernel. The attach joins are
-    plain equi-joins on the vector id — the 100 TB shape is unchanged from
-    the SQL form; only the per-pair fold moved from the interpreted HOF
-    evaluator into numpy."""
-    ea = feat.select(
-        F.col("vec_id").alias(a_col),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    eb = feat.select(
-        F.col("vec_id").alias(b_col),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    j = cand.join(ea, a_col).join(eb, b_col).select(a_col, b_col, "ea", "eb", "na", "nb")
-    schema = f"{a_col} bigint, {b_col} bigint, cos_raw double"
-    return j.mapInArrow(_pair_cos_gen([a_col, b_col]), schema)
-
-
 def _bucket_cos_fn():
     """applyInPandas group kernel: all (vec_id_a < vec_id_b) cosines within
     one sign-LSH bucket, computed as 64 rank-1 updates (one per dimension)

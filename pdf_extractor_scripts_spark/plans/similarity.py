@@ -20,8 +20,8 @@ from .dedup import (
     SIGNLSH_TABLES,
     _dot,
     _emb_cte,
+    _pair_cos_gen,
     emb_features,
-    pair_cosines,
     signlsh_bucket_sql,
 )
 
@@ -51,6 +51,23 @@ def _bf_sql(dialect: str) -> str:
     """
 
 
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """round(raw, 6) in Spark (HALF_UP), per-query rank window on the
+    ROUNDED score with the deterministic neighbor tie-break — the exact
+    final SELECT of both oracle twins."""
+    ranked = scored.withColumn("cos_sim", F.round("cos_raw", 6)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cos_sim"), F.asc("neighbor_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") <= k).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rn").cast("bigint").alias("rank")
+    )
+
+
 @register(
     "ann_bruteforce_topk",
     oracle=_bf_sql("duckdb"),
@@ -61,27 +78,32 @@ def _bf_sql(dialect: str) -> str:
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r7 (guide §4.2/§3.1): norms + per-pair dots move from interpreted HOF
-    # lambdas into the bit-identical left-fold numpy kernel; the tiny query
-    # side is broadcast explicitly so the corpus scan stays map-only.
+    # lambdas into the bit-identical left-fold numpy kernel. The candidate
+    # join carries both embeddings directly (the broadcast 8-row query side
+    # BNLJ-joins the corpus scan map-side), so there are NO separate attach
+    # joins — one feature stage, one pair-scoring stage, one rank window.
     feat = emb_features(spark, sf_dir)
-    feat.cache()  # query side + corpus side + both attach joins
-    q = feat.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"))
-    c = feat.select(F.col("vec_id").alias("neighbor_id"))
-    cand = F.broadcast(q).join(
-        c, F.col("query_id") != F.col("neighbor_id")
+    feat.cache()  # query side + corpus side
+    q = feat.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    scored = pair_cosines(cand, feat, "query_id", "neighbor_id")
-    ranked = scored.withColumn("cos_sim", F.round("cos_raw", 6)).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("query_id").orderBy(
-                F.desc("cos_sim"), F.asc("neighbor_id")
-            )
-        ),
+    c = feat.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
-    return ranked.filter(F.col("rn") <= 5).select(
-        "query_id", "neighbor_id", "cos_sim", F.col("rn").cast("bigint").alias("rank")
+    j = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "ea", "eb", "na", "nb")
     )
+    scored = j.mapInArrow(
+        _pair_cos_gen(["query_id", "neighbor_id"]),
+        "query_id bigint, neighbor_id bigint, cos_raw double",
+    )
+    return _ranked_topk(scored, 5)
 
 
 # --------------------------------------------------------------------------
@@ -136,32 +158,34 @@ def _lsh_sql(dialect: str) -> str:
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r7: same kernel treatment as ann_bruteforce_topk — bucket bits, norms
-    # and candidate cosines all come from the left-fold numpy kernels; the
-    # per-table bucket equi-joins and the final per-query rank window keep
-    # their r6 plan shape.
+    # and candidate cosines all come from the left-fold numpy kernels. Each
+    # per-table bucket equi-join carries both embeddings (the 32-query side
+    # broadcasts, so candidates never shuffle), each table's pairs are
+    # scored in one Arrow stage, and the union dedups on the bit-identical
+    # raw cosine — reproducing the SQL's UNION-of-candidates + single-score
+    # exactly, without the former per-pair attach joins.
     feat = emb_features(spark, sf_dir)
-    feat.cache()  # 2 bucket joins × both sides + both attach joins
+    feat.cache()  # 2 bucket joins × both sides
     q = feat.filter(F.col("vec_id") < 32)
-    cand = None
+    scored = None
     for t in range(SIGNLSH_TABLES):
-        qa = q.select(F.col("vec_id").alias("query_id"), F.col(f"b{t}").alias("bk"))
-        cb = feat.select(F.col("vec_id").alias("neighbor_id"), F.col(f"b{t}").alias("bk"))
-        c = (
-            qa.join(cb, "bk")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
+        qa = q.select(
+            F.col("vec_id").alias("query_id"), F.col(f"b{t}").alias("bk"),
+            F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
         )
-        cand = c if cand is None else cand.union(c)
-    cand = cand.distinct()
-    scored = pair_cosines(cand, feat, "query_id", "neighbor_id")
-    ranked = scored.withColumn("cos_sim", F.round("cos_raw", 6)).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("query_id").orderBy(
-                F.desc("cos_sim"), F.asc("neighbor_id")
-            )
-        ),
-    )
-    return ranked.filter(F.col("rn") <= 3).select(
-        "query_id", "neighbor_id", "cos_sim", F.col("rn").cast("bigint").alias("rank")
-    )
+        cb = feat.select(
+            F.col("vec_id").alias("neighbor_id"), F.col(f"b{t}").alias("bk"),
+            F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+        )
+        j = (
+            F.broadcast(qa)
+            .join(cb, "bk")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "ea", "eb", "na", "nb")
+        )
+        s = j.mapInArrow(
+            _pair_cos_gen(["query_id", "neighbor_id"]),
+            "query_id bigint, neighbor_id bigint, cos_raw double",
+        )
+        scored = s if scored is None else scored.union(s)
+    return _ranked_topk(scored.distinct(), 3)
