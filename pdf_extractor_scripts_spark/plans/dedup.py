@@ -541,9 +541,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             _shingle_array_gen(), "doc_id bigint, hs array<int>, n bigint"
         )
         # Join the SAME broadcast relation twice via aliases: the two
-        # exchanges canonicalize identically, so the second join reuses the
-        # first's built relation (ReusedExchange) — one array broadcast
-        # build instead of two.
+        # exchanges are canonically identical, so the runtime may reuse one
+        # built relation for both joins; either way each build is sized by
+        # CANDIDATES (the guard-bounded doc set), never the corpus.
         aa = F.broadcast(arr).alias("aa")
         ab = F.broadcast(arr).alias("ab")
         j = (
