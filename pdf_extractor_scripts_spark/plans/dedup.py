@@ -189,6 +189,17 @@ _MAX_BUCKET = 64
 # monkeypatching this to 0.
 BROADCAST_PAIRS_MAX = 4_000_000
 
+# Second guard for the r7 array-verify fast path: the broadcast of
+# candidate-doc shingle arrays is sized by candidates × DOCUMENT LENGTH,
+# which the pair-count guard alone does not bound — a corpus of megabyte
+# documents could blow executor memory through a "small" pair list. The
+# total candidate character count is read from the documents table's
+# n_chars column (column-pruned scan, no text materialized); above the
+# ceiling the narrow-row formulation takes over. 64M chars ≈ 256 MB of
+# int32 arrays — comfortably inside a 4 GB executor. Tests drive the
+# fallback by monkeypatching this to 0.
+ARRAY_BC_MAX_CHARS = 64_000_000
+
 
 # --------------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
@@ -526,6 +537,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-wide explode + the two-HashAggregate DISTINCT shuffle over one
     # row per corpus character (guide §2.3/§2.4).
     cand_texts = _doc_texts(spark, sf_dir).join(_bc(cand_docs), "doc_id", "left_semi")
+    if use_bc:
+        # array-broadcast volume check (see ARRAY_BC_MAX_CHARS): sum of
+        # candidate n_chars via a column-pruned scan — one tiny job, same
+        # class as the pairs.count() decision above
+        total_chars = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .join(_bc(cand_docs), "doc_id", "left_semi")
+            .agg(F.sum("n_chars"))
+            .first()[0]
+        )
+        use_bc = total_chars is not None and total_chars <= ARRAY_BC_MAX_CHARS
     if use_bc:
         # r7 guarded FAST PATH (guide §8: broadcast the per-doc metadata,
         # stream the small rows, never fan heavy bytes out): each candidate

@@ -148,3 +148,31 @@ def test_ngram_jaccard_broadcast_fallback(spark, monkeypatch):
     fb_rows = {tuple(r) for r in df.collect()}
     spark.catalog.clearCache()
     assert fb_rows == bc_rows
+
+
+def test_ngram_jaccard_array_volume_guard(spark, monkeypatch):
+    """r7: the array-verify fast path is additionally gated on total
+    candidate characters (the broadcast is sized by candidates x doc
+    length, which the pair-count guard alone does not bound). Forcing the
+    ceiling to 0 must route through the narrow-row fallback and produce
+    the SAME rows."""
+    from pdf_extractor_scripts_spark.plans import dedup
+    from pdf_extractor_scripts_spark.plans.registry import all_specs
+
+    spec = all_specs()["dedup_ngram_jaccard"]
+    sf = "/root/testdata/sf0.001"
+
+    spark.catalog.clearCache()
+    fast_rows = {tuple(r) for r in spec.spark(spark, sf).collect()}
+
+    spark.catalog.clearCache()
+    monkeypatch.setattr(dedup, "ARRAY_BC_MAX_CHARS", 0)
+    df = spec.spark(spark, sf)
+    # the narrow-row fallback carries no list column anywhere in the plan
+    assert "hs" not in [f.name for f in df.schema.fields]
+    plan = _plan(df)
+    assert "ListArray" not in plan and " hs#" not in plan, \
+        "array fast path must be disabled under the volume guard"
+    slow_rows = {tuple(r) for r in df.collect()}
+    spark.catalog.clearCache()
+    assert slow_rows == fast_rows
