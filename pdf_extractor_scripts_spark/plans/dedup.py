@@ -521,9 +521,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Automated broadcast decision (r4 VERDICT #6): cache the pair list and
     # count it — sig is already cached, so the count's marginal cost is the
     # band join, which the cache then reuses for the verify. Below the
-    # ceiling → broadcast both the pair list and its doc-id list (fastest
-    # measured form); above → plain joins, AQE chooses the strategy. The
-    # per-row set math is identical on both paths.
+    # ceiling (and the r7 character-volume ceiling checked next) → the
+    # array fast path with broadcast candidate metadata; above → the
+    # narrow-row formulation with plain joins, AQE chooses the strategy.
+    # Both paths compute the identical set math (plan-audited equality).
     pairs = pairs.cache()
     use_bc = pairs.count() <= BROADCAST_PAIRS_MAX
     _bc = F.broadcast if use_bc else (lambda df: df)
